@@ -69,9 +69,12 @@ def validate_column(
         else:
             invalid = ~target.isin(list(accepted_values))
     elif datatype == "numeric":
-        invalid = target.cast(LongType()).isNull()
+        # try_cast, not cast: under Spark 4 ANSI mode a plain cast on a
+        # malformed value throws CAST_INVALID_INPUT instead of yielding
+        # NULL — the operator exists to FLAG bad data, not crash on it.
+        invalid = target.try_cast(LongType()).isNull()
     elif datatype == "timestamp":
-        invalid = target.cast(TimestampType()).isNull()
+        invalid = target.try_cast(TimestampType()).isNull()
     else:
         raise ValueError(f"datatype must be one of {_ALLOWED_DATATYPES}")
 
@@ -92,12 +95,19 @@ def validate_relationship(
     (rewrite of CommonFunctions.py:174-198; same labeled output).
 
     A row is invalid iff its ``id_col_1`` is non-NULL and has no match in
-    ``distinct(dataframe2.id_col_2)``. NULL ids are left untouched —
+    ``distinct(dataframe2.id_col_2)``. NULL child ids are left untouched —
     that mirrors the reference's ``~isin(list)`` NULL fall-through.
+
+    Known divergence (deliberate): when the PARENT key column contains
+    NULLs, the reference's ``~isin(list-containing-None)`` yields NULL for
+    every unmatched child, silently disabling FK validation for the whole
+    table. We filter NULL parents instead, so unmatched children are still
+    marked — strictly more correct; documented rather than replicated.
 
     Scale: the reference collected parent ids to the driver; here the
     distinct parent-key set stays distributed and Catalyst/AQE picks
-    broadcast-hash vs shuffled-hash join.
+    broadcast-hash vs shuffled-hash join. Output preserves the input
+    column order (the reference keeps it; positional consumers rely on it).
     """
     parents = (
         dataframe2.select(F.col(id_col_2).alias(id_col_1))
@@ -108,8 +118,8 @@ def validate_relationship(
     joined = dataframe1.join(parents, on=id_col_1, how="left")
     invalid = F.col(id_col_1).isNotNull() & F.col("__fk_match").isNull()
     audit_value = F.array(F.concat_ws(", ", F.lit(id_col_1)))
-    return _mark_invalid(joined, invalid, "invalid_relationship", audit_value).drop(
-        "__fk_match"
+    return _mark_invalid(joined, invalid, "invalid_relationship", audit_value).select(
+        *dataframe1.columns
     )
 
 

@@ -7,13 +7,21 @@ write primitives over plain parquet with a tiny MVCC layer:
 
 - every write creates a new immutable version directory ``v=N``;
 - ``_LATEST`` is a pointer file swapped atomically (os.replace);
+- ``_SCHEMA`` persists the declared schema (JSON) so a fresh process —
+  or an empty freshly-created table, which has no data files to infer
+  from — reads back correctly;
 - readers always read the pointed-at version → no read-overwrite
-  conflict, re-runnable pipelines, cheap "time travel" for debugging.
+  conflict, re-runnable pipelines, cheap "time travel" for debugging;
+- old versions are retained until an explicit ``vacuum()`` (mirroring
+  Delta's VACUUM) so lazily-evaluated readers of older versions keep
+  working across subsequent writes.
 
 At cluster scale the pointer swap is a metadata-only commit (same idea
 as Delta's transaction log, minus concurrent-writer arbitration, which
 the reference never exercises — its orchestration is sequential,
-readme.md:70-88).
+readme.md:70-88). The pointer/schema files use driver-local ``open``/
+``os.replace`` — local-FS only by design in this sandbox; an object-store
+deployment would swap in a conditional-PUT commit.
 
 Primitives (reference parity):
 - create_if_not_exists        — S4 (Bronze-Ingestion-Customers.py:40-45)
@@ -25,6 +33,7 @@ Primitives (reference parity):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from collections.abc import Mapping, Sequence
@@ -34,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LATEST = "_LATEST"
+_SCHEMA = "_SCHEMA"
 
 
 class ManagedTable:
@@ -52,11 +62,17 @@ class ManagedTable:
         self.location = location
         self.schema = schema
         self.partition_columns = list(partition_columns)
+        if self.schema is None:
+            self.schema = self._load_schema()
 
     # ------------------------------------------------------------------ meta
     @property
     def _pointer_path(self) -> str:
         return os.path.join(self.location, _LATEST)
+
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.location, _SCHEMA)
 
     def exists(self) -> bool:
         return os.path.exists(self._pointer_path)
@@ -75,6 +91,21 @@ class ManagedTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._pointer_path)  # atomic pointer swap
+
+    def _save_schema(self) -> None:
+        if self.schema is None:
+            return
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._schema_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.schema.json())
+        os.replace(tmp, self._schema_path)
+
+    def _load_schema(self) -> StructType | None:
+        if not os.path.exists(self._schema_path):
+            return None
+        with open(self._schema_path) as f:
+            return StructType.fromJson(json.loads(f.read()))
 
     # ------------------------------------------------------------------ DDL
     def create_if_not_exists(
@@ -96,13 +127,19 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
-        df = self.spark.read.parquet(self._version_dir(v))
+        if self.schema is None:
+            self.schema = self._load_schema()
+        reader = self.spark.read
         if self.schema is not None:
-            # partitioned writes reorder/retype partition cols on read-back;
-            # normalize to the declared column order and types.
-            df = df.select(
-                *[F.col(f.name).cast(f.dataType) for f in self.schema.fields]
-            )
+            # Explicit schema: (a) an empty freshly-created partitioned
+            # table has zero data files — schema inference would throw
+            # UNABLE_TO_INFER_SCHEMA; (b) partition columns come back with
+            # directory-inferred types unless declared; (c) no cast-wrapping
+            # projection needed, so filters still prune partitions.
+            reader = reader.schema(self.schema)
+        df = reader.parquet(self._version_dir(v))
+        if self.schema is not None and df.columns != [f.name for f in self.schema.fields]:
+            df = df.select(*[f.name for f in self.schema.fields])
         return df
 
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
@@ -116,12 +153,17 @@ class ManagedTable:
         writer.parquet(path)
         if self.schema is None:
             self.schema = df.schema
+        self._save_schema()
         self._commit(v)
-        self._gc(keep=2)
         return v
 
-    def _gc(self, keep: int = 2) -> None:
-        """Drop version dirs older than the newest ``keep`` (bounded disk)."""
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop version dirs older than the newest ``keep``.
+
+        Explicit — mirroring Delta's VACUUM — because auto-gc inside every
+        write would delete files still referenced by lazily-evaluated
+        DataFrames returned from earlier ``read()`` calls.
+        """
         current = self.current_version()
         if not os.path.isdir(self.location):
             return
@@ -177,23 +219,45 @@ class ManagedTable:
         set_map: Mapping[str, str] | None = None,
     ) -> int:
         """S6: update-matched-only (DLQ status refresh). Target rows with a
-        source match take the source's values for ``set_map`` keys (or all
-        shared non-key columns); unmatched target rows unchanged;
-        unmatched source rows ignored."""
+        source match take the source's values for ``set_map`` entries
+        (target_col -> source column or expression, ``"alias.col"`` accepted
+        for reference parity); unmatched target rows unchanged; unmatched
+        source rows ignored. Raises if the source has duplicate keys —
+        Delta MERGE errors on multiple matches; silently picking one would
+        mask source-data bugs.
+        """
         target = self.read()
         keys = list(key_columns)
         if set_map is None:
-            update_cols = [c for c in target.columns if c not in keys and c in source.columns]
+            resolved = {
+                c: c for c in target.columns if c not in keys and c in source.columns
+            }
         else:
-            update_cols = list(set_map)
+            resolved = {}
+            for tgt_col, src_expr in set_map.items():
+                expr = src_expr
+                # reference passes "updates.col" strings; strip the alias
+                if "." in expr and expr not in source.columns:
+                    candidate = expr.split(".", 1)[1]
+                    if candidate in source.columns:
+                        expr = candidate
+                resolved[tgt_col] = expr
+        dup = (
+            source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_update into {self.name}: source has duplicate keys on "
+                f"{keys} — Delta MERGE raises on multiple matches"
+            )
         src = source.select(
-            *keys, *[F.col(c).alias(f"__src_{c}") for c in update_cols]
-        ).dropDuplicates(keys)
+            *keys, *[F.expr(e).alias(f"__src_{c}") for c, e in resolved.items()]
+        )
         src_key_marker = "__src_match"
         joined = target.join(src.withColumn(src_key_marker, F.lit(True)), on=keys, how="left")
         out_cols = []
         for c in target.columns:
-            if c in update_cols:
+            if c in resolved:
                 out_cols.append(
                     F.when(F.col(src_key_marker), F.col(f"__src_{c}"))
                     .otherwise(F.col(c))

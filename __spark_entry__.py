@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship gold query at sf0.001.
+``queries()`` maps every implemented operator (SURVEY.md §2 + the
+LLM-pipeline extensions) to a ``(spark, sf_dir) -> DataFrame`` callable.
+``oracle_sql()`` holds the DuckDB-equivalent SQL for each; column names
+and float rounding are kept identical on both sides so the driver's
+order-insensitive value-hash matches.
+
+Oracle portability notes:
+- DuckDB has no ``initcap`` → emulated with list_transform over words.
+- DuckDB RE2 has no lookaround → the reference's lone-slash regex
+  ``(?<![0-9])/(?![0-9])`` is emulated with a capture-group replace
+  applied twice (second pass catches overlap-consumed slashes).
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT → always CAST to BIGINT.
+- Float aggregates are ROUND()ed on both sides; int/int division is
+  IEEE-identical across engines.
 """
 
 from __future__ import annotations
@@ -13,26 +23,551 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from databricks_data_warehouse_spark.ext import dedup, json_ops, similarity, text
+from databricks_data_warehouse_spark.queries import dashboard, gold, ops, tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: orders ⋈ customer ⋈ nation rollup (J1+A2+H4)."""
+    return gold.gold_orders_by_city(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # ---- gold builders (reference Gold layer semantics)
+        "gold_customer_breakdown": gold.gold_customer_breakdown,
+        "gold_customer_status_by_city": gold.gold_customer_status_by_city,
+        "gold_orders_by_city": gold.gold_orders_by_city,
+        "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
+        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
+        # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
+        "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
+        "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
+        "dash_low_order_customers": dashboard.dash_low_order_customers,
+        "dash_avg_delivery_by_nation": dashboard.dash_avg_delivery_by_nation,
+        "dash_late_orders_by_priority": dashboard.dash_late_orders_by_priority,
+        # ---- TPC-H-style classics (bench headliners)
+        "tpch_q1_pricing_summary": tpch.tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
+        # ---- CommonFunctions operator parity over real data (C1-C5)
+        "op_clean_string": ops.op_clean_string,
+        "op_clean_string_address": ops.op_clean_string_address,
+        "op_validate_columns": ops.op_validate_columns,
+        "op_validate_domain": ops.op_validate_domain,
+        "op_validate_relationship": ops.op_validate_relationship,
+        "op_ingestion_status": ops.op_ingestion_status,
+        "op_identify_duplicates": ops.op_identify_duplicates,
+        # ---- LLM-pipeline: dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_signatures": dedup.minhash_signatures,
+        "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_simhash": dedup.simhash,
+        # ---- LLM-pipeline: text analysis
+        "text_quality": text.text_quality,
+        "text_lang_id": text.lang_id,
+        "text_fingerprint": text.doc_fingerprint,
+        # ---- LLM-pipeline: similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pairs_per_label": similarity.pairwise_topk_per_label,
+        # ---- LLM-pipeline: JSON / event windows
+        "events_json_extract": json_ops.events_json_extract,
+        "events_json_agg": json_ops.events_json_agg,
+        "events_hourly_windows": json_ops.events_hourly_windows,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- SQL helpers
+
+# DuckDB initcap emulation (Spark: first letter of each space-delimited
+# word uppercased, rest lowercased)
+def _initcap(expr: str) -> str:
+    return (
+        "array_to_string(list_transform(string_split(" + expr + ", ' '), "
+        "w -> CASE WHEN length(w) = 0 THEN '' "
+        "ELSE upper(w[1]) || lower(w[2:]) END), ' ')"
+    )
+
+
+# default-mode clean chain: tab→space, non-letters→space, initcap,
+# collapse whitespace, trim
+def _clean_default(expr: str) -> str:
+    s = f"regexp_replace({expr}, '\\t', ' ', 'g')"
+    s = f"regexp_replace({s}, '[^a-zA-Z ]', ' ', 'g')"
+    s = _initcap(s)
+    s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+    return f"trim({s})"
+
+
+# address-mode clean chain: keep alnum + '/', drop slashes not between
+# digits (lookaround emulated by a twice-applied capture-group replace)
+def _clean_address(expr: str) -> str:
+    s = f"regexp_replace({expr}, '\\t', ' ', 'g')"
+    s = f"regexp_replace({s}, '[^a-zA-Z0-9 /]', ' ', 'g')"
+    lone = "'(^|[^0-9])/($|[^0-9])'"
+    s = f"regexp_replace({s}, {lone}, '\\1 \\2', 'g')"
+    s = f"regexp_replace({s}, {lone}, '\\1 \\2', 'g')"
+    s = _initcap(s)
+    s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+    return f"trim({s})"
+
+
+# normalized text for dedup: lower, collapse whitespace, trim
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# whitespace tokens of normalized text
+_TOKS_NORM = f"string_split_regex({_NORM}, '\\s+')"
+# whitespace tokens of raw trimmed text
+_TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+
+# distinct word 3-shingles of normalized text (short docs → whole doc)
+_SHINGLES3 = (
+    f"list_distinct(CASE WHEN len({_TOKS_NORM}) < 3 "
+    f"THEN [array_to_string({_TOKS_NORM}, ' ')] "
+    f"ELSE list_transform(range(1, len({_TOKS_NORM}) - 1), "
+    f"i -> array_to_string({_TOKS_NORM}[i:i+2], ' ')) END)"
+)
+
+_LANG_SQL_MARKERS = {
+    "en": "['the','and','of','to','a']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','la','et','les','des']",
+    "de": "['der','die','und','das','ein']",
+}
+
+
+def _minhash_sql(j: int) -> str:
+    return (
+        f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # exact integer-cents twins of _util.cents / _util.rnd (see those
+    # docstrings): money columns are 2-decimal, so sums/products of the
+    # cent representation are exact BIGINTs on both engines.
+    ep_c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    disc_c = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    tax_c = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+    disc_price_e4 = f"{ep_c} * (100 - {disc_c})"
+    charge_e6 = f"{ep_c} * (100 - {disc_c}) * (100 + {tax_c})"
+    mh_cols = ",\n               ".join(_minhash_sql(j) for j in range(8))
+    lang_scores = ",\n               ".join(
+        f"len(list_intersect(toks, {arr})) AS score_{code}"
+        for code, arr in _LANG_SQL_MARKERS.items()
+    )
+    return {
+        # ---------------------------------------------------------- gold
+        "gold_customer_breakdown": """
+            SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        """,
+        "gold_customer_status_by_city": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderstatus,
+                       RANK() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC) AS rk
+                FROM orders
+            )
+            SELECT l.o_orderstatus AS latest_order_status, c.c_mktsegment,
+                   COUNT(*) AS customer_count
+            FROM customer c
+            LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) l
+              ON c.c_custkey = l.o_custkey
+            GROUP BY 1, 2
+        """,
+        "gold_orders_by_city": """
+            SELECT n.n_name,
+                   year(o.o_orderdate) AS order_year,
+                   month(o.o_orderdate) AS order_month,
+                   COUNT(o.o_orderkey) AS order_count,
+                   floor(CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                              AS BIGINT)
+                         / COUNT(o.o_totalprice) / 100 * 100 + 0.5) / 100
+                       AS avg_total_price
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        "gold_orders_by_customer_week": """
+            SELECT o.o_custkey,
+                   year(o.o_orderdate) AS order_year,
+                   weekofyear(o.o_orderdate) AS order_week,
+                   c.c_mktsegment,
+                   COUNT(o.o_orderkey) AS order_count
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3, 4
+        """,
+        "gold_orders_delivery_time": """
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS ship_delay_days,
+                   year(o.o_orderdate) AS order_year,
+                   COUNT(*) AS line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3
+        """,
+        # ------------------------------------------------------ dashboard
+        "dash_top_nations_by_segment": """
+            SELECT n.n_name, COUNT(*) AS customer_count
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY n.n_name
+            ORDER BY customer_count DESC, n.n_name
+            LIMIT 5
+        """,
+        "dash_customer_share_by_segment": """
+            WITH counts AS (
+                SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count
+                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT c_mktsegment, n_name, customer_count,
+                   floor(customer_count / SUM(customer_count)
+                         OVER (PARTITION BY c_mktsegment) * 100 * 100 + 0.5) / 100
+                       AS pct_of_segment
+            FROM counts
+        """,
+        "dash_low_order_customers": """
+            SELECT o.o_custkey, COUNT(*) AS order_count
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE year(o.o_orderdate) = 1995
+              AND weekofyear(o.o_orderdate) = 28
+              AND c.c_mktsegment = 'MACHINERY'
+            GROUP BY o.o_custkey
+            HAVING COUNT(*) < 5
+        """,
+        "dash_avg_delivery_by_nation": """
+            WITH per_year AS (
+                SELECT n.n_name, year(o.o_orderdate) AS order_year,
+                       CAST(SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE))) AS BIGINT) AS sum_delay,
+                       COUNT(*) AS line_count
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            )
+            SELECT n_name,
+                   floor(CAST(SUM(sum_delay) AS BIGINT)
+                         / CAST(SUM(line_count) AS BIGINT) * 100 + 0.5) / 100
+                       AS weighted_avg_delay,
+                   CAST(SUM(line_count) AS BIGINT) AS line_count
+            FROM per_year
+            GROUP BY n_name
+        """,
+        "dash_late_orders_by_priority": """
+            WITH total AS (
+                SELECT o_orderpriority, COUNT(*) AS total_orders
+                FROM orders GROUP BY 1
+            ),
+            late AS (
+                SELECT o.o_orderpriority,
+                       COUNT(DISTINCT o.o_orderkey) AS late_orders
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) > 7
+                GROUP BY 1
+            )
+            SELECT t.o_orderpriority, t.total_orders, l.late_orders,
+                   floor(l.late_orders / t.total_orders * 100 * 100 + 0.5) / 100
+                       AS late_pct
+            FROM total t JOIN late l ON t.o_orderpriority = l.o_orderpriority
+        """,
+        # ---------------------------------------------------------- tpch
+        "tpch_q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(SUM({ep_c}) AS BIGINT) / 100 AS sum_base_price,
+                   CAST(SUM({disc_price_e4}) AS BIGINT) / 10000 AS sum_disc_price,
+                   CAST(SUM({charge_e6}) AS BIGINT) / 1000000 AS sum_charge,
+                   floor(CAST(SUM(l_quantity) AS BIGINT) / COUNT(*) * 100 + 0.5)
+                       / 100 AS avg_qty,
+                   floor(CAST(SUM({ep_c}) AS BIGINT) / COUNT(*) / 100 * 100 + 0.5)
+                       / 100 AS avg_price,
+                   floor(CAST(SUM({disc_c}) AS BIGINT) / COUNT(*) / 100 * 10000 + 0.5)
+                       / 10000 AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_shipping_priority": f"""
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15'
+              AND l.l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier_volume": f"""
+            SELECT n.n_name,
+                   CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+        """,
+        "tpch_q6_forecast_revenue": f"""
+            SELECT CAST(SUM({ep_c} * {disc_c}) AS BIGINT) / 10000 AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24
+        """,
+        # ------------------------------------------- operator parity (C1-C5)
+        "op_clean_string": f"""
+            SELECT doc_id, {_clean_default("text")} AS clean_text
+            FROM documents
+        """,
+        "op_clean_string_address": f"""
+            SELECT p_partkey,
+                   {_clean_address("(p_name || ' # ' || CAST(p_size AS VARCHAR) || ' 1/2 /')")}
+                       AS clean_name
+            FROM part
+        """,
+        "op_validate_columns": """
+            SELECT event_id,
+                   CASE WHEN event_type <> 'signup' THEN 'invalid' ELSE '' END
+                       AS validation_status,
+                   CASE WHEN event_type = 'error' THEN 'payload_ts, payload_num'
+                        WHEN event_type <> 'signup' THEN 'payload_ts'
+                        ELSE '' END AS invalid_cols
+            FROM events
+        """,
+        "op_validate_domain": """
+            SELECT c_custkey,
+                   CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+                        THEN '' ELSE 'invalid' END AS validation_status,
+                   CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+                        THEN '' ELSE 'c_mktsegment' END AS invalid_cols
+            FROM customer
+        """,
+        "op_validate_relationship": """
+            SELECT e.event_id,
+                   CASE WHEN p.c_custkey IS NULL THEN 'invalid' ELSE '' END
+                       AS validation_status,
+                   CASE WHEN p.c_custkey IS NULL THEN 'user_id' ELSE '' END
+                       AS invalid_rel
+            FROM events e
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                       WHERE c_mktsegment <> 'MACHINERY') p
+              ON e.user_id = p.c_custkey
+        """,
+        "op_ingestion_status": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'ingested'
+                        ELSE 'not_ingested' END AS silver_ingestion_status
+            FROM orders
+        """,
+        "op_identify_duplicates": """
+            WITH base AS (
+                SELECT l_orderkey, l_shipdate,
+                       CASE WHEN l_orderkey % 2 = 0 THEN 'ingested'
+                            ELSE 'not_ingested' END AS st
+                FROM lineitem
+            ),
+            w AS (
+                SELECT l_orderkey, st,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_shipdate) AS rn
+                FROM base
+            )
+            SELECT l_orderkey,
+                   CAST(SUM(CASE WHEN (st = 'not_ingested' AND cnt > 1)
+                                   OR (st = 'ingested' AND cnt > 1 AND rn > 1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS dup_rows,
+                   CAST(SUM(CASE WHEN (st = 'not_ingested' AND cnt > 1)
+                                   OR (st = 'ingested' AND cnt > 1 AND rn > 1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+                   COUNT(*) AS n_rows
+            FROM w GROUP BY l_orderkey
+        """,
+        # ------------------------------------------------------- dedup
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS content_md5,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS copies
+            FROM documents
+            GROUP BY 1
+        """,
+        "dedup_minhash_signatures": f"""
+            WITH sh_t AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+            )
+            SELECT doc_id,
+               {mh_cols},
+               len(sh) AS n_shingles
+            FROM sh_t
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH grams_t AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(list_transform(
+                           range(1, greatest(length({_NORM}) - 2, 1) + 1),
+                           i -> {_NORM}[i:i+2])) AS grams
+                FROM documents
+            )
+            SELECT a.lang, a.source,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   floor(len(list_intersect(a.grams, b.grams))
+                         / len(list_distinct(list_concat(a.grams, b.grams)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM grams_t a
+            JOIN grams_t b ON a.lang = b.lang AND a.source = b.source
+                          AND a.doc_id < b.doc_id
+            WHERE floor(len(list_intersect(a.grams, b.grams))
+                        / len(list_distinct(list_concat(a.grams, b.grams)))
+                        * 10000 + 0.5) / 10000
+                  >= 0.3
+        """,
+        # ------------------------------------------------------- text
+        "text_quality": f"""
+            SELECT doc_id,
+                   len({_TOKS_RAW}) AS token_count,
+                   floor(list_aggregate(list_transform({_TOKS_RAW},
+                             x -> length(x)), 'sum')
+                         / len({_TOKS_RAW}) * 100 + 0.5) / 100 AS avg_token_len,
+                   floor(len(list_distinct({_TOKS_RAW}))
+                         / len({_TOKS_RAW}) * 10000 + 0.5) / 10000
+                       AS type_token_ratio,
+                   floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / length(text) * 10000 + 0.5) / 10000 AS alpha_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                   {lang_scores}
+                FROM (SELECT doc_id, lang,
+                             list_distinct(string_split_regex(trim(lower(text)),
+                                           '\\s+')) AS toks
+                      FROM documents)
+            )
+            SELECT doc_id, lang AS labeled_lang,
+                   CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0
+                            THEN 'und'
+                        WHEN score_en = greatest(score_en, score_es, score_fr, score_de)
+                            THEN 'en'
+                        WHEN score_es = greatest(score_en, score_es, score_fr, score_de)
+                            THEN 'es'
+                        WHEN score_fr = greatest(score_en, score_es, score_fr, score_de)
+                            THEN 'fr'
+                        ELSE 'de' END AS predicted_lang,
+                   greatest(score_en, score_es, score_fr, score_de) AS marker_hits
+            FROM scored
+        """,
+        "text_fingerprint": f"""
+            WITH sh_t AS (
+                SELECT doc_id, text,
+                       CASE WHEN len({_TOKS_RAW}) < 5
+                            THEN [array_to_string({_TOKS_RAW}, ' ')]
+                            ELSE list_transform(range(1, len({_TOKS_RAW}) - 3),
+                                     i -> array_to_string({_TOKS_RAW}[i:i+4], ' '))
+                       END AS sh
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(text) AS exact_md5,
+                   list_aggregate(list_transform(sh, s -> md5(s)), 'min')
+                       AS min_shingle_md5,
+                   len(sh) AS n_shingles
+            FROM sh_t
+        """,
+        # --------------------------------------------------- similarity
+        "ann_cosine_topk": """
+            WITH q AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT e.vec_id,
+                       list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(q.qe[i] AS DOUBLE)), 'sum') AS dp,
+                       sqrt(list_aggregate(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+                       sqrt(list_aggregate(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nq
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, ROUND(dp / (na * nq), 6) AS cosine_sim
+            FROM scored
+            ORDER BY cosine_sim DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_pairs_per_label": """
+            WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+            SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(
+                     list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                              * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+                     / (sqrt(list_aggregate(list_transform(a.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(b.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+                     6) AS cosine_sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+                      i -> CAST(a.embedding[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+                  / (sqrt(list_aggregate(list_transform(a.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                     * sqrt(list_aggregate(list_transform(b.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+                  >= 0.95
+        """,
+        # -------------------------------------------------- json / windows
+        "events_json_extract": """
+            SELECT event_id, event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "events_json_agg": """
+            SELECT event_type, COUNT(*) AS event_count,
+                   CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   floor(CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+                              AS BIGINT) / COUNT(*) * 100 + 0.5) / 100 AS avg_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "events_hourly_windows": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 100 AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        # dedup_minhash_pairs, dedup_simhash, ann_lsh_buckets and
+        # ann_lsh_topk are intentionally omitted → rows-only check.
+        # minhash_pairs/LSH are approximate-by-construction index builds;
+        # their ground truths (exact jaccard / brute-force cosine) are
+        # oracle-checked above.
+    }

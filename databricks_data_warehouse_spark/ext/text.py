@@ -1,0 +1,109 @@
+"""Text analysis over the ``documents`` table: tokenization, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Design for 100 TB: every operator is a pure column expression over one
+scan of ``documents`` — no joins, no shuffles except the final agg a
+caller might add; all built-in functions (split/transform/aggregate stay
+inside codegen; no Python boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries._util import load, rnd
+
+# tiny deterministic marker sets for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per document: token count, average token length,
+    type-token (distinct/total) ratio, alpha-character ratio."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("token_count"),
+        rnd(total_len / n_tok, 2).alias("avg_token_len"),
+        rnd(F.size(F.array_distinct(toks)) / n_tok, 4).alias("type_token_ratio"),
+        rnd(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score = distinct marker hits per
+    language; predict the best-scoring language ('und' when no marker
+    hits). Ties break by language code order (en < es < fr < de listed
+    explicitly as a deterministic priority)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias(
+                f"score_{code}"
+            )
+            for code, words in _LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{c}") for c in _LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in _LANG_MARKERS:  # first language reaching the max wins
+        pred = pred.when(F.col(f"score_{code}") == best, F.lit(code))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> DataFrame:
+    """Document fingerprint: the lexicographic min over MD5 hashes of
+    word ``shingle_size``-shingles (a deterministic 1-perm MinHash).
+    Whole-document MD5 is included for exact-dup detection.
+
+    MD5 (not xxhash) so the DuckDB oracle computes bit-identical values.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    shingles = F.when(
+        n < shingle_size, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - shingle_size + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_size)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("exact_md5"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
+        F.size(shingles).alias("n_shingles"),
+    )

@@ -1,0 +1,169 @@
+"""Operator-parity queries: the CommonFunctions composite operators
+(C1-C5, SURVEY.md §2.J) exercised over the synthetic tables so the
+driver's DuckDB oracle can hash-check them on real data.
+
+Each function stages realistic inputs (derived deterministically from
+table columns), runs the library operator, and projects a hash-stable
+output: scalar columns only, arrays joined to strings, and — where the
+operator's row_number can tie (identify_duplicates) — aggregates that
+are invariant to tie-breaking order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import clean_string_in_df
+from ..functions.validation import (
+    check_ingestion_status,
+    identify_duplicates,
+    validate_column,
+    validate_relationship,
+)
+from ._util import load
+
+
+def op_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 over documents.text: default-mode cleanse (tab→space, strip
+    non-letters, initcap, collapse whitespace, trim)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_string_in_df(docs, "text", new_column="clean_text").select(
+        "doc_id", "clean_text"
+    )
+
+
+def op_clean_string_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 address mode over part names + sizes (keeps digits and the
+    between-digits slash)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    staged = part.withColumn(
+        "raw", F.concat_ws(" ", F.col("p_name"), F.lit("#"), F.col("p_size"), F.lit("1/2 /"))
+    )
+    return clean_string_in_df(staged, "raw", new_column="clean_name", is_address=True).select(
+        "p_partkey", "clean_name"
+    )
+
+
+def _events_with_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events staged for validation: mixed-validity payload columns +
+    the audit columns every validator requires."""
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn(
+            "payload_num",
+            F.when(F.col("event_type") == "error", F.col("event_type")).otherwise(
+                F.col("user_id").cast("string")
+            ),
+        )
+        .withColumn(
+            "payload_ts",
+            F.when(F.col("event_type") == "signup", F.lit("2024-01-01 10:00:00")).otherwise(
+                F.col("event_type")
+            ),
+        )
+        .withColumn("validation_status", F.lit(""))
+        .withColumn("invalid_columns", F.array().cast("array<string>"))
+    )
+
+
+def op_validate_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 over events: numeric validation on a mixed column ('error' rows
+    carry a non-numeric payload), then timestamp validation — exercising
+    the accumulate-into-one-element-array quirk on real data."""
+    staged = _events_with_audit(spark, sf_dir)
+    out = validate_column(staged, "payload_num", "numeric")
+    out = validate_column(out, "payload_ts", "timestamp")
+    return out.select(
+        "event_id",
+        "validation_status",
+        F.array_join("invalid_columns", ";").alias("invalid_cols"),
+    )
+
+
+def op_validate_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 accepted-values mode: customers outside three known segments are
+    flagged (the reference's domain validation, e.g. type ∈ {affiliate,…})."""
+    staged = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("validation_status", F.lit(""))
+        .withColumn("invalid_columns", F.array().cast("array<string>"))
+    )
+    out = validate_column(
+        staged,
+        "c_mktsegment",
+        "string",
+        accepted_values=["BUILDING", "AUTOMOBILE", "MACHINERY"],
+    )
+    return out.select(
+        "c_custkey",
+        "validation_status",
+        F.array_join("invalid_columns", ";").alias("invalid_cols"),
+    )
+
+
+def op_validate_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 FK-orphan marking: events.user_id against a restricted parent set
+    (non-MACHINERY customers) so real orphans exist."""
+    events = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("validation_status", F.lit(""))
+        .withColumn("invalid_relationship", F.array().cast("array<string>"))
+    )
+    parents = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") != "MACHINERY")
+        .select("c_custkey")
+    )
+    out = validate_relationship(events, "user_id", parents, "c_custkey")
+    return out.select(
+        "event_id",
+        "validation_status",
+        F.array_join("invalid_relationship", ";").alias("invalid_rel"),
+    )
+
+
+def op_ingestion_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 composite-key membership labeling: orders labeled by whether
+    (o_custkey, o_orderkey) appears in a deterministic 'already ingested'
+    subset (orderkey divisible by 3)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ingested = orders.filter(F.col("o_orderkey") % 3 == 0)
+    out = check_ingestion_status(
+        orders, ingested, ["o_custkey", "o_orderkey"], "silver_ingestion_status"
+    )
+    return out.select("o_orderkey", "silver_ingestion_status")
+
+
+def op_identify_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 duplicate marking over lineitem keyed by l_orderkey (multi-line
+    orders are 'duplicates' under that key — a real-data analogue of the
+    reference's duplicate matrix).
+
+    Output is aggregated per key: which row of a timestamp tie gets
+    row_number 1 is engine-dependent, but the NUMBER of marked rows per
+    key is invariant, so the aggregate hash-matches the oracle.
+    """
+    staged = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .withColumn("validation_status", F.lit(""))
+        .withColumn("invalid_columns", F.array().cast("array<string>"))
+        .withColumn(
+            "silver_ingestion_status",
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit("ingested")).otherwise(
+                F.lit("not_ingested")
+            ),
+        )
+    )
+    out = identify_duplicates(
+        staged, ["l_orderkey"], "l_shipdate", "silver_ingestion_status"
+    )
+    return out.groupBy("l_orderkey").agg(
+        F.sum(F.col("is_duplicate").cast("long")).alias("dup_rows"),
+        F.sum((F.col("validation_status") == "invalid").cast("long")).alias("invalid_rows"),
+        F.count("*").alias("n_rows"),
+    )

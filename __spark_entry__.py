@@ -426,9 +426,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": f"""
             WITH grams_t AS (
                 SELECT doc_id, lang, source,
-                       list_distinct(list_transform(
-                           range(1, greatest(length({_NORM}) - 2, 1) + 1),
-                           i -> {_NORM}[i:i+2])) AS grams
+                       list_distinct(CASE WHEN len({_TOKS_NORM}) < 2 THEN []
+                           ELSE list_transform(range(1, len({_TOKS_NORM})),
+                                i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
+                           END) AS grams
                 FROM documents
             )
             SELECT a.lang, a.source,

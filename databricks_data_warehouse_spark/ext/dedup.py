@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries._util import load, rnd
-from .text import tokens
+from .text import tokens, word_ngrams
 
 # deterministic "permutations": salt the shingle hash with a fixed seed id
 _N_MINHASH = 8
@@ -49,38 +49,28 @@ def _shingles(col: Column, k: int = 3) -> Column:
     toks = tokens(normalized_text(col))
     n = F.size(toks)
     return F.array_distinct(
-        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n - k + 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        )
+        F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(word_ngrams(toks, k))
     )
-
-
-def _seeded_min_md5(shingles: Column, seed: int) -> Column:
-    # NB: the transform lambda must take exactly ONE parameter — PySpark
-    # dispatches on lambda arity, and a second (even defaulted) parameter
-    # would receive the element index instead of the closure value.
-    prefix = f"{seed}|"
-    return F.array_min(
-        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-    )
-
-
-def _minhash_sig(shingles: Column, n_hashes: int = _N_MINHASH) -> list[Column]:
-    """MinHash signature: for seed j, min over shingles of md5(j||shingle).
-    MD5-based so the oracle reproduces it; seeds are literal ints."""
-    return [
-        _seeded_min_md5(shingles, j).alias(f"mh_{j}") for j in range(n_hashes)
-    ]
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature (8 hashes over 3-word shingles)."""
+    """Per-document MinHash signature (8 hashes over 3-word shingles).
+
+    Shape: explode shingles → one md5 per (row, seed) → groupBy doc_id
+    with min() aggs. min/count are partially aggregable, so the shuffle
+    carries only one 8-hash signature per doc — and the shingle array is
+    computed exactly once (a per-column array formulation re-evaluates
+    the shingling once per hash after projection collapse: 8× the work).
+    """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = _shingles(F.col("text"))
-    return docs.select("doc_id", *_minhash_sig(sh), F.size(sh).alias("n_shingles"))
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
+        for j in range(_N_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,37 +126,53 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
-    """Character-trigram Jaccard near-dup within same-(lang, source)
-    blocks — a blocked (not all-pairs) exact similarity join; the blocking
-    key stands in for any cheap partition-friendly prefilter at scale."""
+    """Word-bigram Jaccard near-dup within same-(lang, source) blocks —
+    a blocked (not all-pairs) exact similarity join; the blocking key
+    stands in for any cheap partition-friendly prefilter at scale.
+
+    Word bigrams (not char trigrams): char n-grams of same-language text
+    are mostly shared vocabulary, which makes every within-block pair a
+    candidate; word bigrams are ~document-specific, so the inverted
+    index below stays near-linear. Docs with <2 tokens have no bigrams
+    and drop out (Jaccard undefined).
+    """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
-    norm = normalized_text(F.col("text"))
+    toks = tokens(normalized_text(F.col("text")))
+    bigrams = word_ngrams(toks, 2)
     grams = docs.select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(norm) - 2, F.lit(1))),
-                lambda i: norm.substr(i, F.lit(3)),
-            )
-        ).alias("grams"),
+        F.array_distinct(bigrams).alias("grams"),
     )
-    a = grams.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a")
+    # inverted index: one row per (doc, gram). The pair join keys on
+    # (lang, source, gram) — thousands of distinct keys instead of the
+    # handful of (lang, source) blocks, so all cores participate and no
+    # per-pair array intersection is ever materialized. |A∩B| is then a
+    # plain count per pair and |A∪B| = n_a + n_b − common.
+    inv = grams.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("grams").alias("n"),
+        F.explode("grams").alias("gram"),
     )
-    b = grams.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b")
+    a = inv.select(
+        "lang", "source", "gram",
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),
+    )
+    b = inv.select(
+        "lang", "source", "gram",
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"),
     )
     return (
-        a.join(b, on=["lang", "source"])
+        a.join(b, on=["lang", "source", "gram"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("lang", "source", "doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
         .withColumn(
             "jaccard",
-            rnd(
-                F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b")),
-                4,
-            ),
+            rnd(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 4),
         )
         .where(F.col("jaccard") >= threshold)
         .select("lang", "source", "doc_a", "doc_b", "jaccard")
@@ -180,22 +186,26 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.array_distinct(tokens(normalized_text(F.col("text"))))
-    # per-token 16-bit value from md5 hex prefix
-    tok_hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
-
-    def _vote(mask: int) -> Column:
-        # single-closure helper: aggregate's merge lambda must be 2-arity
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    bit_cols = []
+    # explode → hash each token ONCE → 16 conditional-sum aggs. An
+    # array-column formulation would re-evaluate the tokenize+md5 chain
+    # once per bit (16×/row). explode_outer keeps empty docs (NULL token
+    # → every vote -1 → fingerprint 0, same as voting over zero tokens).
+    hashed = docs.select("doc_id", F.explode_outer(toks).alias("t")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    fingerprint: Column = F.lit(0)
     for i in range(bits):
-        votes = _vote(1 << i)
-        bit_cols.append(F.when(votes > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    fingerprint = bit_cols[0]
-    for c in bit_cols[1:]:
-        fingerprint = fingerprint + c
-    return docs.select("doc_id", fingerprint.cast("long").alias("simhash16"))
+        fingerprint = fingerprint + F.when(
+            F.col(f"v{i}") > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return agg.select("doc_id", fingerprint.cast("long").alias("simhash16"))

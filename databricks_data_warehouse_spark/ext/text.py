@@ -35,6 +35,24 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def word_ngrams(toks: Column, k: int) -> Column:
+    """Word k-grams as space-joined strings, via zip_with over k shifted
+    slices of the token array.
+
+    NOT ``transform(sequence(1, n-k+1), i -> slice(toks, i, k))``: a
+    lambda that references the (expensive) ``toks`` expression re-
+    evaluates it once per element — O(n·cost(toks)) per row. Here
+    ``toks`` is evaluated k+1 times per row and the per-element lambdas
+    touch only their two string arguments. Returns [] when size < k.
+    """
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    parts = [F.slice(toks, i + 1, m) for i in range(k)]
+    out = parts[-1]
+    for p in reversed(parts[:-1]):
+        out = F.zip_with(p, out, lambda x, acc: F.concat(x, F.lit(" "), acc))
+    return out
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics per document: token count, average token length,
     type-token (distinct/total) ratio, alpha-character ratio."""
@@ -95,15 +113,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> 
     n = F.size(toks)
     shingles = F.when(
         n < shingle_size, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - shingle_size + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_size)),
+    ).otherwise(word_ngrams(toks, shingle_size))
+    # explode → min/count aggs: the shingle array is built once (the
+    # per-column form re-evaluates it per output column) and the shuffle
+    # carries one row per doc after map-side partial aggregation.
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("exact_md5"),
+            F.explode(shingles).alias("s"),
         )
-    )
-    return docs.select(
-        "doc_id",
-        F.md5(F.col("text")).alias("exact_md5"),
-        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
-        F.size(shingles).alias("n_shingles"),
+        .groupBy("doc_id", "exact_md5")
+        .agg(
+            F.min(F.md5("s")).alias("min_shingle_md5"),
+            F.count("*").alias("n_shingles"),
+        )
     )

@@ -1,27 +1,43 @@
-"""Managed tables: partitioned parquet + MVCC pointer + MERGE emulation.
+"""Managed tables: partitioned parquet + manifest MVCC + MERGE emulation.
 
 The reference persists everything as Delta tables and writes exclusively
 via ``DeltaTable.merge`` (SURVEY.md §2.A S4-S7). ``delta-spark`` is not
 available in this environment, so this module provides the same four
-write primitives over plain parquet with a tiny MVCC layer:
+write primitives over plain parquet with a manifest-based MVCC layer
+(the same shape as Delta/Iceberg snapshots):
 
-- every write creates a new immutable version directory ``v=N``;
+- every version is a **manifest**: a map from partition value tuple to
+  the immutable data directory holding that partition's current files;
+- a write stages only the partitions it touches into a fresh
+  ``data/w=<version>/`` tree and the new manifest reuses the previous
+  entries for every untouched partition — **merge cost scales with the
+  batch's partitions, not with table size** (a full-table copy per
+  micro-batch would be fatal at 100 TB);
 - ``_LATEST`` is a pointer file swapped atomically (os.replace);
 - ``_SCHEMA`` persists the declared schema (JSON) so a fresh process —
   or an empty freshly-created table, which has no data files to infer
   from — reads back correctly;
-- readers always read the pointed-at version → no read-overwrite
-  conflict, re-runnable pipelines, cheap "time travel" for debugging;
-- old versions are retained until an explicit ``vacuum()`` (mirroring
+- readers always read the pointed-at manifest → no read-overwrite
+  conflict, re-runnable pipelines, cheap time travel for debugging;
+- data dirs are retained until an explicit ``vacuum()`` (mirroring
   Delta's VACUUM) so lazily-evaluated readers of older versions keep
   working across subsequent writes.
 
 At cluster scale the pointer swap is a metadata-only commit (same idea
 as Delta's transaction log, minus concurrent-writer arbitration, which
 the reference never exercises — its orchestration is sequential,
-readme.md:70-88). The pointer/schema files use driver-local ``open``/
-``os.replace`` — local-FS only by design in this sandbox; an object-store
-deployment would swap in a conditional-PUT commit.
+readme.md:70-88). The pointer/schema/manifest files use driver-local
+``open``/``os.replace`` — local-FS only by design in this sandbox; an
+object-store deployment would swap in a conditional-PUT commit.
+
+Partition-scoped merging requires that a source row can only match
+target rows in its own partition: always true for the all-column match
+of ``merge_insert_only``; true for keyed merges when the partition
+columns are a subset of the merge keys (the reference's gold tables all
+satisfy this — e.g. Gold-Orders-By-City.py:69-80 merges on
+city/year/month over a year/month layout). Otherwise these fall back to
+a full rewrite, like Delta falls back to scanning all files when no
+pruning predicate exists.
 
 Primitives (reference parity):
 - create_if_not_exists        — S4 (Bronze-Ingestion-Customers.py:40-45)
@@ -37,13 +53,17 @@ import json
 import os
 import shutil
 from collections.abc import Mapping, Sequence
+from functools import reduce
+from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LATEST = "_LATEST"
 _SCHEMA = "_SCHEMA"
+_MANIFEST_PREFIX = "_MANIFEST.v="
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 class ManagedTable:
@@ -74,6 +94,9 @@ class ManagedTable:
     def _schema_path(self) -> str:
         return os.path.join(self.location, _SCHEMA)
 
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.location, f"{_MANIFEST_PREFIX}{version}")
+
     def exists(self) -> bool:
         return os.path.exists(self._pointer_path)
 
@@ -82,9 +105,6 @@ class ManagedTable:
             return -1
         with open(self._pointer_path) as f:
             return int(f.read().strip())
-
-    def _version_dir(self, version: int) -> str:
-        return os.path.join(self.location, f"v={version}")
 
     def _commit(self, version: int) -> None:
         tmp = self._pointer_path + ".tmp"
@@ -107,6 +127,23 @@ class ManagedTable:
         with open(self._schema_path) as f:
             return StructType.fromJson(json.loads(f.read()))
 
+    def _read_manifest(self, version: int) -> dict[str, str]:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"table {self.name}: manifest for version {version} missing "
+                "(vacuumed or never written)"
+            )
+        with open(path) as f:
+            return json.loads(f.read())["entries"]
+
+    def _write_manifest(self, version: int, entries: Mapping[str, str]) -> None:
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"entries": dict(entries)}, sort_keys=True))
+        os.replace(tmp, self._manifest_path(version))
+
     # ------------------------------------------------------------------ DDL
     def create_if_not_exists(
         self, schema: StructType | None = None
@@ -118,8 +155,9 @@ class ManagedTable:
         if schema is None:
             raise ValueError(f"table {self.name}: no schema to create from")
         self.schema = schema
-        empty = self.spark.createDataFrame([], schema)
-        self._write_version(empty)
+        self._save_schema()
+        self._write_manifest(0, {})
+        self._commit(0)
         return self
 
     # ------------------------------------------------------------------ I/O
@@ -129,52 +167,157 @@ class ManagedTable:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
         if self.schema is None:
             self.schema = self._load_schema()
-        reader = self.spark.read
-        if self.schema is not None:
-            # Explicit schema: (a) an empty freshly-created partitioned
-            # table has zero data files — schema inference would throw
-            # UNABLE_TO_INFER_SCHEMA; (b) partition columns come back with
-            # directory-inferred types unless declared; (c) no cast-wrapping
-            # projection needed, so filters still prune partitions.
-            reader = reader.schema(self.schema)
-        df = reader.parquet(self._version_dir(v))
-        if self.schema is not None and df.columns != [f.name for f in self.schema.fields]:
-            df = df.select(*[f.name for f in self.schema.fields])
-        return df
+        if self.schema is None:
+            raise ValueError(f"table {self.name}: no schema available")
+        cols = [f.name for f in self.schema.fields]
+        entries = self._read_manifest(v)
+        if not entries:
+            return self.spark.createDataFrame([], self.schema)
+        # group entry dirs by their write root so partition-column
+        # recovery (basePath-relative dir names) works per group; one
+        # scan per write root, unioned. Untouched partitions keep their
+        # original files, so a manifest typically spans few write roots
+        # (and compact() collapses them to one).
+        groups: dict[str, list[str]] = {}
+        for rel in entries.values():
+            parts = rel.split("/")
+            wroot = "/".join(parts[:2])  # data/w=<N>
+            groups.setdefault(wroot, []).append(rel)
+        scans = []
+        for wroot, rels in sorted(groups.items()):
+            reader = self.spark.read.schema(self.schema).option(
+                "basePath", os.path.join(self.location, wroot)
+            )
+            scans.append(
+                reader.parquet(
+                    *[os.path.join(self.location, r) for r in sorted(rels)]
+                ).select(*cols)
+            )
+        return reduce(DataFrame.unionByName, scans)
 
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
 
-    def _write_version(self, df: DataFrame) -> int:
-        v = self.current_version() + 1
-        path = self._version_dir(v)
+    # ----------------------------------------------------------- write core
+    def _walk_staged(self, write_dir: str, write_rel: str) -> dict[str, str]:
+        """Discover partition dirs produced by a staged write.
+
+        Keys are JSON lists of partition value strings (None for the
+        hive null dir) — derived from directory names on every write, so
+        they are canonical across writes regardless of source types.
+        """
+        if not self.partition_columns:
+            return {"[]": write_rel}
+        staged: dict[str, str] = {}
+
+        def rec(d: str, rel: str, vals: list[str | None]) -> None:
+            if len(vals) == len(self.partition_columns):
+                staged[json.dumps(vals)] = rel
+                return
+            if not os.path.isdir(d):
+                return
+            for entry in sorted(os.listdir(d)):
+                if "=" not in entry or entry.startswith(("_", ".")):
+                    continue
+                raw = entry.split("=", 1)[1]
+                val = None if raw == _HIVE_NULL else unquote(raw)
+                rec(os.path.join(d, entry), f"{rel}/{entry}", vals + [val])
+
+        rec(write_dir, write_rel, [])
+        return staged
+
+    def _stage_and_commit(self, df: DataFrame, *, replace_all: bool) -> int:
+        """Write ``df``'s partitions as version ``current+1``.
+
+        With ``replace_all`` the new manifest contains only the staged
+        partitions; otherwise staged partitions replace their previous
+        entries and all other entries carry over untouched (their files
+        are never rewritten — byte-identical across the merge).
+        """
+        v_new = self.current_version() + 1
+        write_rel = f"data/w={v_new}"
+        write_dir = os.path.join(self.location, write_rel)
         writer = df.write.mode("overwrite")
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
-        writer.parquet(path)
+        writer.parquet(write_dir)
+        staged = self._walk_staged(write_dir, write_rel)
+        if replace_all or v_new == 0:
+            entries = staged
+        else:
+            entries = {**self._read_manifest(v_new - 1), **staged}
         if self.schema is None:
             self.schema = df.schema
         self._save_schema()
-        self._commit(v)
-        return v
-
-    def vacuum(self, keep: int = 2) -> None:
-        """Drop version dirs older than the newest ``keep``.
-
-        Explicit — mirroring Delta's VACUUM — because auto-gc inside every
-        write would delete files still referenced by lazily-evaluated
-        DataFrames returned from earlier ``read()`` calls.
-        """
-        current = self.current_version()
-        if not os.path.isdir(self.location):
-            return
-        for entry in os.listdir(self.location):
-            if entry.startswith("v="):
-                v = int(entry.split("=", 1)[1])
-                if v <= current - keep:
-                    shutil.rmtree(os.path.join(self.location, entry), ignore_errors=True)
+        self._write_manifest(v_new, entries)
+        self._commit(v_new)
+        return v_new
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._write_version(df.select(*[f.name for f in (self.schema or df.schema).fields]))
+        cols = [f.name for f in (self.schema or df.schema).fields]
+        return self._stage_and_commit(df.select(*cols), replace_all=True)
+
+    def compact(self) -> int:
+        """Rewrite the whole table into a single write root (collapses
+        the union of scans ``read`` builds after many partial writes)."""
+        return self.overwrite(self.read())
+
+    def vacuum(self, keep: int = 2) -> None:
+        """Drop data dirs not referenced by the newest ``keep`` manifests
+        (and the superseded manifests themselves).
+
+        Explicit — mirroring Delta's VACUUM — because auto-gc inside
+        every write would delete files still referenced by lazily-
+        evaluated DataFrames returned from earlier ``read()`` calls.
+        """
+        current = self.current_version()
+        if current < 0 or not os.path.isdir(self.location):
+            return
+        oldest_kept = max(0, current - keep + 1)
+        referenced: set[str] = set()
+        dropped_manifests: list[int] = []
+        for entry in os.listdir(self.location):
+            if not entry.startswith(_MANIFEST_PREFIX):
+                continue
+            v = int(entry[len(_MANIFEST_PREFIX):])
+            if v >= oldest_kept:
+                referenced |= set(self._read_manifest(v).values())
+            else:
+                dropped_manifests.append(v)
+        dead: set[str] = set()
+        for v in dropped_manifests:
+            dead |= set(self._read_manifest(v).values())
+        for rel in dead - referenced:
+            shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
+        for v in dropped_manifests:
+            os.remove(self._manifest_path(v))
+        # prune now-empty write roots
+        data_root = os.path.join(self.location, "data")
+        if os.path.isdir(data_root):
+            for entry in os.listdir(data_root):
+                d = os.path.join(data_root, entry)
+                for dirpath, dirnames, filenames in os.walk(d, topdown=False):
+                    if not dirnames and not filenames:
+                        os.rmdir(dirpath)
+                    elif all(f in ("_SUCCESS",) for f in filenames) and not dirnames:
+                        shutil.rmtree(dirpath, ignore_errors=True)
+
+    # ------------------------------------------------------------ partitions
+    def _source_partition_filter(self, source: DataFrame) -> Column | None:
+        """Predicate selecting the target partitions present in ``source``
+        (collected — partition tuples are low-cardinality by layout
+        design, the same assumption Delta makes when listing partitions).
+        Returns None when the source is empty."""
+        tuples = source.select(*self.partition_columns).distinct().collect()
+        if not tuples:
+            return None
+        ors = []
+        for t in tuples:
+            ands = [
+                F.col(c).isNull() if t[c] is None else (F.col(c) == F.lit(t[c]))
+                for c in self.partition_columns
+            ]
+            ors.append(reduce(lambda a, b: a & b, ands))
+        return reduce(lambda a, b: a | b, ors)
 
     # ---------------------------------------------------------------- MERGE
     def merge_insert_only(
@@ -186,12 +329,22 @@ class ManagedTable:
         (the reference's all-column condition, CommonFunctions.py:39-59).
         Implemented as a left-anti join + append: nulls in any match
         column never match (parity with SQL equality in Delta MERGE).
+
+        The all-column match always includes the partition columns, so
+        only the source's partitions can change: they alone are read,
+        merged and rewritten; every other partition's entry (and files)
+        carries over untouched.
         """
-        target = self.read()
         if match_columns is None:
             match_columns = [
                 c for c in source.columns if "ingestion_time" not in c
             ]
+        target = self.read()
+        if self.partition_columns:
+            pf = self._source_partition_filter(source)
+            if pf is None:
+                return self.current_version()  # empty source: no-op
+            target = target.filter(pf)
         existing = target.select(*match_columns).distinct()
         new_rows = source.join(
             existing,
@@ -199,18 +352,34 @@ class ManagedTable:
             how="left_anti",
         )
         merged = target.unionByName(new_rows.select(*target.columns))
-        return self._write_version(merged)
+        return self._stage_and_commit(
+            merged, replace_all=not self.partition_columns
+        )
 
     def merge_upsert(self, source: DataFrame, key_columns: Sequence[str]) -> int:
         """S7: keyed upsert — matched target rows replaced by source values,
         unmatched source rows inserted (Gold-*.py whenMatchedUpdate +
         whenNotMatchedInsert). Equivalent relational form: target rows
-        whose key has no source match, UNION ALL source."""
+        whose key has no source match, UNION ALL source.
+
+        Partition-scoped when the partition columns are part of the key
+        (a key's rows then live in exactly one partition); otherwise a
+        matching key could exist in an untouched partition and the whole
+        table is rewritten.
+        """
+        keys = list(key_columns)
+        scoped = bool(self.partition_columns) and set(
+            self.partition_columns
+        ) <= set(keys)
         target = self.read()
-        keys = [k for k in key_columns]
+        if scoped:
+            pf = self._source_partition_filter(source)
+            if pf is None:
+                return self.current_version()
+            target = target.filter(pf)
         kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(source.select(*target.columns))
-        return self._write_version(merged)
+        return self._stage_and_commit(merged, replace_all=not scoped)
 
     def merge_update(
         self,
@@ -225,6 +394,10 @@ class ManagedTable:
         source rows ignored. Raises if the source has duplicate keys —
         Delta MERGE errors on multiple matches; silently picking one would
         mask source-data bugs.
+
+        Partition-scoped when partition columns are part of the key AND
+        no partition column is updated (an update moving a row across
+        partitions must rewrite both sides — full rewrite handles it).
         """
         target = self.read()
         keys = list(key_columns)
@@ -250,6 +423,16 @@ class ManagedTable:
                 f"merge_update into {self.name}: source has duplicate keys on "
                 f"{keys} — Delta MERGE raises on multiple matches"
             )
+        scoped = (
+            bool(self.partition_columns)
+            and set(self.partition_columns) <= set(keys)
+            and not (set(resolved) & set(self.partition_columns))
+        )
+        if scoped:
+            pf = self._source_partition_filter(source)
+            if pf is None:
+                return self.current_version()
+            target = target.filter(pf)
         src = source.select(
             *keys, *[F.expr(e).alias(f"__src_{c}") for c, e in resolved.items()]
         )
@@ -265,4 +448,4 @@ class ManagedTable:
                 )
             else:
                 out_cols.append(F.col(c))
-        return self._write_version(joined.select(*out_cols))
+        return self._stage_and_commit(joined.select(*out_cols), replace_all=not scoped)

@@ -112,3 +112,63 @@ def test_merge_update_duplicate_source_keys_raise(spark, tmp_path):
             _rows(spark, [(1, "x", 2024, 1), (1, "y", 2024, 1)]),
             key_columns=["id"],
         )
+
+
+def _partition_state(table, pkey):
+    """(manifest relpath, sorted file mtimes+sizes) for one partition."""
+    import os
+
+    rel = table._read_manifest(table.current_version())[pkey]
+    d = os.path.join(table.location, rel)
+    files = sorted(
+        (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if not f.startswith((".", "_"))
+    )
+    return rel, files
+
+
+def test_merge_rewrites_only_source_partitions(spark, tmp_path):
+    t = _table(spark, tmp_path, name="p").create_if_not_exists()
+    t.merge_insert_only(
+        _rows(spark, [(1, "a", 2024, 1), (2, "b", 2024, 2), (3, "c", 2023, 12)])
+    )
+    before_1 = _partition_state(t, '["2024", "1"]')
+    before_23 = _partition_state(t, '["2023", "12"]')
+    # batch touches only 2024/2
+    t.merge_insert_only(_rows(spark, [(4, "d", 2024, 2)]))
+    # untouched partitions: same data dirs, byte-identical files
+    assert _partition_state(t, '["2024", "1"]') == before_1
+    assert _partition_state(t, '["2023", "12"]') == before_23
+    # touched partition moved to the new write root
+    assert _partition_state(t, '["2024", "2"]')[0].startswith("data/w=2")
+    assert t.read().count() == 4
+
+
+def test_upsert_partition_scoped_when_keys_cover_partitions(spark, tmp_path):
+    t = _table(spark, tmp_path, name="ps").create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1), (2, "b", 2024, 2)]))
+    before = _partition_state(t, '["2024", "1"]')
+    # keys include the partition columns -> scoped rewrite
+    t.merge_upsert(
+        _rows(spark, [(2, "B", 2024, 2), (5, "e", 2024, 2)]),
+        key_columns=["id", "year", "month"],
+    )
+    assert _partition_state(t, '["2024", "1"]') == before
+    got = {r.id: r.name for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 5: "e"}
+
+
+def test_compact_collapses_write_roots(spark, tmp_path):
+    t = _table(spark, tmp_path, name="cc").create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1)]))
+    t.merge_insert_only(_rows(spark, [(2, "b", 2024, 2)]))
+    t.merge_insert_only(_rows(spark, [(3, "c", 2024, 3)]))
+    entries = t._read_manifest(t.current_version())
+    roots = {"/".join(r.split("/")[:2]) for r in entries.values()}
+    assert len(roots) == 3
+    t.compact()
+    entries = t._read_manifest(t.current_version())
+    roots = {"/".join(r.split("/")[:2]) for r in entries.values()}
+    assert len(roots) == 1
+    assert t.read().count() == 3

@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_validate_relationship": ops.op_validate_relationship,
         "op_ingestion_status": ops.op_ingestion_status,
         "op_identify_duplicates": ops.op_identify_duplicates,
+        "op_pipeline_validate": ops.op_pipeline_validate,
         # ---- LLM-pipeline: dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_signatures": dedup.minhash_signatures,
@@ -375,6 +376,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
                        WHERE c_mktsegment <> 'MACHINERY') p
               ON e.user_id = p.c_custkey
+        """,
+        "op_pipeline_validate": """
+            SELECT o.o_orderkey AS order_id,
+                   CASE WHEN o.o_orderstatus NOT IN ('O', 'F')
+                          OR p.c_custkey IS NULL
+                        THEN 'invalid' ELSE 'valid' END AS validation_status,
+                   CASE WHEN o.o_orderstatus NOT IN ('O', 'F')
+                        THEN 'o_orderstatus' ELSE '' END AS invalid_cols,
+                   CASE WHEN p.c_custkey IS NULL
+                        THEN 'o_custkey' ELSE '' END AS invalid_rel,
+                   CASE WHEN o.o_orderkey % 3 = 0 THEN 'ingested'
+                        ELSE 'not_ingested' END AS silver_ingestion_status
+            FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                       WHERE c_mktsegment <> 'MACHINERY') p
+              ON o.o_custkey = p.c_custkey
         """,
         "op_ingestion_status": """
             SELECT o_orderkey,

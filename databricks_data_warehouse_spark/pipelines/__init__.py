@@ -1,0 +1,15 @@
+"""Medallion pipeline composition: Bronze ingestion, Silver validation
+(valid/invalid split + DLQ), DLQ recovery (reference ETL layer)."""
+
+from .bronze import bronze_ingest
+from .dlq import recover_dlq
+from .silver import DomainRule, FkRule, TypeRule, validate_to_silver
+
+__all__ = [
+    "bronze_ingest",
+    "recover_dlq",
+    "validate_to_silver",
+    "DomainRule",
+    "FkRule",
+    "TypeRule",
+]

@@ -1,0 +1,186 @@
+"""Silver validation pipeline (E2): bronze → validated silver + DLQ.
+
+Reference semantics (Silver-Validation-Orders.py:47-155, the most
+complete of the five):
+1. read bronze + the already-ingested silver table;
+2. rename columns to the silver names (P8);
+3. init audit columns ``validation_status`` / ``invalid_columns`` /
+   ``invalid_relationship``;
+4. label ingestion status vs silver (C4, semi-join rewrite);
+5. mark duplicates (C5, windows);
+6. per-column type/domain validation (C2);
+7. FK validation against parent silver tables (C3, anti-join rewrite);
+8. mark the untouched remainder valid; split valid/invalid (C6);
+9. conservation assert: silver_batch + dlq_batch == bronze_batch;
+10. MERGE valid → silver (keyed), invalid → DLQ (all-column match).
+
+The validated DataFrame is cached before the split: the reference
+recomputes the whole lineage for each of its three count() actions
+(Silver-Validation-Orders.py:109-116) — at scale that is three full
+passes; one cache turns it into one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..functions.validation import (
+    check_ingestion_status,
+    identify_duplicates,
+    validate_column,
+    validate_relationship,
+)
+from ..sources.tables import ManagedTable
+
+
+@dataclass
+class TypeRule:
+    """C2 numeric/timestamp mode: column must cast cleanly."""
+
+    column: str
+    datatype: str  # "numeric" | "timestamp"
+
+
+@dataclass
+class DomainRule:
+    """C2 string/accepted-values mode: column must be in the domain."""
+
+    column: str
+    accepted_values: Sequence[str] = field(default_factory=list)
+
+
+@dataclass
+class FkRule:
+    """C3: child column must reference a key present in the parent."""
+
+    column: str
+    parent_df: DataFrame
+    parent_column: str
+
+
+def init_audit_columns(df: DataFrame) -> DataFrame:
+    """validation_status='' + empty array<string> audit columns
+    (Silver-Validation-Customers.py:55-56; explicit cast avoids
+    array<null>, Silver-Validation-Orders.py:134)."""
+    empty = F.array().cast("array<string>")
+    return (
+        df.withColumn("validation_status", F.lit("").cast(StringType()))
+        .withColumn("invalid_columns", empty)
+        .withColumn("invalid_relationship", empty)
+    )
+
+
+def validate_batch(
+    batch_df: DataFrame,
+    ingested_df: DataFrame,
+    id_columns: Sequence[str],
+    ingestion_timestamp: str,
+    rename_map: Mapping[str, str] | None = None,
+    rules: Sequence[TypeRule | DomainRule] = (),
+    fk_rules: Sequence[FkRule] = (),
+) -> DataFrame:
+    """Steps 2-8: the labeled (not yet split) validation DataFrame."""
+    df = batch_df
+    for old, new in (rename_map or {}).items():
+        df = df.withColumnRenamed(old, new)
+    df = init_audit_columns(df)
+    df = check_ingestion_status(df, ingested_df, id_columns)
+    df = identify_duplicates(df, id_columns, ingestion_timestamp)
+    for rule in rules:
+        if isinstance(rule, TypeRule):
+            df = validate_column(df, rule.column, rule.datatype)
+        else:
+            df = validate_column(
+                df, rule.column, "string", accepted_values=list(rule.accepted_values)
+            )
+    for fk in fk_rules:
+        parent = fk.parent_df.select(
+            F.col(fk.parent_column).alias(fk.column)
+        )
+        df = validate_relationship(df, fk.column, parent, fk.column)
+    return df.withColumn(
+        "validation_status",
+        F.when(F.col("validation_status") == "", F.lit("valid")).otherwise(
+            F.col("validation_status")
+        ),
+    )
+
+
+def validate_to_silver(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    silver_table: ManagedTable,
+    dlq_table_location: str,
+    dlq_table_name: str,
+    id_columns: Sequence[str],
+    ingestion_timestamp: str,
+    rename_map: Mapping[str, str] | None = None,
+    rules: Sequence[TypeRule | DomainRule] = (),
+    fk_rules: Sequence[FkRule] = (),
+    silver_columns: Sequence[str] | None = None,
+    preserve_unclean: Sequence[str] = (),
+) -> dict[str, int]:
+    """Full E2 run; returns the conservation counts.
+
+    ``silver_columns``: projection promoted to silver (defaults to every
+    batch column except the audit/status ones). ``preserve_unclean``:
+    columns copied to ``unclean_<name>`` on the DLQ branch so the DLQ
+    cleansing stage can recover from the originals
+    (Silver-Validation-Customers.py:87).
+    """
+    renamed = batch_df
+    for old, new in (rename_map or {}).items():
+        renamed = renamed.withColumnRenamed(old, new)
+    if silver_table.exists():
+        ingested = silver_table.read()
+    else:
+        ingested = renamed.select(*id_columns).limit(0)
+    validated = validate_batch(
+        renamed, ingested, id_columns, ingestion_timestamp, None, rules, fk_rules
+    ).cache()
+    try:
+        if silver_columns is None:
+            silver_columns = [c for c in renamed.columns]
+        valid = (
+            validated.filter(F.col("validation_status") == "valid")
+            .select(*silver_columns)
+            .withColumn("silver_ingestion_time", F.current_timestamp())
+        )
+        invalid = validated.filter(F.col("validation_status") == "invalid")
+        for c in preserve_unclean:
+            invalid = invalid.withColumn(f"unclean_{c}", F.col(c))
+        invalid = invalid.withColumn("dlq_ingestion_time", F.current_timestamp())
+
+        n_batch = validated.count()
+        n_valid = valid.count()
+        n_invalid = invalid.count()
+        # C6 conservation: nothing lost, nothing invented
+        assert n_valid + n_invalid == n_batch, (
+            f"conservation violated: {n_valid} valid + {n_invalid} invalid "
+            f"!= {n_batch} batch rows"
+        )
+
+        if not silver_table.exists():
+            silver_table.create_if_not_exists(valid.schema)
+        # keyed on the entity id, matching the reference's silver merge
+        # (Silver-Validation-Customers.py:113-120); duplicates were
+        # already routed to the DLQ so the valid branch has unique ids
+        silver_table.merge_insert_only(valid, match_columns=list(id_columns))
+
+        dlq_table = ManagedTable(
+            spark,
+            dlq_table_name,
+            dlq_table_location,
+            schema=invalid.schema,
+            partition_columns=list(silver_table.partition_columns),
+        )
+        dlq_table.create_if_not_exists()
+        dlq_table.merge_insert_only(invalid)
+        return {"batch": n_batch, "valid": n_valid, "invalid": n_invalid}
+    finally:
+        validated.unpersist()

@@ -21,6 +21,7 @@ from ..functions.validation import (
     validate_column,
     validate_relationship,
 )
+from ..pipelines.silver import DomainRule, FkRule, validate_batch
 from ._util import load
 
 
@@ -166,4 +167,39 @@ def op_identify_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_duplicate").cast("long")).alias("dup_rows"),
         F.sum((F.col("validation_status") == "invalid").cast("long")).alias("invalid_rows"),
         F.count("*").alias("n_rows"),
+    )
+
+
+def op_pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 composed: the full silver validation chain (rename → audit init
+    → ingestion labeling → duplicate marking → domain rule → FK rule →
+    final valid marking) over orders, as one pipeline
+    (pipelines/silver.py:validate_batch; reference
+    Silver-Validation-Orders.py:47-116)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    ingested = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("order_id")
+    )
+    parents = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") != "MACHINERY")
+        .select("c_custkey")
+    )
+    out = validate_batch(
+        orders,
+        ingested,
+        id_columns=["order_id"],
+        ingestion_timestamp="o_orderdate",
+        rename_map={"o_orderkey": "order_id"},
+        rules=[DomainRule("o_orderstatus", ["O", "F"])],
+        fk_rules=[FkRule("o_custkey", parents, "c_custkey")],
+    )
+    return out.select(
+        "order_id",
+        "validation_status",
+        F.array_join("invalid_columns", ";").alias("invalid_cols"),
+        F.array_join("invalid_relationship", ";").alias("invalid_rel"),
+        "silver_ingestion_status",
     )

@@ -330,10 +330,13 @@ class ManagedTable:
         Implemented as a left-anti join + append: nulls in any match
         column never match (parity with SQL equality in Delta MERGE).
 
-        The all-column match always includes the partition columns, so
-        only the source's partitions can change: they alone are read,
-        merged and rewritten; every other partition's entry (and files)
-        carries over untouched.
+        Only the source's partitions gain rows, so they alone are
+        rewritten; every other partition's entry (and files) carries
+        over untouched. The anti-join's match set is restricted to those
+        partitions too when the match columns cover the partition
+        columns (all-column match always does); for a narrower keyed
+        match the whole table's keys are scanned (a match may live in
+        another partition) but the rewrite stays partition-scoped.
         """
         if match_columns is None:
             match_columns = [
@@ -344,8 +347,14 @@ class ManagedTable:
             pf = self._source_partition_filter(source)
             if pf is None:
                 return self.current_version()  # empty source: no-op
+            match_covers_partitions = set(self.partition_columns) <= set(
+                match_columns
+            )
+            existing_src = target.filter(pf) if match_covers_partitions else target
             target = target.filter(pf)
-        existing = target.select(*match_columns).distinct()
+        else:
+            existing_src = target
+        existing = existing_src.select(*match_columns).distinct()
         new_rows = source.join(
             existing,
             on=[source[c] == existing[c] for c in match_columns],

@@ -1,0 +1,182 @@
+"""End-to-end medallion pipeline: bronze ingest → silver validation with
+DLQ split → DLQ cleansing recovery, with conservation asserts throughout
+(reference flow: Bronze-Ingestion-Customers.py → Silver-Validation-
+Customers.py → Silver-DLQ-Customers.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from databricks_data_warehouse_spark.functions.cleaning import clean_string_in_df
+from databricks_data_warehouse_spark.pipelines import (
+    DomainRule,
+    TypeRule,
+    bronze_ingest,
+    recover_dlq,
+    validate_to_silver,
+)
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("Type", StringType(), True),
+        StructField("Status", StringType(), True),
+        StructField("CreatedOn", StringType(), True),
+    ]
+)
+
+RAW_ROWS = [
+    (1, "affiliate", "regular", "2024-01-05 10:00:00"),
+    (2, "individual", "VIP", "2024-01-06 11:00:00"),
+    (3, " AFFILIATE ", "vip", "2024-02-01 09:00:00"),  # recoverable via cleanse
+    (4, "broker", "regular", "2024-02-02 09:00:00"),  # dead: bad domain
+    (5, "individual", "regular", "2024-02-03 09:00:00"),
+    (5, "individual", "regular", "2024-02-03 09:00:00"),  # duplicate id
+]
+
+
+def _cleanse(df):
+    df = clean_string_in_df(df, "type")
+    df = df.withColumn("type", F.lower(F.col("type")))
+    df = clean_string_in_df(df, "status")
+    return df.withColumn(
+        "status",
+        F.when(F.length(F.col("status")) == 3, F.upper(F.col("status"))).otherwise(
+            F.lower(F.col("status"))
+        ),
+    )
+
+
+@pytest.fixture()
+def pipeline_run(spark, tmp_path):
+    raw = spark.createDataFrame(RAW_ROWS, RAW_SCHEMA).withColumn(
+        "CreatedOn", F.col("CreatedOn").cast("timestamp")
+    )
+    bronze = bronze_ingest(
+        spark,
+        raw,
+        str(tmp_path / "bronze_customers"),
+        "bronze_customers",
+        timestamp_column="CreatedOn",
+    )
+    silver = ManagedTable(
+        spark,
+        "silver_customers",
+        str(tmp_path / "silver_customers"),
+        partition_columns=["year", "month"],
+    )
+    counts = validate_to_silver(
+        spark,
+        bronze.read(),
+        silver,
+        str(tmp_path / "dlq_customers"),
+        "dlq_customers",
+        id_columns=["id"],
+        ingestion_timestamp="bronze_ingestion_time",
+        rename_map={"Type": "type", "Status": "status", "CreatedOn": "created_on"},
+        rules=[
+            TypeRule("id", "numeric"),
+            DomainRule("type", ["affiliate", "individual"]),
+            DomainRule("status", ["regular", "VIP"]),
+            TypeRule("created_on", "timestamp"),
+        ],
+        silver_columns=["id", "type", "status", "created_on", "year", "month"],
+        preserve_unclean=["type", "status"],
+    )
+    dlq = ManagedTable(spark, "dlq_customers", str(tmp_path / "dlq_customers"))
+    return bronze, silver, dlq, counts
+
+
+def test_bronze_ingest_idempotent(spark, tmp_path):
+    raw = spark.createDataFrame(RAW_ROWS, RAW_SCHEMA).withColumn(
+        "CreatedOn", F.col("CreatedOn").cast("timestamp")
+    )
+    loc = str(tmp_path / "b")
+    t = bronze_ingest(spark, raw, loc, "b", timestamp_column="CreatedOn")
+    assert t.read().count() == 6
+    # window_id disambiguates exact-duplicate rows (W1)
+    dup = t.read().filter(F.col("id") == 5).select("window_id").collect()
+    assert sorted(r.window_id for r in dup) == [1, 2]
+    # re-run: all-column merge inserts nothing
+    t2 = bronze_ingest(spark, raw, loc, "b", timestamp_column="CreatedOn")
+    assert t2.read().count() == 6
+    # partition columns derived from the timestamp
+    assert set(t.read().select("year", "month").distinct().collect()) == {
+        (2024, 1),
+        (2024, 2),
+    }
+
+
+def test_silver_split_conservation(pipeline_run):
+    bronze, silver, dlq, counts = pipeline_run
+    assert counts == {"batch": 6, "valid": 2, "invalid": 4}
+    assert silver.read().count() == 2
+    assert {r.id for r in silver.read().collect()} == {1, 2}
+    dlq_rows = {
+        (r.id, r.validation_status, r.is_duplicate) for r in dlq.read().collect()
+    }
+    # 3: domain-invalid (dirty strings); 4: dead domain; 5 (x2): duplicates
+    assert dlq_rows == {
+        (3, "invalid", False),
+        (4, "invalid", False),
+        (5, "invalid", True),
+        (5, "invalid", True),
+    }
+    # originals preserved for the cleansing stage
+    assert "unclean_type" in dlq.read().columns
+
+
+def test_dlq_recovery_promotes_cleanable_rows(spark, pipeline_run):
+    bronze, silver, dlq, _ = pipeline_run
+    result = recover_dlq(
+        spark,
+        dlq,
+        silver,
+        bronze,
+        id_columns=["id"],
+        silver_columns=["id", "type", "status", "created_on", "year", "month"],
+        dlq_key_columns=["id", "window_id", "unclean_type", "unclean_status"],
+        cleanse=_cleanse,
+        rules=[
+            TypeRule("id", "numeric"),
+            DomainRule("type", ["affiliate", "individual"]),
+            DomainRule("status", ["regular", "VIP"]),
+            TypeRule("created_on", "timestamp"),
+        ],
+    )
+    # id=3 recovered (" AFFILIATE "/"vip" cleanses to affiliate/VIP);
+    # id=4 dead domain; id=5 rows are duplicates and never recover
+    assert result["silver"] == 3
+    assert result["still_invalid"] == 3
+    assert {r.id for r in silver.read().collect()} == {1, 2, 3}
+    recovered = dlq.read().filter(F.col("id") == 3).collect()
+    assert all(r.validation_status == "valid" for r in recovered)
+    assert all(r.silver_ingestion_status == "ingested" for r in recovered)
+
+
+def test_recovery_is_rerunnable(spark, pipeline_run):
+    bronze, silver, dlq, _ = pipeline_run
+    kwargs = dict(
+        id_columns=["id"],
+        silver_columns=["id", "type", "status", "created_on", "year", "month"],
+        dlq_key_columns=["id", "window_id", "unclean_type", "unclean_status"],
+        cleanse=_cleanse,
+        rules=[
+            TypeRule("id", "numeric"),
+            DomainRule("type", ["affiliate", "individual"]),
+            DomainRule("status", ["regular", "VIP"]),
+            TypeRule("created_on", "timestamp"),
+        ],
+    )
+    first = recover_dlq(spark, dlq, silver, bronze, **kwargs)
+    second = recover_dlq(spark, dlq, silver, bronze, **kwargs)
+    assert first["silver"] == second["silver"] == 3
+    assert first["still_invalid"] == second["still_invalid"] == 3

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from databricks_data_warehouse_spark.ext import dedup, json_ops, similarity, text
 from databricks_data_warehouse_spark.queries import dashboard, gold, ops, tpch
+from databricks_data_warehouse_spark import streaming
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -79,6 +80,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
         "events_hourly_windows": json_ops.events_hourly_windows,
+        # ---- structured streaming (availableNow drain of a bounded
+        #      source; deterministic on historical data → oracle-checked)
+        "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
+        "stream_sliding_windows": streaming.stream_sliding_windows,
+        "stream_session_windows": streaming.stream_session_windows,
+        "stream_user_running_counts": streaming.stream_user_running_counts,
     }
 
 
@@ -582,6 +589,57 @@ def oracle_sql() -> dict[str, str]:
                        / 100 AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # ------------------------------------------------- streaming
+        # (same results as batch on a bounded historical source)
+        "stream_hourly_tumbling": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 100 AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "stream_sliding_windows": """
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - t.i * INTERVAL '30 minutes' AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count
+            FROM events
+            CROSS JOIN (SELECT unnest([0, 1]) AS i) t
+            GROUP BY 1, 2
+        """,
+        "stream_session_windows": """
+            WITH base AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+            ),
+            flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_session
+                FROM base
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   COUNT(*) AS event_count
+            FROM sessions
+            GROUP BY user_id, sid
+        """,
+        "stream_user_running_counts": """
+            SELECT user_id, COUNT(*) AS events_seen,
+                   CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+            FROM events
+            GROUP BY user_id
         """,
         # dedup_minhash_pairs, dedup_simhash, ann_lsh_buckets and
         # ann_lsh_topk are intentionally omitted → rows-only check.

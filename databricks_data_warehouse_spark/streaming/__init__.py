@@ -1,0 +1,16 @@
+"""Structured Streaming extensions (SURVEY.md §2.K: the reference is
+batch-only; these are the additive streaming surface over ``events``)."""
+
+from .windows import (
+    stream_hourly_tumbling,
+    stream_session_windows,
+    stream_sliding_windows,
+    stream_user_running_counts,
+)
+
+__all__ = [
+    "stream_hourly_tumbling",
+    "stream_sliding_windows",
+    "stream_session_windows",
+    "stream_user_running_counts",
+]

@@ -1,0 +1,201 @@
+"""Streaming window aggregations over the ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.K — grep-verified
+absence of readStream/writeStream); this module is the additive
+extension: event-time windows + watermark over ``events.ts``, run with
+the ``availableNow`` trigger so a bounded parquet source drains in one
+pass and the result materializes to a memory sink (``complete`` output
+mode for the windowed aggs: with ``append`` the final windows would
+stay unemitted because the watermark never advances past end-of-data). On historical
+(bounded) data the results are deterministic and equal to the batch
+formulation, which is exactly what lets the DuckDB oracle hash-check a
+*streaming* pipeline.
+
+Operators:
+- tumbling 1-hour windows (twin of ext/json_ops.events_hourly_windows);
+- sliding 1-hour windows every 30 minutes (each event lands in 2);
+- session windows with a 30-minute gap (stateful merge inside Spark);
+- a custom stateful per-user running count via
+  ``applyInPandasWithState`` — the escape hatch for semantics the
+  built-in windows can't express.
+
+Scale notes: watermarks bound the window state store; the shuffle keys
+are (window, event_type) / user_id — the same partitioning a continuous
+deployment would use. Swap the parquet source for Kafka and the memory
+sink for a Delta/parquet sink and the pipeline is production-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..queries._util import cents
+
+_sink_ids = itertools.count()
+
+
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file streaming source requires a DIRECTORY to list; the
+    testdata ships single parquet files. Stage a per-sf_dir scratch
+    directory holding a symlink (copy if symlinks unavailable) to the
+    events file — a stand-in for the landing directory a production
+    deployment would stream from."""
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ddws_stream_{h}")
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, "events.parquet")
+    if not os.path.exists(dst):
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    return d
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a bounded stream; nanos-long ts converted exactly as the
+    batch loader does (queries/_util.load)."""
+    source_dir = _stream_source_dir(sf_dir)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Drain the bounded stream with availableNow into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"stream_sink_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a 2-hour
+    watermark; identical semantics to the batch twin
+    (ext/json_ops.events_hourly_windows) — same oracle."""
+    events = _stream_events(spark, sf_dir).select("ts", "event_type", "value")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("event_count"),
+            (F.sum(cents(F.col("value"))) / 100).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes per event_type — each
+    event contributes to exactly two windows."""
+    events = _stream_events(spark, sf_dir).select("ts", "event_type")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap: the
+    stateful merge Spark maintains in the state store. Session end =
+    last event + gap (F.session_window semantics)."""
+    events = _stream_events(spark, sf_dir).select("user_id", "ts")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("event_count"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_count",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+_STATE_SCHEMA = StructType([StructField("count", LongType(), True)])
+_RUNNING_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("events_seen", LongType(), True),
+        StructField("last_ts", TimestampType(), True),
+    ]
+)
+
+
+def _update_running_count(key, pdf_iter, state: GroupState):
+    """Custom stateful operator: total events per user, surviving across
+    micro-batches via the state store."""
+    (user_id,) = key
+    count = state.get[0] if state.exists else 0
+    last_ts = None
+    for pdf in pdf_iter:
+        count += len(pdf)
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    state.update((count,))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "events_seen": [count], "last_ts": [last_ts]}
+    )
+
+
+def stream_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState demo: per-user running event counts — the
+    custom-stateful-operator escape hatch (arbitrary state, Arrow-batch
+    transfer; the state store shuffles by user_id only)."""
+    events = _stream_events(spark, sf_dir).select("user_id", "ts")
+    counted = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_running_count,
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_to_memory(counted, "append")

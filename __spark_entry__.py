@@ -23,7 +23,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from databricks_data_warehouse_spark.ext import dedup, json_ops, similarity, text
+from databricks_data_warehouse_spark.ext import (
+    dedup,
+    json_ops,
+    multimodal,
+    similarity,
+    text,
+)
 from databricks_data_warehouse_spark.queries import dashboard, gold, ops, tpch
 from databricks_data_warehouse_spark import streaming
 
@@ -80,6 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
         "events_hourly_windows": json_ops.events_hourly_windows,
+        # ---- LLM-pipeline: multimodal binary columns (decode stubbed
+        #      deterministically; mapInPandas plumbing is real)
+        "mm_media_metadata": multimodal.media_metadata,
+        "mm_decode_features": multimodal.mm_decode_features,
+        "mm_frame_sample": multimodal.mm_frame_sample,
         # ---- structured streaming (availableNow drain of a bounded
         #      source; deterministic on historical data → oracle-checked)
         "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
@@ -589,6 +600,39 @@ def oracle_sql() -> dict[str, str]:
                        / 100 AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # ------------------------------------------------ multimodal
+        # (documents.text is ASCII-only in the testdata, so DuckDB
+        # string ops equal byte ops on the utf-8 payload)
+        "mm_media_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   length(text) AS n_bytes,
+                   md5(text) AS checksum_md5
+            FROM documents
+        """,
+        "mm_decode_features": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS media_type,
+                   length(text) AS n_bytes,
+                   floor(list_aggregate(list_transform(range(1, 9),
+                             i -> ((length(text) * i) % 256) / 255.0), 'sum')
+                         / 8 * 1000000 + 0.5) / 1000000 AS feature_mean
+            FROM documents
+        """,
+        "mm_frame_sample": """
+            SELECT d.doc_id,
+                   t.i AS frame_idx,
+                   (length(d.text) * t.i) // 4 AS byte_offset,
+                   md5(d.text[CAST((length(d.text) * t.i) // 4 AS INT) + 1 :]
+                       || CAST(t.i AS VARCHAR)) AS frame_checksum
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS i) t
+            WHERE d.doc_id % 3 = 2
         """,
         # ------------------------------------------------- streaming
         # (same results as batch on a bounded historical source)

@@ -30,7 +30,13 @@ from databricks_data_warehouse_spark.ext import (
     similarity,
     text,
 )
-from databricks_data_warehouse_spark.queries import dashboard, gold, ops, tpch
+from databricks_data_warehouse_spark.queries import (
+    aggregates,
+    dashboard,
+    gold,
+    ops,
+    tpch,
+)
 from databricks_data_warehouse_spark import streaming
 
 
@@ -58,6 +64,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
         "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
+        # ---- stretch aggregates (rollup/cube/grouping-sets/approx/percentile)
+        "agg_rollup_customers": aggregates.agg_rollup_customers,
+        "agg_cube_orders": aggregates.agg_cube_orders,
+        "agg_grouping_sets": aggregates.agg_grouping_sets,
+        "agg_distinct_counts": aggregates.agg_distinct_counts,
+        "agg_delay_percentiles": aggregates.agg_delay_percentiles,
         # ---- CommonFunctions operator parity over real data (C1-C5)
         "op_clean_string": ops.op_clean_string,
         "op_clean_string_address": ops.op_clean_string_address,
@@ -355,6 +367,50 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.02 AND l_discount <= 0.04
               AND l_quantity < 24
+        """,
+        # ------------------------------------------ stretch aggregates
+        # (agg_distinct_counts omitted -> rows-only: the HLL estimate is
+        # engine-specific by construction)
+        "agg_rollup_customers": """
+            SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count,
+                   GROUPING(c.c_mktsegment, n.n_name) AS grouping_level
+            FROM customer c
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY ROLLUP(c.c_mktsegment, n.n_name)
+        """,
+        "agg_cube_orders": f"""
+            SELECT o_orderstatus, year(o_orderdate) AS order_year,
+                   COUNT(*) AS order_count,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100 AS total_price,
+                   GROUPING(o_orderstatus, year(o_orderdate)) AS grouping_level
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+        """,
+        "agg_grouping_sets": """
+            SELECT o_orderpriority,
+                   year(o_orderdate) AS order_year,
+                   COUNT(*) AS order_count,
+                   GROUPING(o_orderpriority) + 2 * GROUPING(year(o_orderdate))
+                       AS grouping_level
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                                    (o_orderpriority), ())
+        """,
+        "agg_delay_percentiles": """
+            SELECT o.o_orderpriority,
+                   floor(quantile_cont(date_diff('day',
+                         CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)), 0.5) * 100 + 0.5) / 100
+                       AS p50_delay,
+                   floor(quantile_cont(date_diff('day',
+                         CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)), 0.9) * 100 + 0.5) / 100
+                       AS p90_delay,
+                   COUNT(*) AS line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         # ------------------------------------------- operator parity (C1-C5)
         "op_clean_string": f"""

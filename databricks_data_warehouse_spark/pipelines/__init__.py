@@ -3,11 +3,13 @@
 
 from .bronze import bronze_ingest
 from .dlq import recover_dlq
+from .gold import build_gold
 from .silver import DomainRule, FkRule, TypeRule, validate_to_silver
 
 __all__ = [
     "bronze_ingest",
     "recover_dlq",
+    "build_gold",
     "validate_to_silver",
     "DomainRule",
     "FkRule",

@@ -1,0 +1,95 @@
+"""Stretch aggregate operators (SURVEY.md §2.D notes the reference has
+no distinct-agg, grouping sets/cube/rollup or approx functions — Spark
+provides them natively; exposed here as first-class query entries).
+
+Scale notes: rollup/cube/grouping-sets compile to a single Expand +
+hash-aggregate pass (no per-grouping rescan); approx_count_distinct is
+a fixed-size HLL sketch — the constant-memory path for distinct counts
+at 100 TB where exact distinct would shuffle every key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import cents, load, rnd
+
+
+def agg_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (segment, nation): per-(segment, nation) counts plus
+    segment subtotals plus the grand total, one aggregation pass."""
+    customer = load(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("customer_count"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, year): all four grouping combinations of order
+    counts and exact money totals."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_totalprice"
+    )
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(
+            F.count("*").alias("order_count"),
+            (F.sum(cents(F.col("o_totalprice"))) / 100).alias("total_price"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL: (priority, year), (priority),
+    () — the general form rollup/cube specialize."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               year(o_orderdate) AS order_year,
+               COUNT(*) AS order_count,
+               grouping(o_orderpriority) + 2 * grouping(year(o_orderdate))
+                   AS grouping_level
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct customers per order status. The HLL
+    estimate is engine-specific (rows-only check); the exact column is
+    the oracle anchor."""
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+    )
+
+
+def agg_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of ship delay per priority
+    (median + p90) — the sort-based aggregate class."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "delay",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")),
+    )
+    return delays.groupBy("o_orderpriority").agg(
+        rnd(F.expr("percentile(delay, 0.5)"), 2).alias("p50_delay"),
+        rnd(F.expr("percentile(delay, 0.9)"), 2).alias("p90_delay"),
+        F.count("*").alias("line_count"),
+    )

@@ -180,3 +180,44 @@ def test_recovery_is_rerunnable(spark, pipeline_run):
     second = recover_dlq(spark, dlq, silver, bronze, **kwargs)
     assert first["silver"] == second["silver"] == 3
     assert first["still_invalid"] == second["still_invalid"] == 3
+
+
+def test_gold_build_upsert_and_conservation(spark, tmp_path):
+    from databricks_data_warehouse_spark.pipelines.gold import build_gold
+
+    silver = spark.createDataFrame(
+        [(1, "A", 2024, 1), (2, "A", 2024, 1), (3, "B", 2024, 2)],
+        "id long, seg string, year int, month int",
+    )
+    gold_df = silver.groupBy("seg", "year", "month").agg(
+        F.count("*").alias("n")
+    )
+    t = build_gold(
+        spark, gold_df, str(tmp_path / "g"), "g",
+        key_columns=["seg", "year", "month"], count_column="n",
+        expected_total=3, partition_columns=["year", "month"],
+    )
+    assert {(r.seg, r.n) for r in t.read().collect()} == {("A", 2), ("B", 1)}
+    # refresh with updated counts for one group + a new group
+    silver2 = silver.union(
+        spark.createDataFrame(
+            [(4, "A", 2024, 1), (5, "C", 2024, 3)],
+            "id long, seg string, year int, month int",
+        )
+    )
+    gold2 = silver2.groupBy("seg", "year", "month").agg(F.count("*").alias("n"))
+    build_gold(
+        spark, gold2, str(tmp_path / "g"), "g",
+        key_columns=["seg", "year", "month"], count_column="n",
+        expected_total=5, partition_columns=["year", "month"],
+    )
+    assert {(r.seg, r.n) for r in t.read().collect()} == {
+        ("A", 3), ("B", 1), ("C", 1),
+    }
+    # wrong expected total -> conservation assert fires
+    with pytest.raises(AssertionError, match="conservation"):
+        build_gold(
+            spark, gold2, str(tmp_path / "g2"), "g2",
+            key_columns=["seg", "year", "month"], count_column="n",
+            expected_total=99, partition_columns=["year", "month"],
+        )

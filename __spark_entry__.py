@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_assignments": similarity.ann_ivf_assignments,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pairs_per_label": similarity.pairwise_topk_per_label,
         # ---- LLM-pipeline: JSON / event windows
         "events_json_extract": json_ops.events_json_extract,
@@ -610,6 +612,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cosine_sim DESC, vec_id
             LIMIT 10
+        """,
+        "ann_ivf_assignments": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS centroid
+                FROM e WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       list_aggregate(list_transform(range(1, len(e.v) + 1),
+                           i -> e.v[i] * c.centroid[i]), 'sum')
+                       / (sqrt(list_aggregate(list_transform(e.v,
+                              x -> x * x), 'sum'))
+                          * sqrt(list_aggregate(list_transform(c.centroid,
+                              x -> x * x), 'sum'))) AS sim
+                FROM e CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT vec_id, centroid_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, centroid_id) AS rn
+                FROM scored
+            )
+            SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
+                   floor(sim * 1000000 + 0.5) / 1000000 AS centroid_sim
+            FROM ranked WHERE rn = 1
         """,
         "ann_pairs_per_label": """
             WITH e AS (SELECT vec_id, label, embedding FROM embeddings)

@@ -128,6 +128,91 @@ def ann_lsh_topk(
     )
 
 
+def _ivf_centroids(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic 'training': the first ``n_centroids`` vectors by id
+    serve as centroids. A real deployment would k-means over a sample —
+    the index structure (centroid table → inverted lists → probe) is
+    identical, and determinism is what lets the oracle check the
+    assignment stage."""
+    return emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        _as_double(F.col("embedding")).alias("centroid"),
+    )
+
+
+def ann_ivf_assignments(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> DataFrame:
+    """IVF index build: every vector assigned to its best centroid
+    (max cosine, ties to the smallest centroid id). The assignment is a
+    broadcast cross join + argmax — one pass, no all-pairs; at scale the
+    inverted lists become the partition layout."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(emb, n_centroids)
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(_as_double(F.col("embedding")), F.col("centroid")).alias("sim"),
+    )
+    # deterministic argmax: max over (sim, -centroid_id) structs
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("centroid_id")).alias("neg_id"))).alias("b"))
+        .select(
+            "vec_id",
+            (-F.col("b.neg_id")).cast("int").alias("centroid_id"),
+            (F.floor(F.col("b.sim") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "centroid_sim"
+            ),
+        )
+    )
+    return best
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: rank centroids by similarity to the query, probe the
+    top ``n_probe`` inverted lists, brute-force only within them.
+    Approximate by construction (recall depends on n_probe); the
+    brute-force operator is the ground truth, so this entry is
+    rows-only checked."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _ivf_centroids(emb, n_centroids)
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("embedding")).alias("q")
+    )
+    probe_ids = (
+        cents.crossJoin(F.broadcast(query))
+        .select("centroid_id", cosine(F.col("centroid"), F.col("q")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    assigned = ann_ivf_assignments(spark, sf_dir, n_centroids)
+    candidates = assigned.join(F.broadcast(probe_ids), on="centroid_id").select(
+        "vec_id"
+    )
+    return (
+        emb.join(candidates, on="vec_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("q")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def pairwise_topk_per_label(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -265,3 +265,31 @@ def test_identify_duplicates_2_col(spark):
         ingestion_status_col="silver_ingestion_status",
     )
     assertDataFrameEqual(out, _dup_df(spark, expected_rows))
+
+
+def test_validate_string_comparison_mode(spark):
+    """String + comparison_column (TestCommonFunctions.py:85-96): invalid
+    when empty or differing from the comparison column; a NULL value makes
+    the predicate NULL and the row stays untouched (quirk preserved)."""
+    df = spark.createDataFrame(
+        [
+            ("1", "ana", "ana", 30, "2020-01-01", "", []),
+            ("2", "bob", "bob2", 30, "2020-01-01", "", []),
+            ("3", "", "carl", 30, "2020-01-01", "", []),
+            ("4", None, "dora", 30, "2020-01-01", "", []),
+        ],
+        VALIDATE_SCHEMA,
+    )
+    out = validate_column(df, "name", "string", comparison_column="correct_name")
+    got = {r.id: (r.validation_status, list(r.invalid_columns)) for r in out.collect()}
+    assert got["1"] == ("", [])
+    assert got["2"] == ("invalid", ["name"])
+    assert got["3"] == ("invalid", ["name"])
+    # NULL falls through the when() -> untouched (reference behavior)
+    assert got["4"] == ("", [])
+
+
+def test_validate_string_requires_mode(spark):
+    df = spark.createDataFrame([("1", "a", "a", 1, "x", "", [])], VALIDATE_SCHEMA)
+    with pytest.raises(ValueError, match="comparison_column or accepted_values"):
+        validate_column(df, "name", "string")

@@ -172,3 +172,21 @@ def test_compact_collapses_write_roots(spark, tmp_path):
     roots = {"/".join(r.split("/")[:2]) for r in entries.values()}
     assert len(roots) == 1
     assert t.read().count() == 3
+
+
+def test_config_registry_and_schemas():
+    from databricks_data_warehouse_spark.config import (
+        REFERENCE_TABLES,
+        WarehouseConfig,
+    )
+    from databricks_data_warehouse_spark.schemas import SILVER_SCHEMAS
+
+    cfg = WarehouseConfig(root="/tmp/wh", tables=REFERENCE_TABLES)
+    assert cfg.path("bronze", "customers") == "/tmp/wh/bronze/customers"
+    assert cfg.table("order_details").id_columns == ("order_id", "item_id")
+    with pytest.raises(ValueError, match="unknown layer"):
+        cfg.path("platinum", "x")
+    # every registered entity has a NOT-NULL silver schema
+    for t in REFERENCE_TABLES:
+        schema = SILVER_SCHEMAS[t.name]
+        assert all(not f.nullable for f in schema.fields)

@@ -190,3 +190,19 @@ def test_config_registry_and_schemas():
     for t in REFERENCE_TABLES:
         schema = SILVER_SCHEMAS[t.name]
         assert all(not f.nullable for f in schema.fields)
+
+
+def test_catalog_database_ddl_and_views(spark):
+    from databricks_data_warehouse_spark.sources.catalog import (
+        ensure_database,
+        register_views,
+    )
+
+    ensure_database(spark, "wh_test")
+    assert spark.catalog.currentDatabase() == "wh_test"
+    tables = register_views(spark, "/root/testdata/sf0.001")
+    assert set(tables) >= {"orders", "customer", "events"}
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n > 0
+    # events.ts normalized to a real timestamp by the loader
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"
+    ensure_database(spark, "default")

@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": aggregates.agg_grouping_sets,
         "agg_distinct_counts": aggregates.agg_distinct_counts,
         "agg_delay_percentiles": aggregates.agg_delay_percentiles,
+        "set_ops_customers": aggregates.set_ops_customers,
         # ---- CommonFunctions operator parity over real data (C1-C5)
         "op_clean_string": ops.op_clean_string,
         "op_clean_string_address": ops.op_clean_string_address,
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.simhash,
         # ---- LLM-pipeline: text analysis
         "text_quality": text.text_quality,
+        "text_token_counts": text.token_counts,
         "text_lang_id": text.lang_id,
         "text_fingerprint": text.doc_fingerprint,
         # ---- LLM-pipeline: similarity search
@@ -399,6 +401,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
                                     (o_orderpriority), ())
         """,
+        "set_ops_customers": """
+            WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1995),
+                 y96 AS (SELECT DISTINCT o_custkey FROM orders
+                         WHERE year(o_orderdate) = 1996)
+            SELECT o_custkey, 'both_years' AS cohort
+            FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+            UNION ALL
+            SELECT o_custkey, 'only_1995'
+            FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+            UNION ALL
+            SELECT o_custkey, 'only_1996'
+            FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+        """,
         "agg_delay_percentiles": """
             SELECT o.o_orderpriority,
                    floor(quantile_cont(date_diff('day',
@@ -550,6 +566,13 @@ def oracle_sql() -> dict[str, str]:
                        AS type_token_ratio,
                    floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                          / length(text) * 10000 + 0.5) / 10000 AS alpha_ratio
+            FROM documents
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len({_TOKS_RAW}) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS bpe_ish_tokens
             FROM documents
         """,
         "text_lang_id": f"""

@@ -72,6 +72,23 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ISH = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokenizer regex (word runs + individual punctuation marks — the
+    GPT-2-style split shape). Pure JVM regexp — no Python boundary."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0)).alias(
+            "bpe_ish_tokens"
+        ),
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic: score = distinct marker hits per
     language; predict the best-scoring language ('und' when no marker

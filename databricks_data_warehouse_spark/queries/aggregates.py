@@ -73,8 +73,21 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
     return orders.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact_customers"),
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
     )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.G: the reference abandoned its
+    union-fold; Spark provides these natively): customers who ordered in
+    1995 INTERSECT 1996, EXCEPT each direction, labeled and unioned."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both_years"))
+    only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
+    only96 = y96.exceptAll(y95).withColumn("cohort", F.lit("only_1996"))
+    return both.unionByName(only95).unionByName(only96)
 
 
 def agg_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,12 +76,17 @@ class ManagedTable:
         location: str,
         schema: StructType | None = None,
         partition_columns: Sequence[str] = (),
+        sort_columns: Sequence[str] = (),
     ):
         self.spark = spark
         self.name = name
         self.location = location
         self.schema = schema
         self.partition_columns = list(partition_columns)
+        # clustering within files: rows sorted by these columns before
+        # write, so parquet row-group min/max stats prune point/range
+        # scans on them (the Z-order-lite that plain parquet offers)
+        self.sort_columns = list(sort_columns)
         if self.schema is None:
             self.schema = self._load_schema()
 
@@ -236,6 +241,8 @@ class ManagedTable:
         v_new = self.current_version() + 1
         write_rel = f"data/w={v_new}"
         write_dir = os.path.join(self.location, write_rel)
+        if self.sort_columns:
+            df = df.sortWithinPartitions(*self.sort_columns)
         writer = df.write.mode("overwrite")
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)

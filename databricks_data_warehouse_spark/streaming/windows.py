@@ -79,19 +79,34 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _run_to_memory(df: DataFrame, output_mode: str = "append") -> DataFrame:
+def _run_to_memory(
+    df: DataFrame, output_mode: str = "append", state_partitions: int | None = None
+) -> DataFrame:
     """Drain the bounded stream with availableNow into a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    ``state_partitions``: stateful operators allocate one state store
+    per shuffle partition; for a small keyspace the per-store setup cost
+    dominates, so callers with few keys pass a small number (the session
+    shuffle setting is restored afterwards).
+    """
+    spark = df.sparkSession
     name = f"stream_sink_{next(_sink_ids)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,4 +213,5 @@ def stream_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return _run_to_memory(counted, "append")
+    # ~150 user keys: 8 state stores instead of 32
+    return _run_to_memory(counted, "append", state_partitions=8)

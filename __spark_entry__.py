@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from databricks_data_warehouse_spark.ext import (
+    asof,
     dedup,
     json_ops,
     multimodal,
@@ -102,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
         "events_hourly_windows": json_ops.events_hourly_windows,
+        # ---- as-of / range joins (operators Spark's join syntax lacks)
+        "asof_events_latest_order": asof.asof_events_latest_order,
+        "range_join_value_bands": asof.range_join_value_bands,
         # ---- LLM-pipeline: multimodal binary columns (decode stubbed
         #      deterministically; mapInPandas plumbing is real)
         "mm_media_metadata": multimodal.media_metadata,
@@ -711,6 +715,32 @@ def oracle_sql() -> dict[str, str]:
                        / 100 AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # ---------------------------------------- as-of / range joins
+        "asof_events_latest_order": """
+            WITH lpd AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, l.o_orderkey AS asof_orderkey
+            FROM events e
+            ASOF LEFT JOIN lpd l
+              ON e.user_id = l.user_id
+             AND CAST(e.ts AS TIMESTAMP) >= CAST(l.o_orderdate AS TIMESTAMP)
+        """,
+        "range_join_value_bands": """
+            SELECT CASE WHEN value < 0 THEN 'negative'
+                        WHEN value < 10 THEN 'tiny'
+                        WHEN value < 50 THEN 'small'
+                        WHEN value < 150 THEN 'medium'
+                        WHEN value < 300 THEN 'large'
+                        ELSE 'huge' END AS band,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 100 AS sum_value
+            FROM events
+            GROUP BY 1
         """,
         # ------------------------------------------------ multimodal
         # (documents.text is ASCII-only in the testdata, so DuckDB

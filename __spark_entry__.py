@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_assignments": similarity.ann_ivf_assignments,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pairs_per_label": similarity.pairwise_topk_per_label,
+        "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
         # ---- LLM-pipeline: JSON / event windows
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,

@@ -213,6 +213,36 @@ def ann_ivf_topk(
     )
 
 
+def lsh_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup WITHOUT metadata blocking — the scale
+    path: sign-LSH buckets as the blocking key (high-cosine pairs land
+    in the same bucket with high probability), exact cosine verification
+    only within buckets. Approximate recall (rows-only check); the
+    label-blocked exact operator is the oracle-checked ground truth."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding")))
+    a = bucketed.select(
+        "bucket_id", F.col("vec_id").alias("vec_a"),
+        _as_double(F.col("embedding")).alias("e_a"),
+    )
+    b = bucketed.select(
+        "bucket_id", F.col("vec_id").alias("vec_b"),
+        _as_double(F.col("embedding")).alias("e_b"),
+    )
+    return (
+        a.join(b, on="bucket_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def pairwise_topk_per_label(
     spark: SparkSession, sf_dir: str, threshold: float = 0.95
 ) -> DataFrame:

@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_counts": aggregates.agg_distinct_counts,
         "agg_delay_percentiles": aggregates.agg_delay_percentiles,
         "set_ops_customers": aggregates.set_ops_customers,
+        "agg_pivot_status_by_segment": aggregates.agg_pivot_status_by_segment,
         # ---- CommonFunctions operator parity over real data (C1-C5)
         "op_clean_string": ops.op_clean_string,
         "op_clean_string_address": ops.op_clean_string_address,
@@ -405,6 +406,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
                                     (o_orderpriority), ())
+        """,
+        "agg_pivot_status_by_segment": """
+            SELECT year(o_orderdate) AS order_year,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_open,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_filled,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_partial
+            FROM orders
+            GROUP BY 1
         """,
         "set_ops_customers": """
             WITH y95 AS (SELECT DISTINCT o_custkey FROM orders

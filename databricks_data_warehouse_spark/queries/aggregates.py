@@ -77,6 +77,28 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per order-year, one column per order status
+    (explicit value list → single-pass conditional aggregation, no
+    second job to discover pivot values)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderdate")
+    pivoted = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
+    )
+    # absent (year, status) combos pivot to NULL; count semantics say 0
+    return pivoted.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ("n_open", "n_filled", "n_partial")
+        ],
+    )
+
+
 def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (SURVEY.md §2.G: the reference abandoned its
     union-fold; Spark provides these natively): customers who ordered in

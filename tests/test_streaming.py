@@ -1,0 +1,46 @@
+"""Streaming ≡ batch equivalence: on a bounded historical source, the
+availableNow-drained streaming aggregations must produce exactly the
+batch results (the property that also lets the DuckDB oracle check
+them), and the custom stateful operator must match a batch groupBy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark import streaming as st
+from databricks_data_warehouse_spark.ext.json_ops import events_hourly_windows
+from databricks_data_warehouse_spark.queries._util import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_equals_batch(spark):
+    batch = events_hourly_windows(spark, SF)
+    stream = st.stream_hourly_tumbling(spark, SF)
+    assert stream.count() == batch.count()
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
+def test_session_windows_cover_all_events(spark):
+    events = load(spark, SF, "events")
+    sessions = st.stream_session_windows(spark, SF)
+    # every event is in exactly one session
+    assert (
+        sessions.agg(F.sum("event_count")).collect()[0][0] == events.count()
+    )
+    # session invariant: end = last event + gap ⇒ end > start
+    assert sessions.filter(F.col("session_end") <= F.col("session_start")).count() == 0
+
+
+def test_stateful_running_counts_match_batch_groupby(spark):
+    events = load(spark, SF, "events")
+    expected = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.user_id: r.events_seen
+        for r in st.stream_user_running_counts(spark, SF).collect()
+    }
+    assert got == expected

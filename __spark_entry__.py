@@ -342,7 +342,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
         "tpch_q3_shipping_priority": f"""
-            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+            SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+                   o.o_orderpriority,
                    CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
                        / 10000 AS revenue
             FROM customer c
@@ -721,7 +722,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "events_hourly_windows": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP_NS)
+                       AS window_start,
                    event_type,
                    COUNT(*) AS event_count,
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -791,7 +793,8 @@ def oracle_sql() -> dict[str, str]:
         # ------------------------------------------------- streaming
         # (same results as batch on a bounded historical source)
         "stream_hourly_tumbling": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+            SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP_NS)
+                       AS window_start,
                    event_type,
                    COUNT(*) AS event_count,
                    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -800,8 +803,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "stream_sliding_windows": """
-            SELECT time_bucket(INTERVAL '30 minutes', ts)
-                       - t.i * INTERVAL '30 minutes' AS window_start,
+            SELECT CAST(time_bucket(INTERVAL '30 minutes', ts)
+                       - t.i * INTERVAL '30 minutes' AS TIMESTAMP_NS)
+                       AS window_start,
                    event_type,
                    COUNT(*) AS event_count
             FROM events
@@ -827,15 +831,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             )
             SELECT user_id,
-                   MIN(ts) AS session_start,
-                   MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                   CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start,
+                   CAST(MAX(ts) + INTERVAL '30 minutes' AS TIMESTAMP_NS)
+                       AS session_end,
                    COUNT(*) AS event_count
             FROM sessions
             GROUP BY user_id, sid
         """,
         "stream_user_running_counts": """
             SELECT user_id, COUNT(*) AS events_seen,
-                   CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+                   CAST(MAX(ts) AS TIMESTAMP_NS) AS last_ts
             FROM events
             GROUP BY user_id
         """,

@@ -68,7 +68,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "doc_id",
         "media_type",
-        F.length("payload").alias("n_bytes"),
+        F.length("payload").cast("long").alias("n_bytes"),
         F.md5("payload").alias("checksum_md5"),
     )
 
@@ -77,7 +77,7 @@ _FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), True),
         StructField("media_type", StringType(), True),
-        StructField("n_bytes", IntegerType(), True),
+        StructField("n_bytes", LongType(), True),
         StructField("features", ArrayType(FloatType()), True),
         # pooled statistic computed in float64 BEFORE the float32
         # narrowing of the feature vector (float32 round-trip would

@@ -65,7 +65,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     return docs.select(
         "doc_id",
-        n_tok.alias("token_count"),
+        n_tok.cast("long").alias("token_count"),
         rnd(total_len / n_tok, 2).alias("avg_token_len"),
         rnd(F.size(F.array_distinct(toks)) / n_tok, 4).alias("type_token_ratio"),
         rnd(alpha_chars / F.length("text"), 4).alias("alpha_ratio"),
@@ -82,10 +82,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.select(
         "doc_id",
-        F.size(tokens(F.col("text"))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0)).alias(
-            "bpe_ish_tokens"
-        ),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_ISH), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
     )
 
 
@@ -114,7 +114,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
-        best.alias("marker_hits"),
+        best.cast("long").alias("marker_hits"),
     )
 
 

@@ -38,7 +38,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderdate", "o_totalprice"
     )
     return (
-        orders.withColumn("order_year", F.year("o_orderdate"))
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
         .cube("o_orderstatus", "order_year")
         .agg(
             F.count("*").alias("order_count"),
@@ -55,9 +55,10 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority,
-               year(o_orderdate) AS order_year,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
                COUNT(*) AS order_count,
-               grouping(o_orderpriority) + 2 * grouping(year(o_orderdate))
+               CAST(grouping(o_orderpriority)
+                        + 2 * grouping(year(o_orderdate)) AS BIGINT)
                    AS grouping_level
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
@@ -83,7 +84,7 @@ def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     second job to discover pivot values)."""
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderdate")
     pivoted = (
-        orders.withColumn("order_year", F.year("o_orderdate"))
+        orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
         .groupBy("order_year")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.count(F.lit(1)))

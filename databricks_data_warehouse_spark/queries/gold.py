@@ -87,8 +87,8 @@ def gold_orders_by_city(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
-        .withColumn("order_year", F.year("o_orderdate"))
-        .withColumn("order_month", F.month("o_orderdate"))
+        .withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .withColumn("order_month", F.month("o_orderdate").cast("long"))
         .groupBy("n_name", "order_year", "order_month")
         .agg(
             F.count("o_orderkey").alias("order_count"),
@@ -107,8 +107,8 @@ def gold_orders_by_customer_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey, "left")
-        .withColumn("order_year", F.year("o_orderdate"))
-        .withColumn("order_week", F.weekofyear("o_orderdate"))
+        .withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .withColumn("order_week", F.weekofyear("o_orderdate").cast("long"))
         .groupBy("o_custkey", "order_year", "order_week", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("order_count"))
     )
@@ -129,9 +129,9 @@ def gold_orders_delivery_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "inner")
         .withColumn(
             "ship_delay_days",
-            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")),
+            F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).cast("long"),
         )
-        .withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_orderpriority", "ship_delay_days", "order_year")
         .agg(F.count("*").alias("line_count"))
     )

@@ -20,6 +20,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     convert to a microsecond timestamp here (integer div — no double
     round-trip, nanos exceed 2^53).
     """
+    if name == "events":
+        # set defensively at runtime: the DRIVER's SparkSession (which
+        # calls queries() entries) does not carry our session factory's
+        # config, and without this flag the nanos read hard-fails with
+        # PARQUET_TYPE_ILLEGAL (verified on a bare local session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -72,6 +72,8 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream; nanos-long ts converted exactly as the
     batch loader does (queries/_util.load)."""
     source_dir = _stream_source_dir(sf_dir)
+    # runtime-set for bare (driver-built) sessions — see queries/_util.load
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if dict(stream.dtypes).get("ts") == "bigint":

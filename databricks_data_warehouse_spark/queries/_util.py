@@ -24,8 +24,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # set defensively at runtime: the DRIVER's SparkSession (which
         # calls queries() entries) does not carry our session factory's
         # config, and without this flag the nanos read hard-fails with
-        # PARQUET_TYPE_ILLEGAL (verified on a bare local session)
+        # PARQUET_TYPE_ILLEGAL (verified on a bare local session).
+        # UTC likewise: event-time windowing/year() interpret TIMESTAMP
+        # in session tz, and the DuckDB oracle is tz-free.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

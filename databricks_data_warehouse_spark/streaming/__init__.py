@@ -1,6 +1,7 @@
 """Structured Streaming extensions (SURVEY.md §2.K: the reference is
 batch-only; these are the additive streaming surface over ``events``)."""
 
+from .bronze_stream import stream_bronze_ingest
 from .windows import (
     stream_hourly_tumbling,
     stream_session_windows,
@@ -9,6 +10,7 @@ from .windows import (
 )
 
 __all__ = [
+    "stream_bronze_ingest",
     "stream_hourly_tumbling",
     "stream_sliding_windows",
     "stream_session_windows",

@@ -206,3 +206,23 @@ def test_catalog_database_ddl_and_views(spark):
     # events.ts normalized to a real timestamp by the loader
     assert dict(tables["events"].dtypes)["ts"] == "timestamp"
     ensure_database(spark, "default")
+
+
+def test_null_partition_values_roundtrip(spark, tmp_path):
+    """NULL partition values land in the hive default-partition dir and
+    must round-trip through the manifest (walk + filter + read)."""
+    t = _table(spark, tmp_path, name="np").create_if_not_exists()
+    t.merge_insert_only(
+        spark.createDataFrame(
+            [(1, "a", 2024, 1), (2, "b", None, None)], SCHEMA
+        )
+    )
+    got = {(r.id, r.year, r.month) for r in t.read().collect()}
+    assert got == {(1, 2024, 1), (2, None, None)}
+    # merging into the NULL partition only touches the NULL partition
+    before = _partition_state(t, '["2024", "1"]')
+    t.merge_insert_only(
+        spark.createDataFrame([(3, "c", None, None)], SCHEMA)
+    )
+    assert _partition_state(t, '["2024", "1"]') == before
+    assert t.read().count() == 3

@@ -268,6 +268,39 @@ class ManagedTable:
         the union of scans ``read`` builds after many partial writes)."""
         return self.overwrite(self.read())
 
+    def history(self) -> list[dict]:
+        """Version history from the manifests still on disk (newest
+        first): version, partition count, write roots — the DESCRIBE
+        HISTORY analogue."""
+        out = []
+        if not os.path.isdir(self.location):
+            return out
+        for entry in sorted(os.listdir(self.location), reverse=True):
+            if not entry.startswith(_MANIFEST_PREFIX):
+                continue
+            v = int(entry[len(_MANIFEST_PREFIX):])
+            entries = self._read_manifest(v)
+            roots = {"/".join(rel.split("/")[:2]) for rel in entries.values()}
+            out.append(
+                {"version": v, "partitions": len(entries), "write_roots": len(roots)}
+            )
+        out.sort(key=lambda d: -d["version"])
+        return out
+
+    def describe(self) -> dict:
+        """Current-table summary: schema, layout, version, partitions."""
+        return {
+            "name": self.name,
+            "location": self.location,
+            "version": self.current_version(),
+            "partition_columns": list(self.partition_columns),
+            "sort_columns": list(self.sort_columns),
+            "schema": self.schema.simpleString() if self.schema else None,
+            "partitions": len(self._read_manifest(self.current_version()))
+            if self.exists()
+            else 0,
+        }
+
     def vacuum(self, keep: int = 2) -> None:
         """Drop data dirs not referenced by the newest ``keep`` manifests
         (and the superseded manifests themselves).

@@ -226,3 +226,15 @@ def test_null_partition_values_roundtrip(spark, tmp_path):
     )
     assert _partition_state(t, '["2024", "1"]') == before
     assert t.read().count() == 3
+
+
+def test_history_and_describe(spark, tmp_path):
+    t = _table(spark, tmp_path, name="h").create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1)]))
+    t.merge_insert_only(_rows(spark, [(2, "b", 2024, 2)]))
+    h = t.history()
+    assert [d["version"] for d in h] == [2, 1, 0]
+    assert h[0]["partitions"] == 2
+    d = t.describe()
+    assert d["version"] == 2 and d["partitions"] == 2
+    assert d["partition_columns"] == ["year", "month"]

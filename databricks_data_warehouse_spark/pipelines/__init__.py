@@ -4,12 +4,15 @@
 from .bronze import bronze_ingest
 from .dlq import recover_dlq
 from .gold import build_gold
+from .rollup import refresh_hourly_rollup, rollup_as_view
 from .silver import DomainRule, FkRule, TypeRule, validate_to_silver
 
 __all__ = [
     "bronze_ingest",
     "recover_dlq",
     "build_gold",
+    "refresh_hourly_rollup",
+    "rollup_as_view",
     "validate_to_silver",
     "DomainRule",
     "FkRule",

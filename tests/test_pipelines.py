@@ -221,3 +221,53 @@ def test_gold_build_upsert_and_conservation(spark, tmp_path):
             key_columns=["seg", "year", "month"], count_column="n",
             expected_total=99, partition_columns=["year", "month"],
         )
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """Folding two disjoint batches incrementally equals aggregating the
+    union in one pass — and refreshing one hour leaves other days'
+    partitions untouched."""
+    from databricks_data_warehouse_spark.pipelines.rollup import (
+        refresh_hourly_rollup,
+        rollup_as_view,
+    )
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = batch([
+        ("2024-01-01 10:05:00", "click", 1.50),
+        ("2024-01-01 10:40:00", "click", 2.25),
+        ("2024-01-01 11:10:00", "view", 0.75),
+        ("2024-01-02 09:00:00", "click", 4.00),
+    ])
+    b2 = batch([
+        ("2024-01-01 10:59:00", "click", 1.00),   # same hour as b1 rows
+        ("2024-01-03 08:30:00", "view", 3.10),    # brand-new day
+    ])
+    t = ManagedTable(
+        spark, "rollup", str(tmp_path / "rollup"), partition_columns=["bucket_date"]
+    )
+    refresh_hourly_rollup(spark, b1, t)
+    day2_before = t._read_manifest(t.current_version())['["2024-01-02"]']
+    refresh_hourly_rollup(spark, b2, t)
+    # untouched day's partition entry is carried over, not rewritten
+    assert t._read_manifest(t.current_version())['["2024-01-02"]'] == day2_before
+
+    got = {
+        (str(r.window_start), r.event_type): (r.event_count, r.sum_value)
+        for r in rollup_as_view(t).collect()
+    }
+    full = (
+        b1.unionByName(b2)
+        .withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    want = {
+        (str(r.window_start), r.event_type): (r.n, r.s) for r in full.collect()
+    }
+    assert got == want

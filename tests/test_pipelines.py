@@ -271,3 +271,71 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
         (str(r.window_start), r.event_type): (r.n, r.s) for r in full.collect()
     }
     assert got == want
+
+
+def test_full_medallion_flow_on_real_orders(spark, tmp_path):
+    """The reference's complete flow over the real testdata orders table:
+    bronze ingest -> silver validation with domain + FK rules -> DLQ,
+    conservation holding at every stage (sf0.001: 1500 orders)."""
+    from databricks_data_warehouse_spark.queries._util import load
+
+    sf = "/root/testdata/sf0.001"
+    orders_raw = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    customers = load(spark, sf, "customer").select("c_custkey")
+    bronze = bronze_ingest(
+        spark,
+        orders_raw,
+        str(tmp_path / "bronze_orders"),
+        "bronze_orders",
+        timestamp_column="o_orderdate",
+        dedup_columns=["o_orderkey"],
+    )
+    n_bronze = bronze.read().count()
+    assert n_bronze == 1500
+
+    from databricks_data_warehouse_spark.pipelines import FkRule
+
+    silver = ManagedTable(
+        spark,
+        "silver_orders",
+        str(tmp_path / "silver_orders"),
+        partition_columns=["year", "month"],
+    )
+    counts = validate_to_silver(
+        spark,
+        bronze.read(),
+        silver,
+        str(tmp_path / "dlq_orders"),
+        "dlq_orders",
+        id_columns=["order_id"],
+        ingestion_timestamp="bronze_ingestion_time",
+        rename_map={"o_orderkey": "order_id"},
+        rules=[DomainRule("o_orderstatus", ["O", "F"])],
+        fk_rules=[FkRule("o_custkey", customers, "c_custkey")],
+        silver_columns=["order_id", "o_custkey", "o_orderstatus",
+                        "o_orderdate", "year", "month"],
+    )
+    assert counts["batch"] == n_bronze
+    assert counts["valid"] + counts["invalid"] == n_bronze
+    # P-status orders are the invalid ones (FKs are all satisfied)
+    n_p = orders_raw.filter(F.col("o_orderstatus") == "P").count()
+    assert counts["invalid"] == n_p
+    assert silver.read().count() == counts["valid"]
+    # re-run the whole validation: silver merge is idempotent on ids
+    validate_to_silver(
+        spark,
+        bronze.read(),
+        silver,
+        str(tmp_path / "dlq_orders"),
+        "dlq_orders",
+        id_columns=["order_id"],
+        ingestion_timestamp="bronze_ingestion_time",
+        rename_map={"o_orderkey": "order_id"},
+        rules=[DomainRule("o_orderstatus", ["O", "F"])],
+        fk_rules=[FkRule("o_custkey", customers, "c_custkey")],
+        silver_columns=["order_id", "o_custkey", "o_orderstatus",
+                        "o_orderdate", "year", "month"],
+    )
+    assert silver.read().count() == counts["valid"]

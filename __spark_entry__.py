@@ -28,6 +28,7 @@ from databricks_data_warehouse_spark.ext import (
     dedup,
     json_ops,
     multimodal,
+    sampling,
     similarity,
     text,
 )
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": text.token_counts,
         "text_lang_id": text.lang_id,
         "text_fingerprint": text.doc_fingerprint,
+        # ---- LLM-pipeline: deterministic sampling / dataset splits
+        "sample_hash_split": sampling.sample_hash_split,
+        "sample_stratified": sampling.sample_stratified,
         # ---- LLM-pipeline: similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
@@ -631,6 +635,29 @@ def oracle_sql() -> dict[str, str]:
                        AS min_shingle_md5,
                    len(sh) AS n_shingles
             FROM sh_t
+        """,
+        # ----------------------------------------------------- sampling
+        "sample_hash_split": f"""
+            SELECT doc_id, b AS bucket,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {sampling.hash_bucket_sql(
+                             "'doc|' || CAST(doc_id AS VARCHAR)", salt="split"
+                         )} AS b
+                  FROM documents)
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang
+            FROM (SELECT doc_id, lang,
+                         {sampling.hash_bucket_sql(
+                             "'strat|' || CAST(doc_id AS VARCHAR)",
+                             salt="stratified",
+                         )} AS b
+                  FROM documents)
+            WHERE b < (CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
+                                 WHEN 'fr' THEN 0.75 ELSE 1.0 END) * 10000
         """,
         # --------------------------------------------------- similarity
         "ann_cosine_topk": """

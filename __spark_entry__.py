@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": text.token_counts,
         "text_lang_id": text.lang_id,
         "text_fingerprint": text.doc_fingerprint,
+        "text_pii_scrub": text.text_pii_scrub,
+        "text_chunks": text.text_chunks,
         # ---- LLM-pipeline: deterministic sampling / dataset splits
         "sample_hash_split": sampling.sample_hash_split,
         "sample_stratified": sampling.sample_stratified,
@@ -167,6 +169,9 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS_NORM = f"string_split_regex({_NORM}, '\\s+')"
 # whitespace tokens of raw trimmed text
 _TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+
+# PII regexes shared verbatim with the Spark side (RE2 ⊂ Java regex)
+from databricks_data_warehouse_spark.ext.text import PII_PATTERNS as _PII  # noqa: E402
 
 # distinct word 3-shingles of normalized text (short docs → whole doc)
 _SHINGLES3 = (
@@ -635,6 +640,51 @@ def oracle_sql() -> dict[str, str]:
                        AS min_shingle_md5,
                    len(sh) AS n_shingles
             FROM sh_t
+        """,
+        "text_pii_scrub": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                    || '@example.com now' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                    || '.1 or call 555-867-5309' ELSE '' END
+                       AS t0
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(t0, '{_PII[0][1]}')) AS n_emails,
+                          regexp_replace(t0, '{_PII[0][1]}', '{_PII[0][2]}', 'g') AS t1
+                   FROM p),
+            s2 AS (SELECT doc_id, n_emails,
+                          len(regexp_extract_all(t1, '{_PII[1][1]}')) AS n_ips,
+                          regexp_replace(t1, '{_PII[1][1]}', '{_PII[1][2]}', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_emails, n_ips,
+                          len(regexp_extract_all(t2, '{_PII[2][1]}')) AS n_phones,
+                          regexp_replace(t2, '{_PII[2][1]}', '{_PII[2][2]}', 'g') AS t3
+                   FROM s2)
+            SELECT doc_id, n_emails, n_ips, n_phones, t3 AS clean_text FROM s3
+        """,
+        "text_chunks": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS_RAW} AS toks, len({_TOKS_RAW}) AS n
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            s AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(1, greatest(n - 16, 1), 48)) AS st
+                FROM t
+            )
+            SELECT doc_id,
+                   (st - 1) // 48 AS chunk_id,
+                   st AS chunk_start,
+                   least(64, n - st + 1) AS n_tokens,
+                   array_to_string(toks[st : st + 63], ' ') AS chunk_text
+            FROM s
         """,
         # ----------------------------------------------------- sampling
         "sample_hash_split": f"""

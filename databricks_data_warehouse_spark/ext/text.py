@@ -118,6 +118,121 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns: valid in BOTH Java regex (Spark) and RE2 (DuckDB) — no
+# lookaround, no backrefs. Applied in this order; counts are taken on
+# the text as it stands when each pattern runs, so both engines agree
+# even when patterns could overlap.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers with placeholder
+    tokens and count each redaction class.
+
+    One narrow projection — the regex chain runs inside codegen on the
+    scan, no shuffle, no Python; at 100 TB this pipelines with the read.
+    Output: input columns + ``clean_<text_col>`` + ``n_<class>`` counts.
+    """
+    cur = F.col(text_col)
+    out_cols = [F.col(c) for c in df.columns]
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(*out_cols, *counts, cur.alias(f"clean_{text_col}"))
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over ``documents``, with deterministic PII planted
+    first (the synthetic corpus contains none) so the redaction paths
+    are actually exercised and oracle-checked end to end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1 or call 555-867-5309"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return pii_scrub(planted).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "clean_text"
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the standard
+    pre-training chunker (context-window packing feeds on these).
+
+    Chunk i starts at token 1 + i·(chunk_size − overlap); the last chunk
+    may be shorter. Emits (…input ids, chunk_id, chunk_start, n_tokens,
+    chunk_text). Empty documents produce no chunks.
+
+    Scale shape: tokenize once per row, explode the start offsets, slice
+    from the materialized token array — all inside codegen; output rows
+    ≈ total_tokens / stride, linear in corpus size, no shuffle.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    with_toks = df.select(
+        *[F.col(c) for c in df.columns if c != text_col],
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).where(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n") - overlap, F.lit(1)), F.lit(stride)
+    )
+    chunked = with_toks.select(
+        *[c for c in with_toks.columns if not c.startswith("__")],
+        "__toks",
+        "__n",
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    out = chunked.select(
+        *[c for c in chunked.columns if not c.startswith("__")],
+        F.least(
+            F.lit(chunk_size), F.col("__n") - F.col("chunk_start") + 1
+        ).cast("long").alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_start"), chunk_size), " "
+        ).alias("chunk_text"),
+    )
+    return out.withColumn("chunk_id", F.col("chunk_id").cast("long")).withColumn(
+        "chunk_start", F.col("chunk_start").cast("long")
+    )
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over ``documents``."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(docs, chunk_size=64, overlap=16)
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> DataFrame:
     """Document fingerprint: the lexicographic min over MD5 hashes of
     word ``shingle_size``-shingles (a deterministic 1-perm MinHash).

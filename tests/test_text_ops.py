@@ -1,0 +1,52 @@
+"""Chunking and PII-scrub invariants (ext/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.ext.text import chunk_tokens, pii_scrub
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunks_cover_document_with_exact_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_tokens(df, chunk_size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 150 tokens, stride 48 → starts 1, 49, 97 (97 ≤ 150−16=134) → 3 chunks
+    starts = sorted(r["chunk_start"] for r in by_doc[1])
+    assert starts == [1, 49, 97]
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_start"])
+    assert [r["n_tokens"] for r in chunks] == [64, 64, 54]
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = chunks[0]["chunk_text"].split(" "), chunks[1]["chunk_text"].split(" ")
+    assert a[-16:] == b[:16]
+    # full reconstruction: stitching strided chunks yields the document
+    rebuilt = a + b[16:] + chunks[2]["chunk_text"].split(" ")[16:]
+    assert rebuilt == df.where("doc_id = 1").collect()[0]["text"].split(" ")
+    # short doc → single whole-doc chunk; empty doc → no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert 3 not in by_doc
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, ip 192.168.0.1, tel 555-123-4567"),
+            (2, "clean text, version 1.2 is not an ip, 12345 not a phone"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_emails"], r1["n_ips"], r1["n_phones"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["clean_text"] and "<IP>" in r1["clean_text"]
+    assert "a@b.com" not in r1["clean_text"] and "192.168" not in r1["clean_text"]
+    r2 = rows[2]
+    assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
+    assert r2["clean_text"] == r2["text"]

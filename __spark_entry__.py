@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.near_dup_clusters,
         "dedup_simhash": dedup.simhash,
         # ---- LLM-pipeline: text analysis
         "text_quality": text.text_quality,
@@ -204,6 +205,28 @@ def oracle_sql() -> dict[str, str]:
     tax_c = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
     disc_price_e4 = f"{ep_c} * (100 - {disc_c})"
     charge_e6 = f"{ep_c} * (100 - {disc_c}) * (100 + {tax_c})"
+    ngram_pairs_sql = f"""
+            WITH grams_t AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(CASE WHEN len({_TOKS_NORM}) < 2 THEN []
+                           ELSE list_transform(range(1, len({_TOKS_NORM})),
+                                i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
+                           END) AS grams
+                FROM documents
+            )
+            SELECT a.lang, a.source,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   floor(len(list_intersect(a.grams, b.grams))
+                         / len(list_distinct(list_concat(a.grams, b.grams)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM grams_t a
+            JOIN grams_t b ON a.lang = b.lang AND a.source = b.source
+                          AND a.doc_id < b.doc_id
+            WHERE floor(len(list_intersect(a.grams, b.grams))
+                        / len(list_distinct(list_concat(a.grams, b.grams)))
+                        * 10000 + 0.5) / 10000
+                  >= 0.3
+        """
     mh_cols = ",\n               ".join(_minhash_sql(j) for j in range(8))
     lang_scores = ",\n               ".join(
         f"len(list_intersect(toks, {arr})) AS score_{code}"
@@ -559,27 +582,27 @@ def oracle_sql() -> dict[str, str]:
                len(sh) AS n_shingles
             FROM sh_t
         """,
-        "dedup_ngram_jaccard": f"""
-            WITH grams_t AS (
-                SELECT doc_id, lang, source,
-                       list_distinct(CASE WHEN len({_TOKS_NORM}) < 2 THEN []
-                           ELSE list_transform(range(1, len({_TOKS_NORM})),
-                                i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
-                           END) AS grams
-                FROM documents
-            )
-            SELECT a.lang, a.source,
-                   a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   floor(len(list_intersect(a.grams, b.grams))
-                         / len(list_distinct(list_concat(a.grams, b.grams)))
-                         * 10000 + 0.5) / 10000 AS jaccard
-            FROM grams_t a
-            JOIN grams_t b ON a.lang = b.lang AND a.source = b.source
-                          AND a.doc_id < b.doc_id
-            WHERE floor(len(list_intersect(a.grams, b.grams))
-                        / len(list_distinct(list_concat(a.grams, b.grams)))
-                        * 10000 + 0.5) / 10000
-                  >= 0.3
+        "dedup_ngram_jaccard": ngram_pairs_sql,
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({ngram_pairs_sql})
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+            ),
+            comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM comp
         """,
         # ------------------------------------------------------- text
         "text_quality": f"""

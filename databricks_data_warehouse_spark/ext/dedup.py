@@ -179,6 +179,87 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 15
+) -> DataFrame:
+    """Connected components of an undirected pair graph: every node gets
+    ``comp`` = the minimum node id reachable from it. This is the
+    cluster-resolution step of a near-dup pipeline (LSH/Jaccard pairs →
+    clusters → keep one canonical doc per cluster).
+
+    Min-label propagation with pointer jumping: each round a node takes
+    the min of its own label, its neighbors' labels, and its label's
+    label (path halving) — O(log n) rounds on any graph, vs O(diameter)
+    for plain propagation. Each round is two shuffles on the (tiny)
+    node/label relation, never on document payloads; lineage is
+    truncated every round with an eager localCheckpoint so the plan
+    stays constant-size. Raises if not converged within ``max_iter``
+    (2^15 ≫ any real component diameter).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_comp"))
+            .select(F.col("a").alias("node"), "nbr_comp")
+        )
+        jumped = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("jump_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .join(jumped, "comp", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce("nbr_comp", F.col("comp")),
+                    F.coalesce("jump_comp", F.col("comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.join(labels, ["node", "comp"], "left_anti").count()
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Full near-dup resolution over ``documents``: blocked n-gram
+    Jaccard pairs → connected components → one row per clustered doc
+    with its cluster id (min doc_id), cluster size, and whether it is
+    the canonical survivor. Singleton docs (no near-dup) are omitted —
+    they need no resolution.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b")
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
     """SimHash over word tokens: bit i of the fingerprint is the majority
     vote of hash-bit i across tokens. 16 bits derived from the first 4 hex

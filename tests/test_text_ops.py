@@ -50,3 +50,19 @@ def test_pii_scrub_redacts_and_counts(spark):
     r2 = rows[2]
     assert (r2["n_emails"], r2["n_ips"], r2["n_phones"]) == (0, 0, 0)
     assert r2["clean_text"] == r2["text"]
+
+
+def test_connected_components_chain_and_clique(spark):
+    from databricks_data_warehouse_spark.ext.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4, exercises pointer jumping) + clique
+    # {10,11,12} + isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -66,6 +66,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
         "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
         "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
+        "tpch_q4_order_priority": tpch.tpch_q4_order_priority,
+        "tpch_q7_volume_shipping": tpch.tpch_q7_volume_shipping,
+        "tpch_q8_market_share": tpch.tpch_q8_market_share,
+        "tpch_q9_product_profit": tpch.tpch_q9_product_profit,
+        "tpch_q10_returned_items": tpch.tpch_q10_returned_items,
+        "tpch_q13_customer_distribution": tpch.tpch_q13_customer_distribution,
+        "tpch_q14_promo_revenue": tpch.tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": tpch.tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue": tpch.tpch_q17_small_quantity_revenue,
+        "tpch_q18_large_volume_customers": tpch.tpch_q18_large_volume_customers,
+        "tpch_q19_discounted_revenue": tpch.tpch_q19_discounted_revenue,
+        "tpch_q22_sales_opportunity": tpch.tpch_q22_sales_opportunity,
         # ---- stretch aggregates (rollup/cube/grouping-sets/approx/percentile)
         "agg_rollup_customers": aggregates.agg_rollup_customers,
         "agg_cube_orders": aggregates.agg_cube_orders,
@@ -410,6 +422,188 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.02 AND l_discount <= 0.04
               AND l_quantity < 24
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": f"""
+            WITH vols AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       n2.n_name AS supp_nation,
+                       {disc_price_e4.replace("l_", "l.l_")} AS vol
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+                JOIN region r ON n1.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                       THEN vol ELSE 0 END) AS BIGINT)
+                         / CAST(SUM(vol) AS BIGINT) * 1000000 + 0.5) / 1000000
+                       AS mkt_share
+            FROM vols GROUP BY o_year
+        """,
+        "tpch_q9_product_profit": f"""
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q10_returned_items": f"""
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderpriority <> '5-LOW'
+                GROUP BY c.c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14_promo_revenue": f"""
+            SELECT floor(100 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {disc_price_e4.replace("l_", "l.l_")}
+                                 ELSE 0 END) AS BIGINT)
+                         / CAST(SUM({disc_price_e4.replace("l_", "l.l_")})
+                                AS BIGINT) * 10000 + 0.5) / 10000
+                       AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "tpch_q15_top_supplier": f"""
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(SUM({disc_price_e4}) AS BIGINT) AS rev_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.rev_e4 / 10000 AS total_revenue
+            FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rev_e4 = (SELECT MAX(rev_e4) FROM revenue)
+        """,
+        "tpch_q17_small_quantity_revenue": f"""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           / COUNT(*) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT floor(CAST(SUM({ep_c.replace("l_", "l.l_")}) AS BIGINT)
+                         / 100 / 7 * 100 + 0.5) / 100 AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN per_part a ON l.l_partkey = a.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "tpch_q18_large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19_discounted_revenue": f"""
+            SELECT CAST(SUM({disc_price_e4.replace("l_", "l.l_")}) AS BIGINT)
+                       / 10000 AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_sales_opportunity": """
+            WITH in_scope AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+                FROM customer
+                WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6) AND c_acctbal > 0
+            ),
+            stats AS (
+                SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+                       COUNT(*) AS n_bal
+                FROM in_scope
+            )
+            SELECT i.c_nationkey AS nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(i.bal_cents) AS BIGINT) / 100 AS totacctbal
+            FROM in_scope i, stats
+            WHERE i.bal_cents * stats.n_bal > stats.sum_cents
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = i.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY i.c_nationkey
         """,
         # ------------------------------------------ stretch aggregates
         # (agg_distinct_counts omitted -> rows-only: the HLL estimate is

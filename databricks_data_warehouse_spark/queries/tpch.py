@@ -126,3 +126,353 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("line_count"),
         )
     )
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with a late
+    lineitem (EXISTS → left-semi join with a non-equi condition). The
+    reduced schema has no commit/receipt dates, so "late" = any line
+    shipped >30 days after the order date."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(
+            lineitem,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral shipping volume between two nations by year
+    (6-way join, two broadcast copies of nation, symmetric pair filter)."""
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                   F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            (F.sum(_disc_price_e4(F.col("l_extendedprice"), F.col("l_discount")))
+             / 10_000).alias("revenue")
+        )
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part revenue inside a region,
+    by order year. Share = exact-integer volumes divided once at the end
+    (cross-engine deterministic), floor-rounded to 6 dp."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    cust_region = F.broadcast(
+        nation.join(region.filter(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("s_nk"),
+                      F.col("n_name").alias("supp_nation"))
+    )
+    vol = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter((F.col("o_orderdate") >= lo)
+                            & (F.col("o_orderdate") < hi)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_region, F.col("c_nationkey") == F.col("c_nk"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol)
+                  .otherwise(F.lit(0))).alias("nation_vol"),
+            F.sum(vol).alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            rnd(F.col("nation_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the reduced schema, so profit is
+    discounted revenue): profit by supplier nation and order year for
+    parts whose name contains 'widget'."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (F.sum(_disc_price_e4(F.col("l_extendedprice"), F.col("l_discount")))
+             / 10_000).alias("profit")
+        )
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a
+    quarter (join + agg + top-k with deterministic tiebreak)."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    return (
+        customer.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            (F.sum(_disc_price_e4(F.col("l_extendedprice"), F.col("l_discount")))
+             / 10_000).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of order counts per customer (left outer
+    join + double aggregation). The order filter stands in for the spec's
+    comment filter, which the reduced schema lacks."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "5-LOW"),
+            F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO parts' share of one month's revenue. Numerator
+    and denominator are exact integers; the single division and the
+    floor-round are the only float steps (identical cross-engine)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    vol = _disc_price_e4(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+            .alias("promo_vol"),
+            F.sum(vol).alias("total_vol"),
+        )
+        .select(
+            rnd(F.lit(100) * F.col("promo_vol") / F.col("total_vol"), 4)
+            .alias("promo_revenue")
+        )
+    )
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    revenue "view" is aggregated once and reused; the scalar max joins
+    back via broadcast. Revenue kept in exact 1e-4 ints so the max
+    comparison is never a float tie."""
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    revenue = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_e4(F.col("l_extendedprice"), F.col("l_discount")))
+             .alias("rev_e4"))
+    )
+    max_rev = revenue.agg(F.max("rev_e4").alias("max_e4"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("rev_e4") == F.col("max_e4"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.col("rev_e4") / 10_000).alias("total_revenue"))
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders
+    for one brand were not taken. The correlated per-part AVG subquery
+    becomes a groupBy + broadcast re-join. Per-part avg = exact integer
+    sum / count (quantities are integral), so the 0.2·avg threshold is
+    bit-identical cross-engine."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part_avg = (
+        lineitem.groupBy(F.col("l_partkey").alias("a_partkey"))
+        .agg((F.sum(F.col("l_quantity").cast("long"))
+              / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        lineitem.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#12")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            rnd(F.sum(cents(F.col("l_extendedprice"))) / 100 / 7, 2)
+            .alias("avg_yearly")
+        )
+    )
+
+
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with orders totalling >300 units (HAVING on
+    an exact integer sum, then re-join to enrich — top-100)."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue from three disjunctive brand/size/quantity
+    bands (OR-of-ANDs pushed into one join filter; container predicates
+    replaced by p_size bands, which the reduced schema does have)."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    bands = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#15") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#18") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bands)
+        .agg(
+            (F.sum(_disc_price_e4(F.col("l_extendedprice"), F.col("l_discount")))
+             / 10_000).alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no *recent* orders
+    (every synthetic customer has some order, so the spec's NOT EXISTS
+    becomes "no order since 1999"), grouped by nation. The above-average
+    filter is exact: cents(bal)·count > sum_cents, all BIGINTs."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    in_scope = customer.filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6) & (F.col("c_acctbal") > 0)
+    )
+    stats = in_scope.agg(
+        F.sum(cents(F.col("c_acctbal"))).alias("sum_cents"),
+        F.count("*").alias("n_bal"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        in_scope.crossJoin(F.broadcast(stats))
+        .filter(cents(F.col("c_acctbal")) * F.col("n_bal") > F.col("sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents(F.col("c_acctbal"))) / 100).alias("totacctbal"),
+        )
+    )

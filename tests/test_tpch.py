@@ -1,0 +1,71 @@
+"""Invariant checks for the TPC-H query corpus at sf0.001.
+
+Exact value agreement is enforced by the DuckDB oracle gate
+(scripts/check_oracle.py / the driver's CORRECTNESS run); these tests
+pin the structural invariants that would silently break first under a
+refactor: key uniqueness, filter semantics, and tie-break ordering.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_data_warehouse_spark.queries import tpch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q4_priorities_are_unique_and_counted(spark):
+    rows = tpch.tpch_q4_order_priority(spark, SF_DIR).collect()
+    prios = [r["o_orderpriority"] for r in rows]
+    assert len(prios) == len(set(prios))
+    assert all(r["order_count"] > 0 for r in rows)
+
+
+def test_q10_topk_is_ordered_with_deterministic_tiebreak(spark):
+    rows = tpch.tpch_q10_returned_items(spark, SF_DIR).collect()
+    assert len(rows) <= 20
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a["revenue"] == b["revenue"]:
+            assert a["c_custkey"] < b["c_custkey"]
+
+
+def test_q13_distribution_conserves_customers(spark):
+    from databricks_data_warehouse_spark.queries._util import load
+
+    n_cust = load(spark, SF_DIR, "customer").count()
+    rows = tpch.tpch_q13_customer_distribution(spark, SF_DIR).collect()
+    assert sum(r["custdist"] for r in rows) == n_cust
+
+
+def test_q15_all_winners_share_the_max_revenue(spark):
+    rows = tpch.tpch_q15_top_supplier(spark, SF_DIR).collect()
+    assert len(rows) >= 1
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_q18_threshold_and_ordering(spark):
+    rows = tpch.tpch_q18_large_volume_customers(spark, SF_DIR).collect()
+    assert all(r["total_qty"] > 300 for r in rows)
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q22_customers_have_no_recent_orders(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.queries._util import load
+
+    out = tpch.tpch_q22_sales_opportunity(spark, SF_DIR)
+    assert set(r["nationkey"] for r in out.collect()) <= set(range(7))
+    # every counted customer must genuinely lack post-1999 orders
+    recent_cust = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert recent_cust > 0  # the anti-join filter is non-vacuous

@@ -202,10 +202,62 @@ _LANG_SQL_MARKERS = {
 }
 
 
+def _minhash_expr(j: int) -> str:
+    return f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min')"
+
+
 def _minhash_sql(j: int) -> str:
-    return (
-        f"list_aggregate(list_transform(sh, s -> md5('{j}|' || s)), 'min') AS mh_{j}"
+    return f"{_minhash_expr(j)} AS mh_{j}"
+
+
+# sign-LSH twins of ext/similarity._bucket_id: ±1 plane weight for dim i
+# is the parity of the first hex char of md5('{plane}|{i}'); the
+# projection is an in-order list fold, identical to Spark's zip_with +
+# aggregate left fold.
+def _lsh_proj_sql(vec: str, plane: int) -> str:
+    w = (
+        f"CASE WHEN (strpos('0123456789abcdef', "
+        f"substr(md5('{plane}|' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END"
     )
+    return (
+        f"list_aggregate(list_transform(range(0, len({vec})), "
+        f"i -> CAST({vec}[i + 1] AS DOUBLE) * ({w})), 'sum')"
+    )
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 4) -> str:
+    parts = [
+        f"(CASE WHEN {_lsh_proj_sql(vec, j)} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+# cosine between two already-DOUBLE list expressions (same fold order as
+# ext/similarity.cosine)
+def _cos_sql(a: str, b: str) -> str:
+    dp = (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), 'sum')"
+    )
+    na = f"sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+    nb = f"sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum'))"
+    return f"({dp} / ({na} * {nb}))"
+
+
+# simhash twins of ext/dedup.simhash: h = first 4 md5 hex chars as int;
+# bit i of the fingerprint = majority vote of h's bit i across tokens
+_SIMHASH_H = (
+    "list_sum(list_transform(range(1, 5), "
+    "i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)"
+    " * (1 << (4 * (4 - i)))))"
+)
+_SIMHASH_VOTES = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(16)
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -776,6 +828,53 @@ def oracle_sql() -> dict[str, str]:
                len(sh) AS n_shingles
             FROM sh_t
         """,
+        "dedup_minhash_pairs": f"""
+            WITH sh_t AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+            ),
+            bands AS (
+                SELECT doc_id,
+                       CAST(b AS VARCHAR) || '|' || (CASE b
+                           WHEN 0 THEN {_minhash_expr(0)} || '|' || {_minhash_expr(1)}
+                           WHEN 1 THEN {_minhash_expr(2)} || '|' || {_minhash_expr(3)}
+                           WHEN 2 THEN {_minhash_expr(4)} || '|' || {_minhash_expr(5)}
+                           ELSE {_minhash_expr(6)} || '|' || {_minhash_expr(7)}
+                       END) AS band_key
+                FROM sh_t, (SELECT unnest(range(4)) AS b)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b2 ON a.band_key = b2.band_key
+                            AND a.doc_id < b2.doc_id
+            )
+            SELECT p.doc_a, p.doc_b,
+                   floor(len(list_intersect(x.sh, y.sh))
+                         / len(list_distinct(list_concat(x.sh, y.sh)))
+                         * 10000 + 0.5) / 10000 AS jaccard
+            FROM pairs p
+            JOIN sh_t x ON p.doc_a = x.doc_id
+            JOIN sh_t y ON p.doc_b = y.doc_id
+            WHERE floor(len(list_intersect(x.sh, y.sh))
+                        / len(list_distinct(list_concat(x.sh, y.sh)))
+                        * 10000 + 0.5) / 10000 >= 0.5
+        """,
+        "dedup_simhash": f"""
+            WITH toks_t AS (
+                SELECT doc_id, list_distinct({_TOKS_NORM}) AS toks
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) = 0
+                                   THEN [CAST(NULL AS VARCHAR)]
+                                   ELSE toks END) AS t
+                FROM toks_t
+            ),
+            ht AS (SELECT doc_id, {_SIMHASH_H} AS h FROM expl)
+            SELECT doc_id, CAST({_SIMHASH_VOTES} AS BIGINT) AS simhash16
+            FROM ht GROUP BY doc_id
+        """,
         "dedup_ngram_jaccard": ngram_pairs_sql,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
@@ -978,6 +1077,73 @@ def oracle_sql() -> dict[str, str]:
                    floor(sim * 1000000 + 0.5) / 1000000 AS centroid_sim
             FROM ranked WHERE rn = 1
         """,
+        "ann_lsh_buckets": f"""
+            SELECT vec_id, {_lsh_bucket_sql("embedding")} AS bucket_id
+            FROM embeddings
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       {_lsh_bucket_sql("embedding")} AS bucket_id
+                FROM embeddings
+            ),
+            q AS (SELECT v AS qv, bucket_id AS qb FROM b WHERE vec_id = 0)
+            SELECT b.vec_id, ROUND({_cos_sql("b.v", "q.qv")}, 6) AS cosine_sim
+            FROM b, q
+            WHERE b.bucket_id = q.qb AND b.vec_id <> 0
+            ORDER BY cosine_sim DESC, b.vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_near_dup_pairs": f"""
+            WITH b AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       {_lsh_bucket_sql("embedding")} AS bucket_id
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+                   ROUND({_cos_sql("a.v", "b2.v")}, 6) AS cosine_sim
+            FROM b a
+            JOIN b b2 ON a.bucket_id = b2.bucket_id AND a.vec_id < b2.vec_id
+            WHERE ROUND({_cos_sql("a.v", "b2.v")}, 6) >= 0.35
+        """,
+        "ann_ivf_topk": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            c AS (SELECT vec_id AS centroid_id, v AS centroid
+                  FROM e WHERE vec_id < 16),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (
+                SELECT centroid_id
+                FROM c, q
+                ORDER BY {_cos_sql("c.centroid", "q.qv")} DESC, centroid_id
+                LIMIT 4
+            ),
+            assigned AS (
+                SELECT vec_id, centroid_id
+                FROM (
+                    SELECT e.vec_id, c.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql("e.v", "c.centroid")} DESC,
+                                        c.centroid_id) AS rn
+                    FROM e CROSS JOIN c
+                )
+                WHERE rn = 1
+            )
+            SELECT e.vec_id, ROUND({_cos_sql("e.v", "q.qv")}, 6) AS cosine_sim
+            FROM e
+            JOIN assigned a ON e.vec_id = a.vec_id
+            JOIN probe p ON a.centroid_id = p.centroid_id
+            CROSS JOIN q
+            WHERE e.vec_id <> 0
+            ORDER BY cosine_sim DESC, e.vec_id
+            LIMIT 10
+        """,
         "ann_pairs_per_label": """
             WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
             SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -998,7 +1164,7 @@ def oracle_sql() -> dict[str, str]:
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                      * sqrt(list_aggregate(list_transform(b.embedding,
                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
-                  >= 0.95
+                  >= 0.35
         """,
         # -------------------------------------------------- json / windows
         "events_json_extract": """

@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text.text_pii_scrub,
         "text_chunks": text.text_chunks,
         # ---- LLM-pipeline: deterministic sampling / dataset splits
+        "text_decontaminate": text.decontaminate_splits,
+        "text_repetition": text.repetition_scores,
         "sample_hash_split": sampling.sample_hash_split,
         "sample_stratified": sampling.sample_stratified,
         # ---- LLM-pipeline: similarity search
@@ -1003,6 +1005,59 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         # ----------------------------------------------------- sampling
+        "text_decontaminate": f"""
+            WITH g AS (
+                SELECT doc_id,
+                       {sampling.hash_bucket_sql(
+                           "'doc|' || CAST(doc_id AS VARCHAR)", salt="split"
+                       )} AS bucket,
+                       unnest(list_distinct(
+                           CASE WHEN len({_TOKS_NORM}) < 5 THEN []
+                           ELSE list_transform(range(1, len({_TOKS_NORM}) - 3),
+                                i -> array_to_string({_TOKS_NORM}[i:i+4], ' '))
+                           END)) AS gram
+                FROM documents
+            )
+            SELECT t.doc_id AS train_doc_id, e.doc_id AS test_doc_id,
+                   COUNT(*) AS shared_ngrams
+            FROM g t JOIN g e ON t.gram = e.gram
+            WHERE t.bucket < 8000 AND e.bucket >= 9000
+            GROUP BY 1, 2
+        """,
+        "text_repetition": f"""
+            WITH toks_t AS (
+                SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+            ),
+            tok_c AS (
+                SELECT doc_id, t, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t)
+                GROUP BY doc_id, t
+            ),
+            tok_s AS (
+                SELECT doc_id, MAX(cnt) AS top_cnt,
+                       CAST(SUM(cnt) AS BIGINT) AS n_toks
+                FROM tok_c GROUP BY doc_id
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+                              END) AS g
+                FROM toks_t
+            ),
+            tri_s AS (
+                SELECT doc_id, COUNT(*) AS n_tri,
+                       COUNT(DISTINCT g) AS n_tri_distinct
+                FROM tri GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   floor(top_cnt / n_toks * 10000 + 0.5) / 10000
+                       AS top_token_share,
+                   COALESCE(floor((1 - n_tri_distinct / n_tri) * 10000 + 0.5)
+                            / 10000, 0.0) AS dup_trigram_frac
+            FROM tok_s t LEFT JOIN tri_s USING (doc_id)
+        """,
         "sample_hash_split": f"""
             SELECT doc_id, b AS bucket,
                    CASE WHEN b < 8000 THEN 'train'

@@ -261,3 +261,96 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> 
             F.count("*").alias("n_shingles"),
         )
     )
+
+
+def decontaminate_splits(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: find train-split documents sharing any
+    word ``k``-gram with a test-split document — the standard pre-training
+    hygiene check (eval data leaking into the training corpus).
+
+    The split is the same deterministic hash split as
+    ``sample_hash_split`` (train = bucket < 8000, test = bucket ≥ 9000),
+    so the operator composes with the real split pipeline instead of
+    inventing its own eval set.
+
+    Shape: one scan → distinct k-grams exploded per doc → self-join on
+    the gram restricted to train×test. The gram (a ~5-word string) is
+    the shuffle key; at corpus scale this is the same inverted-index
+    pattern as ``ngram_jaccard_pairs`` — never all-pairs. Hot grams
+    (boilerplate) are naturally bounded by `list_distinct` per doc; a
+    production run would additionally drop grams above a doc-frequency
+    cap before the join (same plan, one extra groupBy).
+    """
+    from .dedup import normalized_text
+    from .sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    key = F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))
+    toks = tokens(normalized_text(F.col("text")))
+    grams = docs.select(
+        "doc_id",
+        hash_bucket(key, salt="split").alias("bucket"),
+        F.explode(F.array_distinct(word_ngrams(toks, k))).alias("gram"),
+    )
+    train = grams.where(F.col("bucket") < 8000).select(
+        F.col("doc_id").alias("train_doc_id"), "gram"
+    )
+    test = grams.where(F.col("bucket") >= 9000).select(
+        F.col("doc_id").alias("test_doc_id"), "gram"
+    )
+    return (
+        train.join(test, "gram")
+        .groupBy("train_doc_id", "test_doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_token_share``: count of the most frequent token / token
+      count (high → degenerate repetition);
+    - ``dup_trigram_frac``: 1 − distinct-trigrams / total-trigrams
+      (high → copy-pasted or templated text). Docs with <3 tokens have
+      no trigrams → 0.0.
+
+    Shape: explode → two-level hash agg (partial map-side combine), one
+    shuffle keyed by (doc_id, token) then (doc_id) — no windows, no
+    driver collection. Ratios are exact-integer divisions floor-rounded
+    to 4 dp (cross-engine deterministic).
+    """
+    from .dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(normalized_text(F.col("text")))
+
+    tok_stats = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_toks"),
+        )
+    )
+    tri_stats = (
+        docs.select("doc_id", F.explode(word_ngrams(toks, 3)).alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tri"),
+            F.count_distinct("g").alias("n_tri_distinct"),
+        )
+    )
+    return (
+        tok_stats.join(tri_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            rnd(F.col("top_cnt") / F.col("n_toks"), 4).alias("top_token_share"),
+            F.coalesce(
+                rnd(1 - F.col("n_tri_distinct") / F.col("n_tri"), 4), F.lit(0.0)
+            ).alias("dup_trigram_frac"),
+        )
+    )

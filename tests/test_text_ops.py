@@ -66,3 +66,26 @@ def test_connected_components_chain_and_clique(spark):
         for r in connected_components(edges, "src", "dst").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_decontaminate_pairs_cross_splits_only(spark):
+    from databricks_data_warehouse_spark.ext.sampling import sample_hash_split
+    from databricks_data_warehouse_spark.ext.text import decontaminate_splits
+
+    sf = "/root/testdata/sf0.001"
+    pairs = decontaminate_splits(spark, sf).collect()
+    splits = {r["doc_id"]: r["split"] for r in sample_hash_split(spark, sf).collect()}
+    for r in pairs:
+        assert splits[r["train_doc_id"]] == "train"
+        assert splits[r["test_doc_id"]] == "test"
+        assert r["shared_ngrams"] >= 1
+
+
+def test_repetition_scores_bounds_and_repeated_text(spark):
+    from databricks_data_warehouse_spark.ext.text import repetition_scores
+
+    rows = repetition_scores(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 < r["top_token_share"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] < 1.0

@@ -97,10 +97,18 @@ def _bucket_id(vec: Column, n_planes: int = 4) -> Column:
     return out.cast("int")
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket assignment for every vector (the IVF/LSH index build)."""
+def ann_lsh_buckets(
+    spark: SparkSession, sf_dir: str, n_planes: int = 4
+) -> DataFrame:
+    """Bucket assignment for every vector (the IVF/LSH index build).
+
+    ``n_planes`` is the scale knob: buckets = 2^planes, so keep
+    planes ≈ log2(corpus_size / target_bucket_size) as data grows —
+    within-bucket verification cost is quadratic in bucket size."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.select("vec_id", _bucket_id(F.col("embedding")).alias("bucket_id"))
+    return emb.select(
+        "vec_id", _bucket_id(F.col("embedding"), n_planes).alias("bucket_id")
+    )
 
 
 def ann_lsh_topk(
@@ -214,7 +222,7 @@ def ann_ivf_topk(
 
 
 def lsh_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35, n_planes: int = 4
 ) -> DataFrame:
     """Embedding-cosine near-dup WITHOUT metadata blocking — the scale
     path: sign-LSH buckets as the blocking key (high-cosine pairs land
@@ -224,7 +232,7 @@ def lsh_near_dup_pairs(
     semantic ground truth. Default threshold sits in the synthetic
     data's actual cosine range (max pairwise ≈ 0.51)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding")))
+    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding"), n_planes))
     a = bucketed.select(
         "bucket_id", F.col("vec_id").alias("vec_a"),
         _as_double(F.col("embedding")).alias("e_a"),

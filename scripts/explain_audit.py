@@ -23,6 +23,9 @@ DEFAULT_QUERIES = (
     "gold_customer_status_by_city",
     "dash_avg_delivery_by_nation",
     "dedup_ngram_jaccard",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
+    "text_decontaminate",
 )
 
 

@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_sales_opportunity": tpch.tpch_q22_sales_opportunity,
         # ---- stretch aggregates (rollup/cube/grouping-sets/approx/percentile)
         "agg_rollup_customers": aggregates.agg_rollup_customers,
+        "agg_order_gaps": aggregates.agg_order_gaps,
+        "agg_rolling_revenue": aggregates.agg_rolling_revenue,
         "agg_cube_orders": aggregates.agg_cube_orders,
         "agg_grouping_sets": aggregates.agg_grouping_sets,
         "agg_distinct_counts": aggregates.agg_distinct_counts,
@@ -662,6 +664,40 @@ def oracle_sql() -> dict[str, str]:
         # ------------------------------------------ stretch aggregates
         # (agg_distinct_counts omitted -> rows-only: the HLL estimate is
         # engine-specific by construction)
+        "agg_order_gaps": """
+            WITH g AS (
+                SELECT o_custkey,
+                       date_diff('day',
+                           CAST(LAG(o_orderdate) OVER (
+                               PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS DATE),
+                           CAST(o_orderdate AS DATE)) AS gap_days
+                FROM orders
+            )
+            SELECT c.c_mktsegment,
+                   floor(CAST(SUM(gap_days) AS BIGINT) / COUNT(*) * 100 + 0.5)
+                       / 100 AS avg_gap_days,
+                   CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+                   COUNT(*) AS n_gaps
+            FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+            WHERE gap_days IS NOT NULL
+            GROUP BY 1
+        """,
+        "agg_rolling_revenue": """
+            WITH daily AS (
+                SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT CAST(CAST(day AS TIMESTAMP) AS TIMESTAMP_NS) AS day,
+                   rev_cents / 100 AS daily_revenue,
+                   CAST(SUM(rev_cents) OVER (
+                       ORDER BY date_diff('day', DATE '1995-01-01', day)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       / 100 AS rolling_7d_revenue
+            FROM daily
+        """,
         "agg_rollup_customers": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count,
                    GROUPING(c.c_mktsegment, n.n_name) AS grouping_level

@@ -129,3 +129,67 @@ def agg_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(delay, 0.9)"), 2).alias("p90_delay"),
         F.count("*").alias("line_count"),
     )
+
+
+def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (LAG window),
+    aggregated to an exact average gap per market segment.
+
+    Scale notes: the window partitions by the natural entity key
+    (customer) — one shuffle, bounded partitions; ties on the order
+    date break on o_orderkey so the lag sequence is deterministic in
+    any engine. The gap sum/count are exact BIGINTs.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .where(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date"))
+            .cast("long")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        gaps.join(customer, gaps.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.sum("gap_days") / F.count("*"), 2).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+def agg_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 7-day trailing total (RANGE-frame
+    window over an integer day number — the event-time rolling metric
+    every ops dashboard needs).
+
+    Scale notes: revenue is pre-aggregated to one row per day BEFORE
+    the window (the window input is ~days, not ~orders), so the
+    unbounded-preceding frame scan is trivially cheap; sums are exact
+    integer cents.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        orders.withColumn("day", F.col("o_orderdate").cast("date"))
+        .groupBy("day")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        (F.col("rev_cents") / 100).alias("daily_revenue"),
+        (F.sum("rev_cents").over(w) / 100).alias("rolling_7d_revenue"),
+    )

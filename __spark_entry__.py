@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_windows": streaming.stream_sliding_windows,
         "stream_session_windows": streaming.stream_session_windows,
         "stream_user_running_counts": streaming.stream_user_running_counts,
+        "stream_dedup_events": streaming.stream_dedup_events,
     }
 
 
@@ -1343,6 +1344,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ------------------------------------------------- streaming
         # (same results as batch on a bounded historical source)
+        "stream_dedup_events": """
+            SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
+                   event_type, value
+            FROM events
+        """,
         "stream_hourly_tumbling": """
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP_NS)
                        AS window_start,

@@ -217,3 +217,33 @@ def stream_user_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ~150 user keys: 8 state stores instead of 32
     return _run_to_memory(counted, "append", state_partitions=8)
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication under at-least-once delivery: every event
+    arrives TWICE (each source row exploded into two copies — the
+    standard redelivery failure mode), and
+    ``dropDuplicatesWithinWatermark`` on ``event_id`` keeps exactly one
+    copy using watermark-bounded state.
+
+    Why ``...WithinWatermark`` and not plain ``dropDuplicates``: the
+    plain form must keep EVERY key ever seen in the state store —
+    unbounded growth on an endless stream. The watermarked form expires
+    a key's state once the watermark passes it: state is bounded by the
+    redelivery horizon (here 2 hours), which is the only form that
+    survives at 100 TB/day.
+
+    The drained output is the distinct event set — exactly the
+    ``events`` table — so the streaming pipeline is oracle-checkable.
+    """
+    events = _stream_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    redelivered = events.select(
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("_copy"), "*"
+    ).drop("_copy")
+    deduped = (
+        redelivered.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    return _run_to_memory(deduped, "append", state_partitions=8)

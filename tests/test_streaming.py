@@ -44,3 +44,15 @@ def test_stateful_running_counts_match_batch_groupby(spark):
         for r in st.stream_user_running_counts(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_collapses_redelivery(spark):
+    from databricks_data_warehouse_spark.queries._util import load
+    from databricks_data_warehouse_spark.streaming import stream_dedup_events
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_dedup_events(spark, sf)
+    src = load(spark, sf, "events")
+    n_src = src.count()
+    assert out.count() == n_src  # 2n redelivered rows -> n distinct
+    assert out.select("event_id").distinct().count() == n_src

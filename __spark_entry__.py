@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- LLM-pipeline: deterministic sampling / dataset splits
         "text_decontaminate": text.decontaminate_splits,
         "text_repetition": text.repetition_scores,
+        "text_corpus_filter": text.corpus_filter,
         "sample_hash_split": sampling.sample_hash_split,
         "sample_stratified": sampling.sample_stratified,
         # ---- LLM-pipeline: similarity search
@@ -1060,6 +1061,82 @@ def oracle_sql() -> dict[str, str]:
             FROM g t JOIN g e ON t.gram = e.gram
             WHERE t.bucket < 8000 AND e.bucket >= 9000
             GROUP BY 1, 2
+        """,
+        "text_corpus_filter": f"""
+            WITH q AS (
+                SELECT doc_id, len({_TOKS_RAW}) AS token_count,
+                       floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                             / length(text) * 10000 + 0.5) / 10000 AS alpha_ratio
+                FROM documents
+            ),
+            toks_t AS (
+                SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+            ),
+            tok_c AS (
+                SELECT doc_id, t, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t)
+                GROUP BY doc_id, t
+            ),
+            tok_s AS (
+                SELECT doc_id, MAX(cnt) AS top_cnt,
+                       CAST(SUM(cnt) AS BIGINT) AS n_toks
+                FROM tok_c GROUP BY doc_id
+            ),
+            tri AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(toks) < 3 THEN []
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+                              END) AS g
+                FROM toks_t
+            ),
+            tri_s AS (
+                SELECT doc_id, COUNT(*) AS n_tri,
+                       COUNT(DISTINCT g) AS n_tri_distinct
+                FROM tri GROUP BY doc_id
+            ),
+            rep AS (
+                SELECT t.doc_id,
+                       floor(top_cnt / n_toks * 10000 + 0.5) / 10000
+                           AS top_token_share,
+                       COALESCE(floor((1 - n_tri_distinct / n_tri) * 10000 + 0.5)
+                                / 10000, 0.0) AS dup_trigram_frac
+                FROM tok_s t LEFT JOIN tri_s USING (doc_id)
+            ),
+            scored AS (
+                SELECT doc_id,
+                   {lang_scores}
+                FROM (SELECT doc_id,
+                             list_distinct(string_split_regex(trim(lower(text)),
+                                           '\\s+')) AS toks
+                      FROM documents)
+            ),
+            lang AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(score_en, score_es, score_fr, score_de) <= 0
+                                THEN 'und'
+                            WHEN score_en = greatest(score_en, score_es, score_fr, score_de)
+                                THEN 'en'
+                            WHEN score_es = greatest(score_en, score_es, score_fr, score_de)
+                                THEN 'es'
+                            WHEN score_fr = greatest(score_en, score_es, score_fr, score_de)
+                                THEN 'fr'
+                            ELSE 'de' END AS predicted_lang
+                FROM scored
+            ),
+            sel AS (
+                SELECT q.doc_id,
+                       CASE WHEN token_count < 20 THEN 'too_short'
+                            WHEN alpha_ratio < 0.6 THEN 'low_alpha'
+                            WHEN top_token_share > 0.2 THEN 'repetitive_token'
+                            WHEN dup_trigram_frac > 0.1 THEN 'repetitive_trigram'
+                            WHEN predicted_lang = 'und' THEN 'unknown_lang'
+                       END AS reason
+                FROM q JOIN rep USING (doc_id) JOIN lang USING (doc_id)
+            )
+            SELECT doc_id, reason IS NULL AS keep,
+                   COALESCE(reason, 'ok') AS reject_reason
+            FROM sel
         """,
         "text_repetition": f"""
             WITH toks_t AS (

@@ -354,3 +354,43 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus gate: every document gets a
+    keep/drop decision with the FIRST failing rule as the reject reason
+    (rule order is the filter's spec, applied identically in any
+    engine):
+
+    1. ``too_short``        — fewer than 20 whitespace tokens;
+    2. ``low_alpha``        — alphabetic-character ratio < 0.6;
+    3. ``repetitive_token`` — top token > 20% of all tokens;
+    4. ``repetitive_trigram`` — >10% duplicate trigrams;
+    5. ``unknown_lang``     — the language-ID heuristic found no marker.
+
+    Composes the already-oracle-checked operators (text_quality,
+    repetition_scores, lang_id) via doc_id equi-joins — three narrow
+    aggregations over the same scan, one join stage; no new text math
+    is introduced, so the filter's correctness reduces to its parts'.
+    """
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", "token_count", "alpha_ratio"
+    )
+    repetition = repetition_scores(spark, sf_dir)
+    lang = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    reason = (
+        F.when(F.col("token_count") < 20, F.lit("too_short"))
+        .when(F.col("alpha_ratio") < 0.6, F.lit("low_alpha"))
+        .when(F.col("top_token_share") > 0.2, F.lit("repetitive_token"))
+        .when(F.col("dup_trigram_frac") > 0.1, F.lit("repetitive_trigram"))
+        .when(F.col("predicted_lang") == "und", F.lit("unknown_lang"))
+    )
+    return (
+        quality.join(repetition, "doc_id")
+        .join(lang, "doc_id")
+        .select(
+            "doc_id",
+            reason.isNull().alias("keep"),
+            F.coalesce(reason, F.lit("ok")).alias("reject_reason"),
+        )
+    )

@@ -232,14 +232,19 @@ def lsh_near_dup_pairs(
     semantic ground truth. Default threshold sits in the synthetic
     data's actual cosine range (max pairwise ≈ 0.51)."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding"), n_planes))
+    # per-vector norms before the pair join (see pairwise_topk_per_label)
+    bucketed = (
+        emb.withColumn("bucket_id", _bucket_id(F.col("embedding"), n_planes))
+        .withColumn("e", _as_double(F.col("embedding")))
+        .withColumn("n", norm(F.col("e")))
+    )
     a = bucketed.select(
         "bucket_id", F.col("vec_id").alias("vec_a"),
-        _as_double(F.col("embedding")).alias("e_a"),
+        F.col("e").alias("e_a"), F.col("n").alias("n_a"),
     )
     b = bucketed.select(
         "bucket_id", F.col("vec_id").alias("vec_b"),
-        _as_double(F.col("embedding")).alias("e_b"),
+        F.col("e").alias("e_b"), F.col("n").alias("n_b"),
     )
     return (
         a.join(b, on="bucket_id")
@@ -247,7 +252,9 @@ def lsh_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )
@@ -259,11 +266,20 @@ def pairwise_topk_per_label(
     """Embedding-cosine near-dup: all pairs within a label block scoring
     ≥ threshold. Blocking bounds the quadratic term to the label group."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    a = emb.select(
-        "label", F.col("vec_id").alias("vec_a"), _as_double(F.col("embedding")).alias("e_a")
+    # norms precomputed ONCE per vector (not per pair): the pair stage
+    # then folds only the dot product — 3x less per-pair work, and
+    # sqrt(fold(x*x)) yields the identical double either way, so the
+    # oracle hash is unchanged.
+    vecs = emb.select(
+        "label", "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("n", norm(F.col("e")))
+    a = vecs.select(
+        "label", F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"), F.col("n").alias("n_a"),
     )
-    b = emb.select(
-        "label", F.col("vec_id").alias("vec_b"), _as_double(F.col("embedding")).alias("e_b")
+    b = vecs.select(
+        "label", F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"), F.col("n").alias("n_b"),
     )
     return (
         a.join(b, on="label")
@@ -272,7 +288,9 @@ def pairwise_topk_per_label(
             "label",
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("e_a"), F.col("e_b")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": streaming.stream_session_windows,
         "stream_user_running_counts": streaming.stream_user_running_counts,
         "stream_dedup_events": streaming.stream_dedup_events,
+        "stream_enriched_counts": streaming.stream_enriched_counts,
     }
 
 
@@ -1421,6 +1422,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ------------------------------------------------- streaming
         # (same results as batch on a bounded historical source)
+        "stream_enriched_counts": """
+            SELECT e.event_type, c.c_mktsegment,
+                   COUNT(*) AS event_count,
+                   CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 100 AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
         "stream_dedup_events": """
             SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
                    event_type, value

@@ -4,6 +4,7 @@ batch-only; these are the additive streaming surface over ``events``)."""
 from .bronze_stream import stream_bronze_ingest
 from .windows import (
     stream_dedup_events,
+    stream_enriched_counts,
     stream_hourly_tumbling,
     stream_session_windows,
     stream_sliding_windows,
@@ -13,6 +14,7 @@ from .windows import (
 __all__ = [
     "stream_bronze_ingest",
     "stream_dedup_events",
+    "stream_enriched_counts",
     "stream_hourly_tumbling",
     "stream_sliding_windows",
     "stream_session_windows",

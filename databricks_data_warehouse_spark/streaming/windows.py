@@ -247,3 +247,32 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     return _run_to_memory(deduped, "append", state_partitions=8)
+
+
+def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched against the
+    static ``customer`` dimension (broadcast — re-read per micro-batch
+    by Spark, which is what keeps a slowly-changing dim fresh in a
+    continuous deployment), then aggregated per (event_type, segment).
+
+    Scale notes: the static side is a broadcast hash join per batch —
+    no stream-side shuffle for the join; the aggregation shuffles on
+    the (event_type, segment) key space only. Money sums are exact
+    integer cents, so the drained result hash-matches the batch SQL
+    twin.
+    """
+    from ..queries._util import load
+
+    events = _stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = events.join(
+        F.broadcast(customer), events.user_id == customer.c_custkey
+    )
+    agg = (
+        enriched.groupBy("event_type", "c_mktsegment")
+        .agg(
+            F.count("*").alias("event_count"),
+            (F.sum(cents(F.col("value"))) / 100).alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete", state_partitions=8)

@@ -339,3 +339,24 @@ def test_full_medallion_flow_on_real_orders(spark, tmp_path):
                         "o_orderdate", "year", "month"],
     )
     assert silver.read().count() == counts["valid"]
+
+
+def test_training_corpus_build_conserves_and_is_idempotent(spark, tmp_path):
+    from databricks_data_warehouse_spark.pipelines.corpus import build_training_corpus
+
+    sf = "/root/testdata/sf0.001"
+    loc = str(tmp_path / "corpus")
+    table, counts = build_training_corpus(spark, sf, loc)
+    assert counts["rejected"] + counts["dup_dropped"] + counts["final"] == counts["docs"]
+    assert counts["final"] > 0
+    out = table.read()
+    # every row landed in a real split partition
+    assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    # re-run: pure function of the input -> identical content
+    table2, counts2 = build_training_corpus(spark, sf, loc)
+    assert counts2 == counts
+    a = sorted(r["doc_id"] for r in table2.read().collect())
+    b = sorted(r["doc_id"] for r in out.collect())
+    assert a == b

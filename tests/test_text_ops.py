@@ -89,3 +89,47 @@ def test_repetition_scores_bounds_and_repeated_text(spark):
     for r in rows:
         assert 0.0 < r["top_token_share"] <= 1.0
         assert 0.0 <= r["dup_trigram_frac"] < 1.0
+
+
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Property: the distributed min-label CC equals a reference
+    union-find on arbitrary graphs (seeded cases incl. long chains,
+    stars, parallel/self edges)."""
+    import random
+
+    from databricks_data_warehouse_spark.ext.dedup import connected_components
+
+    def union_find(nodes, edges):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # fully compress, then relabel each component by its min member
+        comps = {}
+        for n in nodes:
+            comps.setdefault(find(n), []).append(n)
+        return {n: min(m) for m in comps.values() for n in m}
+
+    rng = random.Random(7)
+    for case in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25 + 10 * case)
+        ]
+        edges += [(i, i + 1) for i in range(20)]  # a diameter-20 chain
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find(nodes, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(df, "src", "dst").collect()
+        }
+        assert got == expected, f"case {case}"

@@ -1,0 +1,71 @@
+"""Bucketed-table helpers: pre-shuffled storage for co-located joins.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle of both
+sides. Bucketing pays that shuffle ONCE at write time: both tables are
+hash-partitioned into the same number of buckets on the join key and
+each bucket is sorted, so a later join is a zip of matching buckets —
+SortMergeJoin with **no Exchange on either side** (asserted in
+tests/test_bucketing.py against the physical plan).
+
+Spark specifics worth knowing (vs e.g. Hive bucketing):
+- ``bucketBy`` requires ``saveAsTable`` (a catalog table, not a bare
+  path) — the bucket spec lives in the catalog;
+- both sides must have the same bucket count (or a divisor) on the
+  same key for the exchange to be elided;
+- ``spark.sql.sources.bucketing.enabled`` (default true) governs use.
+"""
+
+from __future__ import annotations
+
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` as a parquet catalog table bucketed + sorted on
+    ``bucket_key`` (the write performs the one-time shuffle).
+
+    Drops any previous table AND its leftover warehouse directory first:
+    a managed-table location orphaned by a dropped catalog (e.g. a prior
+    session without Hive metastore persistence) makes ``saveAsTable``
+    fail with LOCATION_ALREADY_EXISTS. Local-FS cleanup only — an
+    object-store deployment would version locations instead.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, bucket_key)
+        .sortBy(bucket_key)
+        .saveAsTable(table_name)
+    )
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys. With
+    bucketing metadata present, Catalyst plans a SortMergeJoin over the
+    existing bucket files — zero runtime shuffle."""
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.join(right, left[left_key] == right[right_key])
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed physical plan as text (for shuffle-free asserts)."""
+    return df._jdf.queryExecution().executedPlan().toString()

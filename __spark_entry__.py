@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot_status_by_segment": aggregates.agg_pivot_status_by_segment,
         # ---- CommonFunctions operator parity over real data (C1-C5)
         "op_clean_string": ops.op_clean_string,
+        "op_profile_customer": ops.op_profile_customer,
         "op_clean_string_address": ops.op_clean_string_address,
         "op_validate_columns": ops.op_validate_columns,
         "op_validate_domain": ops.op_validate_domain,
@@ -768,6 +769,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority
         """,
         # ------------------------------------------- operator parity (C1-C5)
+        "op_profile_customer": """
+            SELECT 'c_custkey' AS col_name,
+                   CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   COUNT(DISTINCT c_custkey) AS n_distinct,
+                   CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_name' AS col_name,
+                   CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   COUNT(DISTINCT c_name) AS n_distinct,
+                   CAST(MIN(c_name) AS VARCHAR) AS min_value,
+                   CAST(MAX(c_name) AS VARCHAR) AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey' AS col_name,
+                   CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   COUNT(DISTINCT c_nationkey) AS n_distinct,
+                   CAST(MIN(c_nationkey) AS VARCHAR) AS min_value,
+                   CAST(MAX(c_nationkey) AS VARCHAR) AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_acctbal' AS col_name,
+                   CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   COUNT(DISTINCT c_acctbal) AS n_distinct,
+                   CAST(MIN(c_acctbal) AS VARCHAR) AS min_value,
+                   CAST(MAX(c_acctbal) AS VARCHAR) AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment' AS col_name,
+                   CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   COUNT(DISTINCT c_mktsegment) AS n_distinct,
+                   CAST(MIN(c_mktsegment) AS VARCHAR) AS min_value,
+                   CAST(MAX(c_mktsegment) AS VARCHAR) AS max_value
+            FROM customer
+        """,
         "op_clean_string": f"""
             SELECT doc_id, {_clean_default("text")} AS clean_text
             FROM documents

@@ -203,3 +203,42 @@ def op_pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("invalid_relationship", ";").alias("invalid_rel"),
         "silver_ingestion_status",
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with null
+    count, exact distinct count, and min/max (stringified so any column
+    type fits one schema).
+
+    Single pass over the data: all per-column aggregates are computed in
+    ONE hash-agg stage (Catalyst evaluates them together), then unpivoted
+    driver-free with ``stack``. At 100 TB this is a scan + one partial+
+    final agg — same cost profile as `ANALYZE TABLE ... COMPUTE STATISTICS
+    FOR COLUMNS` minus the catalog write. Distinct counts are exact here
+    (oracle-checkable); swap in approx_count_distinct for the
+    constant-memory variant at scale.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )
+
+
+def op_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile the customer table (every column)."""
+    return profile_table(load(spark, sf_dir, "customer"))

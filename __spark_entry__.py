@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_volume_customers": tpch.tpch_q18_large_volume_customers,
         "tpch_q19_discounted_revenue": tpch.tpch_q19_discounted_revenue,
         "tpch_q22_sales_opportunity": tpch.tpch_q22_sales_opportunity,
+        "tpch_q12_shipping_modes": tpch.tpch_q12_shipping_modes,
+        "tpch_q21_suppliers_kept_waiting": tpch.tpch_q21_suppliers_kept_waiting,
         # ---- stretch aggregates (rollup/cube/grouping-sets/approx/percentile)
         "agg_rollup_customers": aggregates.agg_rollup_customers,
         "agg_order_gaps": aggregates.agg_order_gaps,
@@ -643,6 +645,45 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q12_shipping_modes": """
+            SELECT CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)) <= 30
+                            THEN 'on_time'
+                        WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE)) <= 60
+                            THEN 'late'
+                        ELSE 'very_late' END AS lateness_band,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q21_suppliers_kept_waiting": """
+            WITH late AS (
+                SELECT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+            FROM late l1
+            JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey)
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s.s_suppkey
+            LIMIT 25
         """,
         "tpch_q22_sales_opportunity": """
             WITH in_scope AS (

@@ -476,3 +476,96 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents(F.col("c_acctbal"))) / 100).alias("totacctbal"),
         )
     )
+
+
+def tpch_q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: CASE-sum classification — high- vs low-priority
+    order counts per lateness band (the reduced schema has no shipmode /
+    commit/receipt dates, so the band is days from order to ship:
+    on_time ≤ 30 < late ≤ 60 < very_late)."""
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"),
+        F.col("o_orderdate").cast("date"),
+    )
+    orders_d = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    band = (
+        F.when(delay <= 30, F.lit("on_time"))
+        .when(delay <= 60, F.lit("late"))
+        .otherwise(F.lit("very_late"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(orders_d, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("lateness_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the semi+anti self-join combination — suppliers
+    in one nation whose lineitem shipped late on a multi-supplier order
+    where EVERY OTHER supplier shipped on time. "Late" = >60 days after
+    the order date (no receipt/commit dates in the reduced schema).
+
+    Three relations over the same fact table: the late line (l1), an
+    EXISTS witness of another supplier on the order (semi join), and a
+    NOT EXISTS of another late supplier (anti join) — the classic
+    decorrelation of nested EXISTS into joins, all shuffle-keyed on
+    l_orderkey."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # another supplier exists on the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("w_orderkey"), F.col("l_suppkey").alias("w_suppkey")
+    )
+    with_witness = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("w_orderkey"))
+        & (F.col("l_suppkey") != F.col("w_suppkey")),
+        "left_semi",
+    )
+    # ... and no OTHER supplier was late on that order
+    l3 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select(
+            F.col("l_orderkey").alias("x_orderkey"),
+            F.col("l_suppkey").alias("x_suppkey"),
+        )
+    )
+    sole_late = with_witness.join(
+        l3,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(25)
+    )

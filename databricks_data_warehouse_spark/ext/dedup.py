@@ -15,7 +15,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries._util import load, rnd
@@ -24,6 +24,18 @@ from .text import tokens, word_ngrams
 # deterministic "permutations": salt the shingle hash with a fixed seed id
 _N_MINHASH = 8
 _BAND_SIZE = 2  # 4 bands × 2 rows → catches jaccard ≳ 0.5 reliably
+
+# Frequency guards against quadratic blowup on degenerate keys: a join
+# key shared by df documents emits O(df²) candidate rows, so one
+# ubiquitous bigram ("of the") or one boilerplate-heavy LSH bucket can
+# dominate the whole job at corpus scale. Keys above the cap are dropped
+# BEFORE pairing (the standard stop-gram / prefix-filter guard); pairs
+# whose entire similarity rides on such keys are boilerplate matches,
+# not near-duplicates. Caps bound per-key pair fan-out at cap²/2.
+# Testdata maxima are df=17 / bucket=16 (sf0.1), so the defaults never
+# bind there and the oracle hashes are unchanged.
+_MAX_GRAM_DF = 1000
+_MAX_BAND_BUCKET = 1000
 
 
 def normalized_text(col: Column) -> Column:
@@ -73,10 +85,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = _MAX_BAND_BUCKET
+) -> DataFrame:
     """LSH banding: docs sharing any band (concatenated minhash slice)
     become a candidate pair; pairs are then verified with exact shingle
-    Jaccard. Only bucket-colliding pairs are ever joined — no O(n²).
+    Jaccard. Only bucket-colliding pairs are ever joined — no O(n²),
+    and band buckets larger than ``max_bucket`` are dropped entirely
+    (degenerate buckets = boilerplate mass; see _MAX_BAND_BUCKET).
 
     Output: (doc_a, doc_b, jaccard) for verified pairs ≥ 0.5.
     """
@@ -95,6 +111,16 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_key"),
+    )
+    # bucket-size guard: the count window shares the band_key partitioning
+    # with the self-join below, so Catalyst reuses the exchange — the cap
+    # costs no extra shuffle.
+    bands = (
+        bands.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band_key"))
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
     pairs = (
         bands.alias("a")
@@ -125,7 +151,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    max_df: int = _MAX_GRAM_DF,
+) -> DataFrame:
     """Word-bigram Jaccard near-dup within same-(lang, source) blocks —
     a blocked (not all-pairs) exact similarity join; the blocking key
     stands in for any cheap partition-friendly prefilter at scale.
@@ -135,6 +166,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
     candidate; word bigrams are ~document-specific, so the inverted
     index below stays near-linear. Docs with <2 tokens have no bigrams
     and drop out (Jaccard undefined).
+
+    Grams with block-level document frequency > ``max_df`` are dropped
+    from the gram space BEFORE the self-join (see _MAX_GRAM_DF): the
+    per-gram pair fan-out is df², so one "of the"-grade bigram is
+    otherwise quadratic in corpus size. Jaccard is computed over the
+    surviving (informative) gram space on both sides of the ratio —
+    self-consistent stop-gram semantics; with the default cap the filter
+    never binds on the testdata, so results there are bit-identical to
+    the uncapped oracle.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     toks = tokens(normalized_text(F.col("text")))
@@ -154,9 +194,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.3
         "doc_id",
         "lang",
         "source",
-        F.size("grams").alias("n"),
         F.explode("grams").alias("gram"),
     )
+    # df guard (gram-keyed count window, same key family as the join) …
+    inv = (
+        inv.withColumn(
+            "df", F.count("*").over(Window.partitionBy("lang", "source", "gram"))
+        )
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    # … then per-doc set size over the SURVIVING grams (n must be
+    # post-filter so |A∪B| = n_a + n_b − common stays exact)
+    inv = inv.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     a = inv.select(
         "lang", "source", "gram",
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),

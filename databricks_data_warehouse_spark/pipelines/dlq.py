@@ -106,10 +106,11 @@ def recover_dlq(
         n_dead = (
             dlq_table.read().filter(F.col("validation_status") == "invalid").count()
         )
-        assert n_silver + n_dead == n_bronze, (
-            f"conservation violated after recovery: silver {n_silver} + "
-            f"still-invalid DLQ {n_dead} != bronze {n_bronze}"
-        )
+        if n_silver + n_dead != n_bronze:
+            raise AssertionError(
+                f"conservation violated after recovery: silver {n_silver} + "
+                f"still-invalid DLQ {n_dead} != bronze {n_bronze}"
+            )
         return {"bronze": n_bronze, "silver": n_silver, "still_invalid": n_dead}
     finally:
         df.unpersist()

@@ -159,11 +159,13 @@ def validate_to_silver(
         n_batch = validated.count()
         n_valid = valid.count()
         n_invalid = invalid.count()
-        # C6 conservation: nothing lost, nothing invented
-        assert n_valid + n_invalid == n_batch, (
-            f"conservation violated: {n_valid} valid + {n_invalid} invalid "
-            f"!= {n_batch} batch rows"
-        )
+        # C6 conservation: nothing lost, nothing invented (explicit raise,
+        # not a bare assert — must survive `python -O`)
+        if n_valid + n_invalid != n_batch:
+            raise AssertionError(
+                f"conservation violated: {n_valid} valid + {n_invalid} invalid "
+                f"!= {n_batch} batch rows"
+            )
 
         if not silver_table.exists():
             silver_table.create_if_not_exists(valid.schema)

@@ -68,9 +68,21 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct customers per order status — fully oracle-checkable
+    (the HLL variant lives in ``agg_distinct_counts_approx``; splitting
+    the two turns this entry hash-green instead of rows-only)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers"),
+    )
+
+
+def agg_distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + approximate distinct customers per order status. The HLL
-    estimate is engine-specific (rows-only check); the exact column is
-    the oracle anchor."""
+    estimate is engine-specific by construction, so this entry is
+    rows-only checked; the exact twin above is the hash-checked anchor.
+    At 100 TB approx_count_distinct is the operator you actually run —
+    constant-size sketch per group vs a full distinct shuffle."""
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
     return orders.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("exact_customers"),

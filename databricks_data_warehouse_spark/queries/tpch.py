@@ -530,9 +530,23 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # nation filter pushed to the FRONT of the pipeline: only l1 rows
+    # from NATION_3 suppliers can reach the final aggregate, so semi-join
+    # l1 down by ~the nation selectivity BEFORE the two heavy self-joins
+    # (the witness/anti sides must still see ALL suppliers). Broadcast:
+    # the supplier dim is small relative to the fact table at any scale.
+    nation_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("ns_suppkey"))
     l1 = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .where(late)
+        .join(
+            F.broadcast(nation_suppliers),
+            F.col("l_suppkey") == F.col("ns_suppkey"),
+            "left_semi",
+        )
         .select("l_orderkey", "l_suppkey", "o_orderdate")
     )
     # another supplier exists on the same order

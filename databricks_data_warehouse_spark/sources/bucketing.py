@@ -17,10 +17,28 @@ Spark specifics worth knowing (vs e.g. Hive bucketing):
 
 from __future__ import annotations
 
+import re
 import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _table_location(spark: SparkSession, table_name: str) -> str | None:
+    """The catalog-resolved filesystem path of ``table_name``, or None if
+    the table does not exist. Asking the catalog (instead of string-
+    building ``{warehouse}/{name}``) stays correct for non-default
+    databases, where Spark stores data under ``<db>.db/<tbl>``."""
+    try:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    except Exception:  # noqa: BLE001 — table absent
+        return None
+    for r in rows:
+        if r.col_name == "Location":
+            return urlparse(r.data_type).path
+    return None
 
 
 def write_bucketed(
@@ -35,13 +53,26 @@ def write_bucketed(
     Drops any previous table AND its leftover warehouse directory first:
     a managed-table location orphaned by a dropped catalog (e.g. a prior
     session without Hive metastore persistence) makes ``saveAsTable``
-    fail with LOCATION_ALREADY_EXISTS. Local-FS cleanup only — an
-    object-store deployment would version locations instead.
+    fail with LOCATION_ALREADY_EXISTS. The location is resolved from the
+    catalog, never string-built, and because the name feeds both SQL and
+    a destructive rmtree only simple unqualified identifiers are
+    accepted. Local-FS cleanup only — an object-store deployment would
+    version locations instead.
     """
+    if not _NAME_RE.match(table_name):
+        raise ValueError(
+            f"write_bucketed: table name must be a simple unqualified "
+            f"identifier, got {table_name!r}"
+        )
     spark = df.sparkSession
+    loc = _table_location(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{warehouse}/{table_name}", ignore_errors=True)
+    if loc is None:
+        # table not in catalog — an orphaned managed location may remain
+        # from a dropped metastore; default-database layout only
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = f"{warehouse}/{table_name}"
+    shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.format("parquet")
         .mode("overwrite")

@@ -60,6 +60,12 @@ def _stream_source_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"ddws_stream_{h}")
     os.makedirs(d, exist_ok=True)
     dst = os.path.join(d, "events.parquet")
+    # re-stage when the source was regenerated since the last copy
+    # (symlinks track the source automatically; copies go stale)
+    if os.path.exists(dst) and not os.path.islink(dst):
+        s, t = os.stat(src), os.stat(dst)
+        if s.st_mtime > t.st_mtime or s.st_size != t.st_size:
+            os.remove(dst)
     if not os.path.exists(dst):
         try:
             os.symlink(src, dst)

@@ -48,63 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver check priority. CORRECTNESS_r02 covered
-    exactly the first 50 entries in registry order, so the 34 entries it
-    never reached (every ann_*/text_*/mm_*/stream_* plus dedup_clusters
-    and dedup_simhash) now come FIRST; the 49 entries already proven
-    green in r02 follow. agg_distinct_counts, r02's only red row, is
-    re-split (exact → hash-checked; approx → rows-only) and promoted
-    into the checked prefix."""
+    """Registry order = driver check priority (first 50 checked/round).
+
+    Round-4 rotation (VERDICT r03 item 1): the 49 entries last proven
+    green in CORRECTNESS_r02 — before round 3 edited queries/tpch.py
+    (q21 pushdown) and queries/aggregates.py — now come FIRST so r04
+    re-certifies them against the shipped code. The 36 entries freshly
+    proven green in r03 follow. Per-round coverage alternates the two
+    halves so every entry is re-checked at most one round stale."""
     return {
-        # ---- LLM-pipeline: dedup resolution + simhash (unchecked in r02)
-        "dedup_clusters": dedup.near_dup_clusters,
-        "dedup_simhash": dedup.simhash,
-        # ---- LLM-pipeline: text analysis
-        "text_quality": text.text_quality,
-        "text_token_counts": text.token_counts,
-        "text_lang_id": text.lang_id,
-        "text_fingerprint": text.doc_fingerprint,
-        "text_pii_scrub": text.text_pii_scrub,
-        "text_chunks": text.text_chunks,
-        # ---- LLM-pipeline: deterministic sampling / dataset splits
-        "text_decontaminate": text.decontaminate_splits,
-        "text_repetition": text.repetition_scores,
-        "text_corpus_filter": text.corpus_filter,
-        "sample_hash_split": sampling.sample_hash_split,
-        "sample_stratified": sampling.sample_stratified,
-        # ---- LLM-pipeline: similarity search
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_assignments": similarity.ann_ivf_assignments,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_pairs_per_label": similarity.pairwise_topk_per_label,
-        "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
-        # ---- LLM-pipeline: JSON / event windows
-        "events_json_extract": json_ops.events_json_extract,
-        "events_json_agg": json_ops.events_json_agg,
-        "events_hourly_windows": json_ops.events_hourly_windows,
-        # ---- as-of / range joins (operators Spark's join syntax lacks)
-        "asof_events_latest_order": asof.asof_events_latest_order,
-        "range_join_value_bands": asof.range_join_value_bands,
-        # ---- LLM-pipeline: multimodal binary columns (decode stubbed
-        #      deterministically; mapInPandas plumbing is real)
-        "mm_media_metadata": multimodal.media_metadata,
-        "mm_decode_features": multimodal.mm_decode_features,
-        "mm_frame_sample": multimodal.mm_frame_sample,
-        # ---- structured streaming (availableNow drain of a bounded
-        #      source; deterministic on historical data → oracle-checked)
-        "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
-        "stream_sliding_windows": streaming.stream_sliding_windows,
-        "stream_session_windows": streaming.stream_session_windows,
-        "stream_user_running_counts": streaming.stream_user_running_counts,
-        "stream_dedup_events": streaming.stream_dedup_events,
-        "stream_enriched_counts": streaming.stream_enriched_counts,
-        # ---- r02's one red row, fixed: exact twin is hash-checked,
-        #      the HLL variant is rows-only by construction
-        "agg_distinct_counts": aggregates.agg_distinct_counts,
-        "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
-        # ================= proven green in CORRECTNESS_r02 =================
+        # ================ r02-green, re-certify against post-r03 code ======
         # ---- gold builders (reference Gold layer semantics)
         "gold_customer_breakdown": gold.gold_customer_breakdown,
         "gold_customer_status_by_city": gold.gold_customer_status_by_city,
@@ -160,6 +113,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # ================= proven green in CORRECTNESS_r03 =================
+        # ---- LLM-pipeline: dedup resolution + simhash
+        "dedup_clusters": dedup.near_dup_clusters,
+        "dedup_simhash": dedup.simhash,
+        # ---- LLM-pipeline: text analysis
+        "text_quality": text.text_quality,
+        "text_token_counts": text.token_counts,
+        "text_lang_id": text.lang_id,
+        "text_fingerprint": text.doc_fingerprint,
+        "text_pii_scrub": text.text_pii_scrub,
+        "text_chunks": text.text_chunks,
+        # ---- LLM-pipeline: deterministic sampling / dataset splits
+        "text_decontaminate": text.decontaminate_splits,
+        "text_repetition": text.repetition_scores,
+        "text_corpus_filter": text.corpus_filter,
+        "sample_hash_split": sampling.sample_hash_split,
+        "sample_stratified": sampling.sample_stratified,
+        # ---- LLM-pipeline: similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_assignments": similarity.ann_ivf_assignments,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_pairs_per_label": similarity.pairwise_topk_per_label,
+        "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
+        # ---- LLM-pipeline: JSON / event windows
+        "events_json_extract": json_ops.events_json_extract,
+        "events_json_agg": json_ops.events_json_agg,
+        "events_hourly_windows": json_ops.events_hourly_windows,
+        # ---- as-of / range joins (operators Spark's join syntax lacks)
+        "asof_events_latest_order": asof.asof_events_latest_order,
+        "range_join_value_bands": asof.range_join_value_bands,
+        # ---- LLM-pipeline: multimodal binary columns (decode stubbed
+        #      deterministically; mapInPandas plumbing is real)
+        "mm_media_metadata": multimodal.media_metadata,
+        "mm_decode_features": multimodal.mm_decode_features,
+        "mm_frame_sample": multimodal.mm_frame_sample,
+        # ---- structured streaming (availableNow drain of a bounded
+        #      source; deterministic on historical data → oracle-checked)
+        "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
+        "stream_sliding_windows": streaming.stream_sliding_windows,
+        "stream_session_windows": streaming.stream_session_windows,
+        "stream_user_running_counts": streaming.stream_user_running_counts,
+        "stream_dedup_events": streaming.stream_dedup_events,
+        "stream_enriched_counts": streaming.stream_enriched_counts,
+        # ---- distinct-count pair: exact twin hash-checked, HLL variant
+        #      rows-only by construction
+        "agg_distinct_counts": aggregates.agg_distinct_counts,
+        "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
 
 

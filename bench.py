@@ -1,7 +1,13 @@
 """Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+SHORT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {headline: sec}, "sf": ..., "n_queries": N,
+"detail_file": "bench_detail.json"}.
+
+The final line carries only the 8 headline queries — BENCH_r01-r03 all
+came back ``parsed: null`` because 85 per-query timings overflowed the
+driver's tail capture (VERDICT r03 item 2). The FULL per-query timing
+map is written to bench_detail.json next to this script.
 
 Timing is end-to-end per query: plan construction + execution +
 collect() of the full result (collect, not count, so projection work
@@ -53,14 +59,34 @@ def main() -> int:
         if dt == dt:  # not NaN
             total += dt
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {"sf": sf_val, "cpus": cpus, "queries": timings}, f, indent=1
+        )
+
+    headliners = [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q9_product_profit",
+        "tpch_q21_suppliers_kept_waiting",
+        "gold_orders_by_city",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "ann_lsh_topk",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_time",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": {h: timings[h] for h in headliners if h in timings},
                 "sf": sf_val,
+                "n_queries": len(timings),
+                "detail_file": "bench_detail.json",
             }
         )
     )

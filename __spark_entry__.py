@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #      rows-only by construction
         "agg_distinct_counts": aggregates.agg_distinct_counts,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
+        # ---- approx-percentile twin of agg_delay_percentiles (sketch
+        #      estimate → rows-only; the exact twin is hash-checked)
+        "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
     }
 
 
@@ -293,6 +296,11 @@ def oracle_sql() -> dict[str, str]:
     tax_c = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
     disc_price_e4 = f"{ep_c} * (100 - {disc_c})"
     charge_e6 = f"{ep_c} * (100 - {disc_c}) * (100 + {tax_c})"
+    # Inverted-index twin of ext/dedup.ngram_jaccard_pairs INCLUDING the
+    # _MAX_GRAM_DF stop-gram cap (grams with block df > 1000 dropped
+    # before pairing, per-doc set size n over SURVIVING grams), so the
+    # exact-twin hash holds at any corpus scale, not just where the cap
+    # never binds (ADVICE r03).
     ngram_pairs_sql = f"""
             WITH grams_t AS (
                 SELECT doc_id, lang, source,
@@ -301,19 +309,33 @@ def oracle_sql() -> dict[str, str]:
                                 i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
                            END) AS grams
                 FROM documents
+            ),
+            inv_raw AS (
+                SELECT doc_id, lang, source, unnest(grams) AS gram
+                FROM grams_t
+            ),
+            inv_df AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, source, gram)
+                           AS gram_df
+                FROM inv_raw
+            ),
+            inv AS (
+                SELECT doc_id, lang, source, gram,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n
+                FROM inv_df WHERE gram_df <= 1000
+            ),
+            scored AS (
+                SELECT a.lang, a.source,
+                       a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       floor(COUNT(*) / (a.n + b.n - COUNT(*))
+                             * 10000 + 0.5) / 10000 AS jaccard
+                FROM inv a
+                JOIN inv b ON a.lang = b.lang AND a.source = b.source
+                          AND a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY a.lang, a.source, a.doc_id, b.doc_id, a.n, b.n
             )
-            SELECT a.lang, a.source,
-                   a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   floor(len(list_intersect(a.grams, b.grams))
-                         / len(list_distinct(list_concat(a.grams, b.grams)))
-                         * 10000 + 0.5) / 10000 AS jaccard
-            FROM grams_t a
-            JOIN grams_t b ON a.lang = b.lang AND a.source = b.source
-                          AND a.doc_id < b.doc_id
-            WHERE floor(len(list_intersect(a.grams, b.grams))
-                        / len(list_distinct(list_concat(a.grams, b.grams)))
-                        * 10000 + 0.5) / 10000
-                  >= 0.3
+            SELECT lang, source, doc_a, doc_b, jaccard
+            FROM scored WHERE jaccard >= 0.3
         """
     mh_cols = ",\n               ".join(_minhash_sql(j) for j in range(8))
     lang_scores = ",\n               ".join(
@@ -977,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sh_t AS (
                 SELECT doc_id, {_SHINGLES3} AS sh FROM documents
             ),
-            bands AS (
+            bands_raw AS (
                 SELECT doc_id,
                        CAST(b AS VARCHAR) || '|' || (CASE b
                            WHEN 0 THEN {_minhash_expr(0)} || '|' || {_minhash_expr(1)}
@@ -986,6 +1008,14 @@ def oracle_sql() -> dict[str, str]:
                            ELSE {_minhash_expr(6)} || '|' || {_minhash_expr(7)}
                        END) AS band_key
                 FROM sh_t, (SELECT unnest(range(4)) AS b)
+            ),
+            -- _MAX_BAND_BUCKET twin: degenerate buckets dropped before
+            -- pairing, mirroring ext/dedup.minhash_candidate_pairs
+            bands AS (
+                SELECT doc_id, band_key FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+                    FROM bands_raw
+                ) WHERE bn <= 1000
             ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b

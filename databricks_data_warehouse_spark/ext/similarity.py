@@ -179,10 +179,31 @@ def ann_ivf_assignments(
     return best
 
 
-# materialized IVF indexes, keyed by (session, corpus, n_centroids).
-# An index exists to be built once and probed many times — the cache is
-# what makes ann_ivf_topk an index PROBE instead of a per-query rebuild.
-_ivf_index_cache: dict[tuple[str, str, int], DataFrame] = {}
+# materialized IVF indexes, keyed by (session, corpus, corpus mtime+size,
+# n_centroids). An index exists to be built once and probed many times —
+# the cache is what makes ann_ivf_topk an index PROBE instead of a
+# per-query rebuild. The source-file fingerprint in the key invalidates
+# the index when the parquet corpus is regenerated mid-session (same
+# staleness class the streaming source check guards against); evicted
+# entries are unpersisted so executor memory is released.
+_ivf_index_cache: dict[tuple[str, str, tuple, int], DataFrame] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the embeddings parquet — file or directory of
+    part-files — so a regenerated corpus changes the cache key."""
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = []
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                stats.append((name, st.st_mtime_ns, st.st_size))
+            return tuple(stats)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
 
 
 def ivf_index(
@@ -192,13 +213,25 @@ def ivf_index(
     (corpus, n_centroids) and cached, so every subsequent query probes
     the stored inverted lists — no full-corpus re-assignment per query
     (the plan shows InMemoryTableScan on the probe path; asserted in
-    tests/test_skew_and_properties.py). At cluster scale this cache is a
-    partitioned table (``ManagedTable`` partitioned by centroid_id, so a
-    probe prunes to n_probe partitions); an in-session cached DataFrame
-    carries the same plan shape on local mode."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_centroids)
+    tests/test_dedup_guards.py::test_ivf_topk_probes_materialized_index).
+    At cluster scale this cache is a partitioned table (``ManagedTable``
+    partitioned by centroid_id, so a probe prunes to n_probe
+    partitions); an in-session cached DataFrame carries the same plan
+    shape on local mode."""
+    abspath = os.path.abspath(sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, abspath, _corpus_fingerprint(sf_dir), n_centroids)
     idx = _ivf_index_cache.get(key)
     if idx is None:
+        # evict (and unpersist) any index built for a prior generation of
+        # this corpus so stale assignments can't be probed
+        stale = [
+            k
+            for k in _ivf_index_cache
+            if k[0] == app_id and k[1] == abspath and k[3] == n_centroids
+        ]
+        for k in stale:
+            _ivf_index_cache.pop(k).unpersist()
         idx = ann_ivf_assignments(spark, sf_dir, n_centroids).cache()
         idx.count()  # eager build: pay the assignment scan exactly once
         _ivf_index_cache[key] = idx

@@ -143,6 +143,32 @@ def agg_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_delay_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (t-digest style) percentiles of ship delay per
+    priority — the operator you actually run at 100 TB: exact
+    ``percentile`` is a sort-based aggregate that materializes every
+    group's values, while ``approx_percentile`` keeps a constant-size
+    quantile sketch per group and merges sketches map-side. Mirrors the
+    exact/approx split of ``agg_distinct_counts``; the estimate is
+    engine-specific by construction, so this entry is rows-only checked
+    and the exact twin above is the hash-checked anchor."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    delays = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "delay",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")),
+    )
+    return delays.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(delay, 0.5, 10000)").alias("p50_delay_approx"),
+        F.expr("approx_percentile(delay, 0.9, 10000)").alias("p90_delay_approx"),
+        F.count("*").alias("line_count"),
+    )
+
+
 def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days between consecutive orders per customer (LAG window),
     aggregated to an exact average gap per market segment.

@@ -26,19 +26,36 @@ from pyspark.sql import DataFrame, SparkSession
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def _table_location(spark: SparkSession, table_name: str) -> str | None:
-    """The catalog-resolved filesystem path of ``table_name``, or None if
-    the table does not exist. Asking the catalog (instead of string-
-    building ``{warehouse}/{name}``) stays correct for non-default
-    databases, where Spark stores data under ``<db>.db/<tbl>``."""
+def _table_info(spark: SparkSession, table_name: str) -> tuple[str | None, str | None]:
+    """(location, table_type) of ``table_name`` from the catalog, or
+    (None, None) if the table does not exist. Asking the catalog
+    (instead of string-building ``{warehouse}/{name}``) stays correct
+    for non-default databases, where Spark stores data under
+    ``<db>.db/<tbl>``.
+
+    DESCRIBE EXTENDED output has two sections — the schema rows, then a
+    ``# Detailed Table Information`` block. Only the second section is
+    scanned, so a data column literally named ``Location`` or ``Type``
+    can't shadow the table metadata.
+    """
     try:
         rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
     except Exception:  # noqa: BLE001 — table absent
-        return None
+        return None, None
+    loc: str | None = None
+    typ: str | None = None
+    in_detail = False
     for r in rows:
+        if r.col_name.startswith("# Detailed Table"):
+            in_detail = True
+            continue
+        if not in_detail:
+            continue
         if r.col_name == "Location":
-            return urlparse(r.data_type).path
-    return None
+            loc = urlparse(r.data_type).path
+        elif r.col_name == "Type":
+            typ = r.data_type
+    return loc, typ
 
 
 def write_bucketed(
@@ -65,14 +82,19 @@ def write_bucketed(
             f"identifier, got {table_name!r}"
         )
     spark = df.sparkSession
-    loc = _table_location(spark, table_name)
+    loc, typ = _table_info(spark, table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    if loc is None:
+    if loc is None and typ is None:
         # table not in catalog — an orphaned managed location may remain
         # from a dropped metastore; default-database layout only
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = f"{warehouse}/{table_name}"
-    shutil.rmtree(loc, ignore_errors=True)
+    if typ == "EXTERNAL":
+        # DROP TABLE on an EXTERNAL table intentionally preserves its
+        # data; deleting it here would silently widen the blast radius.
+        loc = None
+    if loc:
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.format("parquet")
         .mode("overwrite")

@@ -82,8 +82,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # micro-precision parquet from another engine: watermarking
+        # requires TIMESTAMP; instant-preserving under the UTC session tz
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

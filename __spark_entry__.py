@@ -28,10 +28,12 @@ from databricks_data_warehouse_spark.ext import (
     dedup,
     json_ops,
     multimodal,
+    packing,
     sampling,
     similarity,
     text,
 )
+from databricks_data_warehouse_spark.queries._util import rnd_sql as _util_rnd_sql
 from databricks_data_warehouse_spark.queries import (
     aggregates,
     dashboard,
@@ -50,31 +52,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    Round-4 rotation (VERDICT r03 item 1): the 49 entries last proven
-    green in CORRECTNESS_r02 — before round 3 edited queries/tpch.py
-    (q21 pushdown) and queries/aggregates.py — now come FIRST so r04
-    re-certifies them against the shipped code. The 36 entries freshly
-    proven green in r03 follow. Per-round coverage alternates the two
-    halves so every entry is re-checked at most one round stale."""
+    Round-4 prefix (VERDICT r03 item 1): (a) the 35 entries whose last
+    green row predates the round-3 edits to queries/tpch.py and
+    queries/aggregates.py; (b) dedup_clusters, whose oracle SQL gained
+    the band-bucket cap this round; (c) the five entries new in round 4
+    (packing/mixture/tfidf + the approx-percentile twin); (d) the
+    entries whose code paths round 4 touched (similarity.py IVF cache,
+    streaming/windows.py + queries/_util.py NTZ handling). Entries
+    proven green in r03 on since-untouched code follow the prefix."""
     return {
-        # ================ r02-green, re-certify against post-r03 code ======
-        # ---- gold builders (reference Gold layer semantics)
-        "gold_customer_breakdown": gold.gold_customer_breakdown,
-        "gold_customer_status_by_city": gold.gold_customer_status_by_city,
-        "gold_orders_by_city": gold.gold_orders_by_city,
-        "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
-        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
-        # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
-        "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
-        "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
-        "dash_low_order_customers": dashboard.dash_low_order_customers,
-        "dash_avg_delivery_by_nation": dashboard.dash_avg_delivery_by_nation,
-        "dash_late_orders_by_priority": dashboard.dash_late_orders_by_priority,
+        # ====== (a) r02-green, re-certify against post-r03 code ============
         # ---- TPC-H-style classics (bench headliners)
-        "tpch_q1_pricing_summary": tpch.tpch_q1_pricing_summary,
-        "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
-        "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
-        "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
         "tpch_q4_order_priority": tpch.tpch_q4_order_priority,
         "tpch_q7_volume_shipping": tpch.tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch.tpch_q8_market_share,
@@ -113,9 +101,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        # ================= proven green in CORRECTNESS_r03 =================
-        # ---- LLM-pipeline: dedup resolution + simhash
+        # ====== (b) oracle SQL changed this round (band-bucket cap) ========
         "dedup_clusters": dedup.near_dup_clusters,
+        # ====== (c) new in round 4 =========================================
+        # ---- LLM-pipeline: sequence packing + mixture sampling + TF-IDF
+        "pack_sequences": lambda spark, sf: packing.pack_sequences(
+            spark, sf, seq_len=512
+        ),
+        "mixture_weights": packing.mixture_weights,
+        "mixture_sample": packing.mixture_sample,
+        "tfidf_top_terms": packing.tfidf_top_terms,
+        # ---- approx-percentile twin of agg_delay_percentiles (sketch
+        #      estimate → rows-only; the exact twin is hash-checked)
+        "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
+        # ====== (d) code paths touched in round 4 ==========================
+        # ---- similarity.py IVF cache invalidation
+        "ann_ivf_assignments": similarity.ann_ivf_assignments,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        # ---- streaming/windows.py + queries/_util.py NTZ handling
+        "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
+        # new in round 4: stream-stream interval join (takes the prefix
+        # slot of stream_sliding_windows, which shares its entire code
+        # path with stream_hourly_tumbling above)
+        "stream_click_purchase_join": streaming.stream_click_purchase_join,
+        "stream_session_windows": streaming.stream_session_windows,
+        "stream_user_running_counts": streaming.stream_user_running_counts,
+        "stream_dedup_events": streaming.stream_dedup_events,
+        "stream_enriched_counts": streaming.stream_enriched_counts,
+        "events_hourly_windows": json_ops.events_hourly_windows,
+        # ====== beyond the 50-entry prefix: r03-green, code untouched ======
+        # (sliding windows share stream_hourly_tumbling's entire code
+        # path — ceded its prefix slot to the new stream-stream join)
+        "stream_sliding_windows": streaming.stream_sliding_windows,
+        # ---- gold builders (reference Gold layer semantics)
+        "gold_customer_breakdown": gold.gold_customer_breakdown,
+        "gold_customer_status_by_city": gold.gold_customer_status_by_city,
+        "gold_orders_by_city": gold.gold_orders_by_city,
+        "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
+        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
+        # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
+        "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
+        "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
+        "dash_low_order_customers": dashboard.dash_low_order_customers,
+        "dash_avg_delivery_by_nation": dashboard.dash_avg_delivery_by_nation,
+        "dash_late_orders_by_priority": dashboard.dash_late_orders_by_priority,
+        "tpch_q1_pricing_summary": tpch.tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
+        # ---- LLM-pipeline: dedup simhash
         "dedup_simhash": dedup.simhash,
         # ---- LLM-pipeline: text analysis
         "text_quality": text.text_quality,
@@ -134,14 +168,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ann_lsh_buckets": similarity.ann_lsh_buckets,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_ivf_assignments": similarity.ann_ivf_assignments,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_pairs_per_label": similarity.pairwise_topk_per_label,
         "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
         # ---- LLM-pipeline: JSON / event windows
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
-        "events_hourly_windows": json_ops.events_hourly_windows,
         # ---- as-of / range joins (operators Spark's join syntax lacks)
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
@@ -150,21 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_metadata": multimodal.media_metadata,
         "mm_decode_features": multimodal.mm_decode_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
-        # ---- structured streaming (availableNow drain of a bounded
-        #      source; deterministic on historical data → oracle-checked)
-        "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
-        "stream_sliding_windows": streaming.stream_sliding_windows,
-        "stream_session_windows": streaming.stream_session_windows,
-        "stream_user_running_counts": streaming.stream_user_running_counts,
-        "stream_dedup_events": streaming.stream_dedup_events,
-        "stream_enriched_counts": streaming.stream_enriched_counts,
         # ---- distinct-count pair: exact twin hash-checked, HLL variant
         #      rows-only by construction
         "agg_distinct_counts": aggregates.agg_distinct_counts,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
-        # ---- approx-percentile twin of agg_delay_percentiles (sketch
-        #      estimate → rows-only; the exact twin is hash-checked)
-        "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
     }
 
 
@@ -1329,6 +1349,108 @@ def oracle_sql() -> dict[str, str]:
             WHERE b < (CASE lang WHEN 'en' THEN 0.25 WHEN 'es' THEN 0.5
                                  WHEN 'fr' THEN 0.75 ELSE 1.0 END) * 10000
         """,
+        # ------------------------------------- packing / mixture / tf-idf
+        # concat-and-chunk packing manifest: per-source running token
+        # offset, cut into 512-token sequences (ext/packing.pack_sequences)
+        "pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, source, len({_TOKS_RAW}) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT *,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source
+                            ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) - n_tokens
+                            AS BIGINT) AS start_offset
+                FROM t
+            )
+            SELECT source, doc_id, n_tokens, start_offset,
+                   CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+                   CAST(start_offset % 512 AS BIGINT) AS seq_offset
+            FROM c
+        """,
+        # temperature-2 mixture rates: only IEEE-correctly-rounded ops
+        # (integer sums, divides, sqrt, max) so both engines derive
+        # bit-identical doubles (ext/packing.mixture_weights)
+        "mixture_weights": f"""
+            WITH per_source AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len({_TOKS_RAW})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            shared AS (
+                SELECT *,
+                       n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                           AS share
+                FROM per_source
+            ),
+            weighted AS (
+                SELECT *, 1.0 / sqrt(share) AS w_raw FROM shared
+            ),
+            rated AS (
+                SELECT *, w_raw / MAX(w_raw) OVER () AS rate FROM weighted
+            )
+            SELECT source, n_docs, n_tokens,
+                   {_util_rnd_sql("share", 6)} AS token_share,
+                   {_util_rnd_sql("rate", 6)} AS sample_rate,
+                   CAST(floor(rate * 10000) AS BIGINT) AS keep_buckets
+            FROM rated
+        """,
+        "mixture_sample": f"""
+            WITH per_source AS (
+                SELECT source,
+                       CAST(SUM(len({_TOKS_RAW})) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ),
+            shared AS (
+                SELECT source,
+                       1.0 / sqrt(n_tokens /
+                            CAST(SUM(n_tokens) OVER () AS DOUBLE)) AS w_raw
+                FROM per_source
+            ),
+            rated AS (
+                SELECT source,
+                       CAST(floor(w_raw / MAX(w_raw) OVER () * 10000)
+                            AS BIGINT) AS keep_buckets
+                FROM shared
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN rated r ON d.source = r.source
+            WHERE {sampling.hash_bucket_sql(
+                "'mix|' || CAST(d.doc_id AS VARCHAR)", salt="mixture"
+            )} < r.keep_buckets
+        """,
+        # top-5 terms per source by TF-IDF; score floor-rounded to 4dp
+        # BEFORE ranking on both sides so ordering can't hinge on a
+        # last-ulp ln() discrepancy (ext/packing.tfidf_top_terms)
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT source, unnest({_TOKS_NORM}) AS term FROM documents
+            ),
+            tf_t AS (
+                SELECT source, term, COUNT(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY source, term
+            ),
+            df_t AS (
+                SELECT term, COUNT(*) AS df FROM tf_t GROUP BY term
+            ),
+            n_t AS (SELECT COUNT(DISTINCT source) AS ns FROM tf_t),
+            scored AS (
+                SELECT tf_t.source, tf_t.term, tf_t.tf, df_t.df,
+                       {_util_rnd_sql(
+                           "tf_t.tf * ln((n_t.ns + 1.0) / (df_t.df + 1.0))", 4
+                       )} AS tfidf
+                FROM tf_t JOIN df_t USING (term) CROSS JOIN n_t
+            ),
+            ranked AS (
+                SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+                FROM scored
+            )
+            SELECT source, term, tf, df, tfidf, rank
+            FROM ranked WHERE rank <= 5
+        """,
         # --------------------------------------------------- similarity
         "ann_cosine_topk": """
             WITH q AS (
@@ -1568,6 +1690,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
                    event_type, value
             FROM events
+        """,
+        # stream-stream interval join: bounded drain of the watermarked
+        # inner join equals the batch self-join (streaming/windows.py
+        # stream_click_purchase_join)
+        "stream_click_purchase_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   CAST(c.ts AS TIMESTAMP_NS) AS click_ts,
+                   CAST(p.ts AS TIMESTAMP_NS) AS purchase_ts,
+                   p.value AS purchase_value
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL '1 hour'
         """,
         "stream_hourly_tumbling": """
             SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP_NS)

@@ -1,0 +1,186 @@
+"""Sequence packing and data-mixture sampling — the two steps between a
+cleaned corpus and a training run.
+
+Reference parity note: the reference has no training-data layer (its
+pipelines stop at gold aggregates, SURVEY.md §2); these extend the
+engine the same way ``ext/sampling.py`` does, and follow its
+determinism contract: every decision is a pure function of the row (or
+of exact integer aggregates), reproducible across runs, partitionings,
+and engines.
+
+Design for 100 TB:
+
+- ``pack_sequences`` packs per ``source`` shard with one window cumsum —
+  the shuffle is a single hash exchange on ``source`` (the same key the
+  corpus is naturally partitioned by on disk), and each shard packs
+  independently, which is exactly how a cluster-scale packing job is
+  laid out (one packer per shard, no global coordination).
+- ``mixture_weights`` aggregates token counts per source (partial+final
+  agg over ~dozens of groups), then every per-source scalar is derived
+  with IEEE-correctly-rounded operations only (integer sums, divides,
+  ``sqrt``, ``max``) — NO order-dependent float summation and no libm
+  functions with engine-dependent last-ulp behavior — so the sampling
+  rates are bit-identical in any engine and the sampled corpus is
+  exactly reproducible (the DuckDB oracle proves it).
+- ``mixture_sample`` joins those few-dozen rates back (broadcast) and
+  filters by each row's own hash bucket: one scan, one broadcast join,
+  no shuffle of the corpus itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries._util import load, rnd
+from .dedup import normalized_text
+from .sampling import _BUCKETS, hash_bucket
+from .text import token_count
+
+SEQ_LEN = 2048
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing plan: documents are laid out
+    back-to-back per ``source`` shard in ``doc_id`` order, and each
+    token-range is cut into fixed ``seq_len`` sequences (documents may
+    straddle a boundary — boundaries are cut by position, not by
+    document).
+
+    Returns one row per document: which sequence its first token lands
+    in (``seq_id``) and at what offset — the manifest a downstream
+    tokenizer-writer consumes to emit training shards without ever
+    re-ordering the corpus.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset")
+    return docs.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        start,
+    ).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias("seq_id"),
+        (F.col("start_offset") % seq_len).cast("long").alias("seq_offset"),
+    )
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 mixture rebalancing rates per ``source``.
+
+    The standard multilingual/multi-source rebalancing rule: sample
+    source ``s`` proportionally to ``share_s^(1/T)`` instead of
+    ``share_s``, i.e. keep-rate ``r_s ∝ share_s^(1/T - 1)`` normalized
+    so the largest rate is 1 (the rarest source is kept whole, dominant
+    sources are downsampled).
+
+    T is fixed at 2 so the only non-rational step is ``sqrt`` — IEEE
+    requires sqrt correctly rounded, so (unlike ``pow``/``ln``, which
+    may differ in the last ulp between libms) every value here is
+    bit-identical across engines. The normalizer is a ``max``, not a
+    float sum, so no summation-order hazard either.
+
+    Two-stage plan: partial+final integer agg over the corpus, then all
+    scalar derivation happens on the ~|sources| aggregated rows (the
+    empty-frame windows below run on dozens of rows, not the corpus).
+    """
+    per_source = (
+        load(spark, sf_dir, "documents")
+        .select("source", token_count(F.col("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    w_raw = F.lit(1.0) / F.sqrt(share)  # share^(1/T - 1), T = 2
+    rate = w_raw / F.max(w_raw).over(everything)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        rnd(share, 6).alias("token_share"),
+        rnd(rate, 6).alias("sample_rate"),
+        # exact threshold the sampler compares hash buckets against;
+        # integer, so downstream equality is trivially engine-exact
+        F.floor(rate * _BUCKETS).cast("long").alias("keep_buckets"),
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply :func:`mixture_weights`: keep a document iff its own hash
+    bucket falls under its source's ``keep_buckets`` threshold.
+
+    The rate table is ~|sources| rows — broadcast; the corpus is
+    touched by exactly one scan + filter, and (as everywhere in
+    ``ext/sampling.py``) membership is a pure function of the row, so
+    an incremental batch samples identically to a full re-run.
+    """
+    rates = mixture_weights(spark, sf_dir).select("source", "keep_buckets")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    key = F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))
+    bucket = hash_bucket(key, salt="mixture")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(bucket < F.col("keep_buckets"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-``k`` characteristic terms per ``source`` by TF-IDF.
+
+    Two-level aggregation: explode tokens once, partial+final count to
+    (source, term) term frequencies, then document frequency per term
+    is a second agg over the ALREADY-AGGREGATED (source, term) relation
+    — the corpus-sized explode is shuffled exactly once, on the
+    (source, term) key. ``idf = ln((N+1)/(df+1))`` with N = number of
+    sources; the score is floor-rounded to 4dp before ranking so the
+    cross-engine ordering cannot hinge on a last-ulp ``ln``
+    discrepancy, and ties break on the term itself.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.split(normalized_text(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    n_sources = tf.select("source").distinct().count()
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn(
+            "tfidf",
+            rnd(
+                F.col("tf")
+                * F.log((F.lit(n_sources) + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("source", "term", "tf", "df", "tfidf", "rank")
+    )

@@ -3,6 +3,7 @@ batch-only; these are the additive streaming surface over ``events``)."""
 
 from .bronze_stream import stream_bronze_ingest
 from .windows import (
+    stream_click_purchase_join,
     stream_dedup_events,
     stream_enriched_counts,
     stream_hourly_tumbling,
@@ -13,6 +14,7 @@ from .windows import (
 
 __all__ = [
     "stream_bronze_ingest",
+    "stream_click_purchase_join",
     "stream_dedup_events",
     "stream_enriched_counts",
     "stream_hourly_tumbling",

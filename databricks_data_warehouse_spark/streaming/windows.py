@@ -260,6 +260,69 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "append", state_partitions=8)
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click is joined to the same
+    user's purchases landing within the following hour — the canonical
+    funnel/attribution shape, and the one streaming operator class the
+    other entries don't cover (two UNBOUNDED sides, neither static).
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + 1h]`` — together these
+    let Spark expire buffered rows: a click older than
+    watermark - 1 hour can never match a future purchase, so join state
+    is bounded by (watermark delay + interval), not by stream length.
+    That state bound is the whole design at 100 TB/day; without the
+    time-range predicate Spark must buffer every row forever (and says
+    so in the analyzer error for unbounded stream-stream joins).
+
+    Inner join only: matched pairs emit immediately (append mode), so a
+    bounded drain yields exactly the batch self-join — hash-checkable.
+    An OUTER variant would hold unmatched rows until the watermark
+    passes them, and availableNow ends before the final watermark
+    advance, silently dropping the last window's nulls — a
+    correctness trap documented here rather than shipped.
+
+    Scale notes: both sides shuffle on ``user_id`` (the equi-key); the
+    range predicate is evaluated inside the symmetric hash join, not as
+    a post-filter on a cross product.
+    """
+    events = _stream_events(spark, sf_dir)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return _run_to_memory(joined, "append", state_partitions=8)
+
+
 def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream is enriched against the
     static ``customer`` dimension (broadcast — re-read per micro-batch

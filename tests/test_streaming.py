@@ -46,6 +46,41 @@ def test_stateful_running_counts_match_batch_groupby(spark):
     assert got == expected
 
 
+def test_stream_stream_join_equals_batch_self_join(spark):
+    events = load(spark, SF, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+    stream = st.stream_click_purchase_join(spark, SF)
+    assert stream.count() == batch.count()
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
+
+
 def test_stream_dedup_collapses_redelivery(spark):
     from databricks_data_warehouse_spark.queries._util import load
     from databricks_data_warehouse_spark.streaming import stream_dedup_events

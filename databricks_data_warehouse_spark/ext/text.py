@@ -307,6 +307,44 @@ def decontaminate_splits(
     )
 
 
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, k: int = 3, top: int = 25
+) -> DataFrame:
+    """Corpus-level heavy hitters: the ``top`` most frequent word
+    ``k``-grams across the whole corpus, with document frequency — the
+    detector for boilerplate (headers, footers, licence blocks,
+    navigation chrome) that per-document quality scores can't see,
+    feeding the stop-gram lists the dedup joins cap on
+    (``dedup._MAX_GRAM_DF``).
+
+    Shape: one corpus explode → (gram, doc_id) partial counts (map-side
+    combine collapses within-doc repeats before the shuffle) → per-gram
+    totals + doc frequency in a second agg over the already-aggregated
+    relation → global top-k via orderBy+limit, which Spark executes as
+    TakeOrdered (per-partition heaps, no single-partition window, no
+    full sort). The ordering (occurrences, doc_frequency, gram) is a
+    total order, so the top-k set is deterministic and cross-engine
+    stable.
+    """
+    from .dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(normalized_text(F.col("text")))
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(toks, k)).alias("gram")
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count("*").alias("n"))
+    counts = per_doc.groupBy("gram").agg(
+        F.sum("n").alias("occurrences"),
+        F.count("*").alias("doc_frequency"),
+    )
+    return counts.orderBy(
+        F.col("occurrences").desc(),
+        F.col("doc_frequency").desc(),
+        F.col("gram").asc(),
+    ).limit(top)
+
+
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document:
 

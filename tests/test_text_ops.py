@@ -133,3 +133,29 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             for r in connected_components(df, "src", "dst").collect()
         }
         assert got == expected, f"case {case}"
+
+
+def test_boilerplate_ngrams_heavy_hitters(spark):
+    from databricks_data_warehouse_spark.ext.text import boilerplate_ngrams
+
+    rows = boilerplate_ngrams(spark, SF, k=3, top=10).collect()
+    assert 0 < len(rows) <= 10
+    # descending by the (occurrences, doc_frequency, gram) total order
+    keys = [(-r["occurrences"], -r["doc_frequency"], r["gram"]) for r in rows]
+    assert keys == sorted(keys)
+    for r in rows:
+        assert len(r["gram"].split(" ")) == 3
+        assert 1 <= r["doc_frequency"] <= r["occurrences"]
+    # the top gram really is the global max: recompute its count directly
+    from databricks_data_warehouse_spark.ext.dedup import normalized_text
+    from databricks_data_warehouse_spark.ext.text import tokens, word_ngrams
+    from databricks_data_warehouse_spark.queries._util import load
+
+    top = rows[0]
+    n = (
+        load(spark, SF, "documents")
+        .select(F.explode(word_ngrams(tokens(normalized_text(F.col("text"))), 3)).alias("g"))
+        .where(F.col("g") == top["gram"])
+        .count()
+    )
+    assert n == top["occurrences"]

@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": packing.mixture_sample,
         "tfidf_top_terms": packing.tfidf_top_terms,
         "text_boilerplate": text.boilerplate_ngrams,
+        # ---- calendar densification + LOCF gap fill
+        "agg_daily_revenue_gapfill": aggregates.agg_daily_revenue_gapfill,
         # ---- approx-percentile twin of agg_delay_percentiles (sketch
         #      estimate → rows-only; the exact twin is hash-checked)
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
@@ -128,8 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_running_counts": streaming.stream_user_running_counts,
         "stream_dedup_events": streaming.stream_dedup_events,
         "stream_enriched_counts": streaming.stream_enriched_counts,
-        "events_hourly_windows": json_ops.events_hourly_windows,
         # ====== beyond the 50-entry prefix: r03-green, code untouched ======
+        # (events_hourly_windows ceded its prefix slot to the gap-fill
+        # entry: its only round-4 delta is the NTZ branch in _util.load,
+        # which the driver's ns-bigint testdata never takes — the path
+        # the driver does take is r03-green)
+        "events_hourly_windows": json_ops.events_hourly_windows,
         # (sliding/session windows are r03-green on operator code round 4
         # did not touch; the shared _stream_events source path they'd
         # re-certify is already certified by stream_hourly_tumbling and
@@ -794,6 +800,44 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN customer c ON g.o_custkey = c.c_custkey
             WHERE gap_days IS NOT NULL
             GROUP BY 1
+        """,
+        # calendar densification + LOCF (queries/aggregates.py
+        # agg_daily_revenue_gapfill): generate_series spine × distinct
+        # priorities, left join, IGNORE NULLS carry-forward window
+        "agg_daily_revenue_gapfill": """
+            WITH daily AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1, 2
+            ),
+            b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                         max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+            days_t AS (
+                SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                            AS DATE) AS day
+                FROM b
+            ),
+            spine AS (
+                SELECT p.o_orderpriority, d.day
+                FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+                CROSS JOIN days_t d
+            ),
+            j AS (
+                SELECT s.o_orderpriority, s.day, daily.rev_cents
+                FROM spine s LEFT JOIN daily
+                  ON s.o_orderpriority = daily.o_orderpriority
+                 AND s.day = daily.day
+            )
+            SELECT o_orderpriority,
+                   CAST(CAST(day AS TIMESTAMP) AS TIMESTAMP_NS) AS day,
+                   COALESCE(rev_cents, 0) / 100 AS daily_revenue,
+                   rev_cents IS NOT NULL AS has_orders,
+                   COALESCE(LAST_VALUE(rev_cents IGNORE NULLS) OVER (
+                        PARTITION BY o_orderpriority ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0) / 100 AS revenue_locf
+            FROM j
         """,
         "agg_rolling_revenue": """
             WITH daily AS (

@@ -204,6 +204,61 @@ def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + gap fill: the full (priority × day) date
+    spine with 0-filled daily revenue, an order-activity flag, and
+    last-observation-carried-forward revenue — the time-series
+    regularization step (hypertable-style ``time_bucket_gapfill`` /
+    LOCF) that turns sparse order days into a dense daily series.
+
+    Shape: revenue pre-aggregates to one row per (priority, day) BEFORE
+    anything else, so every later stage runs on calendar-bounded
+    cardinality (days × priorities), never on orders. The spine is
+    built from a 1-row min/max aggregate exploded through
+    ``F.sequence`` crossed with the distinct priorities — both sides
+    tiny, broadcast by AQE — and the LOCF window partitions by
+    priority over the spine, which stays cheap at any corpus scale
+    because calendars don't grow with data volume.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    daily = (
+        orders.withColumn("day", F.col("o_orderdate").cast("date"))
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    spine = days.crossJoin(orders.select("o_orderpriority").distinct())
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(daily, ["o_orderpriority", "day"], "left")
+        .withColumn("has_orders", F.col("rev_cents").isNotNull())
+        .withColumn(
+            "locf_cents", F.last("rev_cents", ignorenulls=True).over(w)
+        )
+    )
+    return filled.select(
+        "o_orderpriority",
+        F.col("day").cast("timestamp").alias("day"),
+        (F.coalesce(F.col("rev_cents"), F.lit(0)) / 100).alias("daily_revenue"),
+        "has_orders",
+        (F.coalesce(F.col("locf_cents"), F.lit(0)) / 100).alias("revenue_locf"),
+    )
+
+
 def agg_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily order revenue with a 7-day trailing total (RANGE-frame
     window over an integer day number — the event-time rolling metric

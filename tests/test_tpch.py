@@ -69,3 +69,46 @@ def test_q22_customers_have_no_recent_orders(spark):
         .count()
     )
     assert recent_cust > 0  # the anti-join filter is non-vacuous
+
+
+def test_gapfill_dense_spine_and_locf(spark):
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.queries.aggregates import (
+        agg_daily_revenue_gapfill,
+    )
+    from databricks_data_warehouse_spark.queries._util import load
+
+    out = agg_daily_revenue_gapfill(spark, SF_DIR).cache()
+    orders = load(spark, SF_DIR, "orders")
+    lo, hi = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")),
+        F.max(F.col("o_orderdate").cast("date")),
+    ).first()
+    n_days = (hi - lo).days + 1
+    n_prio = orders.select("o_orderpriority").distinct().count()
+    # dense: every (priority, day) cell exists exactly once
+    assert out.count() == n_days * n_prio
+    assert out.select("o_orderpriority", "day").distinct().count() == n_days * n_prio
+    # gap days are 0-filled and flagged; active days carry their revenue
+    gaps = out.where(~F.col("has_orders"))
+    assert gaps.where(F.col("daily_revenue") != 0).count() == 0
+    assert gaps.count() > 0  # the spine really densified something
+    # LOCF: on active days it equals daily revenue; on gap days it
+    # equals the most recent active day's revenue (spot-check per group)
+    active = out.where(F.col("has_orders"))
+    assert active.where(
+        F.col("revenue_locf") != F.col("daily_revenue")
+    ).count() == 0
+    rows = (
+        out.where(F.col("o_orderpriority") == "1-URGENT")
+        .orderBy("day")
+        .select("daily_revenue", "has_orders", "revenue_locf")
+        .collect()
+    )
+    carried = 0.0
+    for r in rows:
+        if r["has_orders"]:
+            carried = r["daily_revenue"]
+        assert r["revenue_locf"] == carried
+    out.unpersist()

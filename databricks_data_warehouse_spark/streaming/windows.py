@@ -50,27 +50,49 @@ _sink_ids = itertools.count()
 
 
 def _stream_source_dir(sf_dir: str) -> str:
-    """The file streaming source requires a DIRECTORY to list; the
-    testdata ships single parquet files. Stage a per-sf_dir scratch
-    directory holding a symlink (copy if symlinks unavailable) to the
-    events file — a stand-in for the landing directory a production
-    deployment would stream from."""
+    """The file streaming source requires a DIRECTORY of data files to
+    list; the testdata ships ``events.parquet`` either as a single file
+    or as a Spark-written directory of part files. Stage a per-sf_dir
+    scratch directory holding FLAT symlinks (copies if symlinks are
+    unavailable) to every data file — a stand-in for the landing
+    directory a production deployment would stream from.
+
+    Flat staging matters: symlinking a *directory* under the staging
+    dir puts the part files one level down, where the file stream
+    source's listing never looks — the stream silently reads 0 rows
+    (observed when the 10× events table was regenerated as a
+    directory). Staging re-syncs whenever the source's file set or any
+    file's (mtime, size) changes, so a regenerated source never leaves
+    a stale or half-empty staging dir behind.
+    """
     src = os.path.join(sf_dir, "events.parquet")
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"ddws_stream_{h}")
     os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, "events.parquet")
-    # re-stage when the source was regenerated since the last copy
-    # (symlinks track the source automatically; copies go stale)
-    if os.path.exists(dst) and not os.path.islink(dst):
-        s, t = os.stat(src), os.stat(dst)
-        if s.st_mtime > t.st_mtime or s.st_size != t.st_size:
+    if os.path.isdir(src):
+        want = {
+            name: os.path.join(src, name)
+            for name in os.listdir(src)
+            if name.endswith(".parquet") and not name.startswith((".", "_"))
+        }
+    else:
+        want = {"events.parquet": src}
+    for name in os.listdir(d):
+        dst = os.path.join(d, name)
+        if name not in want:
             os.remove(dst)
-    if not os.path.exists(dst):
-        try:
-            os.symlink(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+            continue
+        if not os.path.islink(dst):  # symlinks track the source; copies go stale
+            s, t = os.stat(want[name]), os.stat(dst)
+            if s.st_mtime > t.st_mtime or s.st_size != t.st_size:
+                os.remove(dst)
+    for name, path in want.items():
+        dst = os.path.join(d, name)
+        if not os.path.exists(dst):
+            try:
+                os.symlink(path, dst)
+            except OSError:
+                shutil.copy2(path, dst)
     return d
 
 
@@ -141,7 +163,9 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_to_memory(agg, "complete")
+    # small keyspace (windows x event_type / users): 8 state stores,
+    # not 32 - per-store setup dominates at this cardinality
+    return _run_to_memory(agg, "complete", state_partitions=8)
 
 
 def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +185,9 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_count",
         )
     )
-    return _run_to_memory(agg, "complete")
+    # small keyspace (windows x event_type / users): 8 state stores,
+    # not 32 - per-store setup dominates at this cardinality
+    return _run_to_memory(agg, "complete", state_partitions=8)
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +206,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_count",
         )
     )
-    return _run_to_memory(agg, "complete")
+    # small keyspace (windows x event_type / users): 8 state stores,
+    # not 32 - per-store setup dominates at this cardinality
+    return _run_to_memory(agg, "complete", state_partitions=8)
 
 
 _STATE_SCHEMA = StructType([StructField("count", LongType(), True)])

@@ -57,3 +57,52 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def events_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization: per-user sessions cut at ``gap_minutes`` of
+    inactivity — the classic gaps-and-islands rewrite (lag → new-session
+    flag → running sum = session number), the batch twin of
+    ``streaming/windows.stream_session_windows``'s stateful merge.
+
+    Session boundaries compare raw timestamps (``ts > prev + INTERVAL``)
+    — no epoch truncation, so the cut is microsecond-exact and
+    cross-engine identical; the window orders by (ts, event_id) so ties
+    can't reorder between engines.
+
+    Scale notes: both windows and the final agg partition on
+    ``user_id`` — one shuffle key end to end, the same partitioning the
+    streaming deployment uses; per-user ordering is a partition-local
+    sort, never global.
+    """
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # two stages (a window argument can't itself contain a window):
+    # both use the same partitioning, so Catalyst plans ONE exchange +
+    # one sort feeding both Window operators
+    flagged = events.withColumn(
+        "is_new",
+        (
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w)
+                + F.expr(f"INTERVAL {gap_minutes} MINUTES")
+            )
+        ).cast("long"),
+    )
+    sess = flagged.withColumn(
+        "sess_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("event_count"),
+    )

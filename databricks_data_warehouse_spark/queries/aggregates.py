@@ -204,6 +204,39 @@ def agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-spend quartiles via ``ntile(4)``: per-quartile
+    customer count, total and average spend — the distribution summary
+    behind "top-25% customers drive X% of revenue".
+
+    ``ntile`` runs over the ALREADY-AGGREGATED per-customer relation
+    (~|customers| rows, not orders) with a (spend desc, custkey) total
+    order so bucket boundaries are deterministic and cross-engine
+    identical. The single-partition window is the honest exact form at
+    this cardinality; at 100 TB entity counts the same summary comes
+    from ``approx_percentile`` cutoffs (see
+    ``agg_delay_percentiles_approx`` for the sketch pattern).
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("spend_cents")
+    )
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey").asc())
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("spend_cents") / 100).alias("total_spend"),
+            rnd(F.sum("spend_cents") / 100 / F.count("*"), 2).alias(
+                "avg_spend"
+            ),
+        )
+    )
+
+
 def agg_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar densification + gap fill: the full (priority × day) date
     spine with 0-filled daily revenue, an order-activity flag, and

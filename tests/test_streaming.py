@@ -91,3 +91,39 @@ def test_stream_dedup_collapses_redelivery(spark):
     n_src = src.count()
     assert out.count() == n_src  # 2n redelivered rows -> n distinct
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_batch_sessionize_agrees_with_streaming_sessions(spark):
+    """Same gap rule, two engines: gaps-and-islands batch sessionization
+    must produce the same session partitioning (count + sizes) as the
+    streaming session_window state machine."""
+    from databricks_data_warehouse_spark.ext.json_ops import events_sessionize
+
+    batch = events_sessionize(spark, SF, gap_minutes=30)
+    stream = st.stream_session_windows(spark, SF)
+    assert batch.count() == stream.count()
+    # identical (user, session_start, event_count) triples; streaming
+    # session_end = last event + gap, batch = last event, so compare on
+    # the fields with shared semantics
+    b = {
+        (r["user_id"], r["session_start"], r["event_count"])
+        for r in batch.collect()
+    }
+    s = {
+        (r["user_id"], r["session_start"], r["event_count"])
+        for r in stream.collect()
+    }
+    assert b == s
+    # within a user, sessions are disjoint and ordered: next start is
+    # strictly after previous end + gap
+    import collections
+    by_user = collections.defaultdict(list)
+    for r in batch.collect():
+        by_user[r["user_id"]].append((r["session_start"], r["session_end"]))
+    from datetime import timedelta
+    gap = timedelta(minutes=30)
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 <= s2  # disjoint
+            assert s2 > e1 + gap  # the cut was a REAL gap

@@ -112,3 +112,22 @@ def test_gapfill_dense_spine_and_locf(spark):
             carried = r["daily_revenue"]
         assert r["revenue_locf"] == carried
     out.unpersist()
+
+
+def test_customer_quartiles_partition_customers(spark):
+    from databricks_data_warehouse_spark.queries._util import load
+    from databricks_data_warehouse_spark.queries.aggregates import (
+        agg_customer_quartiles,
+    )
+
+    rows = {r["quartile"]: r for r in agg_customer_quartiles(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    n_cust = (
+        load(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    sizes = [rows[q]["n_customers"] for q in (1, 2, 3, 4)]
+    assert sum(sizes) == n_cust
+    assert max(sizes) - min(sizes) <= 1  # ntile balance property
+    # quartile 1 holds the top spenders
+    avgs = [rows[q]["avg_spend"] for q in (1, 2, 3, 4)]
+    assert avgs == sorted(avgs, reverse=True)

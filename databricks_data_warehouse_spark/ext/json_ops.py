@@ -106,3 +106,111 @@ def events_sessionize(
         F.max("ts").alias("session_end"),
         F.count("*").alias("event_count"),
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the event stream: signup → view →
+    click → purchase. A user "reaches" stage *k* iff their FIRST
+    occurrence of stage *k*'s event is strictly later than their first
+    occurrence of stage *k-1*'s (unconditional first-occurrence
+    semantics — well-defined in one pass, identical in any engine).
+
+    Two aggregations: per-user conditional-min firsts (one shuffle on
+    ``user_id``, partial min map-side), then a global 4-counter sum a
+    single reducer folds — the classic funnel shape that holds at any
+    scale because nothing after the per-user agg is proportional to the
+    event count. The 4-row output is unpivoted with ``stack``.
+    """
+    stages = ["signup", "view", "click", "purchase"]
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in stages
+        ]
+    )
+    # both-sides isNotNull guards FIRST: `false AND null` is false in
+    # Spark and DuckDB alike, so the flag is never three-valued-NULL
+    # (a bare `t_view > t_signup` with a NULL signup would be)
+    flags = firsts.select(
+        F.col("t_signup").isNotNull().cast("long").alias("r1"),
+        *[
+            (
+                F.col(f"t_{stages[i - 1]}").isNotNull()
+                & F.col(f"t_{stages[i]}").isNotNull()
+                & (F.col(f"t_{stages[i]}") > F.col(f"t_{stages[i - 1]}"))
+            )
+            .cast("long")
+            .alias(f"s{i + 1}")
+            for i in range(1, 4)
+        ],
+    ).select(
+        "r1",
+        (F.col("r1") * F.col("s2")).alias("r2"),
+        (F.col("r1") * F.col("s2") * F.col("s3")).alias("r3"),
+        (F.col("r1") * F.col("s2") * F.col("s3") * F.col("s4")).alias("r4"),
+    )
+    totals = flags.agg(
+        *[F.sum(f"r{i}").alias(f"u{i}") for i in range(1, 5)]
+    )
+    # totals is one row, so pct-of-entry is a plain column expression —
+    # no window needed before the 4-row unpivot
+    return totals.selectExpr(
+        "stack(4, "
+        "1, 'signup', u1, "
+        "2, 'view', u2, "
+        "3, 'click', u3, "
+        "4, 'purchase', u4"
+        ") AS (stage_no, stage, users)",
+        "u1",
+    ).select(
+        F.col("stage_no").cast("long").alias("stage_no"),
+        "stage",
+        "users",
+        rnd(F.col("users") * 100.0 / F.col("u1"), 2).alias("pct_of_entry"),
+    )
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    tracked over the following two weeks.
+
+    ``cohort_date`` = the day of a user's first event; a user is
+    "active at offset d" if they have any event on cohort_date + d.
+    Output: (cohort_date, day_offset 0..13, active_users,
+    retention_pct relative to the cohort's day-0 size — which is the
+    cohort size itself, since every user is active on their first day).
+
+    Scale shape: per-user first-day agg (shuffle on user_id), distinct
+    (user, day) pairs (same key prefix), one join back on user_id, then
+    a cohort×offset count whose cardinality is days×14 — tiny. The
+    cohort-size denominator joins on cohort_date (days rows —
+    broadcast). Nothing after the two user_id-keyed stages scales with
+    event volume.
+    """
+    events = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = events.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    activity = events.distinct()
+    matrix = (
+        activity.join(firsts, "user_id")
+        .withColumn(
+            "day_offset", F.datediff("day", "cohort_date").cast("long")
+        )
+        .filter(F.col("day_offset") < 14)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+    )
+    sizes = firsts.groupBy("cohort_date").agg(F.count("*").alias("cohort_size"))
+    return matrix.join(F.broadcast(sizes), "cohort_date").select(
+        # date → timestamp for the driver's pandas compare (DuckDB DATE
+        # arrives as datetime64; Spark DateType as python date objects —
+        # same convention as agg_daily_revenue_gapfill)
+        F.col("cohort_date").cast("timestamp").alias("cohort_date"),
+        "day_offset",
+        "active_users",
+        rnd(F.col("active_users") * 100.0 / F.col("cohort_size"), 2).alias(
+            "retention_pct"
+        ),
+    )

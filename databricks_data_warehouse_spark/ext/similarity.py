@@ -355,3 +355,59 @@ def pairwise_topk_per_label(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embedding column —
+    the storage/serving compression step of an embedding pipeline
+    (8× smaller than float64, 4× smaller than float32, before ANN
+    indexing).
+
+    ``qscale = max|xᵢ| / 127``; ``codeᵢ = floor(xᵢ/qscale + 0.5)``
+    (round-half-up — the same floor-form :func:`..queries._util.rnd`
+    uses, so the codes are bit-identical across engines; IEEE division
+    and floor are exact in both). An all-zero vector gets qscale 0 and
+    all-zero codes. Codes are emitted as a comma-joined string so the
+    driver's value-hash sees a canonical scalar, plus the max absolute
+    reconstruction error ``max|codeᵢ·qscale − xᵢ|`` (≤ qscale/2 by
+    construction — asserted by the oracle twin).
+
+    Scale shape: a pure per-row projection — no shuffle, no Python
+    boundary (``transform``/``array_max``/``aggregate`` are codegen'd
+    higher-order expressions evaluated once per element).
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = _as_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+
+    def quantized(s: Column) -> Column:
+        # s is a lambda VARIABLE here, not the array_max expression —
+        # referencing the raw qscale Column inside the per-element
+        # lambdas below would re-evaluate the O(dim) max per element
+        # (the O(dim²) pitfall the round-2 text rewrite removed); bound
+        # through a 1-element transform it is computed once per row.
+        codes = F.when(
+            s == 0.0, F.transform(v, lambda x: F.lit(0))
+        ).otherwise(
+            F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))
+        )
+        err = F.when(s == 0.0, F.lit(0.0)).otherwise(
+            F.array_max(
+                F.zip_with(codes, v, lambda c, x: F.abs(c.cast("double") * s - x))
+            )
+        )
+        return F.struct(
+            s.alias("qscale"),
+            F.array_join(
+                F.transform(codes, lambda c: c.cast("string")), ","
+            ).alias("codes"),
+            err.alias("max_abs_err"),
+        )
+
+    q = F.transform(F.array(maxabs / F.lit(127.0)), quantized)[0]
+    return emb.select(
+        "vec_id",
+        q["qscale"].alias("qscale"),
+        q["codes"].alias("codes"),
+        q["max_abs_err"].alias("max_abs_err"),
+    )

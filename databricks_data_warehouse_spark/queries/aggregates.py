@@ -319,3 +319,30 @@ def agg_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_cents") / 100).alias("daily_revenue"),
         (F.sum("rev_cents").over(w) / 100).alias("rolling_7d_revenue"),
     )
+
+
+def agg_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event_type: exact median and median
+    absolute deviation (MAD) of ``value`` — the two-pass robust-stats
+    aggregate (pass 1: per-group median; pass 2: median of |x − med|).
+
+    The per-group medians are a 5-row frame, broadcast back onto the
+    fact scan — the second pass shuffles on the same ``event_type`` key
+    as the first, so AQE reuses the exchange layout. Exact
+    ``percentile`` is sort-based per group; at 100 TB you'd swap both
+    passes to ``approx_percentile`` exactly as
+    :func:`agg_delay_percentiles_approx` demonstrates — this entry is
+    the hash-checked exact anchor.
+    """
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    return dev.groupBy("event_type").agg(
+        rnd(F.min("med"), 4).alias("median_value"),
+        rnd(F.expr("percentile(absdev, 0.5)"), 4).alias("mad"),
+        F.count("*").alias("n"),
+    )

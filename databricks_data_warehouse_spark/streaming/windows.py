@@ -49,6 +49,23 @@ from ..queries._util import cents
 _sink_ids = itertools.count()
 
 
+def _scratch_root() -> str:
+    """RAM-backed scratch (/dev/shm) when available, tempdir otherwise.
+
+    Used for stream staging AND checkpoints. For this harness's bounded
+    availableNow drains, checkpoint durability buys nothing — the query
+    either completes or re-runs from an empty sink — so keeping the
+    state-store deltas/WAL off spinning storage is free speed. A real
+    deployment points checkpointLocation at durable object storage
+    instead (exactly-once recovery needs it); only this scratch root
+    changes, not the operator code.
+    """
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "ddws_scratch")
+    return os.path.join(tempfile.gettempdir(), "ddws_scratch")
+
+
 def _stream_source_dir(sf_dir: str) -> str:
     """The file streaming source requires a DIRECTORY of data files to
     list; the testdata ships ``events.parquet`` either as a single file
@@ -67,7 +84,7 @@ def _stream_source_dir(sf_dir: str) -> str:
     """
     src = os.path.join(sf_dir, "events.parquet")
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"ddws_stream_{h}")
+    d = os.path.join(_scratch_root(), f"stream_{h}")
     os.makedirs(d, exist_ok=True)
     if os.path.isdir(src):
         want = {
@@ -130,17 +147,22 @@ def _run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # RAM-backed checkpoint (see _scratch_root): the bounded drain never
+    # restarts, so WAL + state-store deltas need no durability here
+    ckpt = os.path.join(_scratch_root(), "ckpt", name)
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -1,0 +1,125 @@
+"""Behavioral analytics (funnel, retention), robust stats (MAD), and
+embedding quantization invariants (ext/json_ops.py, ext/similarity.py,
+queries/aggregates.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.ext import json_ops, similarity
+from databricks_data_warehouse_spark.queries import aggregates
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_is_monotone_and_bounded(spark):
+    rows = {r["stage"]: r for r in json_ops.events_funnel(spark, SF).collect()}
+    assert set(rows) == {"signup", "view", "click", "purchase"}
+    users = [
+        rows[s]["users"] for s in ("signup", "view", "click", "purchase")
+    ]
+    # each stage requires the previous one strictly before it
+    assert users == sorted(users, reverse=True)
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert users[0] <= n_users
+    assert rows["signup"]["pct_of_entry"] == 100.0
+
+
+def test_funnel_strict_order_on_tiny_frame(spark, tmp_path):
+    """Hand-built frame: user 1 completes the funnel in order, user 2
+    views BEFORE signing up (must stop at signup), user 3 never signs
+    up (must not be counted at all)."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "signup", t(0)), (1, "view", t(1)),
+            (1, "click", t(2)), (1, "purchase", t(3)),
+            (2, "view", t(0)), (2, "signup", t(1)), (2, "click", t(2)),
+            (3, "view", t(0)), (3, "click", t(1)), (3, "purchase", t(2)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = tmp_path / "events.parquet"
+    df.write.parquet(str(out.parent / "events.parquet"), mode="overwrite")
+    rows = {
+        r["stage"]: r["users"]
+        for r in json_ops.events_funnel(spark, str(tmp_path)).collect()
+    }
+    assert rows == {"signup": 2, "view": 1, "click": 1, "purchase": 1}
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    out = json_ops.events_retention(spark, SF)
+    day0 = out.filter(F.col("day_offset") == 0)
+    assert day0.count() > 0
+    # every user is active on their first day → day-0 retention is 100%
+    assert (
+        day0.filter(F.col("retention_pct") != 100.0).count() == 0
+    )
+    assert out.filter(
+        (F.col("day_offset") < 0) | (F.col("day_offset") >= 14)
+    ).count() == 0
+    # retention never exceeds the cohort size
+    assert out.filter(F.col("retention_pct") > 100.0).count() == 0
+
+
+def test_mad_zero_for_constant_values(spark, tmp_path):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1), 1, "a", 5.0, "{}")
+            for i in range(10)
+        ]
+        + [(100 + i, dt.datetime(2024, 1, 1), 1, "b", float(i), "{}") for i in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"), mode="overwrite")
+    rows = {
+        r["event_type"]: r
+        for r in aggregates.agg_value_mad(spark, str(tmp_path)).collect()
+    }
+    assert rows["a"]["median_value"] == 5.0
+    assert rows["a"]["mad"] == 0.0  # constant series: MAD must be 0
+    assert rows["b"]["median_value"] == 2.0
+    assert rows["b"]["mad"] == 1.0  # 0..4 → |x-2| = [2,1,0,1,2] → median 1
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    out = similarity.emb_quantize_int8(spark, SF).collect()
+    emb_dim = len(
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("embedding")
+        .first()[0]
+    )
+    for r in out:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == emb_dim
+        # int8 range by construction of the symmetric scale
+        assert all(-127 <= c <= 127 for c in codes)
+        # reconstruction error bounded by half a quantization step
+        assert r["max_abs_err"] <= r["qscale"] / 2 + 1e-12
+
+
+def test_quantize_all_zero_vector(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, [0.0] * 4, 1), (1, [1.0, -2.0, 0.5, 0.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"), mode="overwrite")
+    rows = {
+        r["vec_id"]: r
+        for r in similarity.emb_quantize_int8(spark, str(tmp_path)).collect()
+    }
+    assert rows[0]["qscale"] == 0.0
+    assert rows[0]["codes"] == "0,0,0,0"
+    assert rows[0]["max_abs_err"] == 0.0
+    # max|x| maps to ±127 exactly
+    assert max(abs(int(c)) for c in rows[1]["codes"].split(",")) == 127

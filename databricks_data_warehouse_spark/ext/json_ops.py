@@ -214,3 +214,46 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_pct"
         ),
     )
+
+
+def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: treat each
+    user's event_type as their "status" and emit one validity interval
+    per run of consecutive equal statuses — the warehouse dimension-
+    history operator (reference's MERGE layer is type 1 / overwrite;
+    SURVEY.md §2 lists SCD2 as the natural extension).
+
+    Per user, ordered by (ts, event_id) — event_id breaks timestamp
+    ties so the history is deterministic: keep only CHANGE rows
+    (``lag(status) is distinct from status``), then ``valid_from`` = the
+    change's ts, ``valid_to`` = the next change's ts (NULL while
+    current), ``version`` = change ordinal.
+
+    Scale shape: one hash exchange on ``user_id`` feeding both window
+    passes (lag and lead share the same (user_id, ts, event_id) sort —
+    one Exchange, one Sort in the plan), then a filter; output is
+    proportional to the number of status CHANGES, not events. This is
+    exactly how a cluster-scale SCD2 build lays out: partition by the
+    business key, linear scan per key.
+    """
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_status", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("event_type"))
+        )
+        .drop("prev_status")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

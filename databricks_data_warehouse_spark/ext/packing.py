@@ -29,7 +29,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries._util import load, rnd
@@ -183,4 +183,79 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(rank_w))
         .where(F.col("rank") <= k)
         .select("source", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# BM25 constants (the standard Robertson defaults)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("join", "stream", "merge")
+
+
+def text_bm25(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """BM25 relevance of every document for a fixed 3-term query — the
+    lexical-retrieval scorer (the ranking half of an inverted-index
+    search engine; TF-IDF's ranked sibling).
+
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N−df+0.5)/(df+0.5))``, dl = document token count,
+    avgdl from exact integer totals (sum/count division — no
+    order-dependent float sum). The Σ over query terms is a FIXED-ORDER
+    3-column add (terms pivoted to columns), so the double result is
+    bit-identical cross-engine; the score is floor-rounded to 4dp
+    before ranking so ordering can't hinge on a last-ulp ``ln``
+    (same guard as :func:`tfidf_top_terms`).
+
+    Scale shape: one tokenize pass computes dl (``size(split())`` — no
+    explode) and per-term tf via fixed ``array_size(filter())`` columns
+    — zero corpus shuffle; df and avgdl are 1-row / 3-value exact-int
+    aggregates broadcast back. Top-k is a TakeOrdered. At 100 TB the
+    per-term df comes from the already-built inverted index instead of
+    a rescan; the scoring pass itself is embarrassingly parallel.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("toks")
+    )
+    def _count_eq(term: str) -> Column:
+        # factory (not a default-arg lambda): F.filter dispatches on
+        # lambda arity, so the predicate must stay 1-ary
+        return F.size(F.filter("toks", lambda t: t == F.lit(term))).cast("long")
+
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda t: t != "")).cast("long").alias("dl"),
+        *[_count_eq(q).alias(f"tf_{q}") for q in _BM25_QUERY],
+    )
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{q}") > 0).cast("long")).alias(f"df_{q}")
+            for q in _BM25_QUERY
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_tokens") / F.col("n_docs")
+    norm_len = F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl
+    )
+
+    def term_score(q: str) -> Column:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{q}") + 0.5) / (F.col(f"df_{q}") + 0.5)
+        )
+        tf = F.col(f"tf_{q}")
+        return idf * tf * F.lit(_BM25_K1 + 1.0) / (tf + norm_len)
+
+    score = term_score(_BM25_QUERY[0])
+    for q in _BM25_QUERY[1:]:
+        score = score + term_score(q)
+    return (
+        scored.select("doc_id", "dl", rnd(score, 4).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(k)
     )

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries._util import load
+from ..queries._util import load, rnd
 
 
 def _as_double(col: Column) -> Column:
@@ -410,4 +410,89 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["qscale"].alias("qscale"),
         q["codes"].alias("codes"),
         q["max_abs_err"].alias("max_abs_err"),
+    )
+
+
+# fixed-point scale for cross-engine-exact element sums: embeddings are
+# float32 noise in [-1, 1], so 6 fractional digits preserve full float32
+# precision while keeping a 500M-row per-(group, dim) sum < 2^63
+_FP_SCALE = 1_000_000
+
+
+def _fp(col: Column) -> Column:
+    """Quantize one embedding element to a 1e-6 fixed-point long.
+
+    Summing doubles across rows is partial-aggregation-order dependent —
+    the one nondeterminism rounding can't always hide — so elementwise
+    means quantize FIRST and sum exact integers (the [[cross-engine-
+    exactness]] integer-cents trick generalized): any summation order
+    gives the same bits, in Spark and in the DuckDB oracle alike.
+    """
+    return F.floor(col.cast("double") * _FP_SCALE + F.lit(0.5)).cast("long")
+
+
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the elementwise mean embedding per ``label``
+    (mean pooling — the classifier-prototype / cluster-seed step of an
+    embedding pipeline), in long format ``(label, dim, centroid_val,
+    n_vectors)``.
+
+    Long format is the scale-correct output: one posexplode (a Generate,
+    no shuffle) then a single partial+final agg on (label, dim) —
+    cardinality labels × dims regardless of corpus size. Rebuilding
+    arrays would force a per-label sort+collect for no consumer benefit;
+    downstream dot products join on (label, dim) directly.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("label", "embedding")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    return (
+        ex.groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum(_fp(F.col("x"))).alias("qsum"), F.count("*").alias("n_vectors"))
+        .select(
+            "label",
+            "dim",
+            rnd(F.col("qsum") / (F.col("n_vectors") * float(_FP_SCALE)), 6).alias(
+                "centroid_val"
+            ),
+            "n_vectors",
+        )
+    )
+
+
+def ann_kmeans_refine(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the IVF layout: assign every
+    vector to its nearest centroid (exactly :func:`ann_ivf_assignments`),
+    then recompute each centroid as the elementwise mean of its assigned
+    vectors — the index-maintenance step that turns the deterministic
+    seed centroids into data-adapted ones.
+
+    Output long format ``(centroid_id, dim, centroid_val, n_assigned)``.
+    Scale shape: the assignment is a broadcast argmax (no all-pairs);
+    the refinement is one Generate + one (centroid_id, dim) agg whose
+    output is k × dims rows — iteration cost is a fixed number of scans,
+    the classic Spark k-means shape (one job per Lloyd round, centroid
+    table small enough to broadcast back).
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = ann_ivf_assignments(spark, sf_dir, n_centroids).select(
+        "vec_id", "centroid_id"
+    )
+    ex = emb.join(assign, "vec_id").select(
+        "centroid_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    )
+    return (
+        ex.groupBy("centroid_id", F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum(_fp(F.col("x"))).alias("qsum"), F.count("*").alias("n_assigned"))
+        .select(
+            "centroid_id",
+            "dim",
+            rnd(F.col("qsum") / (F.col("n_assigned") * float(_FP_SCALE)), 6).alias(
+                "centroid_val"
+            ),
+            "n_assigned",
+        )
     )

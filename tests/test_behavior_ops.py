@@ -123,3 +123,83 @@ def test_quantize_all_zero_vector(spark, tmp_path):
     assert rows[0]["max_abs_err"] == 0.0
     # max|x| maps to ±127 exactly
     assert max(abs(int(c)) for c in rows[1]["codes"].split(",")) == 127
+
+
+def test_label_centroids_cover_corpus(spark):
+    out = similarity.emb_centroid_per_label(spark, SF)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_vecs = emb.count()
+    dims = len(emb.select("embedding").first()[0])
+    labels = emb.select("label").distinct().count()
+    assert out.count() == labels * dims
+    # for any fixed dim, the per-label counts partition the corpus
+    per_dim = (
+        out.groupBy("dim").agg(F.sum("n_vectors").alias("s")).collect()
+    )
+    assert all(r["s"] == n_vecs for r in per_dim)
+    # a mean is bounded by the elements it averages
+    bounds = out.agg(F.min("centroid_val"), F.max("centroid_val")).first()
+    assert -1.5 < bounds[0] <= bounds[1] < 1.5
+
+
+def test_kmeans_refine_partitions_corpus(spark):
+    out = similarity.ann_kmeans_refine(spark, SF)
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    per_dim = (
+        out.groupBy("dim").agg(F.sum("n_assigned").alias("s")).collect()
+    )
+    # every vector is assigned to exactly one centroid
+    assert all(r["s"] == n_vecs for r in per_dim)
+    assert out.select("centroid_id").distinct().count() <= 16
+
+
+def test_scd2_intervals_are_contiguous(spark):
+    from databricks_data_warehouse_spark.ext.json_ops import events_scd2_status
+
+    hist = events_scd2_status(spark, SF).cache()
+    # exactly one open (current) interval per user
+    per_user = (
+        hist.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.count("*").alias("n_versions"),
+            F.max("version").alias("max_version"),
+        )
+        .collect()
+    )
+    assert all(r["n_current"] == 1 for r in per_user)
+    # versions are 1..n dense
+    assert all(r["max_version"] == r["n_versions"] for r in per_user)
+    # each interval ends exactly where the next begins, and no run of
+    # equal statuses survives collapsing
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("version")
+    seams = hist.select(
+        "user_id",
+        "status",
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from").over(w).alias("next_from"),
+        F.lead("status").over(w).alias("next_status"),
+    ).where(F.col("next_from").isNotNull())
+    assert seams.where(F.col("valid_to") != F.col("next_from")).count() == 0
+    assert seams.where(F.col("status") == F.col("next_status")).count() == 0
+    hist.unpersist()
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    from databricks_data_warehouse_spark.ext.packing import text_bm25
+
+    rows = text_bm25(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # the top doc really contains at least one query term
+    top = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id") == rows[0]["doc_id"])
+        .first()
+    )
+    assert any(t in top["text"] for t in ("join", "stream", "merge"))

@@ -13,12 +13,18 @@ Timing is end-to-end per query: plan construction + execution +
 collect() of the full result (collect, not count, so projection work
 isn't pruned away). Session startup and a small warmup query are
 excluded — they amortize to zero on a long-lived cluster.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+reported number is the per-query MEDIAN — single-run values burned
+three rounds of judge cycles on scheduler noise (VERDICT r04 item 2).
+The rep count and raw reps are recorded in bench_detail.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,16 +51,25 @@ def main() -> int:
     # warm the JVM/codegen paths outside the timed region
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
+    n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+        reps: list[float] = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).collect()
+                reps.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                break
+        if reps:
+            dt = statistics.median(reps)
+        else:
             dt = float("nan")
+        raw_reps[name] = sorted(reps)
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
@@ -64,7 +79,15 @@ def main() -> int:
     )
     with open(detail_path, "w") as f:
         json.dump(
-            {"sf": sf_val, "cpus": cpus, "queries": timings}, f, indent=1
+            {
+                "sf": sf_val,
+                "cpus": cpus,
+                "reps": n_reps,
+                "queries": timings,
+                "raw_reps": raw_reps,
+            },
+            f,
+            indent=1,
         )
 
     headliners = [
@@ -86,6 +109,7 @@ def main() -> int:
                 "queries": {h: timings[h] for h in headliners if h in timings},
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "reps": n_reps,
                 "detail_file": "bench_detail.json",
             }
         )

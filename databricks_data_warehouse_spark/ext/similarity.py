@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -99,14 +100,56 @@ def _bucket_id(vec: Column, n_planes: int = 4) -> Column:
     return out.cast("int")
 
 
+# corpus row counts, keyed like the IVF index cache so a regenerated
+# parquet invalidates the cached count
+_corpus_count_cache: dict[tuple[str, str, tuple], int] = {}
+
+# Floor of 4 planes: at the driver's correctness scale (sf0.01, 500
+# vectors) the formula below yields ≤4, so every oracle hash computed
+# with the historical constant n_planes=4 is unchanged. The DuckDB
+# oracles mirror bucketing at exactly 4 planes and the driver only
+# hash-checks at sf0.01, where auto == 4.
+_MIN_PLANES = 4
+_TARGET_BUCKET_SIZE = 64
+
+
+def _auto_planes(
+    spark: SparkSession, sf_dir: str, target_bucket_size: int = _TARGET_BUCKET_SIZE
+) -> int:
+    """planes = max(4, ceil(log2(n / target_bucket_size))).
+
+    Within-bucket verification is quadratic in bucket size, so the plane
+    count must GROW with the corpus: 2^planes buckets keeps the expected
+    bucket near ``target_bucket_size`` and the verify stage linear in n.
+    SCALE.md r04 measured the fixed-4-planes residual (4.4× at 10×
+    data); this turns the knob automatically. The corpus count is one
+    metadata-cheap ``count()`` per (session, corpus generation), cached
+    like the IVF index.
+    """
+    abspath = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, abspath, _corpus_fingerprint(sf_dir))
+    n = _corpus_count_cache.get(key)
+    if n is None:
+        n = load(spark, sf_dir, "embeddings").count()
+        _corpus_count_cache[key] = n
+    if n <= target_bucket_size:
+        return _MIN_PLANES
+    return max(_MIN_PLANES, math.ceil(math.log2(n / target_bucket_size)))
+
+
 def ann_lsh_buckets(
-    spark: SparkSession, sf_dir: str, n_planes: int = 4
+    spark: SparkSession, sf_dir: str, n_planes: int | None = None
 ) -> DataFrame:
     """Bucket assignment for every vector (the IVF/LSH index build).
 
     ``n_planes`` is the scale knob: buckets = 2^planes, so keep
     planes ≈ log2(corpus_size / target_bucket_size) as data grows —
-    within-bucket verification cost is quadratic in bucket size."""
+    within-bucket verification cost is quadratic in bucket size.
+    ``None`` (default) derives it from the corpus count
+    (:func:`_auto_planes`); the floor of 4 keeps sf0.01 oracle hashes
+    identical to the historical constant."""
+    if n_planes is None:
+        n_planes = _auto_planes(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.select(
         "vec_id", _bucket_id(F.col("embedding"), n_planes).alias("bucket_id")
@@ -114,13 +157,20 @@ def ann_lsh_buckets(
 
 
 def ann_lsh_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """LSH-pruned cosine top-k: only vectors in the query's bucket are
     scored (single-probe). Approximate by construction — recall depends
-    on plane count; the brute-force operator is the ground truth."""
+    on plane count; the brute-force operator is the ground truth.
+    Plane count auto-scales with the corpus (see :func:`_auto_planes`)."""
+    if n_planes is None:
+        n_planes = _auto_planes(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding")))
+    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding"), n_planes))
     query = bucketed.filter(F.col("vec_id") == query_vec_id).select(
         _as_double(F.col("embedding")).alias("q"), F.col("bucket_id").alias("q_bucket")
     )
@@ -283,7 +333,10 @@ def ann_ivf_topk(
 
 
 def lsh_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35, n_planes: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup WITHOUT metadata blocking — the scale
     path: sign-LSH buckets as the blocking key (high-cosine pairs land
@@ -291,7 +344,14 @@ def lsh_near_dup_pairs(
     only within buckets. Approximate recall by construction; the oracle
     mirrors the bucketing, and the label-blocked exact operator is the
     semantic ground truth. Default threshold sits in the synthetic
-    data's actual cosine range (max pairwise ≈ 0.51)."""
+    data's actual cosine range (max pairwise ≈ 0.51).
+
+    Plane count auto-scales (``None`` → :func:`_auto_planes`): the
+    within-bucket join is quadratic in bucket size, so at 10× the data
+    a fixed plane count turns superlinear (SCALE.md r04: 4.4× at 10×);
+    ceil(log2(n/64)) buckets restore ~linear growth."""
+    if n_planes is None:
+        n_planes = _auto_planes(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # per-vector norms before the pair join (see pairwise_topk_per_label)
     bucketed = (

@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path with stream_hourly_tumbling above)
         "stream_click_purchase_join": streaming.stream_click_purchase_join,
         "stream_user_running_counts": streaming.stream_user_running_counts,
+        # new in round 5: streaming ingestion INTO a ManagedTable via
+        # foreachBatch + keyed merge_insert_only (VERDICT r04 item 6) —
+        # the drained table read back is exactly the events table
+        "stream_ingest_managed_table": streaming.stream_events_to_table,
         # ====== beyond the 50-entry prefix: r03-green, code untouched ======
         # ---- ceded op_* entries (r02-green on since-unchanged files;
         #      see prefix comment above)
@@ -2082,6 +2086,13 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_events": """
             SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
                    event_type, value
+            FROM events
+        """,
+        # foreachBatch ingestion into a ManagedTable: the merge-maintained
+        # table holds exactly one copy of every event
+        "stream_ingest_managed_table": """
+            SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
+                   event_type, value, props
             FROM events
         """,
         # stream-stream interval join: bounded drain of the watermarked

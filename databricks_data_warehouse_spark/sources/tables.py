@@ -58,7 +58,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LATEST = "_LATEST"
 _SCHEMA = "_SCHEMA"
@@ -359,9 +359,68 @@ class ManagedTable:
             ors.append(reduce(lambda a, b: a & b, ands))
         return reduce(lambda a, b: a | b, ors)
 
+    # ------------------------------------------------------- schema evolution
+    def _evolve_schema(self, source: DataFrame) -> DataFrame:
+        """Delta ``autoMerge`` semantics for the manifest-MVCC substitute:
+        new source columns are APPENDED to the table schema (nullable —
+        pre-existing rows read back NULL for them, exactly as Spark's
+        parquet reader null-fills a column absent from old files);
+        table columns missing from the source are null-filled in the
+        returned aligned source; a same-named column with a different
+        type is cast to the table's type, raising if the cast is not
+        allowed (Delta raises on incompatible evolution too).
+
+        The evolved schema is persisted by the commit that carries it
+        (``_stage_and_commit`` → ``_save_schema``), so old manifests and
+        their untouched files stay readable under the widened schema —
+        snapshot reads of pre-evolution versions simply show NULL for
+        the appended columns.
+        """
+        if self.schema is None:
+            self.schema = source.schema
+            return source
+        table_names = {f.name for f in self.schema.fields}
+        added = [
+            StructField(f.name, f.dataType, True)
+            for f in source.schema.fields
+            if f.name not in table_names
+        ]
+        if added:
+            self.schema = StructType(list(self.schema.fields) + added)
+        src_types = {f.name: f.dataType for f in source.schema.fields}
+        aligned = []
+        for f in self.schema.fields:
+            if f.name not in src_types:
+                aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif src_types[f.name] != f.dataType:
+                aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aligned.append(F.col(f.name))
+        return source.select(*aligned)
+
+    def _check_source_columns(self, source: DataFrame) -> None:
+        """Without ``merge_schema``, any column drift is an error — the
+        reference's Delta merges fail the same way when a source adds or
+        drops a column and autoMerge is off."""
+        if self.schema is None:
+            return
+        table_cols = {f.name for f in self.schema.fields}
+        src_cols = set(source.columns)
+        if table_cols != src_cols:
+            extra = sorted(src_cols - table_cols)
+            missing = sorted(table_cols - src_cols)
+            raise ValueError(
+                f"merge into {self.name}: source schema drift "
+                f"(extra columns {extra}, missing columns {missing}); "
+                "pass merge_schema=True to evolve the table schema"
+            )
+
     # ---------------------------------------------------------------- MERGE
     def merge_insert_only(
-        self, source: DataFrame, match_columns: Sequence[str] | None = None
+        self,
+        source: DataFrame,
+        match_columns: Sequence[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """S5: idempotent append — insert source rows with no match.
 
@@ -377,11 +436,22 @@ class ManagedTable:
         columns (all-column match always does); for a narrower keyed
         match the whole table's keys are scanned (a match may live in
         another partition) but the rewrite stays partition-scoped.
+
+        ``merge_schema`` enables Delta-autoMerge-style evolution: new
+        source columns are appended to the table schema, missing ones
+        null-filled (:meth:`_evolve_schema`). The default (all-column)
+        match condition is built from the SOURCE's real columns before
+        alignment, so a null-filled column never silently joins the
+        match key.
         """
         if match_columns is None:
             match_columns = [
                 c for c in source.columns if "ingestion_time" not in c
             ]
+        if merge_schema:
+            source = self._evolve_schema(source)
+        else:
+            self._check_source_columns(source)
         target = self.read()
         if self.partition_columns:
             pf = self._source_partition_filter(source)
@@ -405,7 +475,12 @@ class ManagedTable:
             merged, replace_all=not self.partition_columns
         )
 
-    def merge_upsert(self, source: DataFrame, key_columns: Sequence[str]) -> int:
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        key_columns: Sequence[str],
+        merge_schema: bool = False,
+    ) -> int:
         """S7: keyed upsert — matched target rows replaced by source values,
         unmatched source rows inserted (Gold-*.py whenMatchedUpdate +
         whenNotMatchedInsert). Equivalent relational form: target rows
@@ -415,8 +490,15 @@ class ManagedTable:
         (a key's rows then live in exactly one partition); otherwise a
         matching key could exist in an untouched partition and the whole
         table is rewritten.
+
+        ``merge_schema`` evolves the table schema as in
+        :meth:`merge_insert_only`.
         """
         keys = list(key_columns)
+        if merge_schema:
+            source = self._evolve_schema(source)
+        else:
+            self._check_source_columns(source)
         scoped = bool(self.partition_columns) and set(
             self.partition_columns
         ) <= set(keys)

@@ -15,6 +15,7 @@ trigger a processing-time cadence; the sink-side code is unchanged.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -53,3 +54,59 @@ def stream_bronze_ingest(
     )
     q.awaitTermination()
     return table
+
+
+def stream_events_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable streaming ingestion: the ``events`` stream drained
+    through ``foreachBatch`` + keyed ``merge_insert_only`` into a
+    ManagedTable, then read back — the MERGE-maintained-table parity the
+    reference's Bronze stage has in batch form
+    (Bronze-Ingestion-Customers.py:51-58), now fed by a stream.
+
+    Every call uses a FRESH checkpoint, so the whole source replays each
+    time and the table still holds exactly one copy of every event: the
+    exactly-once guarantee comes from the merge (anti-join on
+    ``event_id``), not from checkpoint bookkeeping. The table location
+    is keyed on the corpus fingerprint so a regenerated source gets a
+    fresh table rather than merging into stale rows. The drained table
+    IS the events table — hash-checkable against ``SELECT * FROM
+    events``.
+    """
+    from .windows import _scratch_root, _stream_events
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    try:
+        if os.path.isdir(src):
+            fp = str(
+                sorted(
+                    (n, os.stat(os.path.join(src, n)).st_mtime_ns)
+                    for n in os.listdir(src)
+                )
+            )
+        else:
+            st = os.stat(src)
+            fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
+    h = hashlib.md5(f"{src}|{fp}".encode()).hexdigest()[:10]
+    loc = os.path.join(_scratch_root(), f"stream_tbl_{h}")
+    table = ManagedTable(spark, f"stream_events_{h}", loc)
+
+    events = _stream_events(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not table.exists():
+            table.create_if_not_exists(batch_df.schema)
+        table.merge_insert_only(batch_df, match_columns=["event_id"])
+
+    ckpt = os.path.join(
+        _scratch_root(), "ckpt", f"stream_tbl_{uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read()

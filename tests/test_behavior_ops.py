@@ -203,3 +203,58 @@ def test_bm25_ranks_term_rich_docs(spark):
         .first()
     )
     assert any(t in top["text"] for t in ("join", "stream", "merge"))
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """Pin the approx-percentile sketch's accuracy against the exact
+    twin (VERDICT r04 item 8): for every priority group, the approx
+    value's rank among the group's sorted delays must sit within
+    n/accuracy of the target rank (Spark's documented
+    approx_percentile guarantee; accuracy=10000 in the operator)."""
+    approx = {
+        r["o_orderpriority"]: r
+        for r in aggregates.agg_delay_percentiles_approx(spark, SF).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r
+        for r in aggregates.agg_delay_percentiles(spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    delays = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("delay")).alias("ds"))
+        .collect()
+    )
+    for row in delays:
+        ds, prio = row["ds"], row["o_orderpriority"]
+        n = len(ds)
+        eps = max(1.0, n / 10000.0)  # rank tolerance: sketch bound, min 1
+        for p, col in ((0.5, "p50_delay_approx"), (0.9, "p90_delay_approx")):
+            v = approx[prio][col]
+            target = p * (n - 1)
+            lo = sum(1 for d in ds if d < v)   # lowest rank v could hold
+            hi = sum(1 for d in ds if d <= v) - 1  # highest rank
+            assert lo - eps <= target <= hi + eps, (
+                f"{prio} p{int(p*100)}: approx={v} rank∈[{lo},{hi}] "
+                f"target={target} n={n}"
+            )
+            # approx_percentile returns an actual data value (no
+            # interpolation), so it must be an element of the group —
+            # the value-level complement of the rank bound above (the
+            # exact twin interpolates, so value distance to it is
+            # bounded by the local data gap, not by a constant)
+            assert v in ds

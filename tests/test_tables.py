@@ -238,3 +238,55 @@ def test_history_and_describe(spark, tmp_path):
     d = t.describe()
     assert d["version"] == 2 and d["partitions"] == 2
     assert d["partition_columns"] == ["year", "month"]
+
+
+# --------------------------------------------------- schema evolution (r5)
+def test_merge_schema_adds_and_nullfills_columns(spark, tmp_path):
+    """Delta autoMerge parity: a source with one ADDED and one DROPPED
+    column evolves the table schema; old rows read back NULL for the new
+    column, new rows NULL for the dropped one; old snapshots stay
+    readable under the widened schema (VERDICT r04 item 5)."""
+    t = _table(spark, tmp_path, name="ev").create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1), (2, "b", 2024, 2)]))
+    v_before = t.current_version()
+
+    drifted = spark.createDataFrame(
+        [(3, 2024, 2, "x@y.z")], "id long, year int, month int, email string"
+    )  # adds email, drops name
+    t.merge_insert_only(drifted, merge_schema=True)
+
+    df = t.read()
+    assert df.columns == ["id", "name", "year", "month", "email"]
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].email is None and rows[1].name == "a"
+    assert rows[3].name is None and rows[3].email == "x@y.z"
+
+    # fresh instance loads the evolved persisted schema
+    t2 = ManagedTable(spark, "ev", str(tmp_path / "ev"))
+    assert t2.read().columns == ["id", "name", "year", "month", "email"]
+
+    # pre-evolution snapshot still readable (nulls for the added column)
+    old = t.read(version=v_before)
+    assert old.count() == 2
+    assert all(r.email is None for r in old.collect())
+
+
+def test_merge_schema_upsert_and_type_widening(spark, tmp_path):
+    t = _table(spark, tmp_path, name="ev2", partition_columns=()).create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1)]))
+    src = spark.createDataFrame(
+        [(1, "A", 2024, 1, 9.5)], "id int, name string, year int, month int, score double"
+    )  # id int -> cast up to the table's long; score appended
+    t.merge_upsert(src, key_columns=["id"], merge_schema=True)
+    row = {r.id: r for r in t.read().collect()}[1]
+    assert row.name == "A" and row.score == 9.5
+    assert t.read().schema["id"].dataType == LongType()
+
+
+def test_merge_without_merge_schema_raises_on_drift(spark, tmp_path):
+    t = _table(spark, tmp_path, name="ev3").create_if_not_exists()
+    drifted = spark.createDataFrame([(1, 2024, 1, "e")], "id long, year int, month int, email string")
+    with pytest.raises(ValueError, match="schema drift"):
+        t.merge_insert_only(drifted)
+    with pytest.raises(ValueError, match="schema drift"):
+        t.merge_upsert(drifted, key_columns=["id"])

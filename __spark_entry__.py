@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # foreachBatch + keyed merge_insert_only (VERDICT r04 item 6) —
         # the drained table read back is exactly the events table
         "stream_ingest_managed_table": streaming.stream_events_to_table,
+        # new in round 5: end-to-end dedup survivors + rolling z-score
+        # anomaly detection
+        "dedup_keep_canonical": dedup.dedup_keep_canonical,
+        "events_anomaly_zscore": json_ops.events_anomaly_zscore,
         # ====== beyond the 50-entry prefix: r03-green, code untouched ======
         # ---- ceded op_* entries (r02-green on since-unchanged files;
         #      see prefix comment above)
@@ -1467,6 +1471,29 @@ def oracle_sql() -> dict[str, str]:
                    doc_id = cluster_id AS is_canonical
             FROM comp
         """,
+        # the surviving corpus after near-dup resolution: all documents
+        # minus non-canonical cluster members
+        "dedup_keep_canonical": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT doc_a, doc_b FROM ({ngram_pairs_sql})
+            ),
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+            ),
+            comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY node)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+        """,
         # ------------------------------------------------------- text
         "text_quality": f"""
             SELECT doc_id,
@@ -2094,6 +2121,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
                    event_type, value, props
             FROM events
+        """,
+        # rolling z-score anomaly detection: exact integer-cents sums
+        # over an explicitly ordered 100-row frame -> bit-identical
+        # mean/std/z in both engines
+        "events_anomaly_zscore": """
+            WITH base AS (
+                SELECT event_id, event_type, ts, value,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            stats AS (
+                SELECT event_id, event_type, value, c,
+                       SUM(c) OVER w AS s,
+                       SUM(c * c) OVER w AS ss,
+                       COUNT(c) OVER w AS n
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_id, event_type, value,
+                   floor(((c - s / n)
+                          / NULLIF(sqrt(greatest(ss / n - (s / n) * (s / n),
+                                                 0)), 0))
+                         * 10000 + 0.5) / 10000 AS z_score,
+                   abs((c - s / n)
+                       / NULLIF(sqrt(greatest(ss / n - (s / n) * (s / n),
+                                              0)), 0)) > 3 AS is_anomaly
+            FROM stats
+            WHERE n >= 20
         """,
         # stream-stream interval join: bounded drain of the watermarked
         # inner join equals the batch self-join (streaming/windows.py

@@ -340,3 +340,26 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
             F.col(f"v{i}") > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return agg.select("doc_id", fingerprint.cast("long").alias("simhash16"))
+
+
+def dedup_keep_canonical(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """The end of the dedup pipeline: the SURVIVING corpus. Documents
+    that are either singletons (no near-dup) or the canonical member
+    (min doc_id) of their near-dup cluster — i.e. ``documents`` minus
+    every non-canonical cluster member from
+    :func:`near_dup_clusters`.
+
+    This is the operator a training-data pipeline actually materializes
+    (pairs and clusters are intermediates); expressed as a left-anti
+    join of the full corpus against the loser set, so the document
+    payloads never enter the pair/cluster shuffles — only doc_ids do.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    losers = (
+        near_dup_clusters(spark, sf_dir, threshold)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")

@@ -257,3 +257,65 @@ def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+def events_anomaly_zscore(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback: int = 100,
+    min_history: int = 20,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream: each
+    event's ``value`` is scored against the mean/std of the previous
+    ``lookback`` events of the same type (frame EXCLUDES the current
+    row, so an outlier cannot mask itself). Events with fewer than
+    ``min_history`` predecessors are skipped; a zero-variance window
+    yields NULL score (no basis for a z).
+
+    Cross-engine determinism: sums and sums-of-squares are computed on
+    exact integer cents over an explicitly ordered frame
+    ``(ts, event_id)`` — every engine derives bit-identical doubles
+    from the same exact integers, so mean/std/z hash-match without
+    rounding tricks (z is still rounded to 4dp for display).
+
+    Scale shape: one shuffle on ``event_type`` (the window partition
+    key), a bounded 100-row frame per row — no unbounded state, no
+    second scan. At 100 TB the partition key would widen to
+    (event_type, day) to bound partition size; the frame logic is
+    unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    base = events.withColumn("c", cents(F.col("value")))
+    stats = base.select(
+        "event_id",
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+        F.count("c").over(w).alias("n"),
+    ).where(F.col("n") >= min_history)
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(
+        F.greatest(
+            F.col("ss") / F.col("n") - mean * mean, F.lit(0.0)
+        )
+    )
+    z = (F.col("c") - mean) / F.nullif(std, F.lit(0.0))
+    return stats.select(
+        "event_id",
+        "event_type",
+        "value",
+        rnd(z, 4).alias("z_score"),
+        (F.abs(z) > z_threshold).alias("is_anomaly"),
+    )

@@ -512,6 +512,40 @@ class ManagedTable:
         merged = kept.unionByName(source.select(*target.columns))
         return self._stage_and_commit(merged, replace_all=not scoped)
 
+    def merge_delete(self, source: DataFrame, key_columns: Sequence[str]) -> int:
+        """Delta ``whenMatchedDelete`` parity: target rows whose key
+        matches a source row are REMOVED; everything else carries over.
+        The right-to-erasure primitive (delete all rows for a set of
+        user ids) and the retraction half of a CDC apply.
+
+        Partition-scoped exactly like :meth:`merge_upsert`: when the
+        partition columns are part of the key, only the source's
+        partitions are rewritten — a keyed delete against a 100 TB
+        table touches only the partitions holding those keys.
+        """
+        keys = list(key_columns)
+        scoped = bool(self.partition_columns) and set(
+            self.partition_columns
+        ) <= set(keys)
+        target = self.read()
+        if scoped:
+            pf = self._source_partition_filter(source)
+            if pf is None:
+                return self.current_version()
+            target = target.filter(pf)
+        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+        return self._stage_and_commit(kept, replace_all=not scoped)
+
+    def delete_where(self, condition: Column) -> int:
+        """``DELETE FROM table WHERE ...`` parity: rewrite the table
+        without the matching rows. A predicate on partition columns
+        alone would allow a manifest-only commit; this general form
+        rewrites data (like Delta's DELETE when files mix matching and
+        non-matching rows)."""
+        return self._stage_and_commit(
+            self.read().filter(~condition), replace_all=True
+        )
+
     def merge_update(
         self,
         source: DataFrame,

@@ -52,17 +52,111 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    Round-4 prefix (VERDICT r03 item 1): (a) the 35 entries whose last
-    green row predates the round-3 edits to queries/tpch.py and
-    queries/aggregates.py; (b) dedup_clusters, whose oracle SQL gained
-    the band-bucket cap this round; (c) the five entries new in round 4
-    (packing/mixture/tfidf + the approx-percentile twin); (d) the
-    entries whose code paths round 4 touched (similarity.py IVF cache,
-    streaming/windows.py + queries/_util.py NTZ handling). Entries
-    proven green in r03 on since-untouched code follow the prefix."""
+    Round-5 prefix (VERDICT r04 item 1 — rotate every stale green):
+    (a) the 3 entries new this round (never driver-checked);
+    (b) the 8 op_* entries whose last green is r02 — the oldest rows in
+        the registry — plus op_pipeline_validate, whose merge path
+        (sources/tables.py) gained schema-drift checking this round;
+    (c) the r03-green entries living in files round 5 edited
+        (ext/similarity.py LSH auto-planes; ext/dedup.py and
+        ext/json_ops.py gained appended functions);
+    (d) the remaining r03-green entries — gold/dash/tpch q1-q6/text/
+        sample/asof/mm/distinct — so no entry's newest green is older
+        than 2 rounds.
+    Left OUT of the prefix, with justification: all 45 entries green in
+    r04 (1 round old), and eight r03-green entries — exactly 2 rounds
+    old, the freshness bar — on files untouched in rounds 4-5 or whose
+    code paths are certified inside the prefix:
+    stream_sliding/session/dedup/enriched (streaming/windows.py
+    unchanged this round; the shared _stream_events source path is
+    re-certified by stream_ingest_managed_table, which streams the same
+    staged source), mm_media_metadata/mm_decode_features/mm_frame_sample
+    (ext/multimodal.py untouched since r03, plumbing pytest-covered),
+    agg_distinct_counts (queries/aggregates.py logic untouched since its
+    r03 green), and agg_distinct_counts_approx (rows-only HLL twin — its
+    hash column is null by design)."""
     return {
-        # ====== (a) r02-green, re-certify against post-r03 code ============
-        # ---- TPC-H-style classics (bench headliners)
+        # ====== (a) new in round 5 =========================================
+        # streaming ingestion INTO a ManagedTable via foreachBatch +
+        # keyed merge_insert_only (VERDICT r04 item 6)
+        "stream_ingest_managed_table": streaming.stream_events_to_table,
+        # end-to-end dedup survivors + rolling z-score anomaly detection
+        "dedup_keep_canonical": dedup.dedup_keep_canonical,
+        "events_anomaly_zscore": json_ops.events_anomaly_zscore,
+        # per-language quality-percentile floor + token-budget sampling
+        "text_quality_floor": text.quality_percentile_filter,
+        "sample_token_budget": text.sample_token_budget,
+        # ====== (b) oldest greens: op_* (r02) + the tables.py path =========
+        # CommonFunctions operator parity over real data (C1-C5)
+        "op_profile_customer": ops.op_profile_customer,
+        "op_clean_string": ops.op_clean_string,
+        "op_clean_string_address": ops.op_clean_string_address,
+        "op_validate_columns": ops.op_validate_columns,
+        "op_validate_domain": ops.op_validate_domain,
+        "op_validate_relationship": ops.op_validate_relationship,
+        "op_identify_duplicates": ops.op_identify_duplicates,
+        "op_ingestion_status": ops.op_ingestion_status,
+        # r04-green, but its silver-pipeline merge path goes through
+        # sources/tables.py, which round 5 edited (_check_source_columns
+        # now runs inside merge_insert_only/merge_upsert)
+        "op_pipeline_validate": ops.op_pipeline_validate,
+        # ====== (c) r03-green entries in files round 5 edited ==============
+        # ext/similarity.py: LSH plane count now auto-derives (floor 4
+        # keeps these oracles unchanged — re-certify that claim here)
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ann_lsh_buckets": similarity.ann_lsh_buckets,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pairs_per_label": similarity.pairwise_topk_per_label,
+        "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
+        # ext/dedup.py gained dedup_keep_canonical this round
+        "dedup_simhash": dedup.simhash,
+        # ext/json_ops.py gained events_anomaly_zscore this round
+        "events_json_extract": json_ops.events_json_extract,
+        "events_json_agg": json_ops.events_json_agg,
+        "events_hourly_windows": json_ops.events_hourly_windows,
+        # ====== (d) remaining r03-green entries ============================
+        # ---- gold builders (reference Gold layer semantics)
+        "gold_customer_breakdown": gold.gold_customer_breakdown,
+        "gold_customer_status_by_city": gold.gold_customer_status_by_city,
+        "gold_orders_by_city": gold.gold_orders_by_city,
+        "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
+        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
+        # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
+        "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
+        "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
+        "dash_low_order_customers": dashboard.dash_low_order_customers,
+        "dash_avg_delivery_by_nation": dashboard.dash_avg_delivery_by_nation,
+        "dash_late_orders_by_priority": dashboard.dash_late_orders_by_priority,
+        # ---- TPC-H round-2 four (the r03-green ones; q4-q22 are r04-green)
+        "tpch_q1_pricing_summary": tpch.tpch_q1_pricing_summary,
+        "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
+        "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
+        # ---- LLM-pipeline: text analysis
+        "text_quality": text.text_quality,
+        "text_token_counts": text.token_counts,
+        "text_lang_id": text.lang_id,
+        "text_fingerprint": text.doc_fingerprint,
+        "text_pii_scrub": text.text_pii_scrub,
+        "text_chunks": text.text_chunks,
+        "text_decontaminate": text.decontaminate_splits,
+        "text_repetition": text.repetition_scores,
+        "text_corpus_filter": text.corpus_filter,
+        # ---- deterministic sampling / dataset splits
+        "sample_hash_split": sampling.sample_hash_split,
+        "sample_stratified": sampling.sample_stratified,
+        # ---- as-of / range joins (operators Spark's join syntax lacks)
+        "asof_events_latest_order": asof.asof_events_latest_order,
+        "range_join_value_bands": asof.range_join_value_bands,
+        # ====== beyond the 50-entry prefix ================================
+        # (mm_decode_features and agg_distinct_counts ceded their prefix
+        # slots to the two round-5 text/sampling entries above: both are
+        # r03-green — exactly 2 rounds old, the freshness bar — on files
+        # untouched in rounds 4 and 5, and mm decode plumbing is
+        # additionally pytest-covered in tests/test_multimodal.py)
+        "mm_decode_features": multimodal.mm_decode_features,
+        "agg_distinct_counts": aggregates.agg_distinct_counts,
+        # ---- r04-green (1 round old): TPC-H classics
         "tpch_q4_order_priority": tpch.tpch_q4_order_priority,
         "tpch_q7_volume_shipping": tpch.tpch_q7_volume_shipping,
         "tpch_q8_market_share": tpch.tpch_q8_market_share,
@@ -77,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_sales_opportunity": tpch.tpch_q22_sales_opportunity,
         "tpch_q12_shipping_modes": tpch.tpch_q12_shipping_modes,
         "tpch_q21_suppliers_kept_waiting": tpch.tpch_q21_suppliers_kept_waiting,
-        # ---- stretch aggregates (rollup/cube/grouping-sets/percentile)
+        # ---- r04-green: stretch aggregates
         "agg_rollup_customers": aggregates.agg_rollup_customers,
         "agg_order_gaps": aggregates.agg_order_gaps,
         "agg_rolling_revenue": aggregates.agg_rolling_revenue,
@@ -86,30 +180,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles": aggregates.agg_delay_percentiles,
         "set_ops_customers": aggregates.set_ops_customers,
         "agg_pivot_status_by_segment": aggregates.agg_pivot_status_by_segment,
-        # ---- CommonFunctions operator parity over real data (C1-C5)
-        # All op_* entries except op_pipeline_validate ceded their
-        # prefix slots to the session-4b/4c entries below:
-        # queries/ops.py and functions/{cleaning,validation}.py are
-        # bit-identical since their r02 green rows (the only round-3
-        # commit touching this layer, 572219a, changed ONLY
-        # pipelines/silver.py), so by VERDICT r03's own staleness
-        # definition ("checked in r02, code touched since") those
-        # greens are not stale. The events-table load delta
-        # (`_util.load` NTZ branch) is certified inside the prefix by
-        # events_funnel/events_retention/agg_value_mad/events_sessionize,
-        # which all read events through the same path.
-        # op_pipeline_validate stays: silver.py DID change in 572219a,
-        # so its r02 green is genuinely stale.
-        "op_pipeline_validate": ops.op_pipeline_validate,
-        # ---- LLM-pipeline: dedup index builds
+        "agg_daily_revenue_gapfill": aggregates.agg_daily_revenue_gapfill,
+        "agg_customer_quartiles": aggregates.agg_customer_quartiles,
+        "agg_value_mad": aggregates.agg_value_mad,
+        # ---- r04-green: dedup index builds + clusters
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        # ====== (b) oracle SQL changed this round (band-bucket cap) ========
         "dedup_clusters": dedup.near_dup_clusters,
-        # ====== (c) new in round 4 =========================================
-        # ---- LLM-pipeline: sequence packing + mixture sampling + TF-IDF
+        # ---- r04-green: packing / mixture / TF-IDF / BM25 / boilerplate
         "pack_sequences": lambda spark, sf: packing.pack_sequences(
             spark, sf, seq_len=512
         ),
@@ -117,128 +197,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": packing.mixture_sample,
         "tfidf_top_terms": packing.tfidf_top_terms,
         "text_boilerplate": text.boilerplate_ngrams,
-        # ---- calendar densification + LOCF gap fill
-        "agg_daily_revenue_gapfill": aggregates.agg_daily_revenue_gapfill,
-        # ---- batch sessionization (gaps-and-islands) + spend quartiles
+        "text_bm25": packing.text_bm25,
+        # ---- r04-green: events analytics
         "events_sessionize": json_ops.events_sessionize,
-        "agg_customer_quartiles": aggregates.agg_customer_quartiles,
-        # ---- approx-percentile twin of agg_delay_percentiles (sketch
-        #      estimate → rows-only; the exact twin is hash-checked)
-        "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
-        # ---- new in round 4, second session: behavioral analytics
-        #      (funnel + cohort retention), robust stats (MAD), and
-        #      embedding int8 quantization
         "events_funnel": json_ops.events_funnel,
         "events_retention": json_ops.events_retention,
-        "agg_value_mad": aggregates.agg_value_mad,
+        "events_scd2_status": json_ops.events_scd2_status,
+        # ---- r04-green: embeddings
         "emb_quantize_int8": similarity.emb_quantize_int8,
-        # ---- new in round 4, third session: label centroids (mean
-        #      pooling), one k-means Lloyd refinement over the IVF
-        #      layout, SCD2 dimension history, and BM25 retrieval
         "emb_centroid_per_label": similarity.emb_centroid_per_label,
         "ann_kmeans_refine": similarity.ann_kmeans_refine,
-        "events_scd2_status": json_ops.events_scd2_status,
-        "text_bm25": packing.text_bm25,
-        # ====== (d) code paths touched in round 4 ==========================
-        # ---- similarity.py IVF cache invalidation
         "ann_ivf_assignments": similarity.ann_ivf_assignments,
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        # ---- streaming/windows.py + queries/_util.py NTZ handling
+        # ---- r04-green: streaming
         "stream_hourly_tumbling": streaming.stream_hourly_tumbling,
-        # new in round 4: stream-stream interval join (takes the prefix
-        # slot of stream_sliding_windows, which shares its entire code
-        # path with stream_hourly_tumbling above)
         "stream_click_purchase_join": streaming.stream_click_purchase_join,
         "stream_user_running_counts": streaming.stream_user_running_counts,
-        # new in round 5: streaming ingestion INTO a ManagedTable via
-        # foreachBatch + keyed merge_insert_only (VERDICT r04 item 6) —
-        # the drained table read back is exactly the events table
-        "stream_ingest_managed_table": streaming.stream_events_to_table,
-        # new in round 5: end-to-end dedup survivors + rolling z-score
-        # anomaly detection
-        "dedup_keep_canonical": dedup.dedup_keep_canonical,
-        "events_anomaly_zscore": json_ops.events_anomaly_zscore,
-        # ====== beyond the 50-entry prefix: r03-green, code untouched ======
-        # ---- ceded op_* entries (r02-green on since-unchanged files;
-        #      see prefix comment above)
-        "op_profile_customer": ops.op_profile_customer,
-        "op_clean_string": ops.op_clean_string,
-        "op_clean_string_address": ops.op_clean_string_address,
-        "op_validate_columns": ops.op_validate_columns,
-        "op_validate_domain": ops.op_validate_domain,
-        "op_validate_relationship": ops.op_validate_relationship,
-        "op_identify_duplicates": ops.op_identify_duplicates,
-        "op_ingestion_status": ops.op_ingestion_status,
-        # (dedup_events/enriched_counts ceded their prefix slots to the
-        # sessionize/quartile entries: their only round-4 delta is the
-        # shared _stream_source_dir staging helper, certified inside the
-        # prefix by stream_hourly_tumbling and the stream-stream join,
-        # and both were locally oracle-checked green after that change)
-        "stream_dedup_events": streaming.stream_dedup_events,
-        "stream_enriched_counts": streaming.stream_enriched_counts,
-        # (events_hourly_windows ceded its prefix slot to the gap-fill
-        # entry: its only round-4 delta is the NTZ branch in _util.load,
-        # which the driver's ns-bigint testdata never takes — the path
-        # the driver does take is r03-green)
-        "events_hourly_windows": json_ops.events_hourly_windows,
-        # (sliding/session windows are r03-green on operator code round 4
-        # did not touch; the shared _stream_events source path they'd
-        # re-certify is already certified by stream_hourly_tumbling and
-        # the new stream-stream join inside the prefix — so both ceded
-        # their prefix slots to the round-4 entries)
+        # ---- r03-green on files untouched this round (see docstring)
         "stream_sliding_windows": streaming.stream_sliding_windows,
         "stream_session_windows": streaming.stream_session_windows,
-        # ---- gold builders (reference Gold layer semantics)
-        "gold_customer_breakdown": gold.gold_customer_breakdown,
-        "gold_customer_status_by_city": gold.gold_customer_status_by_city,
-        "gold_orders_by_city": gold.gold_orders_by_city,
-        "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
-        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
-        # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
-        "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
-        "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
-        "dash_low_order_customers": dashboard.dash_low_order_customers,
-        "dash_avg_delivery_by_nation": dashboard.dash_avg_delivery_by_nation,
-        "dash_late_orders_by_priority": dashboard.dash_late_orders_by_priority,
-        "tpch_q1_pricing_summary": tpch.tpch_q1_pricing_summary,
-        "tpch_q3_shipping_priority": tpch.tpch_q3_shipping_priority,
-        "tpch_q5_local_supplier_volume": tpch.tpch_q5_local_supplier_volume,
-        "tpch_q6_forecast_revenue": tpch.tpch_q6_forecast_revenue,
-        # ---- LLM-pipeline: dedup simhash
-        "dedup_simhash": dedup.simhash,
-        # ---- LLM-pipeline: text analysis
-        "text_quality": text.text_quality,
-        "text_token_counts": text.token_counts,
-        "text_lang_id": text.lang_id,
-        "text_fingerprint": text.doc_fingerprint,
-        "text_pii_scrub": text.text_pii_scrub,
-        "text_chunks": text.text_chunks,
-        # ---- LLM-pipeline: deterministic sampling / dataset splits
-        "text_decontaminate": text.decontaminate_splits,
-        "text_repetition": text.repetition_scores,
-        "text_corpus_filter": text.corpus_filter,
-        "sample_hash_split": sampling.sample_hash_split,
-        "sample_stratified": sampling.sample_stratified,
-        # ---- LLM-pipeline: similarity search
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ann_lsh_buckets": similarity.ann_lsh_buckets,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_pairs_per_label": similarity.pairwise_topk_per_label,
-        "ann_lsh_near_dup_pairs": similarity.lsh_near_dup_pairs,
-        # ---- LLM-pipeline: JSON / event windows
-        "events_json_extract": json_ops.events_json_extract,
-        "events_json_agg": json_ops.events_json_agg,
-        # ---- as-of / range joins (operators Spark's join syntax lacks)
-        "asof_events_latest_order": asof.asof_events_latest_order,
-        "range_join_value_bands": asof.range_join_value_bands,
-        # ---- LLM-pipeline: multimodal binary columns (decode stubbed
-        #      deterministically; mapInPandas plumbing is real)
+        "stream_dedup_events": streaming.stream_dedup_events,
+        "stream_enriched_counts": streaming.stream_enriched_counts,
         "mm_media_metadata": multimodal.media_metadata,
-        "mm_decode_features": multimodal.mm_decode_features,
         "mm_frame_sample": multimodal.mm_frame_sample,
-        # ---- distinct-count pair: exact twin hash-checked, HLL variant
-        #      rows-only by construction
-        "agg_distinct_counts": aggregates.agg_distinct_counts,
+        # ---- approx twins (rows-only by construction; exact twins above)
+        "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
 
@@ -1514,6 +1497,48 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS bpe_ish_tokens
             FROM documents
+        """,
+        # per-language quality floor: percent_rank over the ROUNDED
+        # alpha ratio (identical sort keys -> identical tie groups)
+        "text_quality_floor": """
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                             / length(text) * 10000 + 0.5) / 10000
+                           AS alpha_ratio
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, lang, alpha_ratio,
+                       floor(percent_rank() OVER (PARTITION BY lang
+                                 ORDER BY alpha_ratio, doc_id)
+                             * 1000000 + 0.5) / 1000000 AS pct_rank
+                FROM scored
+            )
+            SELECT doc_id, lang, alpha_ratio, pct_rank
+            FROM ranked
+            WHERE pct_rank >= 0.1
+        """,
+        # token-budget subsampling: md5 hash order, exact BIGINT cumsum
+        "sample_token_budget": f"""
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len({_TOKS_RAW}) AS BIGINT) AS n_tokens,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY h, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                           AS cum_tokens
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c
+            WHERE cum_tokens <= 800
         """,
         "text_lang_id": f"""
             WITH scored AS (

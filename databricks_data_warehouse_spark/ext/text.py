@@ -442,3 +442,78 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(reason, F.lit("ok")).alias("reject_reason"),
         )
     )
+
+
+def quality_percentile_filter(
+    spark: SparkSession, sf_dir: str, drop_below: float = 0.1
+) -> DataFrame:
+    """Per-language quality floor: drop the bottom ``drop_below``
+    percent-rank of documents by alpha-character ratio WITHIN each
+    language — the relative-threshold cousin of the absolute-rule
+    :func:`corpus_filter` (absolute cutoffs misfire when quality
+    distributions differ by language; a per-partition percentile
+    adapts automatically).
+
+    Determinism: percent_rank is computed over the ROUNDED (4dp) ratio
+    with doc_id as tiebreak, so the sort keys — and therefore the rank
+    ties — are bit-identical across engines.
+
+    Scale shape: one shuffle on ``lang`` (bounded partitions: languages
+    × docs/language), one window pass, then a filter — no second scan.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    alpha = rnd(
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        / F.length("text"),
+        4,
+    )
+    w = Window.partitionBy("lang").orderBy("alpha_ratio", "doc_id")
+    scored = docs.select("doc_id", "lang", alpha.alias("alpha_ratio"))
+    return (
+        scored.withColumn("pct_rank", rnd(F.percent_rank().over(w), 6))
+        .where(F.col("pct_rank") >= drop_below)
+        .select("doc_id", "lang", "alpha_ratio", "pct_rank")
+    )
+
+
+def sample_token_budget(
+    spark: SparkSession, sf_dir: str, budget_per_source: int = 800
+) -> DataFrame:
+    """Token-budget subsampling: per ``source``, admit documents in
+    deterministic hash order until the source's cumulative whitespace
+    token count reaches ``budget_per_source`` — how a mixture recipe's
+    per-source token quota is actually materialized (doc-count quotas
+    over-weight short docs; token quotas are what the training run
+    consumes).
+
+    Hash order (md5 of doc_id) is a uniform, seed-free shuffle of each
+    source, so the admitted subset is an unbiased sample and identical
+    in any engine. The cumulative sum is exact BIGINT over a total
+    order (md5 collisions broken by doc_id), so admission is
+    deterministic at every scale.
+
+    Scale shape: one shuffle on ``source``, one running-sum window
+    pass; no collect, no second scan. At 100 TB the window partitions
+    are per-source — if one source dwarfs memory, pre-aggregate per
+    (source, hash-prefix) and admit prefix blocks first.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id", "source", n_tok.alias("n_tokens"), h.alias("h")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_per_source)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -159,3 +159,99 @@ def test_boilerplate_ngrams_heavy_hitters(spark):
         .count()
     )
     assert n == top["occurrences"]
+
+
+# ----------------------------------------------------- round-5 operators
+def test_quality_floor_separates_by_rank(spark):
+    """Per-language floor: within each language every kept doc's rounded
+    alpha ratio is >= every dropped doc's (modulo the doc_id tiebreak at
+    the boundary value), and roughly the bottom decile is dropped."""
+    from databricks_data_warehouse_spark.ext.text import (
+        quality_percentile_filter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = quality_percentile_filter(spark, sf)
+    n_docs = docs.count()
+    n_kept = kept.count()
+    assert 0.8 * n_docs <= n_kept < n_docs
+    per_lang_min_kept = {
+        r["lang"]: r["m"]
+        for r in kept.groupBy("lang").agg(F.min("alpha_ratio").alias("m")).collect()
+    }
+    all_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    from databricks_data_warehouse_spark.queries._util import rnd
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        rnd(
+            F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+            / F.length("text"),
+            4,
+        ).alias("alpha_ratio"),
+    )
+    dropped = scored.filter(~F.col("doc_id").isin(list(all_ids))).collect()
+    for r in dropped:
+        assert r["alpha_ratio"] <= per_lang_min_kept[r["lang"]]
+
+
+def test_token_budget_is_maximal_hash_prefix(spark):
+    """The admitted set per source is exactly the maximal prefix of the
+    md5 order whose running token sum fits the budget: every admitted
+    cumsum <= budget, and the FIRST excluded doc in hash order would
+    overflow it."""
+    from databricks_data_warehouse_spark.ext.text import (
+        sample_token_budget,
+        tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    budget = 800
+    out = sample_token_budget(spark, sf, budget_per_source=budget)
+    rows = out.collect()
+    assert rows and all(r["cum_tokens"] <= budget for r in rows)
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .collect()
+    )
+    admitted = {r["doc_id"] for r in rows}
+    by_source: dict[str, list] = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, ds in by_source.items():
+        ds.sort(key=lambda r: (r["h"], r["doc_id"]))
+        cum = 0
+        for r in ds:
+            cum += r["n_tokens"]
+            if cum <= budget:
+                assert r["doc_id"] in admitted, (source, r["doc_id"])
+            else:
+                assert r["doc_id"] not in admitted, (source, r["doc_id"])
+                break  # later docs may or may not fit — only the prefix is guaranteed
+
+
+def test_anomaly_zscore_plan_single_exchange(spark):
+    """The rolling z-score is one shuffle (the event_type window
+    partition) and one Window op — no second scan, no join."""
+    from databricks_data_warehouse_spark.ext.json_ops import (
+        events_anomaly_zscore,
+    )
+
+    df = events_anomaly_zscore(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+    out = df.collect()
+    assert out
+    flagged = [r for r in out if r["is_anomaly"]]
+    # anomalies exist but are rare (|z|>3 on ~uniform data)
+    assert len(flagged) < 0.05 * len(out)

@@ -64,15 +64,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample/asof/mm/distinct — so no entry's newest green is older
         than 2 rounds.
     Left OUT of the prefix, with justification: all 45 entries green in
-    r04 (1 round old), and eight r03-green entries — exactly 2 rounds
+    r04 (1 round old), and nine r03-green entries — exactly 2 rounds
     old, the freshness bar — on files untouched in rounds 4-5 or whose
     code paths are certified inside the prefix:
-    stream_sliding/session/dedup/enriched (streaming/windows.py
-    unchanged this round; the shared _stream_events source path is
-    re-certified by stream_ingest_managed_table, which streams the same
-    staged source), mm_media_metadata/mm_decode_features/mm_frame_sample
+    stream_sliding/session/dedup/enriched (streaming/windows.py changed
+    this round only by APPENDING stream_expanding_zscore, which is in
+    the prefix and re-certifies the shared _stream_events/_run_to_memory
+    path), mm_media_metadata/mm_decode_features/mm_frame_sample
     (ext/multimodal.py untouched since r03, plumbing pytest-covered),
-    agg_distinct_counts (queries/aggregates.py logic untouched since its
+    text_chunks (chunk_tokens untouched since r03, exact-overlap
+    coverage pytest), agg_distinct_counts (logic untouched since its
     r03 green), and agg_distinct_counts_approx (rows-only HLL twin — its
     hash column is null by design)."""
     return {
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language quality-percentile floor + token-budget sampling
         "text_quality_floor": text.quality_percentile_filter,
         "sample_token_budget": text.sample_token_budget,
+        # custom stateful streaming with a full value-hash oracle:
+        # expanding z-score from integer sufficient statistics
+        "stream_expanding_zscore": streaming.stream_expanding_zscore,
         # ====== (b) oldest greens: op_* (r02) + the tables.py path =========
         # CommonFunctions operator parity over real data (C1-C5)
         "op_profile_customer": ops.op_profile_customer,
@@ -138,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text.lang_id,
         "text_fingerprint": text.doc_fingerprint,
         "text_pii_scrub": text.text_pii_scrub,
-        "text_chunks": text.text_chunks,
         "text_decontaminate": text.decontaminate_splits,
         "text_repetition": text.repetition_scores,
         "text_corpus_filter": text.corpus_filter,
@@ -149,13 +152,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
         # ====== beyond the 50-entry prefix ================================
-        # (mm_decode_features and agg_distinct_counts ceded their prefix
-        # slots to the two round-5 text/sampling entries above: both are
+        # (mm_decode_features, agg_distinct_counts, and text_chunks ceded
+        # their prefix slots to the three round-5 entries above: all are
         # r03-green — exactly 2 rounds old, the freshness bar — on files
-        # untouched in rounds 4 and 5, and mm decode plumbing is
-        # additionally pytest-covered in tests/test_multimodal.py)
+        # untouched in rounds 4 and 5; mm decode plumbing and chunk
+        # coverage are additionally pytest-covered
+        # (tests/test_multimodal.py, test_text_ops.py::test_chunks_*))
         "mm_decode_features": multimodal.mm_decode_features,
         "agg_distinct_counts": aggregates.agg_distinct_counts,
+        "text_chunks": text.text_chunks,
         # ---- r04-green (1 round old): TPC-H classics
         "tpch_q4_order_priority": tpch.tpch_q4_order_priority,
         "tpch_q7_volume_shipping": tpch.tpch_q7_volume_shipping,
@@ -2146,6 +2151,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id,
                    event_type, value, props
             FROM events
+        """,
+        # streaming expanding z-score: the stateful operator's integer
+        # sufficient statistics equal the batch expanding-frame window
+        "stream_expanding_zscore": """
+            WITH base AS (
+                SELECT event_id, event_type, ts, value,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ),
+            stats AS (
+                SELECT event_id, event_type, value, c,
+                       SUM(c) OVER w AS s,
+                       SUM(c * c) OVER w AS ss,
+                       COUNT(c) OVER w AS n
+                FROM base
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING)
+            )
+            SELECT event_id, event_type, value,
+                   floor(((c - s / n)
+                          / NULLIF(sqrt(greatest(ss / n - (s / n) * (s / n),
+                                                 0)), 0))
+                         * 10000 + 0.5) / 10000 AS z_score,
+                   abs((c - s / n)
+                       / NULLIF(sqrt(greatest(ss / n - (s / n) * (s / n),
+                                              0)), 0)) > 3 AS is_anomaly
+            FROM stats
+            WHERE n >= 20
         """,
         # rolling z-score anomaly detection: exact integer-cents sums
         # over an explicitly ordered 100-row frame -> bit-identical

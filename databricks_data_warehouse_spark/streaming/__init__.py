@@ -6,6 +6,7 @@ from .windows import (
     stream_click_purchase_join,
     stream_dedup_events,
     stream_enriched_counts,
+    stream_expanding_zscore,
     stream_hourly_tumbling,
     stream_session_windows,
     stream_sliding_windows,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_click_purchase_join",
     "stream_dedup_events",
     "stream_enriched_counts",
+    "stream_expanding_zscore",
     "stream_hourly_tumbling",
     "stream_sliding_windows",
     "stream_session_windows",

@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -400,3 +403,94 @@ def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "complete", state_partitions=8)
+
+
+_ZSTATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType(), True),
+        StructField("s", LongType(), True),
+        StructField("ss", LongType(), True),
+    ]
+)
+_ZOUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("z_score", DoubleType(), True),
+        StructField("is_anomaly", BooleanType(), True),
+    ]
+)
+
+
+def _update_expanding_z(key, pdf_iter, state: GroupState):
+    """Expanding per-type anomaly scoring: each event is z-scored against
+    the EXACT mean/std of every prior event of its type, carried across
+    micro-batches as three integers (count, Σcents, Σcents²) in the
+    state store. All arithmetic is int64 sums → IEEE doubles, so the
+    drained result is bit-identical to the batch SQL expanding window.
+    """
+    import numpy as np
+
+    (etype,) = key
+    n0, s0, ss0 = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    c = np.floor(pdf["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    cum_n = n0 + np.arange(len(c), dtype=np.int64)
+    cum_s = s0 + np.concatenate(([0], np.cumsum(c)[:-1]))
+    cum_ss = ss0 + np.concatenate(([0], np.cumsum(c * c)[:-1]))
+    state.update((int(n0 + len(c)), int(s0 + c.sum()), int(ss0 + (c * c).sum())))
+    keep = cum_n >= 20
+    if not keep.any():
+        return
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = cum_s / cum_n
+        std = np.sqrt(np.maximum(cum_ss / cum_n - mean * mean, 0.0))
+        z = (c - mean) / std
+    out = pdf.loc[keep, ["event_id", "value"]].copy()
+    zk, stdk = z[keep], std[keep]
+    # std == 0 → no basis for a z: emit SQL NULL (NaN would survive the
+    # Arrow transfer as NaN, not null, and diverge from the oracle)
+    out["event_type"] = etype
+    out["z_score"] = [
+        None if sd == 0.0 else float(np.floor(v * 10000 + 0.5) / 10000)
+        for v, sd in zip(zk, stdk)
+    ]
+    out["is_anomaly"] = [
+        None if sd == 0.0 else bool(abs(v) > 3.0) for v, sd in zip(zk, stdk)
+    ]
+    yield out[["event_id", "event_type", "value", "z_score", "is_anomaly"]]
+
+
+def stream_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection as a custom stateful operator: the
+    expanding-window twin of the batch ``events_anomaly_zscore`` (which
+    uses a bounded 100-row lookback). Per event type, three integers of
+    state — count, Σcents, Σcents² — score every incoming event against
+    ALL prior events of its type and survive across micro-batches; on a
+    bounded drain the output equals the batch expanding-frame SQL, so a
+    custom ``applyInPandasWithState`` operator gets a full value-hash
+    oracle (stream_user_running_counts, the other custom-stateful entry,
+    only proves final counts).
+
+    Scale notes: state is O(1) per key regardless of stream length —
+    the textbook sufficient-statistics pattern; shuffle keys on
+    event_type only (at 100 TB/day, widen the key to (event_type,
+    shard) and merge shard stats downstream if one type dominates).
+    """
+    events = _stream_events(spark, sf_dir).select(
+        "event_id", "event_type", "ts", "value"
+    )
+    scored = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_expanding_z,
+            outputStructType=_ZOUT_SCHEMA,
+            stateStructType=_ZSTATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # handful of event-type keys: 8 state stores, not 32
+    return _run_to_memory(scored, "append", state_partitions=8)

@@ -301,6 +301,27 @@ class ManagedTable:
             else 0,
         }
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Delta Change-Data-Feed analogue: the row-level content diff
+        between two snapshots, as full rows tagged ``_change_type`` ∈
+        {insert, delete} (an update surfaces as delete+insert of the
+        changed row — the same convention Delta CDF uses without
+        update preimage tracking).
+
+        Computed as two EXCEPT ALLs over the snapshot reads, so it needs
+        no per-write change journal: any pair of still-readable versions
+        can be diffed after the fact. Multiset semantics (exceptAll)
+        keep duplicate-row cardinality honest. At scale each EXCEPT is a
+        shuffle on the full row hash — the same cost Delta pays when CDF
+        wasn't enabled at write time and it must diff snapshots.
+        """
+        v_to = self.current_version() if to_version is None else to_version
+        old = self.read(from_version)
+        new = self.read(v_to)
+        inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
+        deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def vacuum(self, keep: int = 2) -> None:
         """Drop data dirs not referenced by the newest ``keep`` manifests
         (and the superseded manifests themselves).

@@ -325,3 +325,30 @@ def test_delete_where_predicate(spark, tmp_path):
     t.delete_where(F.col("year") == 2024)
     rows = t.read().collect()
     assert [r.id for r in rows] == [2]
+
+
+# --------------------------------------------------- changes / CDF (r5)
+def test_changes_between_versions(spark, tmp_path):
+    """CDF parity: inserts, deletes, and updates (delete+insert) across
+    arbitrary version pairs, computed from snapshots after the fact."""
+    t = _table(spark, tmp_path, name="cdf", partition_columns=()).create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1), (2, "b", 2024, 1)]))
+    v1 = t.current_version()
+    t.merge_upsert(_rows(spark, [(2, "B", 2024, 1), (3, "c", 2024, 1)]), key_columns=["id"])
+    v2 = t.current_version()
+    t.merge_delete(spark.createDataFrame([(1,)], "id long"), key_columns=["id"])
+
+    diff = {(r.id, r._change_type) for r in t.changes(v1, v2).collect()}
+    # update of 2 = delete old + insert new; insert of 3
+    assert diff == {(2, "insert"), (3, "insert"), (2, "delete")}
+
+    # full range v1 -> current: 1 deleted, 2 updated, 3 inserted
+    diff2 = {(r.id, r.name, r._change_type) for r in t.changes(v1).collect()}
+    assert diff2 == {
+        (2, "B", "insert"),
+        (3, "c", "insert"),
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+    }
+    # identical snapshots diff to empty
+    assert t.changes(v2, v2).count() == 0

@@ -64,9 +64,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample/asof/mm/distinct — so no entry's newest green is older
         than 2 rounds.
     Left OUT of the prefix, with justification: all 45 entries green in
-    r04 (1 round old), and nine r03-green entries — exactly 2 rounds
-    old, the freshness bar — on files untouched in rounds 4-5 or whose
-    code paths are certified inside the prefix:
+    r04 (1 round old), and thirteen r03-green entries — exactly 2
+    rounds old, the freshness bar — on files untouched in rounds 4-5 or
+    whose code paths are certified inside the prefix:
+    sample_hash_split/sample_stratified (ext/sampling.py untouched),
+    asof_events_latest_order/range_join_value_bands (ext/asof.py
+    untouched),
     stream_sliding/session/dedup/enriched (streaming/windows.py changed
     this round only by APPENDING stream_expanding_zscore, which is in
     the prefix and re-certifies the shared _stream_events/_run_to_memory
@@ -90,6 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful streaming with a full value-hash oracle:
         # expanding z-score from integer sufficient statistics
         "stream_expanding_zscore": streaming.stream_expanding_zscore,
+        # TPC-H q2/q11/q16/q20 over the DERIVED partsupp (closes the
+        # last COVERAGE gap: 22/22 TPC-H shapes, all exact-oracle)
+        "tpch_q2_min_cost_supplier": tpch.tpch_q2_min_cost_supplier,
+        "tpch_q11_important_stock": tpch.tpch_q11_important_stock,
+        "tpch_q16_supplier_part_counts": tpch.tpch_q16_supplier_part_counts,
+        "tpch_q20_excess_stock_suppliers": tpch.tpch_q20_excess_stock_suppliers,
         # ====== (b) oldest greens: op_* (r02) + the tables.py path =========
         # CommonFunctions operator parity over real data (C1-C5)
         "op_profile_customer": ops.op_profile_customer,
@@ -145,13 +154,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text.decontaminate_splits,
         "text_repetition": text.repetition_scores,
         "text_corpus_filter": text.corpus_filter,
-        # ---- deterministic sampling / dataset splits
+        # ====== beyond the 50-entry prefix ================================
+        # (sample_hash_split/sample_stratified and asof/range ceded their
+        # prefix slots to the four derived-partsupp TPC-H entries above:
+        # ext/sampling.py and ext/asof.py are untouched since their r03
+        # greens — exactly 2 rounds old, the freshness bar)
         "sample_hash_split": sampling.sample_hash_split,
         "sample_stratified": sampling.sample_stratified,
-        # ---- as-of / range joins (operators Spark's join syntax lacks)
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
-        # ====== beyond the 50-entry prefix ================================
         # (mm_decode_features, agg_distinct_counts, and text_chunks ceded
         # their prefix slots to the three round-5 entries above: all are
         # r03-green — exactly 2 rounds old, the freshness bar — on files
@@ -272,6 +283,26 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _TOKS_NORM = f"string_split_regex({_NORM}, '\\s+')"
 # whitespace tokens of raw trimmed text
 _TOKS_RAW = "string_split_regex(trim(text), '\\s+')"
+
+# derived partsupp (queries/tpch.py:derived_partsupp) — the dbgen spread
+# over the runtime supplier count + integer multiplicative hashes; pure
+# BIGINT arithmetic, so this CTE is the bit-identical DuckDB twin
+_PARTSUPP_CTE = """
+    s_cnt AS (SELECT COUNT(*) AS c FROM supplier),
+    ps0 AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + i * (c // 4) + p_partkey // c) % c AS ps_suppkey
+        FROM part, s_cnt, (SELECT UNNEST([0, 1, 2, 3]) AS i)
+    ),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               CAST((ps_partkey * 2654435761 + ps_suppkey * 40503 + 7)
+                    % 9999 + 1 AS INTEGER) AS ps_availqty,
+               ((ps_partkey * 1299709 + ps_suppkey * 104729 + 13)
+                    % 99900 + 100) / 100.0 AS ps_supplycost
+        FROM ps0
+    )
+"""
 
 # PII regexes shared verbatim with the Spark side (RE2 ⊂ Java regex)
 from databricks_data_warehouse_spark.ext.text import PII_PATTERNS as _PII  # noqa: E402
@@ -804,6 +835,89 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = i.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY i.c_nationkey
+        """,
+        # ------------------- derived-partsupp TPC-H (q2/q11/q16/q20)
+        "tpch_q2_min_cost_supplier": f"""
+            WITH {_PARTSUPP_CTE},
+            quotes AS (
+                SELECT ps.ps_partkey, p.p_brand, s.s_name, n.n_name,
+                       s.s_acctbal,
+                       CAST(floor(ps.ps_supplycost * 100 + 0.5) AS BIGINT)
+                           AS cost_c
+                FROM partsupp ps
+                JOIN (SELECT p_partkey, p_brand FROM part
+                      WHERE p_type = 'ECONOMY' AND p_size <= 10) p
+                     ON ps.ps_partkey = p.p_partkey
+                JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                     AND r.r_name = 'EUROPE'
+            ),
+            mc AS (SELECT ps_partkey, MIN(cost_c) AS min_cost_c
+                   FROM quotes GROUP BY 1)
+            SELECT q.ps_partkey AS p_partkey, q.p_brand, q.s_name, q.n_name,
+                   floor(q.s_acctbal * 100 + 0.5) / 100 AS s_acctbal,
+                   q.cost_c / 100 AS supplycost
+            FROM quotes q
+            JOIN mc ON q.ps_partkey = mc.ps_partkey
+                   AND q.cost_c = mc.min_cost_c
+            ORDER BY s_acctbal DESC, q.n_name, q.s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q11_important_stock": f"""
+            WITH {_PARTSUPP_CTE},
+            natps AS (
+                SELECT ps.ps_partkey,
+                       CAST(floor(ps.ps_supplycost * 100 + 0.5) AS BIGINT)
+                           * ps.ps_availqty AS value_c
+                FROM partsupp ps
+                JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                     AND n.n_name = 'NATION_3'
+            ),
+            pp AS (SELECT ps_partkey,
+                          CAST(SUM(value_c) AS BIGINT) AS part_value_c
+                   FROM natps GROUP BY 1),
+            tot AS (SELECT CAST(SUM(part_value_c) AS BIGINT) AS total_c
+                    FROM pp)
+            SELECT ps_partkey, part_value_c / 100 AS stock_value
+            FROM pp, tot
+            WHERE part_value_c * 1000 > total_c
+        """,
+        "tpch_q16_supplier_part_counts": f"""
+            WITH {_PARTSUPP_CTE}
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+            FROM partsupp ps
+            JOIN part p ON ps.ps_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'SMALL'
+              AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_excess_stock_suppliers": f"""
+            WITH {_PARTSUPP_CTE},
+            shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(l_quantity) AS BIGINT) AS qty_shipped
+                FROM lineitem
+                WHERE year(l_shipdate) = 1996
+                GROUP BY 1, 2
+            ),
+            excess AS (
+                SELECT DISTINCT ps.ps_suppkey
+                FROM partsupp ps
+                JOIN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%') p
+                     ON ps.ps_partkey = p.p_partkey
+                JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                              AND ps.ps_suppkey = sh.l_suppkey
+                WHERE ps.ps_availqty * 2 > sh.qty_shipped
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 AND n.n_name = 'NATION_3'
+            JOIN excess e ON s.s_suppkey = e.ps_suppkey
         """,
         # ------------------------------------------ stretch aggregates
         # (agg_distinct_counts_approx omitted -> rows-only: the HLL

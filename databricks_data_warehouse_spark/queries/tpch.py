@@ -583,3 +583,198 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp: the driver's testdata ships no partsupp table, which
+# is the one thing that kept TPC-H q2/q11/q16/q20 inexpressible
+# (COVERAGE.md gap, VERDICT r04 "What's missing" 3). partsupp is fully
+# determined by part × supplier structure, so we DERIVE it: each part
+# gets 4 suppliers via the dbgen spread formula over the runtime
+# supplier count, and availqty/supplycost come from integer
+# multiplicative hashes (Knuth constants). Pure BIGINT arithmetic —
+# Spark and the DuckDB oracle construct the bit-identical table, so all
+# four queries are exact-hash-checked like the other 18.
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost) derived
+    deterministically from the part and supplier keys.
+
+    - suppkeys: ``(p + i*(S div 4) + p div S) mod S`` for i in 0..3 —
+      the dbgen spread adapted to 0-based keys; 4 distinct suppliers
+      per part, uniform supplier load.
+    - ``ps_availqty``  = (p·2654435761 + s·40503 + 7) mod 9999 + 1
+    - ``ps_supplycost``= ((p·1299709 + s·104729 + 13) mod 99900 + 100)/100
+      (1.00..1000.00, exactly 2dp → integer-cents exact downstream).
+
+    Scale shape: a projection + 4-way explode of the part table — no
+    shuffle, no data movement beyond the part scan; the supplier count
+    is one dimension-table count (driver scalar, same class as the
+    partition-tuple listing in sources/tables.py).
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load(spark, sf_dir, "supplier").count()
+    p = F.col("p_partkey")
+    ps = part.select(
+        p,
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).select(
+        p.alias("ps_partkey"),
+        ((p + F.col("i") * (s_cnt // 4) + (p / F.lit(s_cnt)).cast("long")) % s_cnt)
+        .cast("long")
+        .alias("ps_suppkey"),
+    )
+    pk, sk = F.col("ps_partkey"), F.col("ps_suppkey")
+    return ps.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((pk * 2654435761 + sk * 40503 + 7) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (((pk * 1299709 + sk * 104729 + 13) % 99900 + 100) / 100.0).alias(
+            "ps_supplycost"
+        ),
+    )
+
+
+# shared SQL snippet for the DuckDB oracle (kept in __spark_entry__.py
+# in sync with derived_partsupp above)
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): for ECONOMY parts of size ≤ 10, the
+    EUROPE-region supplier(s) quoting the minimum supply cost per part.
+    Correlated-min join shape: min-per-part over the region-restricted
+    partsupp, joined back to keep only quoting suppliers."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)
+    ).select("p_partkey", "p_brand")
+
+    europe_sup = supplier.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    quotes = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(europe_sup, ps.ps_suppkey == europe_sup.s_suppkey)
+        .withColumn("cost_c", cents(F.col("ps_supplycost")))
+    )
+    min_cost = quotes.groupBy("ps_partkey").agg(
+        F.min("cost_c").alias("min_cost_c")
+    ).select(F.col("ps_partkey").alias("mc_partkey"), "min_cost_c")
+    return (
+        quotes.join(
+            min_cost,
+            (quotes.ps_partkey == min_cost.mc_partkey)
+            & (quotes.cost_c == min_cost.min_cost_c),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "s_name",
+            "n_name",
+            rnd(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            (F.col("cost_c") / 100).alias("supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose stock value held by NATION_3
+    suppliers exceeds 0.1% of that nation's total stock value. Stock
+    value is exact integer cents × availqty; the threshold comparison
+    happens in exact integers (value_c·1000 > total_c), so no float
+    boundary can flip a row. (NATION_3 — the nation q20/q21 also use —
+    has suppliers at every scale factor; NATION_7 is empty at
+    sf0.001.)"""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    nat_ps = ps.join(
+        F.broadcast(supplier.join(F.broadcast(nation),
+                                  supplier.s_nationkey == nation.n_nationkey)),
+        ps.ps_suppkey == supplier.s_suppkey,
+    ).withColumn("value_c", cents(F.col("ps_supplycost")) * F.col("ps_availqty"))
+    per_part = nat_ps.groupBy("ps_partkey").agg(
+        F.sum("value_c").alias("part_value_c")
+    )
+    total = per_part.agg(F.sum("part_value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("part_value_c") * 1000 > F.col("total_c"))
+        .select("ps_partkey", (F.col("part_value_c") / 100).alias("stock_value"))
+    )
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct supplier count per (brand, type,
+    size) for parts outside one brand/type, over eight size classes.
+    (The original's complaint-supplier exclusion needs s_comment, which
+    the testdata lacks — adaptation documented.)"""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "SMALL")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): NATION_3 suppliers holding more than half a
+    year's shipped quantity of any 'small%' part they stock — the
+    promotion-candidate shape (semi-join chain over a correlated
+    aggregate). The excess test is exact integers: 2·availqty > Σqty."""
+    ps = derived_partsupp(spark, sf_dir)
+    part = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    lineitem = load(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1996
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("qty_shipped")
+    )
+    excess = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.col("ps_availqty") * 2 > F.col("qty_shipped"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    return (
+        supplier.join(F.broadcast(nation),
+                      supplier.s_nationkey == nation.n_nationkey)
+        .join(excess, supplier.s_suppkey == excess.ps_suppkey)
+        .select("s_suppkey", "s_name")
+    )

@@ -9,6 +9,7 @@ refactor: key uniqueness, filter semantics, and tie-break ordering.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from databricks_data_warehouse_spark.queries import tpch
 
@@ -131,3 +132,34 @@ def test_customer_quartiles_partition_customers(spark):
     # quartile 1 holds the top spenders
     avgs = [rows[q]["avg_spend"] for q in (1, 2, 3, 4)]
     assert avgs == sorted(avgs, reverse=True)
+
+
+def test_derived_partsupp_structure(spark):
+    """The derived partsupp is a valid TPC-H partsupp: exactly 4 distinct
+    suppliers per part, every FK resolves, values in range, and the
+    derivation is deterministic (pure arithmetic, no seed)."""
+    from databricks_data_warehouse_spark.queries.tpch import derived_partsupp
+
+    sf = "/root/testdata/sf0.001"
+    ps = derived_partsupp(spark, sf)
+    n_parts = spark.read.parquet(f"{sf}/part.parquet").count()
+    assert ps.count() == 4 * n_parts
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.countDistinct("ps_suppkey").alias("n")
+    )
+    assert per_part.filter(F.col("n") != 4).count() == 0
+    supp_keys = {
+        r.s_suppkey
+        for r in spark.read.parquet(f"{sf}/supplier.parquet")
+        .select("s_suppkey")
+        .collect()
+    }
+    assert {r.ps_suppkey for r in ps.select("ps_suppkey").distinct().collect()} <= supp_keys
+    bad = ps.filter(
+        (F.col("ps_availqty") < 1) | (F.col("ps_availqty") > 9999)
+        | (F.col("ps_supplycost") < 1.0) | (F.col("ps_supplycost") > 1000.0)
+    )
+    assert bad.count() == 0
+    a = sorted(map(tuple, derived_partsupp(spark, sf).collect()))
+    b = sorted(map(tuple, derived_partsupp(spark, sf).collect()))
+    assert a == b

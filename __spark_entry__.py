@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_stock": tpch.tpch_q11_important_stock,
         "tpch_q16_supplier_part_counts": tpch.tpch_q16_supplier_part_counts,
         "tpch_q20_excess_stock_suppliers": tpch.tpch_q20_excess_stock_suppliers,
+        # UNPIVOT melt + fixed-width histogram (profiling primitive)
+        "agg_unpivot_status": aggregates.agg_unpivot_status,
+        "agg_value_histogram": aggregates.agg_value_histogram,
         # ====== (b) oldest greens: op_* (r02) + the tables.py path =========
         # CommonFunctions operator parity over real data (C1-C5)
         "op_profile_customer": ops.op_profile_customer,
@@ -128,12 +131,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_agg": json_ops.events_json_agg,
         "events_hourly_windows": json_ops.events_hourly_windows,
         # ====== (d) remaining r03-green entries ============================
-        # ---- gold builders (reference Gold layer semantics)
-        "gold_customer_breakdown": gold.gold_customer_breakdown,
+        # ---- gold builders (reference Gold layer semantics); breakdown
+        #      and delivery_time ceded their slots to the unpivot/
+        #      histogram entries — queries/gold.py is untouched since
+        #      their r03 greens, and the gold layer is additionally
+        #      pytest-covered (conservation asserts + medallion e2e)
         "gold_customer_status_by_city": gold.gold_customer_status_by_city,
         "gold_orders_by_city": gold.gold_orders_by_city,
         "gold_orders_by_customer_week": gold.gold_orders_by_customer_week,
-        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
         # ---- dashboard queries (reference Seed-Store-Dashboard semantics)
         "dash_top_nations_by_segment": dashboard.dash_top_nations_by_segment,
         "dash_customer_share_by_segment": dashboard.dash_customer_share_by_segment,
@@ -163,6 +168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sampling.sample_stratified,
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
+        # (gold breakdown/delivery_time: see the gold section note above)
+        "gold_customer_breakdown": gold.gold_customer_breakdown,
+        "gold_orders_delivery_time": gold.gold_orders_delivery_time,
         # (mm_decode_features, agg_distinct_counts, and text_chunks ceded
         # their prefix slots to the three round-5 entries above: all are
         # r03-green — exactly 2 rounds old, the freshness bar — on files
@@ -1090,6 +1098,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_partial
             FROM orders
             GROUP BY 1
+        """,
+        # unpivot: the pivot matrix melted back to long form
+        "agg_unpivot_status": """
+            WITH wide AS (
+                SELECT year(o_orderdate) AS order_year,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_open,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_filled,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_partial
+                FROM orders
+                GROUP BY 1
+            )
+            SELECT order_year, s.status,
+                   CASE s.status WHEN 'O' THEN n_open
+                                 WHEN 'F' THEN n_filled
+                                 ELSE n_partial END AS n_orders
+            FROM wide, (SELECT UNNEST(['O', 'F', 'P']) AS status) s
+        """,
+        # fixed-width histogram on exact integer-cents bin assignment
+        # (floor form, not //: DuckDB's // truncates, Spark floors)
+        "agg_value_histogram": """
+            SELECT event_type,
+                   CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              / 5000.0) AS BIGINT) AS bin_id,
+                   CAST(floor(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              / 5000.0) AS BIGINT) * 50.0 AS bin_low,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         "set_ops_customers": """
             WITH y95 AS (SELECT DISTINCT o_custkey FROM orders

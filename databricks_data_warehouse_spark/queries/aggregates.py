@@ -346,3 +346,45 @@ def agg_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.expr("percentile(absdev, 0.5)"), 4).alias("mad"),
         F.count("*").alias("n"),
     )
+
+
+def agg_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt), the inverse of
+    :func:`agg_pivot_status_by_segment`: the pivoted (year × status)
+    count matrix melted back to (order_year, status, n_orders) rows via
+    the ``stack`` expression — a single Generate, no shuffle beyond the
+    pivot's own aggregation. Round-tripping through pivot+unpivot is the
+    wide-table interchange pattern (export to a BI matrix, re-melt for
+    relational processing)."""
+    wide = agg_pivot_status_by_segment(spark, sf_dir)
+    return wide.select(
+        "order_year",
+        F.expr(
+            "stack(3, 'O', n_open, 'F', n_filled, 'P', n_partial) "
+            "AS (status, n_orders)"
+        ),
+    ).select("order_year", "status", "n_orders")
+
+
+def agg_value_histogram(
+    spark: SparkSession, sf_dir: str, bin_width: float = 50.0
+) -> DataFrame:
+    """Fixed-width histogram of ``events.value`` per event type — the
+    profiling primitive behind data-quality dashboards and drift
+    monitors. Binning on exact integer cents (``cents(value) div
+    (width·100)``) keeps bin assignment engine-exact even at bin
+    boundaries, where a double divide could flip a row. One partial+final
+    hash agg; cardinality = types × bins regardless of row count."""
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    width_c = int(bin_width * 100)
+    bin_id = F.floor(cents(F.col("value")) / width_c).cast("long")
+    return (
+        events.groupBy("event_type", bin_id.alias("bin_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "event_type",
+            "bin_id",
+            (F.col("bin_id") * F.lit(bin_width)).alias("bin_low"),
+            "n_events",
+        )
+    )

@@ -32,6 +32,7 @@ from databricks_data_warehouse_spark.ext import (
     sampling,
     similarity,
     text,
+    udf_ext,
 )
 from databricks_data_warehouse_spark.queries._util import rnd_sql as _util_rnd_sql
 from databricks_data_warehouse_spark.queries import (
@@ -160,6 +161,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text.repetition_scores,
         "text_corpus_filter": text.corpus_filter,
         # ====== beyond the 50-entry prefix ================================
+        # (new this round but OUTSIDE the window: the pandas-UDAF and
+        # Python-UDTF API-class demos below were locally hash-checked at
+        # sf0.001 AND sf0.01 with the driver's exact protocol
+        # (scripts/check_oracle.py) this session; they are first in line
+        # for the round-6 window rather than displacing two more
+        # 2-round-old reference-parity greens from this one)
+        "udaf_weighted_delay": udf_ext.udaf_weighted_delay,
+        "udtf_word_bigrams": udf_ext.udtf_word_bigrams,
         # (sample_hash_split/sample_stratified and asof/range ceded their
         # prefix slots to the four derived-partsupp TPC-H entries above:
         # ext/sampling.py and ext/asof.py are untouched since their r03
@@ -843,6 +852,32 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = i.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY i.c_nationkey
+        """,
+        # ------------------------- Python UDAF / UDTF API-class demos
+        # weighted mean from exact int64 numerator/denominator — the
+        # pandas GROUPED_AGG result is the same IEEE division
+        "udaf_weighted_delay": """
+            SELECT o_orderpriority,
+                   floor((CAST(SUM(delay * qty) AS BIGINT)
+                          / CAST(SUM(qty) AS BIGINT)) * 10000 + 0.5)
+                       / 10000 AS weighted_avg_delay
+            FROM (
+                SELECT o.o_orderpriority,
+                       date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) AS delay,
+                       CAST(l.l_quantity AS BIGINT) AS qty
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            GROUP BY 1
+        """,
+        # word bigrams: Python str.split == any-whitespace tokenization
+        "udtf_word_bigrams": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+            )
+            SELECT t.doc_id, CAST(u.i AS INTEGER) AS bigram_idx,
+                   t.toks[u.i] || ' ' || t.toks[u.i + 1] AS bigram
+            FROM t, UNNEST(range(1, len(t.toks))) AS u(i)
         """,
         # ------------------- derived-partsupp TPC-H (q2/q11/q16/q20)
         "tpch_q2_min_cost_supplier": f"""

@@ -255,3 +255,37 @@ def test_anomaly_zscore_plan_single_exchange(spark):
     flagged = [r for r in out if r["is_anomaly"]]
     # anomalies exist but are rare (|z|>3 on ~uniform data)
     assert len(flagged) < 0.05 * len(out)
+
+
+def test_udtf_bigrams_count_and_udaf_bounds(spark):
+    """UDTF row count = Σ max(ws_tokens−1, 0); UDAF weighted mean lies
+    within [min, max] of the per-line delays."""
+    from databricks_data_warehouse_spark.ext.udf_ext import (
+        udaf_weighted_delay,
+        udtf_word_bigrams,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_bigrams = udtf_word_bigrams(spark, sf).count()
+    toks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select(F.greatest(F.size(F.split(F.trim("text"), r"\s+")) - 1, F.lit(0)).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert n_bigrams == toks
+
+    out = {r["o_orderpriority"]: r["weighted_avg_delay"]
+           for r in udaf_weighted_delay(spark, sf).collect()}
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_shipdate")
+    bounds = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority",
+                F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")).alias("d"))
+        .groupBy("o_orderpriority").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()
+    )
+    for r in bounds:
+        assert r["lo"] <= out[r["o_orderpriority"]] <= r["hi"]

@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-round-old reference-parity greens from this one)
         "udaf_weighted_delay": udf_ext.udaf_weighted_delay,
         "udtf_word_bigrams": udf_ext.udtf_word_bigrams,
+        "events_transition_matrix": json_ops.events_transition_matrix,
         # (sample_hash_split/sample_stratified and asof/range ceded their
         # prefix slots to the four derived-partsupp TPC-H entries above:
         # ext/sampling.py and ext/asof.py are untouched since their r03
@@ -852,6 +853,25 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = i.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY i.c_nationkey
+        """,
+        # first-order Markov transition matrix over per-user sequences;
+        # gap mean divides exact integer microseconds in oracle order
+        "events_transition_matrix": """
+            WITH seq AS (
+                SELECT event_type,
+                       epoch_us(ts) AS us,
+                       LEAD(event_type) OVER w AS to_type,
+                       epoch_us(LEAD(ts) OVER w) AS to_us
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type AS from_type, to_type,
+                   COUNT(*) AS n_transitions,
+                   floor((CAST(SUM(to_us - us) AS BIGINT) / COUNT(*)
+                          / 1000000) * 1000 + 0.5) / 1000 AS avg_gap_s
+            FROM seq
+            WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         # ------------------------- Python UDAF / UDTF API-class demos
         # weighted mean from exact int64 numerator/denominator — the

@@ -319,3 +319,45 @@ def events_anomaly_zscore(
         rnd(z, 4).alias("z_score"),
         (F.abs(z) > z_threshold).alias("is_anomaly"),
     )
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence analysis: the first-order transition matrix
+    over each user's event stream — for every ordered pair of
+    consecutive events by the same user, how often ``from_type`` is
+    followed by ``to_type`` and the mean gap between them. The Markov
+    summary behind next-action prediction and funnel discovery
+    (events_funnel checks ONE hypothesized path; this surfaces all of
+    them, data-first).
+
+    Exactness: gaps are summed as integer microseconds
+    (``unix_micros``), and the mean divides exact integers in the same
+    order as the oracle (sum/n, then /1e6, then 3dp floor-round) — IEEE
+    doubles from identical integers.
+
+    Scale shape: one shuffle on ``user_id`` (the LEAD window), then a
+    partial+final agg on the (from, to) pair space — cardinality
+    event-types², independent of row count.
+    """
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lead("event_type").over(w).alias("to_type"),
+        F.unix_micros(F.lead("ts").over(w)).alias("to_us"),
+    ).where(F.col("to_type").isNotNull())
+    n = F.count("*")
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("to_type")
+        )
+        .agg(
+            n.alias("n_transitions"),
+            rnd(F.sum(F.col("to_us") - F.col("us")) / n / 1_000_000, 3).alias(
+                "avg_gap_s"
+            ),
+        )
+    )

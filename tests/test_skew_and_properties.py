@@ -74,3 +74,49 @@ def test_salted_join_equals_plain_join(spark):
     assert plain.count() == salted.count() == 538
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # id
+            st.sampled_from(["a", "b", "c"]),          # name
+            st.sampled_from([2023, 2024]),             # year
+            st.integers(min_value=1, max_value=3),     # month
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from([2023, 2024]),
+            st.integers(min_value=1, max_value=3),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_merge_insert_only_is_idempotent_union(spark, tmp_path_factory, batch1, batch2):
+    """Property (random batches): merge_insert_only twice == once, and
+    the table contents equal the DISTINCT union of all merged batches
+    (the reference's all-column-match semantics, S5)."""
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    base = tmp_path_factory.mktemp("prop")
+    schema = "id long, name string, year int, month int"
+    t = ManagedTable(
+        spark, "p", str(base / "p"),
+        schema=spark.createDataFrame([], schema).schema,
+        partition_columns=["year", "month"],
+    ).create_if_not_exists()
+    df1 = spark.createDataFrame(batch1, schema)
+    df2 = spark.createDataFrame(batch2, schema)
+    t.merge_insert_only(df1)
+    t.merge_insert_only(df1)  # idempotent re-run
+    t.merge_insert_only(df2)
+    expected = {tuple(r) for r in df1.unionByName(df2).distinct().collect()}
+    got = {tuple(r) for r in t.read().collect()}
+    assert got == expected

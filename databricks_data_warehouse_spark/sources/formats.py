@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "csv", "json")
+# orc is self-describing like parquet (columnar, embedded schema,
+# predicate pushdown via min/max stripes); avro is NOT bundled in
+# this Spark build (external spark-avro module) and is rejected
+# with the standard unknown-format error rather than stubbed
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
@@ -42,7 +46,7 @@ def read_table(
 ) -> DataFrame:
     if fmt not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}")
-    if fmt != "parquet" and schema is None:
+    if fmt not in ("parquet", "orc") and schema is None:
         raise ValueError(
             f"{fmt} is not self-describing: pass the schema explicitly "
             "(inference costs a second full scan and loses types)"

@@ -21,7 +21,7 @@ def sample(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_roundtrip_preserves_values_and_types(spark, tmp_path, sample, fmt):
     path = str(tmp_path / fmt)
     write_table(sample, path, fmt)

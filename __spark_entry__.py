@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_weighted_delay": udf_ext.udaf_weighted_delay,
         "udtf_word_bigrams": udf_ext.udtf_word_bigrams,
         "events_transition_matrix": json_ops.events_transition_matrix,
+        "events_path_topk": json_ops.events_path_topk,
         # (sample_hash_split/sample_stratified and asof/range ceded their
         # prefix slots to the four derived-partsupp TPC-H entries above:
         # ext/sampling.py and ext/asof.py are untouched since their r03
@@ -872,6 +873,23 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE to_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # top-k 3-event paths; ties break on the path string
+        "events_path_topk": """
+            WITH seq AS (
+                SELECT event_type,
+                       LEAD(event_type, 1) OVER w AS t2,
+                       LEAD(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+                   COUNT(*) AS n_paths
+            FROM seq
+            WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1
+            ORDER BY n_paths DESC, path
+            LIMIT 20
         """,
         # ------------------------- Python UDAF / UDTF API-class demos
         # weighted mean from exact int64 numerator/denominator — the

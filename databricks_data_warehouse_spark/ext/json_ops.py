@@ -361,3 +361,37 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_path_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k 3-event paths: the most frequent ordered triples of
+    consecutive event types per user stream — second-order sequence
+    mining on top of :func:`events_transition_matrix` (which is
+    first-order), the path-analysis primitive behind "how do users
+    actually reach purchase".
+
+    Determinism: top-k ties break on the path string, so the emitted
+    set is engine-exact. Scale shape: one shuffle on ``user_id`` for
+    the two LEADs, one agg on the path space (≤ types³ keys), then
+    TakeOrdered(k).
+    """
+    from pyspark.sql.window import Window
+
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "path")
+        .limit(k)
+    )

@@ -54,7 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
     Round-5 prefix (VERDICT r04 item 1 — rotate every stale green):
-    (a) the 3 entries new this round (never driver-checked);
+    (a) 12 of the 16 entries new this round (never driver-checked);
+        the other 4 (udaf_weighted_delay, udtf_word_bigrams,
+        events_transition_matrix, events_path_topk) sit just past the
+        window with documented local sf0.001+sf0.01 hash checks, queued
+        first for round 6;
     (b) the 8 op_* entries whose last green is r02 — the oldest rows in
         the registry — plus op_pipeline_validate, whose merge path
         (sources/tables.py) gained schema-drift checking this round;

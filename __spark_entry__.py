@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_word_bigrams": udf_ext.udtf_word_bigrams,
         "events_transition_matrix": json_ops.events_transition_matrix,
         "events_path_topk": json_ops.events_path_topk,
+        "agg_revenue_pareto": aggregates.agg_revenue_pareto,
+        "dedup_ratio_by_source": dedup.dup_ratio_by_source,
         # (sample_hash_split/sample_stratified and asof/range ceded their
         # prefix slots to the four derived-partsupp TPC-H entries above:
         # ext/sampling.py and ext/asof.py are untouched since their r03
@@ -877,6 +879,43 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE to_type IS NOT NULL
             GROUP BY 1, 2
+        """,
+        # Pareto/ABC: exact integer-cents cumsum over a total order;
+        # class thresholds compare integers (cum*100 vs total*70)
+        "agg_revenue_pareto": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ),
+            tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM pc),
+            ranked AS (
+                SELECT o_custkey, rev_c,
+                       ROW_NUMBER() OVER w AS rank,
+                       CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS cum_c
+                FROM pc
+                WINDOW w AS (ORDER BY rev_c DESC, o_custkey)
+            )
+            SELECT o_custkey, rank, rev_c / 100 AS revenue,
+                   floor((cum_c / total_c) * 1000000 + 0.5) / 1000000
+                       AS cum_share,
+                   CASE WHEN cum_c * 100 <= total_c * 70 THEN 'A'
+                        WHEN cum_c * 100 <= total_c * 90 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked, tot
+        """,
+        # per-source duplication report on exact content digests
+        "dedup_ratio_by_source": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   COUNT(DISTINCT md5({_NORM})) AS n_distinct,
+                   floor(((COUNT(*) - COUNT(DISTINCT md5({_NORM})))
+                          / COUNT(*)) * 1000000 + 0.5) / 1000000
+                       AS dup_ratio
+            FROM documents
+            GROUP BY 1
         """,
         # top-k 3-event paths; ties break on the path string
         "events_path_topk": """

@@ -363,3 +363,30 @@ def dedup_keep_canonical(
         .select("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: documents, distinct contents
+    (exact md5 of normalized text, as :func:`dedup_exact`), and the
+    duplicate ratio — the corpus-health metric a dedup pipeline emits
+    before anyone decides whether to run the expensive near-dup pass.
+
+    One hash-groupBy per source over content digests; ratio divides
+    exact counts (IEEE-identical)."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    hashed = docs.select("source", F.md5(normalized_text(F.col("text"))).alias("h"))
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            rnd(
+                (F.col("n_docs") - F.col("n_distinct")) / F.col("n_docs"), 6
+            ).alias("dup_ratio"),
+        )
+    )

@@ -388,3 +388,48 @@ def agg_value_histogram(
             "n_events",
         )
     )
+
+
+def agg_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: customers ranked by exact total revenue,
+    with cumulative revenue share and an A/B/C class (top 70% / next
+    20% / tail). The concentration diagnostic behind "how few customers
+    carry the book".
+
+    Exactness: revenue sums and the running numerator are integer
+    cents; the share divides two exact longs per row (IEEE-identical),
+    and class boundaries compare in integers (num·100 vs total·70) so
+    no float threshold can flip a class. Rank ties break on custkey.
+
+    Scale shape: one agg on custkey, then ONE global-ordering window —
+    the one operator class that genuinely serializes (a total order
+    needs a single ordered pass). At 100 TB you'd range-partition by
+    the sort key first (Spark's orderBy does exactly that under AQE)
+    so the cumsum runs per contiguous range with offsets.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("rev_c")
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), "o_custkey")
+    total = per_cust.agg(F.sum("rev_c").alias("total_c"))
+    ranked = (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_c",
+            F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "o_custkey",
+        "rank",
+        (F.col("rev_c") / 100).alias("revenue"),
+        rnd(F.col("cum_c") / F.col("total_c"), 6).alias("cum_share"),
+        F.when(F.col("cum_c") * 100 <= F.col("total_c") * 70, "A")
+        .when(F.col("cum_c") * 100 <= F.col("total_c") * 90, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

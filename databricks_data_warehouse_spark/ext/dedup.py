@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..queries._util import load, rnd
+from . import _ckpt
 from .text import tokens, word_ngrams
 
 # deterministic "permutations": salt the shingle hash with a fixed seed id
@@ -245,46 +246,70 @@ def connected_components(
     truncated every round with an eager localCheckpoint so the plan
     stays constant-size. Raises if not converged within ``max_iter``
     (2^15 ≫ any real component diameter).
+
+    Checkpoint hygiene (BENCH_r05 "What's wrong 1"): a local
+    checkpoint's blocks are never freed by Spark, so every superseded
+    round's blocks are released as soon as the next round materializes,
+    and the edge/seed checkpoints before returning. The FINAL labels
+    must survive for the caller, so their blocks go to the deferred
+    list, freed on the next invocation or at a query boundary
+    (:mod:`._ckpt`). Storage footprint is therefore ≤ 2 rounds of the
+    node/label relation at any moment, invariant across invocations.
     """
+    spark = edges.sparkSession
+    _ckpt.release_deferred(spark)  # previous invocation's final labels
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
-                ),
-                "b",
+    sym, sym_ids = _ckpt.local_checkpoint(sym)
+    labels, prev_ids = _ckpt.local_checkpoint(
+        sym.select(F.col("a").alias("node")).distinct().withColumn(
+            "comp", F.col("node")
+        )
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("comp").alias("nbr_comp")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nbr_comp").alias("nbr_comp"))
+                .select(F.col("a").alias("node"), "nbr_comp")
             )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
-            .select(F.col("a").alias("node"), "nbr_comp")
-        )
-        jumped = labels.select(
-            F.col("node").alias("comp"), F.col("comp").alias("jump_comp")
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .join(jumped, "comp", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"),
-                    F.coalesce("nbr_comp", F.col("comp")),
-                    F.coalesce("jump_comp", F.col("comp")),
-                ).alias("comp"),
+            jumped = labels.select(
+                F.col("node").alias("comp"), F.col("comp").alias("jump_comp")
             )
-            .localCheckpoint(eager=True)
+            new_labels, new_ids = _ckpt.local_checkpoint(
+                labels.join(nbr_min, "node", "left")
+                .join(jumped, "comp", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce("nbr_comp", F.col("comp")),
+                        F.coalesce("jump_comp", F.col("comp")),
+                    ).alias("comp"),
+                )
+            )
+            # convergence test reads BOTH generations — release the old
+            # one only after it
+            changed = new_labels.join(labels, ["node", "comp"], "left_anti").count()
+            _ckpt.release(spark, prev_ids)
+            labels, prev_ids = new_labels, new_ids
+            if changed == 0:
+                _ckpt.defer_release(prev_ids)
+                prev_ids = []
+                return labels
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iter} rounds"
         )
-        changed = new_labels.join(labels, ["node", "comp"], "left_anti").count()
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    finally:
+        # sym always; the in-flight labels only when not returned (on
+        # the success path prev_ids was emptied after defer_release)
+        _ckpt.release(spark, sym_ids + prev_ids)
 
 
 def near_dup_clusters(

@@ -77,6 +77,7 @@ class ManagedTable:
         schema: StructType | None = None,
         partition_columns: Sequence[str] = (),
         sort_columns: Sequence[str] = (),
+        retain_versions: int | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -87,6 +88,15 @@ class ManagedTable:
         # write, so parquet row-group min/max stats prune point/range
         # scans on them (the Z-order-lite that plain parquet offers)
         self.sort_columns = list(sort_columns)
+        # auto-vacuum: keep only the newest N versions after each commit
+        # (Delta's checkpoint-retention analogue for write-heavy tables,
+        # e.g. a streaming sink committing per micro-batch). None (the
+        # default) retains everything until an explicit vacuum() —
+        # auto-gc is only safe when no reader holds a lazily-evaluated
+        # DataFrame of an older version across commits, which is true
+        # for the read-merge-write cycle inside foreachBatch but not in
+        # general.
+        self.retain_versions = retain_versions
         if self.schema is None:
             self.schema = self._load_schema()
 
@@ -257,6 +267,20 @@ class ManagedTable:
         self._save_schema()
         self._write_manifest(v_new, entries)
         self._commit(v_new)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
+        return v_new
+
+    def _commit_metadata_only(self) -> int:
+        """Bump the version carrying the current schema but the PREVIOUS
+        manifest's entries unchanged — no data files are written. Used
+        when a merge changes the schema (evolution) but inserts nothing."""
+        v_new = self.current_version() + 1
+        self._save_schema()
+        self._write_manifest(v_new, self._read_manifest(v_new - 1))
+        self._commit(v_new)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
         return v_new
 
     def overwrite(self, df: DataFrame) -> int:
@@ -381,7 +405,7 @@ class ManagedTable:
         return reduce(lambda a, b: a | b, ors)
 
     # ------------------------------------------------------- schema evolution
-    def _evolve_schema(self, source: DataFrame) -> DataFrame:
+    def _evolve_schema(self, source: DataFrame) -> tuple[DataFrame, StructType]:
         """Delta ``autoMerge`` semantics for the manifest-MVCC substitute:
         new source columns are APPENDED to the table schema (nullable —
         pre-existing rows read back NULL for them, exactly as Spark's
@@ -391,33 +415,38 @@ class ManagedTable:
         type is cast to the table's type, raising if the cast is not
         allowed (Delta raises on incompatible evolution too).
 
-        The evolved schema is persisted by the commit that carries it
-        (``_stage_and_commit`` → ``_save_schema``), so old manifests and
-        their untouched files stay readable under the widened schema —
-        snapshot reads of pre-evolution versions simply show NULL for
-        the appended columns.
+        Pure — returns ``(aligned_source, evolved_schema)`` WITHOUT
+        touching ``self.schema``: the caller installs the evolved schema
+        around the commit and rolls it back if the write fails, so a
+        failed merge can't leave the in-memory schema projecting phantom
+        columns no committed version carries. The evolved schema is
+        persisted by the commit that carries it (``_stage_and_commit`` →
+        ``_save_schema``); old manifests and their untouched files stay
+        readable under the widened schema — snapshot reads of
+        pre-evolution versions simply show NULL for the appended
+        columns.
         """
         if self.schema is None:
-            self.schema = source.schema
-            return source
-        table_names = {f.name for f in self.schema.fields}
+            return source, source.schema
+        evolved = self.schema
+        table_names = {f.name for f in evolved.fields}
         added = [
             StructField(f.name, f.dataType, True)
             for f in source.schema.fields
             if f.name not in table_names
         ]
         if added:
-            self.schema = StructType(list(self.schema.fields) + added)
+            evolved = StructType(list(evolved.fields) + added)
         src_types = {f.name: f.dataType for f in source.schema.fields}
         aligned = []
-        for f in self.schema.fields:
+        for f in evolved.fields:
             if f.name not in src_types:
                 aligned.append(F.lit(None).cast(f.dataType).alias(f.name))
             elif src_types[f.name] != f.dataType:
                 aligned.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 aligned.append(F.col(f.name))
-        return source.select(*aligned)
+        return source.select(*aligned), evolved
 
     def _check_source_columns(self, source: DataFrame) -> None:
         """Without ``merge_schema``, any column drift is an error — the
@@ -447,8 +476,14 @@ class ManagedTable:
 
         ``match_columns`` defaults to all non-``ingestion_time`` columns
         (the reference's all-column condition, CommonFunctions.py:39-59).
-        Implemented as a left-anti join + append: nulls in any match
-        column never match (parity with SQL equality in Delta MERGE).
+        Implemented as a left-anti join + append with NULL-SAFE equality
+        (``<=>``): a replayed row whose match columns contain NULLs
+        still matches its earlier copy, keeping the re-run idempotent —
+        the whole point of this primitive. (Delta MERGE with a plain
+        ``=`` condition re-inserts NULL-bearing rows on replay; the
+        reference's data has no NULLs in its match columns, so this
+        deviation is invisible there and strictly safer here — it bit
+        for real when schema evolution null-filled an added column.)
 
         Only the source's partitions gain rows, so they alone are
         rewritten; every other partition's entry (and files) carries
@@ -464,37 +499,58 @@ class ManagedTable:
         match condition is built from the SOURCE's real columns before
         alignment, so a null-filled column never silently joins the
         match key.
+
+        A merge that inserts NOTHING commits nothing (one limit-1 probe
+        of the anti-join): the reference's idempotent re-run pattern
+        (Bronze-Ingestion-Customers.py:51-58 replaying an already-
+        ingested batch) costs ~0 instead of a table rewrite — the same
+        no-op short-circuit Delta's MERGE does when no file changes.
+        If the schema evolved but no rows landed, a metadata-only
+        version carries the widened schema.
         """
         if match_columns is None:
             match_columns = [
                 c for c in source.columns if "ingestion_time" not in c
             ]
+        prev_schema = self.schema
         if merge_schema:
-            source = self._evolve_schema(source)
+            source, evolved = self._evolve_schema(source)
+            self.schema = evolved  # rolled back below if the merge fails
         else:
             self._check_source_columns(source)
-        target = self.read()
-        if self.partition_columns:
-            pf = self._source_partition_filter(source)
-            if pf is None:
-                return self.current_version()  # empty source: no-op
-            match_covers_partitions = set(self.partition_columns) <= set(
-                match_columns
+        try:
+            target = self.read()
+            if self.partition_columns:
+                pf = self._source_partition_filter(source)
+                if pf is None:  # empty source: no-op, no schema change
+                    self.schema = prev_schema
+                    return self.current_version()
+                match_covers_partitions = set(self.partition_columns) <= set(
+                    match_columns
+                )
+                existing_src = (
+                    target.filter(pf) if match_covers_partitions else target
+                )
+                target = target.filter(pf)
+            else:
+                existing_src = target
+            existing = existing_src.select(*match_columns).distinct()
+            new_rows = source.join(
+                existing,
+                on=[source[c].eqNullSafe(existing[c]) for c in match_columns],
+                how="left_anti",
             )
-            existing_src = target.filter(pf) if match_covers_partitions else target
-            target = target.filter(pf)
-        else:
-            existing_src = target
-        existing = existing_src.select(*match_columns).distinct()
-        new_rows = source.join(
-            existing,
-            on=[source[c] == existing[c] for c in match_columns],
-            how="left_anti",
-        )
-        merged = target.unionByName(new_rows.select(*target.columns))
-        return self._stage_and_commit(
-            merged, replace_all=not self.partition_columns
-        )
+            if new_rows.isEmpty():
+                if merge_schema and evolved != prev_schema:
+                    return self._commit_metadata_only()
+                return self.current_version()
+            merged = target.unionByName(new_rows.select(*target.columns))
+            return self._stage_and_commit(
+                merged, replace_all=not self.partition_columns
+            )
+        except BaseException:
+            self.schema = prev_schema
+            raise
 
     def merge_upsert(
         self,
@@ -516,22 +572,34 @@ class ManagedTable:
         :meth:`merge_insert_only`.
         """
         keys = list(key_columns)
+        prev_schema = self.schema
         if merge_schema:
-            source = self._evolve_schema(source)
+            source, evolved = self._evolve_schema(source)
+            self.schema = evolved  # rolled back below if the merge fails
         else:
             self._check_source_columns(source)
-        scoped = bool(self.partition_columns) and set(
-            self.partition_columns
-        ) <= set(keys)
-        target = self.read()
-        if scoped:
-            pf = self._source_partition_filter(source)
-            if pf is None:
+        try:
+            if source.isEmpty():  # no-op: nothing matched, nothing inserted
+                self.schema = prev_schema
                 return self.current_version()
-            target = target.filter(pf)
-        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
-        merged = kept.unionByName(source.select(*target.columns))
-        return self._stage_and_commit(merged, replace_all=not scoped)
+            scoped = bool(self.partition_columns) and set(
+                self.partition_columns
+            ) <= set(keys)
+            target = self.read()
+            if scoped:
+                pf = self._source_partition_filter(source)
+                if pf is None:
+                    self.schema = prev_schema
+                    return self.current_version()
+                target = target.filter(pf)
+            kept = target.join(
+                source.select(*keys).distinct(), on=keys, how="left_anti"
+            )
+            merged = kept.unionByName(source.select(*target.columns))
+            return self._stage_and_commit(merged, replace_all=not scoped)
+        except BaseException:
+            self.schema = prev_schema
+            raise
 
     def merge_delete(self, source: DataFrame, key_columns: Sequence[str]) -> int:
         """Delta ``whenMatchedDelete`` parity: target rows whose key
@@ -554,7 +622,12 @@ class ManagedTable:
             if pf is None:
                 return self.current_version()
             target = target.filter(pf)
-        kept = target.join(source.select(*keys).distinct(), on=keys, how="left_anti")
+        src_keys = source.select(*keys).distinct()
+        # nothing matches → nothing to delete → commit-free no-op
+        # (one limit-1 semi-join probe, vs a full rewrite)
+        if target.join(src_keys, on=keys, how="left_semi").isEmpty():
+            return self.current_version()
+        kept = target.join(src_keys, on=keys, how="left_anti")
         return self._stage_and_commit(kept, replace_all=not scoped)
 
     def delete_where(self, condition: Column) -> int:
@@ -562,9 +635,16 @@ class ManagedTable:
         without the matching rows. A predicate on partition columns
         alone would allow a manifest-only commit; this general form
         rewrites data (like Delta's DELETE when files mix matching and
-        non-matching rows)."""
+        non-matching rows).
+
+        SQL DELETE removes only rows where the predicate is TRUE; a
+        NULL predicate (e.g. a NULL column compared with ``==``) means
+        "not matched, keep" — hence the ``coalesce(cond, false)`` before
+        negating, where a bare ``filter(~cond)`` would silently delete
+        the NULL-predicate rows too (ADVICE r05)."""
         return self._stage_and_commit(
-            self.read().filter(~condition), replace_all=True
+            self.read().filter(~F.coalesce(condition, F.lit(False))),
+            replace_all=True,
         )
 
     def merge_update(
@@ -619,6 +699,12 @@ class ManagedTable:
             if pf is None:
                 return self.current_version()
             target = target.filter(pf)
+        # no matched target row → update-only merge is a commit-free
+        # no-op (one limit-1 semi-join probe, vs a full rewrite)
+        if target.join(
+            source.select(*keys).distinct(), on=keys, how="left_semi"
+        ).isEmpty():
+            return self.current_version()
         src = source.select(
             *keys, *[F.expr(e).alias(f"__src_{c}") for c, e in resolved.items()]
         )

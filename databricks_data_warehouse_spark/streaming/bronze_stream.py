@@ -30,11 +30,24 @@ def stream_bronze_ingest(
     source_dir: str,
     table: ManagedTable,
     checkpoint_dir: str | None = None,
+    merge_schema: bool = False,
 ) -> ManagedTable:
     """Drain ``source_dir`` (parquet files) into ``table`` with one
     idempotent merge per micro-batch; returns after the availableNow
-    drain completes."""
-    schema = spark.read.parquet(source_dir).schema
+    drain completes.
+
+    ``merge_schema=True`` is the schema-on-read drift path: the stream
+    schema is inferred across ALL files (``mergeSchema``), and each
+    micro-batch merge evolves the table schema (new columns appended,
+    old rows null-filled) — so a restarted stream whose landing files
+    grew a column keeps ingesting, the realistic Bronze drift case.
+    A file stream's schema is pinned at start; drift between restarts
+    (not within a run) is what this covers, matching how Delta's
+    autoMerge handles it."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    schema = reader.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(
@@ -44,7 +57,7 @@ def stream_bronze_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not table.exists():
             table.create_if_not_exists(batch_df.schema)
-        table.merge_insert_only(batch_df)
+        table.merge_insert_only(batch_df, merge_schema=merge_schema)
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -71,6 +84,15 @@ def stream_events_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh table rather than merging into stale rows. The drained table
     IS the events table — hash-checkable against ``SELECT * FROM
     events``.
+
+    Write hygiene (BENCH_r05 "What's wrong 2"): the table is
+    PARTITIONED by event_type, so a micro-batch rewrites only the
+    partitions it touches; a replayed batch whose anti-join inserts
+    nothing commits nothing at all (merge_insert_only's no-op
+    short-circuit); and ``retain_versions=2`` vacuums superseded
+    versions on commit, so neither versions nor dead files accumulate
+    across batches or re-runs — a re-drain of an already-ingested
+    source costs one anti-join probe, not O(table) rewrites.
     """
     from .windows import _scratch_root, _stream_events
 
@@ -88,9 +110,18 @@ def stream_events_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fp = "missing"
-    h = hashlib.md5(f"{src}|{fp}".encode()).hexdigest()[:10]
+    # layout is part of the key: a relocated layout change (e.g. the
+    # r06 partition-by-event_type) must get a fresh table, not merge
+    # partitioned writes into an unpartitioned manifest
+    h = hashlib.md5(f"{src}|{fp}|pby=event_type,rv=2".encode()).hexdigest()[:10]
     loc = os.path.join(_scratch_root(), f"stream_tbl_{h}")
-    table = ManagedTable(spark, f"stream_events_{h}", loc)
+    table = ManagedTable(
+        spark,
+        f"stream_events_{h}",
+        loc,
+        partition_columns=["event_type"],
+        retain_versions=2,
+    )
 
     events = _stream_events(spark, sf_dir)
 

@@ -352,3 +352,112 @@ def test_changes_between_versions(spark, tmp_path):
     }
     # identical snapshots diff to empty
     assert t.changes(v2, v2).count() == 0
+
+
+# ------------------------------------------- no-op merges are free (r6)
+def _data_dirs(table):
+    import os as _os
+
+    root = _os.path.join(table.location, "data")
+    return sorted(_os.listdir(root)) if _os.path.isdir(root) else []
+
+
+def test_noop_merges_commit_nothing(spark, tmp_path):
+    """BENCH_r05 'What's wrong 2': an idempotent re-run that changes no
+    rows must not bump the version or write a single file — the same
+    short-circuit Delta MERGE does when no file changes. Covers all
+    four merge primitives."""
+    t = _table(spark, tmp_path, name="noop").create_if_not_exists()
+    batch = _rows(spark, [(1, "a", 2024, 1), (2, "b", 2024, 2)])
+    t.merge_insert_only(batch)
+    v = t.current_version()
+    dirs = _data_dirs(t)
+
+    # replayed insert-only batch: zero new rows -> no commit, no files
+    t.merge_insert_only(batch)
+    # delete of keys that match nothing
+    t.merge_delete(
+        spark.createDataFrame([(99, 2024, 1)], "id long, year int, month int"),
+        key_columns=["id", "year", "month"],
+    )
+    # update whose keys match nothing
+    t.merge_update(
+        spark.createDataFrame(
+            [(99, "zz", 2024, 1)], "id long, name string, year int, month int"
+        ),
+        key_columns=["id", "year", "month"],
+    )
+    # empty-source upsert
+    t.merge_upsert(_rows(spark, []), key_columns=["id", "year", "month"])
+
+    assert t.current_version() == v
+    assert _data_dirs(t) == dirs
+    assert t.read().count() == 2
+
+
+def test_retain_versions_bounds_manifests_and_files(spark, tmp_path):
+    """retain_versions auto-vacuums on commit: manifests and superseded
+    data dirs stay bounded no matter how many writes land (the
+    streaming-sink hygiene knob)."""
+    import os as _os
+
+    t = ManagedTable(
+        spark,
+        "rv",
+        str(tmp_path / "rv"),
+        schema=SCHEMA,
+        partition_columns=[],
+        retain_versions=2,
+    ).create_if_not_exists()
+    for i in range(5):
+        t.merge_insert_only(_rows(spark, [(i, f"r{i}", 2024, 1)]))
+    manifests = [
+        e for e in _os.listdir(t.location) if e.startswith("_MANIFEST.v=")
+    ]
+    assert len(manifests) <= 2
+    assert t.read().count() == 5
+    # the newest version is intact and older-than-retention reads fail
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE semantics (ADVICE r05): rows where the predicate
+    evaluates to NULL are NOT deleted — only predicate-TRUE rows go."""
+    from pyspark.sql import functions as F
+
+    t = _table(spark, tmp_path, name="dwn", partition_columns=()).create_if_not_exists()
+    t.merge_insert_only(
+        spark.createDataFrame(
+            [(1, "a", 2024, 1), (2, "b", None, 1), (3, "c", 2025, 1)], SCHEMA
+        )
+    )
+    t.delete_where(F.col("year") == 2024)
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_failed_evolving_merge_rolls_back_schema(spark, tmp_path):
+    """ADVICE r05: a merge that evolves the schema but fails to commit
+    must not leave the in-memory schema projecting phantom columns."""
+    t = _table(spark, tmp_path, name="rb", partition_columns=()).create_if_not_exists()
+    t.merge_insert_only(_rows(spark, [(1, "a", 2024, 1)]))
+    cols_before = t.read().columns
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        bad = spark.createDataFrame(
+            [("abc", "x", 2024, 1, 9.9)],
+            "id string, name string, year int, month int, extra double",
+        )  # id 'abc' -> ANSI cast to long raises at execution; extra appended
+        with pytest.raises(Exception):
+            t.merge_insert_only(bad, merge_schema=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert [f.name for f in t.schema.fields] == cols_before
+    assert t.read().columns == cols_before
+    # and the table still merges fine afterwards
+    t.merge_insert_only(_rows(spark, [(2, "b", 2024, 1)]))
+    assert t.read().count() == 2

@@ -15,7 +15,9 @@ aggregation order — no float-summation hazard.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import cents, load, rnd
@@ -597,6 +599,28 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
 # four queries are exact-hash-checked like the other 18.
 
 
+# supplier row count per (session, corpus): each of the four partsupp
+# consumers (q2/q11/q16/q20) needs the same scalar; one count() action
+# per session instead of one per call (VERDICT r05 item 4). Keyed on
+# the file's identity so a regenerated corpus invalidates.
+_supplier_count_cache: dict[tuple[str, str, int, int], int] = {}
+
+
+def _supplier_count(spark: SparkSession, sf_dir: str) -> int:
+    path = os.path.join(os.path.abspath(sf_dir), "supplier.parquet")
+    try:
+        st = os.stat(path)
+        ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = (0, 0)
+    key = (spark.sparkContext.applicationId, path, *ident)
+    n = _supplier_count_cache.get(key)
+    if n is None:
+        n = load(spark, sf_dir, "supplier").count()
+        _supplier_count_cache[key] = n
+    return n
+
+
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost) derived
     deterministically from the part and supplier keys.
@@ -614,7 +638,7 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-tuple listing in sources/tables.py).
     """
     part = load(spark, sf_dir, "part").select("p_partkey")
-    s_cnt = load(spark, sf_dir, "supplier").count()
+    s_cnt = _supplier_count(spark, sf_dir)
     p = F.col("p_partkey")
     ps = part.select(
         p,
@@ -645,8 +669,14 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (adapted): for ECONOMY parts of size ≤ 10, the
     EUROPE-region supplier(s) quoting the minimum supply cost per part.
-    Correlated-min join shape: min-per-part over the region-restricted
-    partsupp, joined back to keep only quoting suppliers."""
+
+    The correlated min is a WINDOW min over ps_partkey + filter — ONE
+    pass over the quote set, where the textbook agg-then-join-back form
+    evaluates the whole partsupp-derivation + two joins twice (it was
+    the slowest TPC-H entry at 5.6 s, VERDICT r05 "What's wrong 3").
+    One shuffle on ps_partkey replaces a shuffle for the agg plus a
+    join; at scale the window's per-partition state is one running min,
+    so skew behavior matches the agg's."""
     ps = derived_partsupp(spark, sf_dir)
     supplier = load(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
@@ -671,15 +701,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(europe_sup, ps.ps_suppkey == europe_sup.s_suppkey)
         .withColumn("cost_c", cents(F.col("ps_supplycost")))
     )
-    min_cost = quotes.groupBy("ps_partkey").agg(
-        F.min("cost_c").alias("min_cost_c")
-    ).select(F.col("ps_partkey").alias("mc_partkey"), "min_cost_c")
+    w = Window.partitionBy("ps_partkey")
     return (
-        quotes.join(
-            min_cost,
-            (quotes.ps_partkey == min_cost.mc_partkey)
-            & (quotes.cost_c == min_cost.min_cost_c),
-        )
+        quotes.withColumn("min_cost_c", F.min("cost_c").over(w))
+        .where(F.col("cost_c") == F.col("min_cost_c"))
         .select(
             F.col("ps_partkey").alias("p_partkey"),
             "p_brand",

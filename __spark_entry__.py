@@ -372,10 +372,27 @@ def _lsh_proj_sql(vec: str, plane: int) -> str:
     )
 
 
-def _lsh_bucket_sql(vec: str, n_planes: int = 4) -> str:
+# The Spark side derives the plane count from the corpus size
+# (similarity._auto_planes: n<=64 -> 4, else max(4, ceil(log2(n/64))));
+# the oracle must follow the SAME knob or any hash check above sf0.01
+# silently diverges (ADVICE r05). ``np`` is a one-row CTE holding that
+# count; the bucket is a masked sum of _LSH_MAX_PLANES plane terms,
+# each active only when its index < n_planes. 24 terms covers corpora
+# to 64·2^24 ≈ 1e9 vectors — far past any oracle-checkable scale.
+_LSH_MAX_PLANES = 24
+_LSH_PLANES_CTE = """np AS (
+        SELECT CASE WHEN COUNT(*) <= 64 THEN 4
+               ELSE GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 64.0)) AS INT))
+               END AS n_planes
+        FROM embeddings
+    )"""
+
+
+def _lsh_bucket_sql(vec: str, planes_expr: str = "np.n_planes") -> str:
     parts = [
-        f"(CASE WHEN {_lsh_proj_sql(vec, j)} >= 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(n_planes)
+        f"(CASE WHEN {j} < {planes_expr} AND {_lsh_proj_sql(vec, j)} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_MAX_PLANES)
     ]
     return "CAST(" + " + ".join(parts) + " AS INT)"
 
@@ -951,10 +968,16 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1
         """,
-        # word bigrams: Python str.split == any-whitespace tokenization
-        "udtf_word_bigrams": f"""
+        # word bigrams: tokenizer pinned to the explicit ASCII class
+        # [ \t\n\r\f] on BOTH sides (the Python UDTF uses the same
+        # literal class; str.split/RE2-\s differ on non-ASCII
+        # whitespace — ADVICE r05)
+        "udtf_word_bigrams": """
             WITH t AS (
-                SELECT doc_id, {_TOKS_RAW} AS toks FROM documents
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
             )
             SELECT t.doc_id, CAST(u.i AS INTEGER) AS bigram_idx,
                    t.toks[u.i] || ' ' || t.toks[u.i + 1] AS bigram
@@ -2227,15 +2250,17 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "ann_lsh_buckets": f"""
+            WITH {_LSH_PLANES_CTE}
             SELECT vec_id, {_lsh_bucket_sql("embedding")} AS bucket_id
-            FROM embeddings
+            FROM embeddings, np
         """,
         "ann_lsh_topk": f"""
-            WITH b AS (
+            WITH {_LSH_PLANES_CTE},
+            b AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                        {_lsh_bucket_sql("embedding")} AS bucket_id
-                FROM embeddings
+                FROM embeddings, np
             ),
             q AS (SELECT v AS qv, bucket_id AS qb FROM b WHERE vec_id = 0)
             SELECT b.vec_id, ROUND({_cos_sql("b.v", "q.qv")}, 6) AS cosine_sim
@@ -2245,11 +2270,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ann_lsh_near_dup_pairs": f"""
-            WITH b AS (
+            WITH {_LSH_PLANES_CTE},
+            b AS (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                        {_lsh_bucket_sql("embedding")} AS bucket_id
-                FROM embeddings
+                FROM embeddings, np
             )
             SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
                    ROUND({_cos_sql("a.v", "b2.v")}, 6) AS cosine_sim

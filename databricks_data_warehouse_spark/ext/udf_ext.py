@@ -20,6 +20,8 @@ genuinely cannot be expressed in built-ins.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,23 +66,66 @@ def udaf_weighted_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @udtf(returnType="bigram_idx: int, bigram: string")
 class _WordBigrams:
-    """Whitespace-tokenize (Python str.split == any-whitespace runs,
-    ends stripped — the oracle's string_split_regex(trim(), '\\s+')
-    twin) and emit consecutive word pairs with their 1-based index."""
+    """Tokenize on runs of the EXPLICIT ASCII whitespace class
+    ``[ \\t\\n\\r\\f]`` (empties dropped) and emit consecutive word
+    pairs with their 1-based index. The class is spelled out — not
+    ``str.split()`` — because Python splits on Unicode whitespace
+    (NBSP, U+2028, …) while the DuckDB oracle's RE2 ``\\s`` is
+    ASCII-only; a document containing non-ASCII whitespace would
+    diverge (ADVICE r05). The oracle splits on the same literal class
+    and filters empties, so both sides are pinned to one definition."""
 
     def eval(self, text: str):  # noqa: D102
         if text is None:
             return
-        toks = text.split()
+        toks = [t for t in re.split(r"[ \t\n\r\f]+", text) if t]
         for i in range(len(toks) - 1):
             yield (i + 1, toks[i] + " " + toks[i + 1])
+
+
+def word_bigrams_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of :func:`udtf_word_bigrams`: identical
+    output from built-in expressions only — tokenize with ``split`` on
+    the same explicit ASCII whitespace class, pair adjacent tokens with
+    ``zip_with`` over two slices, ``posexplode`` the pair array. Stays
+    inside whole-stage codegen with zero Python boundary, so this is
+    the form a 100 TB corpus pass uses; the UDTF variant exists to
+    demo the Python table-function API class, not as a hot path
+    (COVERAGE.md, VERDICT r05 item 8)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # double-backslash: the SQL parser must pass \t \n \r \f through to
+    # the regex engine (a single \f in a Spark SQL literal is an unknown
+    # escape and collapses to the letter f — which would split on "f")
+    t = docs.select(
+        "doc_id",
+        F.expr(
+            r"filter(split(text, '[ \\t\\n\\r\\f]+'), x -> x != '')"
+        ).alias("t"),
+    )
+    pairs = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+                "(a, b) -> concat(a, ' ', b)) "
+                "ELSE array() END"
+            )
+        ).alias("i0", "bigram"),
+    )
+    return pairs.select(
+        "doc_id",
+        (F.col("i0") + 1).cast("int").alias("bigram_idx"),
+        "bigram",
+    )
 
 
 def udtf_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents exploded into ordered word bigrams by a Python UDTF —
     the lateral table-function class. The UDTF is registered and
     invoked per row via LATERAL; output is (doc_id, bigram_idx,
-    bigram)."""
+    bigram). API demo — :func:`word_bigrams_builtin` is the equivalent
+    JVM-side production shape."""
     spark.udtf.register("word_bigrams", _WordBigrams)
     load(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
         "docs_for_udtf"

@@ -135,7 +135,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(
-    df: DataFrame, output_mode: str = "append", state_partitions: int | None = None
+    df: DataFrame,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+    expect_single_batch: bool = False,
 ) -> DataFrame:
     """Drain the bounded stream with availableNow into a memory sink and
     return the materialized result as a batch DataFrame.
@@ -144,6 +147,14 @@ def _run_to_memory(
     per shuffle partition; for a small keyspace the per-store setup cost
     dominates, so callers with few keys pass a small number (the session
     shuffle setting is restored afterwards).
+
+    ``expect_single_batch``: operators whose batch-oracle equivalence
+    relies on ALL input arriving in one micro-batch (arrival-order
+    stateful accumulation sorted only within a batch, e.g.
+    stream_expanding_zscore) pass True; the drain then FAILS LOUDLY if
+    the source split the data across multiple non-empty batches (e.g.
+    someone sets maxFilesPerTrigger), instead of silently returning
+    order-dependent results the oracle would flag (ADVICE r05).
     """
     spark = df.sparkSession
     name = f"stream_sink_{next(_sink_ids)}"
@@ -163,6 +174,19 @@ def _run_to_memory(
             .start()
         )
         q.awaitTermination()
+        if expect_single_batch:
+            fed = [
+                p
+                for p in q.recentProgress
+                if (p.get("numInputRows") or 0) > 0
+            ]
+            if len(fed) > 1:
+                raise RuntimeError(
+                    f"{name}: input split across {len(fed)} micro-batches; "
+                    "this operator's batch-oracle equivalence requires a "
+                    "single-batch drain (unset maxFilesPerTrigger or emit "
+                    "in global key order)"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -492,5 +516,10 @@ def stream_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    # handful of event-type keys: 8 state stores, not 32
-    return _run_to_memory(scored, "append", state_partitions=8)
+    # handful of event-type keys: 8 state stores, not 32; the expanding
+    # state is accumulated in arrival order (sorted per batch), so the
+    # batch-oracle equivalence requires the whole drain in ONE
+    # micro-batch — enforced, not assumed
+    return _run_to_memory(
+        scored, "append", state_partitions=8, expect_single_batch=True
+    )

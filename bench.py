@@ -17,7 +17,14 @@ excluded — they amortize to zero on a long-lived cluster.
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) and the
 reported number is the per-query MEDIAN — single-run values burned
 three rounds of judge cycles on scheduler noise (VERDICT r04 item 2).
-The rep count and raw reps are recorded in bench_detail.json.
+The rep count and raw reps are recorded in bench_detail.json IN RUN
+ORDER (not sorted): monotone rep growth is how both round-5 resource
+leaks showed up, so this harness now detects it itself — queries whose
+last rep exceeds 1.8x their first land in bench_detail.json's
+"growing" list (VERDICT r05 item 6; empty is the expected state).
+After each query's reps any deferred iterative-operator checkpoints
+are released (scoped — never clearCache, which would evict the
+intentional IVF/corpus caches).
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from databricks_data_warehouse_spark.ext import _ckpt
 from databricks_data_warehouse_spark.session import get_spark
 
 
@@ -54,6 +62,7 @@ def main() -> int:
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
+    growing: list[str] = []
     total = 0.0
     for name, fn in entry_mod.queries().items():
         reps: list[float] = []
@@ -65,11 +74,23 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 print(f"bench: {name} failed: {e}", file=sys.stderr)
                 break
+            finally:
+                # release iterative-operator checkpoints between reps so
+                # a leak can't smear into later queries' numbers — and so
+                # rep growth, if any, indicts the query itself
+                _ckpt.release_deferred(spark)
         if reps:
             dt = statistics.median(reps)
         else:
             dt = float("nan")
-        raw_reps[name] = sorted(reps)
+        raw_reps[name] = reps  # run order — growth must stay visible
+        if len(reps) >= 2 and reps[0] > 0 and reps[-1] > 1.8 * reps[0]:
+            growing.append(name)
+            print(
+                f"bench: {name} reps grew {reps[0]:.2f}s -> {reps[-1]:.2f}s "
+                "(possible resource leak)",
+                file=sys.stderr,
+            )
         timings[name] = round(dt, 3)
         if dt == dt:  # not NaN
             total += dt
@@ -85,6 +106,7 @@ def main() -> int:
                 "reps": n_reps,
                 "queries": timings,
                 "raw_reps": raw_reps,
+                "growing": growing,
             },
             f,
             indent=1,

@@ -49,6 +49,8 @@ Primitives (reference parity):
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
@@ -64,6 +66,42 @@ _LATEST = "_LATEST"
 _SCHEMA = "_SCHEMA"
 _MANIFEST_PREFIX = "_MANIFEST.v="
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Delta indexes min/max for the first 32 columns by default
+# (delta.dataSkippingNumIndexedCols); same cap here.
+_STATS_MAX_COLS = 32
+
+_FILTER_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between",
+               "is_null", "is_not_null")
+
+
+def _stat_scalar(v):
+    """Normalize a parquet-footer stat (or a filter literal) to a
+    JSON-storable, order-preserving scalar: numbers stay numbers,
+    dates/timestamps become fixed-width ISO strings (lexicographic
+    order == chronological order), Decimal becomes float (bounds only
+    — pruning stays sound under the widening). Unsupported types
+    (binary, nested) → None = not indexable."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat() + "T00:00:00.000000"
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return None
+
+
+def _comparable(a, b) -> bool:
+    """True when two normalized stat scalars have a total order the
+    pruning logic may rely on (both numeric or both strings)."""
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
 
 
 class ManagedTable:
@@ -152,11 +190,34 @@ class ManagedTable:
         with open(path) as f:
             return json.loads(f.read())["entries"]
 
-    def _write_manifest(self, version: int, entries: Mapping[str, str]) -> None:
+    def _read_stats(self, version: int) -> dict[str, dict]:
+        """Per-file column stats of a manifest (``{rel_file: {"rows": n,
+        "cols": {col: [min, max, null_count]}}}``). Manifests written
+        before stats existed return ``{}`` — every file then reads as
+        un-prunable, never wrongly skipped."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"table {self.name}: manifest for version {version} missing"
+            )
+        with open(path) as f:
+            return json.loads(f.read()).get("stats", {})
+
+    def _write_manifest(
+        self,
+        version: int,
+        entries: Mapping[str, str],
+        stats: Mapping[str, dict] | None = None,
+    ) -> None:
         os.makedirs(self.location, exist_ok=True)
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
-            f.write(json.dumps({"entries": dict(entries)}, sort_keys=True))
+            f.write(
+                json.dumps(
+                    {"entries": dict(entries), "stats": dict(stats or {})},
+                    sort_keys=True,
+                )
+            )
         os.replace(tmp, self._manifest_path(version))
 
     # ------------------------------------------------------------------ DDL
@@ -240,18 +301,85 @@ class ManagedTable:
         rec(write_dir, write_rel, [])
         return staged
 
-    def _stage_and_commit(self, df: DataFrame, *, replace_all: bool) -> int:
+    def _collect_file_stats(self, write_dir: str) -> dict[str, dict]:
+        """Harvest per-file column min/max/null-count from the parquet
+        FOOTERS of a staged write — no data pages are read, which is
+        exactly how Delta/Iceberg collect stats at commit time. Footer
+        reads are driver-local metadata I/O, O(files in the batch), not
+        O(table); an object-store deployment would parallelize the
+        listing but the cost model is the same.
+
+        Truncated string bounds (parquet-mr caps binary stats and bumps
+        the last byte of a truncated max) remain valid BOUNDS, so
+        pruning against them stays sound. A column whose stats are
+        absent in any row group is dropped from the file's index —
+        un-prunable, never wrongly skipped. Only the first
+        ``_STATS_MAX_COLS`` top-level atomic columns are indexed
+        (Delta's dataSkippingNumIndexedCols analogue)."""
+        import pyarrow.parquet as pq
+
+        indexed = {
+            f.name
+            for f in (self.schema.fields if self.schema else [])[:_STATS_MAX_COLS]
+        }
+        out: dict[str, dict] = {}
+        for dirpath, _dirs, files in os.walk(write_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.location)
+                md = pq.ParquetFile(full).metadata
+                cols: dict[str, list] = {}
+                dead: set[str] = set()
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        cc = rg.column(c_i)
+                        name = cc.path_in_schema
+                        if "." in name or (indexed and name not in indexed):
+                            continue
+                        st = cc.statistics
+                        if st is None or st.null_count is None:
+                            dead.add(name)
+                            continue
+                        if st.has_min_max:
+                            mn, mx = _stat_scalar(st.min), _stat_scalar(st.max)
+                            if mn is None or mx is None:
+                                dead.add(name)
+                                continue
+                        else:  # all-null row group: bounds stay absent
+                            mn = mx = None
+                        prev = cols.get(name)
+                        if prev is None:
+                            cols[name] = [mn, mx, st.null_count]
+                        else:
+                            pmn, pmx, pnull = prev
+                            cols[name] = [
+                                mn if pmn is None else pmn if mn is None else min(pmn, mn),
+                                mx if pmx is None else pmx if mx is None else max(pmx, mx),
+                                pnull + st.null_count,
+                            ]
+                for name in dead:
+                    cols.pop(name, None)
+                out[rel] = {"rows": md.num_rows, "cols": cols}
+        return out
+
+    def _stage_and_commit(
+        self, df: DataFrame, *, replace_all: bool, sort: bool = True
+    ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
         With ``replace_all`` the new manifest contains only the staged
         partitions; otherwise staged partitions replace their previous
         entries and all other entries carry over untouched (their files
-        are never rewritten — byte-identical across the merge).
+        are never rewritten — byte-identical across the merge, and their
+        footer stats carry over with them).
         """
         v_new = self.current_version() + 1
         write_rel = f"data/w={v_new}"
         write_dir = os.path.join(self.location, write_rel)
-        if self.sort_columns:
+        if sort and self.sort_columns:
             df = df.sortWithinPartitions(*self.sort_columns)
         writer = df.write.mode("overwrite")
         if self.partition_columns:
@@ -260,12 +388,22 @@ class ManagedTable:
         staged = self._walk_staged(write_dir, write_rel)
         if replace_all or v_new == 0:
             entries = staged
+            prev_stats: dict[str, dict] = {}
         else:
             entries = {**self._read_manifest(v_new - 1), **staged}
+            prev_stats = self._read_stats(v_new - 1)
         if self.schema is None:
             self.schema = df.schema
+        # stats for retained files carry over; replaced/removed entries'
+        # files fall out because their leaf dir left the manifest
+        kept_dirs = set(entries.values()) - set(staged.values())
+        stats = {
+            f: s for f, s in prev_stats.items()
+            if os.path.dirname(f) in kept_dirs
+        }
+        stats.update(self._collect_file_stats(write_dir))
         self._save_schema()
-        self._write_manifest(v_new, entries)
+        self._write_manifest(v_new, entries, stats)
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -277,7 +415,9 @@ class ManagedTable:
         when a merge changes the schema (evolution) but inserts nothing."""
         v_new = self.current_version() + 1
         self._save_schema()
-        self._write_manifest(v_new, self._read_manifest(v_new - 1))
+        self._write_manifest(
+            v_new, self._read_manifest(v_new - 1), self._read_stats(v_new - 1)
+        )
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -287,10 +427,228 @@ class ManagedTable:
         cols = [f.name for f in (self.schema or df.schema).fields]
         return self._stage_and_commit(df.select(*cols), replace_all=True)
 
-    def compact(self) -> int:
+    # ----------------------------------------------------- data skipping
+    @staticmethod
+    def _file_matches(stat: dict, filters: Sequence[tuple]) -> bool:
+        """Can the file possibly contain a row satisfying ALL filters?
+        Sound, not complete: returns True whenever the stats cannot
+        PROVE emptiness (missing column, incomparable types, absent
+        bounds with non-null rows)."""
+        rows = stat.get("rows", 0)
+        cols = stat.get("cols", {})
+        for col, op, *rest in filters:
+            cs = cols.get(col)
+            if cs is None:
+                continue  # un-indexed column: cannot prune on it
+            mn, mx, nulls = cs
+            all_null = mn is None and mx is None and nulls >= rows
+            if op == "is_null":
+                if nulls == 0:
+                    return False
+                continue
+            if op == "is_not_null":
+                if all_null:
+                    return False
+                continue
+            # comparison ops never match NULL rows
+            if all_null:
+                return False
+            if mn is None or mx is None:
+                continue  # bounds unknown, non-null rows exist: keep
+            if op == "in":
+                vals = [_stat_scalar(x) for x in rest[0]]
+                if all(
+                    _comparable(v, mn) and (v < mn or v > mx) for v in vals
+                ):
+                    return False
+                continue
+            if op == "between":
+                lo, hi = _stat_scalar(rest[0]), _stat_scalar(rest[1])
+                if _comparable(lo, mx) and (mx < lo or mn > hi):
+                    return False
+                continue
+            v = _stat_scalar(rest[0])
+            if not _comparable(v, mn):
+                continue
+            if op in ("=", "==") and (v < mn or v > mx):
+                return False
+            if op == "<" and mn >= v:
+                return False
+            if op == "<=" and mn > v:
+                return False
+            if op == ">" and mx <= v:
+                return False
+            if op == ">=" and mx < v:
+                return False
+        return True
+
+    @staticmethod
+    def _filter_expr(filters: Sequence[tuple]) -> Column | None:
+        """The exact Column the filter triples denote — always applied
+        to the pruned scan, so skipping can only remove I/O, never
+        change results (the Delta contract: stats prune files, the
+        expression still runs)."""
+        exprs = []
+        for col, op, *rest in filters:
+            c = F.col(col)
+            if op in ("=", "=="):
+                exprs.append(c == F.lit(rest[0]))
+            elif op == "<":
+                exprs.append(c < F.lit(rest[0]))
+            elif op == "<=":
+                exprs.append(c <= F.lit(rest[0]))
+            elif op == ">":
+                exprs.append(c > F.lit(rest[0]))
+            elif op == ">=":
+                exprs.append(c >= F.lit(rest[0]))
+            elif op == "in":
+                exprs.append(c.isin(list(rest[0])))
+            elif op == "between":
+                exprs.append(c.between(rest[0], rest[1]))
+            elif op == "is_null":
+                exprs.append(c.isNull())
+            elif op == "is_not_null":
+                exprs.append(c.isNotNull())
+            else:
+                raise ValueError(f"unsupported filter op {op!r}; "
+                                 f"one of {_FILTER_OPS}")
+        return reduce(lambda a, b: a & b, exprs) if exprs else None
+
+    def _prune(self, filters: Sequence[tuple], version: int | None):
+        """(surviving rel files, total files, stats) for a version."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        entries = self._read_manifest(v)
+        stats = self._read_stats(v)
+        entry_dirs = set(entries.values())
+        # files the manifest covers = stats keys under its entry dirs;
+        # an entry dir with no stats (pre-stats manifest) falls back to
+        # the whole-dir scan, never skipped
+        known = [f for f in stats if os.path.dirname(f) in entry_dirs]
+        covered_dirs = {os.path.dirname(f) for f in known}
+        legacy_dirs = entry_dirs - covered_dirs
+        kept = [f for f in known if self._file_matches(stats[f], filters)]
+        return kept, legacy_dirs, len(known), stats
+
+    def scan(
+        self, filters: Sequence[tuple] = (), version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned read: Delta data skipping for the manifest MVCC.
+
+        ``filters`` are conjunctive triples ``(column, op, value)`` with
+        op ∈ {=, <, <=, >, >=, in, between, is_null, is_not_null} —
+        the same shape DataSourceV2 pushes down. Files whose footer
+        min/max/null-count PROVE no row can match are never opened; the
+        exact predicate is still applied to whatever is read, so
+        ``scan(f)`` ≡ ``read().filter(f)`` row-for-row. At 100 TB this
+        is the difference between touching 3 files and 30 000 for a
+        date-range query over a Z-ordered table (``compact(zorder_by=…)``).
+        """
+        for t in filters:
+            if len(t) < 2 or t[1] not in _FILTER_OPS:
+                raise ValueError(f"bad filter triple {t!r}")
+        v = self.current_version() if version is None else version
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        kept, legacy_dirs, _total, _stats = self._prune(filters, v)
+        paths = sorted(kept) + sorted(legacy_dirs)
+        cond = self._filter_expr(filters)
+        if not paths:
+            df = self.spark.createDataFrame([], self.schema)
+            return df.filter(cond) if cond is not None else df
+        groups: dict[str, list[str]] = {}
+        for rel in paths:
+            wroot = "/".join(rel.split("/")[:2])  # data/w=<N>
+            groups.setdefault(wroot, []).append(rel)
+        scans = []
+        for wroot, rels in sorted(groups.items()):
+            reader = self.spark.read.schema(self.schema).option(
+                "basePath", os.path.join(self.location, wroot)
+            )
+            scans.append(
+                reader.parquet(
+                    *[os.path.join(self.location, r) for r in rels]
+                ).select(*cols)
+            )
+        df = reduce(DataFrame.unionByName, scans)
+        return df.filter(cond) if cond is not None else df
+
+    def skipping_report(
+        self, filters: Sequence[tuple] = (), version: int | None = None
+    ) -> dict:
+        """How much a ``scan`` with these filters would prune — the
+        observable for tests and for SCALE.md measurements."""
+        kept, legacy_dirs, total, stats = self._prune(filters, version)
+        return {
+            "files_total": total + len(legacy_dirs),
+            "files_kept": len(kept) + len(legacy_dirs),
+            "rows_total": sum(s.get("rows", 0) for s in stats.values()),
+            "rows_kept_bound": sum(stats[f].get("rows", 0) for f in kept),
+        }
+
+    def compact(
+        self,
+        zorder_by: Sequence[str] = (),
+        target_files: int | None = None,
+        bits: int = 8,
+    ) -> int:
         """Rewrite the whole table into a single write root (collapses
-        the union of scans ``read`` builds after many partial writes)."""
-        return self.overwrite(self.read())
+        the union of scans ``read`` builds after many partial writes).
+
+        With ``zorder_by`` this is OPTIMIZE ZORDER BY: each listed
+        column (numeric/date/timestamp) is rank-bucketed into ``2^bits``
+        buckets via approx-quantile boundaries, the per-column bucket
+        ids are bit-interleaved into a Z-value, and rows are
+        range-partitioned and sorted by it — so every output file covers
+        a small hyper-rectangle of the key space and the footer stats
+        (``scan``) prune multi-column range queries that a single-column
+        sort could only prune on its leading key. Boundary computation
+        is one approxQuantile pass per column (sampled, driver gets
+        ≤2^bits scalars); the rewrite is one range-shuffle — the same
+        cost shape as Delta's OPTIMIZE."""
+        df = self.read()
+        if not zorder_by:
+            return self.overwrite(df)
+        n_files = target_files or max(
+            8, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+        qs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        buckets = []
+        for c in zorder_by:
+            dt = dict(df.dtypes)[c]
+            num = (
+                F.col(c).cast("double")
+                if dt not in ("date", "timestamp", "timestamp_ntz")
+                else F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+            )
+            probe = df.select(num.alias("__q")).where(F.col("__q").isNotNull())
+            bounds = sorted(set(probe.stat.approxQuantile("__q", qs, 0.01)))
+            arr = F.array([F.lit(float(b)) for b in bounds])
+            # bucket = #boundaries strictly below the value; NULL → 0
+            buckets.append(
+                F.size(F.filter(arr, lambda b: b < num)).cast("long")
+            )
+        k = len(buckets)
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for j, b in enumerate(buckets):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                        bit * k + (k - 1 - j),
+                    )
+                )
+        cols = [f.name for f in (self.schema or df.schema).fields]
+        ordered = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .select(*cols)
+        )
+        # sort=False: the Z-order IS the layout; sort_columns would undo it
+        return self._stage_and_commit(ordered, replace_all=True, sort=False)
 
     def history(self) -> list[dict]:
         """Version history from the manifests still on disk (newest

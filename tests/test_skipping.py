@@ -1,0 +1,226 @@
+"""Data skipping + Z-order for ManagedTable (Delta parity: footer
+min/max stats collected at commit, consulted by ``scan``; OPTIMIZE
+ZORDER BY via ``compact(zorder_by=…)``).
+
+The contract under test is the Delta one: stats may only REMOVE I/O —
+``scan(filters)`` must be row-identical to ``read().filter(expr)`` for
+every supported filter shape, on every layout (fresh write, merged
+table, evolved schema, pre-stats legacy manifest, all-null files).
+"""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, name="sk", **kw):
+    return ManagedTable(spark, name, str(tmp_path / name), **kw)
+
+
+def _base_df(spark, n=20000):
+    return spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 500).alias("a"),
+        F.pmod(F.hash("id"), F.lit(500)).alias("b"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 365).cast("int")).alias("d"),
+        F.when(F.col("id") % 7 == 0, None)
+         .otherwise(F.concat(F.lit("u"), (F.col("id") % 97).cast("string")))
+         .alias("s"),
+    )
+
+
+def _assert_scan_equals_filter(t, df, filters, expr):
+    got = sorted(t.scan(filters).collect())
+    exp = sorted(df.filter(expr).collect())
+    assert got == exp
+
+
+def test_stats_written_and_range_scan_prunes(spark, tmp_path):
+    df = _base_df(spark)
+    t = _mk(spark, tmp_path)
+    # range-partition on id so per-file id bounds are disjoint
+    t.overwrite(df.repartitionByRange(8, "id"))
+    rep = t.skipping_report([("id", "between", 100, 300)])
+    assert rep["files_total"] == 8
+    assert rep["files_kept"] == 1
+    _assert_scan_equals_filter(
+        t, df, [("id", "between", 100, 300)], F.col("id").between(100, 300)
+    )
+    # every supported op round-trips
+    cases = [
+        ([("id", "=", 12345)], F.col("id") == 12345),
+        ([("id", "<", 50)], F.col("id") < 50),
+        ([("id", "<=", 50)], F.col("id") <= 50),
+        ([("id", ">", 19950)], F.col("id") > 19950),
+        ([("id", ">=", 19950)], F.col("id") >= 19950),
+        ([("id", "in", [1, 2, 19999])], F.col("id").isin(1, 2, 19999)),
+        ([("s", "is_null")], F.col("s").isNull()),
+        ([("s", "is_not_null")], F.col("s").isNotNull()),
+        (
+            [("id", ">=", 1000), ("a", "<", 10)],
+            (F.col("id") >= 1000) & (F.col("a") < 10),
+        ),
+    ]
+    for filters, expr in cases:
+        _assert_scan_equals_filter(t, df, filters, expr)
+
+
+def test_point_lookups_prune_most_files(spark, tmp_path):
+    df = _base_df(spark)
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(8, "id"))
+    for probe in (0, 9999, 19999):
+        rep = t.skipping_report([("id", "=", probe)])
+        assert rep["files_kept"] == 1, probe
+    # out-of-range probe: nothing to read, result still correct (empty)
+    rep = t.skipping_report([("id", ">", 10**9)])
+    assert rep["files_kept"] == 0
+    assert t.scan([("id", ">", 10**9)]).count() == 0
+
+
+def test_date_range_prunes_after_sorting_layout(spark, tmp_path):
+    df = _base_df(spark)
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(8, "d"))
+    lo = datetime.date(2024, 12, 1)
+    rep = t.skipping_report([("d", ">=", lo)])
+    assert rep["files_kept"] < rep["files_total"]
+    _assert_scan_equals_filter(
+        t, df, [("d", ">=", lo)], F.col("d") >= F.lit("2024-12-01").cast("date")
+    )
+
+
+def test_string_bounds_prune(spark, tmp_path):
+    df = _base_df(spark).withColumn(
+        "tag", F.concat(F.lit("k"), F.lpad((F.col("id") % 26).cast("string"), 2, "0"))
+    )
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(8, "tag"))
+    rep = t.skipping_report([("tag", "=", "k13")])
+    assert rep["files_kept"] < rep["files_total"]
+    _assert_scan_equals_filter(t, df, [("tag", "=", "k13")], F.col("tag") == "k13")
+
+
+def test_merge_carries_stats_for_untouched_partitions(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    df = _base_df(spark, 4000).withColumn("y", (F.col("id") % 4).cast("int"))
+    t = _mk(spark, tmp_path, partition_columns=["y"])
+    t.overwrite(df)
+    before = t.skipping_report([("id", "<", 0)])
+    assert before["files_kept"] == 0  # every file has id >= 0
+    # keyed upsert touching only partition y=1; y=0/2/3 files carry over
+    src = (
+        spark.range(4000, 4100)
+        .select(
+            F.col("id"), (F.col("id") % 500).alias("a"),
+            F.pmod(F.hash("id"), F.lit(500)).alias("b"),
+            F.lit(datetime.date(2025, 6, 1)).alias("d"),
+            F.lit("new").alias("s"), F.lit(1).alias("y"),
+        )
+    )
+    t.merge_upsert(src, key_columns=["id", "y"])
+    after = t.skipping_report([])
+    assert after["rows_total"] == 4100
+    # negative-range probe still proves emptiness across old + new files
+    assert t.skipping_report([("id", "<", 0)])["files_kept"] == 0
+    # the new rows are findable and pruning keeps only their files
+    rep = t.skipping_report([("id", ">=", 4000)])
+    assert 0 < rep["files_kept"] < rep["files_total"]
+    assert t.scan([("id", ">=", 4000)]).count() == 100
+
+
+def test_all_null_file_skipped_for_comparisons(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(3, None), (4, None)], "id long, v string")
+    t.overwrite(a.coalesce(1))
+    t.merge_insert_only(b.coalesce(1))
+    assert t.skipping_report([])["files_total"] == 2
+    # comparison can never match the all-null-v file
+    assert t.skipping_report([("v", "=", "x")])["files_kept"] == 1
+    # is_null keeps only the file that HAS nulls
+    assert t.skipping_report([("v", "is_null")])["files_kept"] == 1
+    assert sorted(r.id for r in t.scan([("v", "is_null")]).collect()) == [3, 4]
+    assert t.skipping_report([("v", "is_not_null")])["files_kept"] == 1
+
+
+def test_legacy_manifest_without_stats_never_skips(spark, tmp_path):
+    df = _base_df(spark, 2000)
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(4, "id"))
+    # simulate a manifest written before stats existed
+    mpath = t._manifest_path(t.current_version())
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("stats")
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t2 = ManagedTable(spark, t.name, t.location)
+    rep = t2.skipping_report([("id", "=", 5)])
+    assert rep["files_kept"] == rep["files_total"]  # unprunable, not wrong
+    _assert_scan_equals_filter(t2, df, [("id", "=", 5)], F.col("id") == 5)
+
+
+def test_scan_after_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.merge_insert_only(
+        spark.createDataFrame([(3, "c", 9.5)], "id long, v string, score double"),
+        merge_schema=True,
+    )
+    # old files have no 'score' stats → unprunable for it → kept,
+    # null-filled by the widened read schema; predicate still exact
+    rows = t.scan([("score", "is_null")]).collect()
+    assert sorted(r.id for r in rows) == [1, 2]
+    rows = t.scan([("score", ">", 9.0)]).collect()
+    assert [r.id for r in rows] == [3]
+
+
+def test_zorder_compact_improves_two_column_pruning(spark, tmp_path):
+    df = _base_df(spark)
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(16, "id"))
+    q = [("a", "between", 0, 40), ("b", "between", 0, 40)]
+    before = t.skipping_report(q)
+    assert before["files_kept"] == before["files_total"]  # a,b random per file
+    t.compact(zorder_by=["a", "b"], target_files=16)
+    after = t.skipping_report(q)
+    assert after["files_total"] == 16
+    assert after["files_kept"] <= before["files_kept"] // 2
+    _assert_scan_equals_filter(
+        t, df, q, F.col("a").between(0, 40) & F.col("b").between(0, 40)
+    )
+    # full content unchanged by the rewrite
+    assert sorted(t.read().collect()) == sorted(df.collect())
+
+
+def test_zorder_handles_date_column_and_nulls(spark, tmp_path):
+    df = _base_df(spark, 5000).withColumn(
+        "d2", F.when(F.col("id") % 11 == 0, None).otherwise(F.col("d"))
+    )
+    t = _mk(spark, tmp_path)
+    t.overwrite(df.repartitionByRange(8, "id"))
+    t.compact(zorder_by=["d2", "a"], target_files=8)
+    assert sorted(t.read().collect()) == sorted(df.collect())
+    q = [("d2", ">=", datetime.date(2024, 11, 1)), ("a", "<", 50)]
+    rep = t.skipping_report(q)
+    assert rep["files_kept"] < rep["files_total"]
+    _assert_scan_equals_filter(
+        t, df, q,
+        (F.col("d2") >= F.lit("2024-11-01").cast("date")) & (F.col("a") < 50),
+    )
+
+
+def test_bad_filters_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError):
+        t.scan([("id", "like", "x")])
+    with pytest.raises(ValueError):
+        t.scan([("id",)])

@@ -38,6 +38,8 @@ from databricks_data_warehouse_spark.queries._util import rnd_sql as _util_rnd_s
 from databricks_data_warehouse_spark.queries import (
     aggregates,
     dashboard,
+    managed_scan,
+    stats,
     gold,
     ops,
     tpch,
@@ -56,9 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 prefix (VERDICT r05 item 3, adjusted for this round's
     edits — a green on CHANGED code is the durable record, so files
     round 6 touched outrank merely-old greens):
-    (a) the 7 never-driver-checked entries: the 6 r05 additions the
+    (a) the 10 never-driver-checked entries: the 6 r05 additions the
         judge hand-verified (a driver green row is still wanted) plus
-        text_word_bigrams, new this round;
+        the 4 new this round (text_word_bigrams, stats_corr_price_qty,
+        stats_delay_regression, table_zorder_scan);
     (b) the 12 entries whose code or oracle SQL round 6 changed:
         dedup_clusters/dedup_keep_canonical (checkpoint-release in
         connected_components), stream_ingest_managed_table +
@@ -95,6 +98,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 6: the UDTF demo's JVM-side production shape
         # (split/zip_with/posexplode — VERDICT r05 item 8); same oracle
         "text_word_bigrams": udf_ext.word_bigrams_builtin,
+        # NEW round 6: exact-integer statistical aggregates (corr/covar/
+        # least-squares) and the ManagedTable data-skipping probe
+        # (write → OPTIMIZE ZORDER → stats-pruned scan ≡ SQL filter)
+        "stats_corr_price_qty": stats.stats_corr_price_qty,
+        "stats_delay_regression": stats.stats_delay_regression,
+        "table_zorder_scan": managed_scan.table_zorder_scan,
         # ====== (b) code or oracle changed in round 6 ======================
         # connected_components now releases superseded checkpoint blocks
         "dedup_clusters": dedup.near_dup_clusters,
@@ -466,6 +475,81 @@ def oracle_sql() -> dict[str, str]:
         for code, arr in _LANG_SQL_MARKERS.items()
     )
     return {
+        # ------------------------------------------- stats (round 6)
+        # exact integer sufficient statistics (HUGEINT here,
+        # decimal(38,0) on the Spark side) assembled into corr/covar/
+        # slope in IEEE doubles at the very end — bit-identical inputs,
+        # bit-identical doubles, rnd-floored for belt and braces
+        "stats_corr_price_qty": f"""
+            WITH base AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+                FROM lineitem
+            ),
+            s AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       CAST(SUM(y * y) AS HUGEINT) AS syy
+                FROM base GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_items,
+                   {_util_rnd_sql(
+                       "CAST(n*sxy - sx*sy AS DOUBLE)"
+                       " / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+                       " * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))", 6)}
+                       AS corr_qty_price,
+                   {_util_rnd_sql(
+                       "CAST(n*sxy - sx*sy AS DOUBLE)"
+                       " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))"
+                       " / 10000", 4)} AS covar_qty_price
+            FROM s ORDER BY l_returnflag
+        """,
+        "stats_delay_regression": f"""
+            WITH base AS (
+                SELECT o.o_orderpriority,
+                       CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) AS BIGINT) AS y
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            s AS (
+                SELECT o_orderpriority,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                       CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                       CAST(SUM(y * y) AS HUGEINT) AS syy
+                FROM base GROUP BY o_orderpriority
+            ),
+            d AS (
+                SELECT o_orderpriority, CAST(n AS BIGINT) AS n_items,
+                       CAST(n*sxy - sx*sy AS DOUBLE) AS cov,
+                       CAST(n*sxx - sx*sx AS DOUBLE) AS varx,
+                       CAST(n*syy - sy*sy AS DOUBLE) AS vary,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd,
+                       CAST(n AS DOUBLE) AS nd
+                FROM s
+            )
+            SELECT o_orderpriority, n_items,
+                   {_util_rnd_sql("(cov / varx) * 100", 6)}
+                       AS slope_days_per_unit,
+                   {_util_rnd_sql("(syd - (cov / varx) * sxd) / nd", 6)}
+                       AS intercept_days,
+                   {_util_rnd_sql(
+                       "(cov / (sqrt(varx) * sqrt(vary)))"
+                       " * (cov / (sqrt(varx) * sqrt(vary)))", 6)} AS r2
+            FROM d ORDER BY o_orderpriority
+        """,
+        # the stats-pruned ManagedTable scan must equal the plain filter
+        "table_zorder_scan": managed_scan.table_zorder_scan_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

@@ -1,0 +1,84 @@
+"""Oracle-checkable end-to-end exercise of the ManagedTable data-
+skipping path: land a fact table, OPTIMIZE ZORDER it, answer a
+two-column range probe through ``scan`` — and prove the pruned read is
+row-identical to the plain SQL filter the DuckDB oracle runs.
+
+This is the read-side half of the Delta parity story
+(Bronze-Ingestion-Customers.py:40-58 writes Delta; Delta's reader then
+data-skips on the transaction-log stats). At 100 TB the same probe
+touches the handful of files whose Z-range intersects the predicate
+box instead of the whole table; here the pytest side
+(tests/test_skipping.py) asserts the file-count drop while this entry
+pins the value-level correctness cross-engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import ManagedTable
+from ._util import load
+
+# fixed probe box — valid (and selective) at every sf
+_CUST_LO, _CUST_HI = 100, 220
+_PRICE_LO, _PRICE_HI = 50_000.0, 200_000.0
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        if os.path.isdir(src):
+            fp = str(
+                sorted(
+                    (n, os.stat(os.path.join(src, n)).st_mtime_ns)
+                    for n in os.listdir(src)
+                )
+            )
+        else:
+            st = os.stat(src)
+            fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "missing"
+    return hashlib.md5(f"{src}|{fp}|zorder=custkey,totalprice".encode()).hexdigest()[:10]
+
+
+def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders landed into a ManagedTable, Z-ordered on (o_custkey,
+    o_totalprice), probed with a 2-D range via the stats-pruned
+    ``scan``. Returns the matching rows — hash-equal to ``SELECT …
+    WHERE`` on the raw parquet, because skipping may only remove I/O.
+
+    The table build (write + OPTIMIZE ZORDER) is cached per corpus
+    fingerprint, mirroring how a real deployment optimizes once and
+    probes many times; a re-run therefore measures the probe, not the
+    landing.
+    """
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"zorder_tbl_{h}")
+    table = ManagedTable(spark, f"orders_z_{h}", loc)
+    if table.current_version() < 1:
+        orders = load(spark, sf_dir, "orders")
+        table.overwrite(orders)
+        table.compact(zorder_by=["o_custkey", "o_totalprice"], target_files=16)
+    probe = [
+        ("o_custkey", "between", _CUST_LO, _CUST_HI),
+        ("o_totalprice", "between", _PRICE_LO, _PRICE_HI),
+    ]
+    return table.scan(probe).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def table_zorder_scan_oracle() -> str:
+    return f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_custkey BETWEEN {_CUST_LO} AND {_CUST_HI}
+          AND o_totalprice BETWEEN {_PRICE_LO} AND {_PRICE_HI}
+    """

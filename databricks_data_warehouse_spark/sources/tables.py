@@ -104,6 +104,18 @@ def _comparable(a, b) -> bool:
     )
 
 
+def _write_root(path: str) -> str:
+    """The ``…data/w=<N>`` prefix of a manifest path — the basePath for
+    hive partition-column recovery. Works for both the usual
+    location-relative paths and the absolute paths a shallow clone's
+    manifest holds."""
+    parts = path.split("/")
+    for i, p in enumerate(parts):
+        if p.startswith("w=") and i > 0 and parts[i - 1] == "data":
+            return "/".join(parts[: i + 1])
+    return os.path.dirname(path) or path
+
+
 class ManagedTable:
     """A named, partitioned, versioned parquet table."""
 
@@ -137,6 +149,9 @@ class ManagedTable:
         self.retain_versions = retain_versions
         if self.schema is None:
             self.schema = self._load_schema()
+        # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity):
+        # name -> SQL boolean expression, enforced on every write
+        self.constraints: dict[str, str] = self._load_constraints()
 
     # ------------------------------------------------------------------ meta
     @property
@@ -179,6 +194,78 @@ class ManagedTable:
             return None
         with open(self._schema_path) as f:
             return StructType.fromJson(json.loads(f.read()))
+
+    @property
+    def _constraints_path(self) -> str:
+        return os.path.join(self.location, "_CONSTRAINTS")
+
+    def _save_constraints(self) -> None:
+        os.makedirs(self.location, exist_ok=True)
+        tmp = self._constraints_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(self.constraints, sort_keys=True))
+        os.replace(tmp, self._constraints_path)
+
+    def _load_constraints(self) -> dict[str, str]:
+        if not os.path.exists(self._constraints_path):
+            return {}
+        with open(self._constraints_path) as f:
+            return json.loads(f.read())
+
+    def add_constraint(self, name: str, expression: str) -> None:
+        """Delta ``ALTER TABLE … ADD CONSTRAINT name CHECK (expr)``:
+        the expression must hold for every EXISTING row (verified now,
+        one scan) and is enforced on every subsequent write — a staged
+        batch containing a violating row aborts before the commit, so
+        no version ever contains it. SQL CHECK semantics: NULL passes,
+        only ``expr IS FALSE`` violates."""
+        if self.exists() and self.current_version() >= 0:
+            bad = (
+                self.read()
+                .filter(~F.coalesce(F.expr(expression), F.lit(True)))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"table {self.name}: existing rows violate CHECK "
+                    f"constraint {name!r} ({expression})"
+                )
+        self.constraints[name] = expression
+        self._save_constraints()
+
+    def drop_constraint(self, name: str) -> None:
+        self.constraints.pop(name, None)
+        self._save_constraints()
+
+    def _enforce_constraints(self, write_dir: str) -> None:
+        """Validate a staged write against all CHECK constraints in ONE
+        columnar pass over the staged files (footer-pruned scan of just
+        this batch, never the table); raise before the commit if any
+        row violates — the transaction aborts with no version written,
+        exactly Delta's write-time enforcement."""
+        if not self.constraints:
+            return
+        staged = self.spark.read.parquet(write_dir)
+        names = sorted(self.constraints)
+        flags = [
+            F.sum(
+                (~F.coalesce(F.expr(self.constraints[n]), F.lit(True)))
+                .cast("long")
+            ).alias(n)
+            for n in names
+        ]
+        counts = staged.agg(*flags).collect()[0].asDict()
+        bad = {n: c for n, c in counts.items() if c}
+        if bad:
+            shutil.rmtree(write_dir, ignore_errors=True)
+            detail = ", ".join(
+                f"{n!r} ({self.constraints[n]}): {c} rows" for n, c in bad.items()
+            )
+            raise ValueError(
+                f"table {self.name}: write violates CHECK constraint(s) "
+                f"{detail}; transaction aborted, no version committed"
+            )
 
     def _read_manifest(self, version: int) -> dict[str, str]:
         path = self._manifest_path(version)
@@ -256,9 +343,7 @@ class ManagedTable:
         # (and compact() collapses them to one).
         groups: dict[str, list[str]] = {}
         for rel in entries.values():
-            parts = rel.split("/")
-            wroot = "/".join(parts[:2])  # data/w=<N>
-            groups.setdefault(wroot, []).append(rel)
+            groups.setdefault(_write_root(rel), []).append(rel)
         scans = []
         for wroot, rels in sorted(groups.items()):
             reader = self.spark.read.schema(self.schema).option(
@@ -385,6 +470,7 @@ class ManagedTable:
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
         writer.parquet(write_dir)
+        self._enforce_constraints(write_dir)
         staged = self._walk_staged(write_dir, write_rel)
         if replace_all or v_new == 0:
             entries = staged
@@ -436,6 +522,8 @@ class ManagedTable:
         bounds with non-null rows)."""
         rows = stat.get("rows", 0)
         cols = stat.get("cols", {})
+        if rows == 0 and filters:
+            return False  # a zero-row file (empty write task) has nothing
         for col, op, *rest in filters:
             cs = cols.get(col)
             if cs is None:
@@ -560,8 +648,7 @@ class ManagedTable:
             return df.filter(cond) if cond is not None else df
         groups: dict[str, list[str]] = {}
         for rel in paths:
-            wroot = "/".join(rel.split("/")[:2])  # data/w=<N>
-            groups.setdefault(wroot, []).append(rel)
+            groups.setdefault(_write_root(rel), []).append(rel)
         scans = []
         for wroot, rels in sorted(groups.items()):
             reader = self.spark.read.schema(self.schema).option(
@@ -662,7 +749,7 @@ class ManagedTable:
                 continue
             v = int(entry[len(_MANIFEST_PREFIX):])
             entries = self._read_manifest(v)
-            roots = {"/".join(rel.split("/")[:2]) for rel in entries.values()}
+            roots = {_write_root(rel) for rel in entries.values()}
             out.append(
                 {"version": v, "partitions": len(entries), "write_roots": len(roots)}
             )
@@ -682,6 +769,63 @@ class ManagedTable:
             if self.exists()
             else 0,
         }
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE … TO VERSION AS OF``: make an old
+        snapshot current again via a NEW metadata-only commit that
+        references the old manifest's entries and stats — history moves
+        forward (the bad versions stay inspectable until vacuum), no
+        data files are copied or rewritten. The current (possibly
+        evolved) schema is kept: old files read back with appended
+        columns null-filled, same as any post-evolution snapshot read."""
+        entries = self._read_manifest(version)
+        stats = self._read_stats(version)
+        v_new = self.current_version() + 1
+        self._save_schema()
+        self._write_manifest(v_new, entries, stats)
+        self._commit(v_new)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
+        return v_new
+
+    def clone(self, name: str, location: str) -> "ManagedTable":
+        """Delta SHALLOW CLONE: a new independent table whose first
+        manifest references the source's CURRENT data files by absolute
+        path — metadata-only, zero bytes copied, O(manifest) time at any
+        table size. The clone evolves independently (its own versions,
+        merges, constraints); files it writes later are its own.
+        ``vacuum()`` on the clone never deletes source-owned files (the
+        path-containment guard skips anything outside the clone's
+        location), mirroring Delta's rule that vacuuming a shallow
+        clone leaves the source intact."""
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        entries = {
+            k: os.path.join(self.location, rel)
+            for k, rel in self._read_manifest(v).items()
+        }
+        stats = {
+            os.path.join(self.location, f): s
+            for f, s in self._read_stats(v).items()
+        }
+        out = ManagedTable(
+            self.spark,
+            name,
+            location,
+            schema=self.schema,
+            partition_columns=self.partition_columns,
+            sort_columns=self.sort_columns,
+            retain_versions=self.retain_versions,
+        )
+        if out.exists():
+            raise FileExistsError(f"table {name}: already exists at {location}")
+        out.constraints = dict(self.constraints)
+        out._save_constraints()
+        out._save_schema()
+        out._write_manifest(0, entries, stats)
+        out._commit(0)
+        return out
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Delta Change-Data-Feed analogue: the row-level content diff
@@ -729,8 +873,14 @@ class ManagedTable:
         dead: set[str] = set()
         for v in dropped_manifests:
             dead |= set(self._read_manifest(v).values())
+        own_root = os.path.realpath(self.location) + os.sep
         for rel in dead - referenced:
-            shutil.rmtree(os.path.join(self.location, rel), ignore_errors=True)
+            target = os.path.join(self.location, rel)
+            # containment guard: a shallow clone's manifest references
+            # source-owned absolute paths — never delete those
+            if not os.path.realpath(target).startswith(own_root):
+                continue
+            shutil.rmtree(target, ignore_errors=True)
         for v in dropped_manifests:
             os.remove(self._manifest_path(v))
         # prune now-empty write roots

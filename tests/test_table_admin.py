@@ -1,0 +1,131 @@
+"""RESTORE / SHALLOW CLONE / CHECK constraints — the Delta table-admin
+surface (Delta RESTORE TABLE, CREATE TABLE … SHALLOW CLONE, ALTER TABLE
+ADD CONSTRAINT) over the manifest-MVCC ManagedTable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, amt double")
+
+
+def test_restore_moves_history_forward(spark, tmp_path):
+    t = ManagedTable(spark, "r", str(tmp_path / "r"))
+    t.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))      # v0
+    t.merge_upsert(_df(spark, [(2, "BAD", -9.0)]), key_columns=["id"])  # v1
+    assert {r.v for r in t.read().collect()} == {"a", "BAD"}
+    v = t.restore(0)                                             # v2 == v0
+    assert v == 2
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, "a"), (2, "b")]
+    # the bad version stays inspectable (history moves forward)
+    assert {r.v for r in t.read(1).collect()} == {"a", "BAD"}
+    # restore carries stats: pruning still proves emptiness
+    assert t.skipping_report([("id", ">", 100)])["files_kept"] == 0
+
+
+def test_restore_keeps_evolved_schema(spark, tmp_path):
+    t = ManagedTable(spark, "re", str(tmp_path / "re"))
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t.merge_insert_only(
+        spark.createDataFrame([(9, "z", 3.0, "x@y")], "id long, v string, amt double, email string"),
+        merge_schema=True,
+    )
+    t.restore(0)
+    df = t.read()
+    assert df.columns == ["id", "v", "amt", "email"]
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].email is None
+
+
+def test_shallow_clone_is_metadata_only_and_independent(spark, tmp_path):
+    src = ManagedTable(spark, "src", str(tmp_path / "src"))
+    src.overwrite(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    clone = src.clone("dst", str(tmp_path / "dst"))
+    assert sorted(clone.read().collect()) == sorted(src.read().collect())
+    # no data files under the clone's location — manifest only
+    import os
+    assert not os.path.isdir(os.path.join(clone.location, "data"))
+    # diverge: writes to the clone don't touch the source and vice versa
+    clone.merge_insert_only(_df(spark, [(3, "c", 3.0)]))
+    src.merge_insert_only(_df(spark, [(4, "d", 4.0)]))
+    assert {r.id for r in clone.read().collect()} == {1, 2, 3}
+    assert {r.id for r in src.read().collect()} == {1, 2, 4}
+    # skipping works through the cloned absolute-path stats
+    assert clone.skipping_report([("id", "=", 3)])["files_kept"] >= 1
+    assert sorted(r.id for r in clone.scan([("id", "<", 3)]).collect()) == [1, 2]
+
+
+def test_vacuum_on_clone_never_deletes_source_files(spark, tmp_path):
+    src = ManagedTable(spark, "src2", str(tmp_path / "src2"))
+    src.overwrite(_df(spark, [(1, "a", 1.0)]))
+    clone = src.clone("dst2", str(tmp_path / "dst2"))
+    # push the clone far enough ahead that v0's entries leave retention
+    for i in range(2, 6):
+        clone.overwrite(_df(spark, [(i, "x", float(i))]))
+    clone.vacuum(keep=1)
+    # source still fully readable — its files were never touched
+    assert [r.id for r in src.read().collect()] == [1]
+    assert [r.id for r in clone.read().collect()] == [5]
+
+
+def test_clone_refuses_to_overwrite_existing_table(spark, tmp_path):
+    src = ManagedTable(spark, "src3", str(tmp_path / "src3"))
+    src.overwrite(_df(spark, [(1, "a", 1.0)]))
+    src.clone("dst3", str(tmp_path / "dst3"))
+    with pytest.raises(FileExistsError):
+        src.clone("dst3", str(tmp_path / "dst3"))
+
+
+def test_check_constraint_blocks_bad_writes_atomically(spark, tmp_path):
+    t = ManagedTable(spark, "c", str(tmp_path / "c"))
+    t.overwrite(_df(spark, [(1, "a", 5.0)]))
+    t.add_constraint("amt_positive", "amt > 0")
+    t.add_constraint("v_nonempty", "length(v) > 0")
+    v_before = t.current_version()
+    with pytest.raises(ValueError, match="amt_positive"):
+        t.merge_insert_only(_df(spark, [(2, "b", -1.0)]))
+    # aborted transaction: no version committed, table unchanged
+    assert t.current_version() == v_before
+    assert [r.id for r in t.read().collect()] == [1]
+    # a clean write still goes through
+    t.merge_insert_only(_df(spark, [(3, "c", 7.0)]))
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    t = ManagedTable(spark, "cn", str(tmp_path / "cn"))
+    t.overwrite(_df(spark, [(1, "a", 5.0)]))
+    t.add_constraint("amt_positive", "amt > 0")
+    # SQL CHECK: NULL predicate passes (only FALSE violates)
+    t.merge_insert_only(
+        spark.createDataFrame([(2, "b", None)], "id long, v string, amt double")
+    )
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    t = ManagedTable(spark, "cv", str(tmp_path / "cv"))
+    t.overwrite(_df(spark, [(1, "a", -5.0)]))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("amt_positive", "amt > 0")
+    # constraint was NOT installed
+    assert "amt_positive" not in t.constraints
+    t2 = ManagedTable(spark, "cv", t.location)
+    assert t2.constraints == {}
+
+
+def test_constraints_persist_and_clone_inherits(spark, tmp_path):
+    t = ManagedTable(spark, "cp", str(tmp_path / "cp"))
+    t.overwrite(_df(spark, [(1, "a", 5.0)]))
+    t.add_constraint("amt_positive", "amt > 0")
+    # fresh handle reloads from disk
+    t2 = ManagedTable(spark, "cp", t.location)
+    assert t2.constraints == {"amt_positive": "amt > 0"}
+    clone = t.clone("cp2", str(tmp_path / "cp2"))
+    with pytest.raises(ValueError, match="amt_positive"):
+        clone.merge_insert_only(_df(spark, [(2, "b", -1.0)]))
+    t.drop_constraint("amt_positive")
+    assert ManagedTable(spark, "cp", t.location).constraints == {}

@@ -58,10 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 prefix (VERDICT r05 item 3, adjusted for this round's
     edits — a green on CHANGED code is the durable record, so files
     round 6 touched outrank merely-old greens):
-    (a) the 10 never-driver-checked entries: the 6 r05 additions the
+    (a) the 11 never-driver-checked entries: the 6 r05 additions the
         judge hand-verified (a driver green row is still wanted) plus
-        the 4 new this round (text_word_bigrams, stats_corr_price_qty,
-        stats_delay_regression, table_zorder_scan);
+        the 5 new this round (text_word_bigrams, stats_corr_price_qty,
+        stats_delay_regression, table_zorder_scan,
+        stream_gold_counts_table);
     (b) the 12 entries whose code or oracle SQL round 6 changed:
         dedup_clusters/dedup_keep_canonical (checkpoint-release in
         connected_components), stream_ingest_managed_table +
@@ -104,6 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corr_price_qty": stats.stats_corr_price_qty,
         "stats_delay_regression": stats.stats_delay_regression,
         "table_zorder_scan": managed_scan.table_zorder_scan,
+        # NEW round 6: incremental Gold — additive per-key aggregates
+        # maintained across micro-batches with txn-watermark
+        # exactly-once (Delta txnAppId parity); equals the batch
+        # GROUP BY over all events
+        "stream_gold_counts_table": streaming.stream_gold_counts_table,
         # ====== (b) code or oracle changed in round 6 ======================
         # connected_components now releases superseded checkpoint blocks
         "dedup_clusters": dedup.near_dup_clusters,
@@ -550,6 +556,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the stats-pruned ManagedTable scan must equal the plain filter
         "table_zorder_scan": managed_scan.table_zorder_scan_oracle(),
+        # additive micro-batch merging must reconstruct the global
+        # GROUP BY exactly (integer cents, txn-watermark exactly-once)
+        "stream_gold_counts_table": """
+            SELECT event_type,
+                   CAST(CAST(CAST(CAST(ts AS TIMESTAMP_NS) AS DATE)
+                        AS TIMESTAMP) AS TIMESTAMP_NS) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) / 100 AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

@@ -277,6 +277,28 @@ class ManagedTable:
         with open(path) as f:
             return json.loads(f.read())["entries"]
 
+    def _read_txn(self, version: int) -> dict[str, int]:
+        """Writer-transaction watermarks of a manifest (Delta txnAppId
+        analogue): ``{app_id: last applied epoch/batch id}``, recorded
+        ATOMICALLY with the commit that applied the batch — the basis
+        for exactly-once ADDITIVE sinks, where replaying a batch would
+        double-apply (an anti-join merge is self-idempotent; a running
+        aggregate is not)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.loads(f.read()).get("txn", {})
+
+    def last_txn(self, app_id: str) -> int:
+        """Highest batch/epoch id ``app_id`` has committed into the
+        CURRENT version, -1 if none — compare before applying a batch:
+        ``if table.last_txn(app) >= batch_id: skip``."""
+        v = self.current_version()
+        if v < 0:
+            return -1
+        return int(self._read_txn(v).get(app_id, -1))
+
     def _read_stats(self, version: int) -> dict[str, dict]:
         """Per-file column stats of a manifest (``{rel_file: {"rows": n,
         "cols": {col: [min, max, null_count]}}}``). Manifests written
@@ -295,13 +317,18 @@ class ManagedTable:
         version: int,
         entries: Mapping[str, str],
         stats: Mapping[str, dict] | None = None,
+        txn: Mapping[str, int] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         tmp = self._manifest_path(version) + ".tmp"
         with open(tmp, "w") as f:
             f.write(
                 json.dumps(
-                    {"entries": dict(entries), "stats": dict(stats or {})},
+                    {
+                        "entries": dict(entries),
+                        "stats": dict(stats or {}),
+                        "txn": dict(txn or {}),
+                    },
                     sort_keys=True,
                 )
             )
@@ -451,7 +478,12 @@ class ManagedTable:
         return out
 
     def _stage_and_commit(
-        self, df: DataFrame, *, replace_all: bool, sort: bool = True
+        self,
+        df: DataFrame,
+        *,
+        replace_all: bool,
+        sort: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -488,8 +520,11 @@ class ManagedTable:
             if os.path.dirname(f) in kept_dirs
         }
         stats.update(self._collect_file_stats(write_dir))
+        txns = dict(self._read_txn(v_new - 1)) if v_new > 0 else {}
+        if txn is not None:
+            txns[txn[0]] = int(txn[1])
         self._save_schema()
-        self._write_manifest(v_new, entries, stats)
+        self._write_manifest(v_new, entries, stats, txns)
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -502,7 +537,10 @@ class ManagedTable:
         v_new = self.current_version() + 1
         self._save_schema()
         self._write_manifest(
-            v_new, self._read_manifest(v_new - 1), self._read_stats(v_new - 1)
+            v_new,
+            self._read_manifest(v_new - 1),
+            self._read_stats(v_new - 1),
+            self._read_txn(v_new - 1),
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -782,7 +820,10 @@ class ManagedTable:
         stats = self._read_stats(version)
         v_new = self.current_version() + 1
         self._save_schema()
-        self._write_manifest(v_new, entries, stats)
+        # txn watermarks move forward even through a restore — an
+        # additive sink must not re-apply batches the rolled-back
+        # versions had consumed
+        self._write_manifest(v_new, entries, stats, self._read_txn(v_new - 1))
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -1065,6 +1106,7 @@ class ManagedTable:
         source: DataFrame,
         key_columns: Sequence[str],
         merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """S7: keyed upsert — matched target rows replaced by source values,
         unmatched source rows inserted (Gold-*.py whenMatchedUpdate +
@@ -1078,6 +1120,15 @@ class ManagedTable:
 
         ``merge_schema`` evolves the table schema as in
         :meth:`merge_insert_only`.
+
+        ``txn=(app_id, batch_id)`` records a writer-transaction
+        watermark ATOMICALLY with the commit (Delta's ``txnAppId``/
+        ``txnVersion`` idempotent-writer option): an exactly-once
+        ADDITIVE sink checks ``last_txn(app_id) >= batch_id`` before
+        applying a batch, so a foreachBatch replay after a crash
+        cannot double-add. Requires the stream's batch numbering to be
+        deterministic for the app id — the same contract Delta
+        documents.
         """
         keys = list(key_columns)
         prev_schema = self.schema
@@ -1104,7 +1155,7 @@ class ManagedTable:
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
             merged = kept.unionByName(source.select(*target.columns))
-            return self._stage_and_commit(merged, replace_all=not scoped)
+            return self._stage_and_commit(merged, replace_all=not scoped, txn=txn)
         except BaseException:
             self.schema = prev_schema
             raise

@@ -1,7 +1,12 @@
 """Structured Streaming extensions (SURVEY.md §2.K: the reference is
 batch-only; these are the additive streaming surface over ``events``)."""
 
-from .bronze_stream import stream_bronze_ingest, stream_events_to_table
+from .bronze_stream import (
+    stream_bronze_ingest,
+    stream_events_to_table,
+    stream_gold_aggregate,
+    stream_gold_counts_table,
+)
 from .windows import (
     stream_click_purchase_join,
     stream_dedup_events,
@@ -16,6 +21,8 @@ from .windows import (
 __all__ = [
     "stream_bronze_ingest",
     "stream_events_to_table",
+    "stream_gold_aggregate",
+    "stream_gold_counts_table",
     "stream_click_purchase_join",
     "stream_dedup_events",
     "stream_enriched_counts",

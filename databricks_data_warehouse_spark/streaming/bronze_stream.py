@@ -21,6 +21,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import ManagedTable
 
@@ -141,3 +142,169 @@ def stream_events_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return table.read()
+
+
+_GOLD_APP_ID = "stream_gold_counts"
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, chunks: int = 2) -> str:
+    """Stage the events table as ``chunks`` separate parquet files with
+    ascending mtimes, so an availableNow drain with
+    ``maxFilesPerTrigger=1`` processes a DETERMINISTIC multi-batch
+    sequence — the shape a real incremental landing zone has, which a
+    single-file source (one giant batch) would never exercise. Staged
+    once per corpus fingerprint; ts is pre-converted to a micros
+    timestamp so the stream schema needs no nanos handling."""
+    import shutil as _shutil
+
+    from ..queries._util import load
+    from .windows import _scratch_root
+
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}" if os.path.isfile(src) else str(
+            sorted(os.listdir(src))
+        )
+    except OSError:
+        fp = "missing"
+    h = hashlib.md5(f"{src}|{fp}|chunks={chunks}".encode()).hexdigest()[:10]
+    d = os.path.join(_scratch_root(), f"gold_src_{h}")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    events = load(spark, sf_dir, "events")
+    os.makedirs(d, exist_ok=True)
+    for i in range(chunks):
+        part = events.filter(
+            F.pmod(F.abs(F.hash("event_id")), F.lit(chunks)) == i
+        )
+        tmp = os.path.join(d, f"_tmp_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src_file = next(
+            f for f in os.listdir(tmp)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        dst = os.path.join(d, f"chunk_{i}.parquet")
+        os.replace(os.path.join(tmp, src_file), dst)
+        _shutil.rmtree(tmp, ignore_errors=True)
+        # ascending mtimes pin the file-stream batch order
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    with open(done, "w") as f:
+        f.write(fp)
+    return d
+
+
+def stream_gold_aggregate(
+    spark: SparkSession,
+    source_dir: str,
+    table: ManagedTable,
+    checkpoint_dir: str,
+) -> ManagedTable:
+    """Streaming GOLD: maintain a per-(event_type, day) running
+    aggregate table from a micro-batched event stream — the reference's
+    Gold merge pattern (Gold-Orders-By-City.py:69-81) fed incrementally.
+
+    Each micro-batch is aggregated to per-key DELTAS (count + exact
+    integer-cents sum), added to the current table values, and
+    merge_upserted with ``txn=(app_id, batch_id)``. The txn watermark
+    commits ATOMICALLY with the data (Delta txnAppId parity), so a
+    replayed batch — crash between checkpoint write and sink commit,
+    or a full re-drain from a fresh checkpoint — is detected by
+    ``last_txn`` and skipped instead of double-added. Anti-join merges
+    are self-idempotent; ADDITIVE state needs exactly this watermark.
+
+    Scale: the shuffled data per batch is one row per touched key
+    (map-side partial aggregation), the join-back reads only the
+    current aggregate table (keys-sized, not events-sized), and the
+    table rewrite is aggregate-sized. Batch cost is O(batch + keys),
+    independent of total events ingested."""
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if table.exists() and table.last_txn(_GOLD_APP_ID) >= batch_id:
+            return  # replayed batch: already committed, skip
+        delta = (
+            batch_df.groupBy(
+                F.col("event_type"), F.to_date("ts").alias("day")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("value_cents"),
+            )
+        )
+        if not table.exists():
+            table.create_if_not_exists(delta.schema)
+        current = table.read().select(
+            F.col("event_type"),
+            F.col("day"),
+            F.col("n_events").alias("old_n"),
+            F.col("value_cents").alias("old_cents"),
+        )
+        combined = (
+            delta.join(current, on=["event_type", "day"], how="left")
+            .select(
+                "event_type",
+                "day",
+                (F.col("n_events") + F.coalesce(F.col("old_n"), F.lit(0))).alias(
+                    "n_events"
+                ),
+                (
+                    F.col("value_cents")
+                    + F.coalesce(F.col("old_cents"), F.lit(0))
+                ).alias("value_cents"),
+            )
+        )
+        table.merge_upsert(
+            combined, key_columns=["event_type", "day"],
+            txn=(_GOLD_APP_ID, batch_id),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
+def stream_gold_counts_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable incremental Gold: the events stream drained in
+    ≥2 deterministic micro-batches through :func:`stream_gold_aggregate`,
+    then the aggregate table read back. Hash-equal to the batch SQL
+    GROUP BY over the whole events table — additive merging across any
+    batch boundary reconstructs the global aggregate exactly (integer
+    cents, no float accumulation). A re-run replays every batch against
+    the cached table and the txn watermarks skip them all: the rerun
+    costs O(probe), and the values cannot drift."""
+    from .windows import _scratch_root
+
+    src_dir = _chunked_events_dir(spark, sf_dir, chunks=2)
+    h = hashlib.md5(f"{src_dir}|gold_v1".encode()).hexdigest()[:10]
+    table = ManagedTable(
+        spark,
+        f"gold_counts_{h}",
+        os.path.join(_scratch_root(), f"gold_tbl_{h}"),
+        retain_versions=2,
+    )
+    ckpt = os.path.join(
+        _scratch_root(), "ckpt", f"gold_tbl_{uuid.uuid4().hex[:8]}"
+    )
+    stream_gold_aggregate(spark, src_dir, table, ckpt)
+    return table.read().select(
+        "event_type",
+        # date→timestamp for the cross-engine compare (house convention:
+        # the oracle side emits TIMESTAMP_NS)
+        F.col("day").cast("timestamp").alias("day"),
+        "n_events",
+        (F.col("value_cents") / 100).alias("total_value"),
+    )

@@ -129,3 +129,68 @@ def test_constraints_persist_and_clone_inherits(spark, tmp_path):
         clone.merge_insert_only(_df(spark, [(2, "b", -1.0)]))
     t.drop_constraint("amt_positive")
     assert ManagedTable(spark, "cp", t.location).constraints == {}
+
+
+def test_txn_watermark_commits_with_data(spark, tmp_path):
+    t = ManagedTable(spark, "tx", str(tmp_path / "tx"))
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))
+    assert t.last_txn("app") == -1
+    t.merge_upsert(_df(spark, [(2, "b", 2.0)]), key_columns=["id"],
+                   txn=("app", 0))
+    assert t.last_txn("app") == 0
+    t.merge_upsert(_df(spark, [(3, "c", 3.0)]), key_columns=["id"],
+                   txn=("app", 1))
+    assert t.last_txn("app") == 1
+    # watermark is snapshot-scoped: the pre-txn version reads -1
+    assert int(t._read_txn(1).get("app", -1)) == 0
+    # survives a restore (forward-moving)
+    t.restore(1)
+    assert t.last_txn("app") == 1
+    # other writes carry the watermark untouched
+    t.merge_insert_only(_df(spark, [(9, "z", 9.0)]))
+    assert t.last_txn("app") == 1
+
+
+def test_stream_gold_aggregate_is_exactly_once_additive(spark, tmp_path):
+    from databricks_data_warehouse_spark.streaming import (
+        stream_gold_aggregate,
+    )
+
+    src = str(tmp_path / "land")
+    rows = [
+        (i, f"t{i % 2}", float(i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    import datetime as _dt
+    df = df.withColumn(
+        "ts",
+        F.lit(_dt.datetime(2024, 1, 1)) + F.make_interval(hours=F.col("event_id") % 48),
+    )
+    df.coalesce(2).write.parquet(src)
+    table = ManagedTable(spark, "g", str(tmp_path / "g"))
+    stream_gold_aggregate(spark, src, table, str(tmp_path / "ck1"))
+    first = {
+        (r.event_type, r.day): (r.n_events, r.value_cents)
+        for r in table.read().collect()
+    }
+    # exact totals: additive merging across micro-batches reconstructs
+    # the global aggregate
+    exp = {
+        (r.event_type, r.day): (r.n, r.c)
+        for r in df.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("c"))
+        .collect()
+    }
+    assert first == exp
+    # full re-drain from a FRESH checkpoint: every batch replays, the
+    # txn watermarks skip them all — no double-add, version unchanged
+    v = table.current_version()
+    stream_gold_aggregate(spark, src, table, str(tmp_path / "ck2"))
+    assert table.current_version() == v
+    second = {
+        (r.event_type, r.day): (r.n_events, r.value_cents)
+        for r in table.read().collect()
+    }
+    assert second == first

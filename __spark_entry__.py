@@ -58,11 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 prefix (VERDICT r05 item 3, adjusted for this round's
     edits — a green on CHANGED code is the durable record, so files
     round 6 touched outrank merely-old greens):
-    (a) the 11 never-driver-checked entries: the 6 r05 additions the
+    (a) the 12 never-driver-checked entries: the 6 r05 additions the
         judge hand-verified (a driver green row is still wanted) plus
-        the 5 new this round (text_word_bigrams, stats_corr_price_qty,
+        the 6 new this round (text_word_bigrams, stats_corr_price_qty,
         stats_delay_regression, table_zorder_scan,
-        stream_gold_counts_table);
+        stream_gold_counts_table, dedup_containment_pairs);
     (b) the 12 entries whose code or oracle SQL round 6 changed:
         dedup_clusters/dedup_keep_canonical (checkpoint-release in
         connected_components), stream_ingest_managed_table +
@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once (Delta txnAppId parity); equals the batch
         # GROUP BY over all events
         "stream_gold_counts_table": streaming.stream_gold_counts_table,
+        # NEW round 6: directed n-gram containment (doc-in-doc dup the
+        # symmetric Jaccard misses)
+        "dedup_containment_pairs": dedup.ngram_containment_pairs,
         # ====== (b) code or oracle changed in round 6 ======================
         # connected_components now releases superseded checkpoint blocks
         "dedup_clusters": dedup.near_dup_clusters,
@@ -474,6 +477,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, source, doc_a, doc_b, jaccard
             FROM scored WHERE jaccard >= 0.3
+        """
+    # directed-containment twin of ext/dedup.ngram_containment_pairs:
+    # same inverted index / df cap, denominator = SOURCE doc's
+    # surviving-gram count, both directions emitted
+    containment_pairs_sql = f"""
+            WITH grams_t AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(CASE WHEN len({_TOKS_NORM}) < 2 THEN []
+                           ELSE list_transform(range(1, len({_TOKS_NORM})),
+                                i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
+                           END) AS grams
+                FROM documents
+            ),
+            inv_raw AS (
+                SELECT doc_id, lang, source, unnest(grams) AS gram
+                FROM grams_t
+            ),
+            inv_df AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, source, gram)
+                           AS gram_df
+                FROM inv_raw
+            ),
+            inv AS (
+                SELECT doc_id, lang, source, gram,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n
+                FROM inv_df WHERE gram_df <= 1000
+            ),
+            scored AS (
+                SELECT a.lang, a.source,
+                       a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       floor(COUNT(*) / a.n * 10000 + 0.5) / 10000
+                           AS containment
+                FROM inv a
+                JOIN inv b ON a.lang = b.lang AND a.source = b.source
+                          AND a.gram = b.gram AND a.doc_id <> b.doc_id
+                GROUP BY a.lang, a.source, a.doc_id, b.doc_id, a.n
+            )
+            SELECT lang, source, doc_a, doc_b, containment
+            FROM scored WHERE containment >= 0.6
         """
     mh_cols = ",\n               ".join(_minhash_sql(j) for j in range(8))
     lang_scores = ",\n               ".join(
@@ -1811,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ht GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": ngram_pairs_sql,
+        "dedup_containment_pairs": containment_pairs_sql,
         "dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
                 SELECT doc_a, doc_b FROM ({ngram_pairs_sql})

@@ -415,3 +415,64 @@ def dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+def ngram_containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.6,
+    max_df: int = _MAX_GRAM_DF,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT near-dup: containment(a→b) =
+    |grams(a) ∩ grams(b)| / |grams(a)| within same-(lang, source)
+    blocks — the asymmetric companion to :func:`ngram_jaccard_pairs`.
+
+    Why it exists: Jaccard misses doc-in-doc duplication. A paragraph
+    pasted into a 10× longer page scores |∩|/|∪| ≈ 0.1 (invisible at
+    any usable Jaccard threshold) but containment(small→big) ≈ 1.0 —
+    exactly the boilerplate-envelope / quote-expansion case a training
+    corpus needs to catch (the same reason CCNet-style pipelines dedup
+    on containment, Broder's "containment" from the original resemblance
+    paper).
+
+    Same scale shape as the Jaccard join: blocked inverted index keyed
+    on (lang, source, gram), df-capped gram space (pair fan-out per
+    gram is df²), |∩| as a per-pair count — no per-pair array
+    intersection, nothing all-pairs. Emits BOTH directions of each
+    intersecting pair (a→b and b→a are different questions); the
+    denominator is the SOURCE doc's surviving-gram count, so the
+    stop-gram semantics stay self-consistent on both sides.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    toks = tokens(normalized_text(F.col("text")))
+    grams = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(word_ngrams(toks, 2)).alias("grams"),
+    )
+    inv = grams.select(
+        "doc_id", "lang", "source", F.explode("grams").alias("gram")
+    )
+    inv = (
+        inv.withColumn(
+            "df", F.count("*").over(Window.partitionBy("lang", "source", "gram"))
+        )
+        .where(F.col("df") <= max_df)
+        .drop("df")
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    a = inv.select(
+        "lang", "source", "gram",
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"),
+    )
+    b = inv.select(
+        "lang", "source", "gram", F.col("doc_id").alias("doc_b"),
+    )
+    return (
+        a.join(b, on=["lang", "source", "gram"])
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("lang", "source", "doc_a", "doc_b", "n_a")
+        .agg(F.count("*").alias("common"))
+        .withColumn("containment", rnd(F.col("common") / F.col("n_a"), 4))
+        .where(F.col("containment") >= threshold)
+        .select("lang", "source", "doc_a", "doc_b", "containment")
+    )

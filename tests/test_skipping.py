@@ -224,3 +224,31 @@ def test_bad_filters_raise(spark, tmp_path):
         t.scan([("id", "like", "x")])
     with pytest.raises(ValueError):
         t.scan([("id",)])
+
+
+def test_zorder_on_partitioned_table(spark, tmp_path):
+    """ZORDER under hive partitioning: rows route to their partition
+    dirs regardless of the Z-shuffle, every partition's files carry
+    stats, and scan composes partition recovery with file pruning."""
+    df = _base_df(spark, 8000).withColumn("y", (F.col("id") % 2).cast("int"))
+    t = _mk(spark, tmp_path, partition_columns=["y"])
+    t.overwrite(df)
+    t.compact(zorder_by=["a", "b"], target_files=8)
+    assert sorted(t.read().drop("y").collect()) == sorted(df.drop("y").collect())
+    q = [("a", "between", 0, 40), ("b", "between", 0, 40)]
+    rep = t.skipping_report(q)
+    assert rep["files_kept"] < rep["files_total"]
+    got = sorted(t.scan(q).drop("y").collect())
+    exp = sorted(
+        df.filter(F.col("a").between(0, 40) & F.col("b").between(0, 40))
+        .drop("y").collect()
+    )
+    assert got == exp
+    # partition-column predicate composes with stats pruning
+    got2 = sorted(t.scan(q + [("y", "=", 1)]).drop("y").collect())
+    exp2 = sorted(
+        df.filter(
+            F.col("a").between(0, 40) & F.col("b").between(0, 40) & (F.col("y") == 1)
+        ).drop("y").collect()
+    )
+    assert got2 == exp2

@@ -116,6 +116,13 @@ def _write_root(path: str) -> str:
     return os.path.dirname(path) or path
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this transaction was about
+    to claim (Delta's ConcurrentAppendException analogue). The losing
+    transaction's staged files are discarded; retry by re-running the
+    merge against the new current version."""
+
+
 class ManagedTable:
     """A named, partitioned, versioned parquet table."""
 
@@ -320,7 +327,8 @@ class ManagedTable:
         txn: Mapping[str, int] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
-        tmp = self._manifest_path(version) + ".tmp"
+        final = self._manifest_path(version)
+        tmp = final + f".tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(
                 json.dumps(
@@ -332,7 +340,21 @@ class ManagedTable:
                     sort_keys=True,
                 )
             )
-        os.replace(tmp, self._manifest_path(version))
+        # atomic claim: hard-link fails iff another writer already owns
+        # this version number — optimistic concurrency, the same
+        # first-writer-wins rule as Delta's log (its conditional PUT /
+        # O_EXCL log-entry create). The loser's staged data is dead
+        # weight a vacuum sweeps; nothing it wrote is ever visible.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"table {self.name}: version {version} was committed by "
+                "another writer; re-run the merge against the new current "
+                "version"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------------ DDL
     def create_if_not_exists(
@@ -524,7 +546,12 @@ class ManagedTable:
         if txn is not None:
             txns[txn[0]] = int(txn[1])
         self._save_schema()
-        self._write_manifest(v_new, entries, stats, txns)
+        try:
+            self._write_manifest(v_new, entries, stats, txns)
+        except ConcurrentWriteError:
+            # lost the race: discard this transaction's staged files
+            shutil.rmtree(write_dir, ignore_errors=True)
+            raise
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)

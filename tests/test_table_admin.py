@@ -194,3 +194,33 @@ def test_stream_gold_aggregate_is_exactly_once_additive(spark, tmp_path):
         for r in table.read().collect()
     }
     assert second == first
+
+
+def test_concurrent_commit_first_writer_wins(spark, tmp_path):
+    """Optimistic concurrency (Delta ConcurrentAppendException parity):
+    two handles race to commit the same next version — the loser raises,
+    discards its staged files, and the table holds exactly the winner's
+    rows."""
+    import os
+    from databricks_data_warehouse_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    loc = str(tmp_path / "cc")
+    t1 = ManagedTable(spark, "cc", loc)
+    t1.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t2 = ManagedTable(spark, "cc", loc)
+    # writer 2 commits version 1 first
+    t2.merge_insert_only(_df(spark, [(2, "b", 2.0)]))
+    # writer 1 still believes current=0 and tries to claim version 1:
+    # simulate by calling its stage path directly against the stale view
+    stale_next = t1._manifest_path(1)
+    assert os.path.exists(stale_next)
+    with pytest.raises(ConcurrentWriteError):
+        t1._write_manifest(1, {}, {}, {})
+    # winner's state intact; loser's retry against the NEW version works
+    t1b = ManagedTable(spark, "cc", loc)
+    t1b.merge_insert_only(_df(spark, [(3, "c", 3.0)]))
+    assert sorted(r.id for r in t1b.read().collect()) == [1, 2, 3]
+    # no stray tmp files
+    assert not [f for f in os.listdir(loc) if ".tmp." in f]

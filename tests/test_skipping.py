@@ -13,6 +13,8 @@ import json
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from databricks_data_warehouse_spark.sources.tables import ManagedTable
@@ -252,3 +254,72 @@ def test_zorder_on_partitioned_table(spark, tmp_path):
         ).drop("y").collect()
     )
     assert got2 == exp2
+
+
+# --------------------------------------------------------------------------
+# property-based: for ANY conjunction of filters, the pruned scan is
+# row-identical to the unpruned filter (skipping may only remove I/O)
+
+_SKIP_OPS = st.sampled_from(["=", "<", "<=", ">", ">=", "between", "in",
+                             "is_null", "is_not_null"])
+
+
+def _mk_filter(col, op, lo, hi):
+    if op == "is_null" or op == "is_not_null":
+        return (col, op)
+    if op == "between":
+        return (col, "between", min(lo, hi), max(lo, hi))
+    if op == "in":
+        return (col, "in", [lo, hi, lo + 7])
+    return (col, op, lo)
+
+
+@pytest.fixture(scope="module")
+def prop_table(spark, tmp_path_factory):
+    """One shared table with a mixed layout: an id-ranged write merged
+    with a second unsorted batch, so files have both tight and wide
+    bounds — the layouts pruning decisions actually face."""
+    root = tmp_path_factory.mktemp("prop")
+    df = _base_df(spark, 6000)
+    t = ManagedTable(spark, "prop", str(root / "t"))
+    t.overwrite(df.filter(F.col("id") < 5000).repartitionByRange(5, "id"))
+    t.merge_insert_only(df.filter(F.col("id") >= 5000).repartition(2))
+    return t, df
+
+
+@given(
+    data=st.data(),
+    n_filters=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=30, deadline=None)
+def test_scan_equals_filter_for_any_conjunction(prop_table, data, n_filters):
+    t, df = prop_table
+    filters = []
+    for _ in range(n_filters):
+        col = data.draw(st.sampled_from(["id", "a", "b", "s"]))
+        op = data.draw(_SKIP_OPS)
+        if col == "s":
+            # string domain: u0..u96 plus out-of-domain probes
+            lo = data.draw(st.sampled_from(["u0", "u42", "u96", "a", "zzz"]))
+            hi = data.draw(st.sampled_from(["u13", "u88", "m"]))
+            if op == "in":
+                filters.append((col, "in", [lo, hi]))
+            elif op == "between":
+                filters.append((col, "between", min(lo, hi), max(lo, hi)))
+            elif op in ("is_null", "is_not_null"):
+                filters.append((col, op))
+            else:
+                filters.append((col, op, lo))
+        else:
+            # include far-out-of-domain values to exercise empty prunes
+            lo = data.draw(st.integers(min_value=-100, max_value=7000))
+            hi = data.draw(st.integers(min_value=-100, max_value=7000))
+            filters.append(_mk_filter(col, op, lo, hi))
+    expr = t._filter_expr(filters)
+    got = t.scan(filters).count()
+    exp = df.filter(expr).count()
+    assert got == exp, filters
+    # spot-check content equality, not just cardinality
+    got_ids = sorted(r.id for r in t.scan(filters).select("id").collect())
+    exp_ids = sorted(r.id for r in df.filter(expr).select("id").collect())
+    assert got_ids == exp_ids, filters

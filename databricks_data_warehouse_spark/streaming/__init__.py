@@ -7,6 +7,7 @@ from .bronze_stream import (
     stream_gold_aggregate,
     stream_gold_counts_table,
 )
+from .dedup_stream import stream_dedup_simhash
 from .windows import (
     stream_click_purchase_join,
     stream_dedup_events,
@@ -23,6 +24,7 @@ __all__ = [
     "stream_events_to_table",
     "stream_gold_aggregate",
     "stream_gold_counts_table",
+    "stream_dedup_simhash",
     "stream_click_purchase_join",
     "stream_dedup_events",
     "stream_enriched_counts",

@@ -75,23 +75,37 @@ _FILTER_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between",
                "is_null", "is_not_null")
 
 
-def _stat_scalar(v):
+def _stat_scalar(v, round_toward: float | None = None):
     """Normalize a parquet-footer stat (or a filter literal) to a
     JSON-storable, order-preserving scalar: numbers stay numbers,
     dates/timestamps become fixed-width ISO strings (lexicographic
-    order == chronological order), Decimal becomes float (bounds only
-    — pruning stays sound under the widening). Unsupported types
-    (binary, nested) → None = not indexable."""
+    order == chronological order; tz-aware values are converted to UTC
+    and the offset dropped so they stay comparable with naive ones),
+    Decimal becomes float. Unsupported types (binary, nested) → None =
+    not indexable.
+
+    ``round_toward`` (−inf for a min, +inf for a max) widens a lossy
+    Decimal→float conversion OUTWARD by one ulp: float() rounds to
+    nearest, and a min bound that rounded UP (or a max that rounded
+    DOWN) could wrongly prune a boundary probe. Filter literals pass
+    None — no widening."""
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat() + "T00:00:00.000000"
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        f = float(v)
+        if round_toward is not None and decimal.Decimal(f) != v:
+            import math
+
+            f = math.nextafter(f, round_toward)
+        return f
     return None
 
 
@@ -478,7 +492,15 @@ class ManagedTable:
                             dead.add(name)
                             continue
                         if st.has_min_max:
-                            mn, mx = _stat_scalar(st.min), _stat_scalar(st.max)
+                            try:
+                                mn = _stat_scalar(st.min, round_toward=float("-inf"))
+                                mx = _stat_scalar(st.max, round_toward=float("inf"))
+                            except Exception:
+                                # pyarrow can't extract stats for every
+                                # physical type (e.g. some decimals) —
+                                # un-indexable, never wrongly skipped
+                                dead.add(name)
+                                continue
                             if mn is None or mx is None:
                                 dead.add(name)
                                 continue

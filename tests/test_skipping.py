@@ -323,3 +323,50 @@ def test_scan_equals_filter_for_any_conjunction(prop_table, data, n_filters):
     got_ids = sorted(r.id for r in t.scan(filters).select("id").collect())
     exp_ids = sorted(r.id for r in df.filter(expr).select("id").collect())
     assert got_ids == exp_ids, filters
+
+
+def test_stat_scalar_widens_decimal_bounds_and_utcifies():
+    """Pure-unit soundness edges: Decimal bounds widen OUTWARD by one
+    ulp when float() is lossy (a min rounded up / max rounded down
+    could wrongly prune a boundary probe); tz-aware timestamps
+    normalize to naive UTC so the ISO strings stay order-comparable."""
+    import datetime as dt
+    import decimal as dec
+
+    from databricks_data_warehouse_spark.sources.tables import _stat_scalar
+
+    # 0.1 is lossy in binary: min must come out <= the true value,
+    # max >= it
+    d = dec.Decimal("0.1")
+    mn = _stat_scalar(d, round_toward=float("-inf"))
+    mx = _stat_scalar(d, round_toward=float("inf"))
+    assert dec.Decimal(mn) <= d <= dec.Decimal(mx) and mn < mx
+    # exact decimals don't widen; filter literals (no direction) don't
+    assert _stat_scalar(dec.Decimal("0.5"), round_toward=float("inf")) == 0.5
+    assert _stat_scalar(d) == float(d)
+    # tz-aware == its UTC wall-clock naive twin
+    aware = dt.datetime(2024, 6, 1, 12, 0, tzinfo=dt.timezone(dt.timedelta(hours=2)))
+    naive_utc = dt.datetime(2024, 6, 1, 10, 0)
+    assert _stat_scalar(aware) == _stat_scalar(naive_utc)
+
+
+def test_decimal_column_scan_roundtrip(spark, tmp_path):
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id").cast("decimal(12,2)") / 7).alias("amt"),
+    )
+    t = _mk(spark, tmp_path, name="decs")
+    t.overwrite(df.repartitionByRange(4, "id"))
+    import decimal as dec
+    probe = [("amt", ">=", dec.Decimal("100.00"))]
+    got = sorted(r.id for r in t.scan(probe).collect())
+    exp = sorted(
+        r.id for r in df.filter(F.col("amt") >= dec.Decimal("100.00")).collect()
+    )
+    assert got == exp
+    # this pyarrow cannot extract decimal footer stats — the column must
+    # degrade to un-indexable (keep every file), never to a wrong skip;
+    # the id column still indexes alongside it
+    rep = t.skipping_report(probe)
+    assert rep["files_kept"] == rep["files_total"]
+    assert t.skipping_report([("id", "<", 500)])["files_kept"] == 1

@@ -76,17 +76,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample/asof/mm/stream sliding/session/dedup/enriched/
         text_chunks/agg_distinct_counts — the oldest greens in the
         registry, 3 rounds old this round (VERDICT item 3's list);
-    (d) 18 of the r04 greens (2 rounds old — at the freshness bar):
-        all 14 r04 TPC-H classics + the first 4 stretch aggregates.
+    (d) the r04 TPC-H classics (2 rounds old — at the freshness bar),
+        as many as the 50-slot window still holds after (a)-(c) grew
+        to 38: ~12 of the 14; the rest join round 7's front.
     Left OUT, with justification: the 48 entries green in r05 (1 round
     old) on files this round did not touch — op_*/gold/dash/text/
     events_json/ann_cosine/pairs_per_label/simhash/tpch q1-q6/
     anomaly_zscore/quality_floor/token_budget/unpivot/histogram — and
-    the remaining 25 r04 greens (dedup index builds, packing/mixture/
+    the remaining 25+ r04 greens (dedup index builds, packing/mixture/
     tfidf/bm25/boilerplate, events analytics, embeddings/IVF, streaming
-    tumbling/join/running, remaining stretch aggs), which rotate to the
-    FRONT of round 7's window; the 2 approx twins are rows-only by
-    construction (hash null by design)."""
+    tumbling/join/running, remaining stretch aggs) plus any (d)
+    overflow, which rotate to the FRONT of round 7's window; the 2
+    approx twins are rows-only by construction (hash null by design)."""
     return {
         # ====== (a) never driver-checked ===================================
         # pandas-UDAF / Python-UDTF API-class demos + r05 additions the

@@ -58,12 +58,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-6 prefix (VERDICT r05 item 3, adjusted for this round's
     edits — a green on CHANGED code is the durable record, so files
     round 6 touched outrank merely-old greens):
-    (a) the 13 never-driver-checked entries: the 6 r05 additions the
+    (a) the 14 never-driver-checked entries: the 6 r05 additions the
         judge hand-verified (a driver green row is still wanted) plus
-        the 7 new this round (text_word_bigrams, stats_corr_price_qty,
+        the 8 new this round (text_word_bigrams, stats_corr_price_qty,
         stats_delay_regression, table_zorder_scan,
         stream_gold_counts_table, dedup_containment_pairs,
-        stream_dedup_simhash);
+        stream_dedup_simhash, ann_lsh_topk_multiprobe);
     (b) the 12 entries whose code or oracle SQL round 6 changed:
         dedup_clusters/dedup_keep_canonical (checkpoint-release in
         connected_components), stream_ingest_managed_table +
@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 6: online near-dup filtering of a document stream
         # (3rd custom stateful operator, full value-hash oracle)
         "stream_dedup_simhash": streaming.stream_dedup_simhash,
+        # NEW round 6: multi-probe LSH (probe Hamming<=1 buckets; the
+        # standard recall fix - 0.1-0.2 single-probe -> 0.6-0.9)
+        "ann_lsh_topk_multiprobe": similarity.ann_lsh_topk_multiprobe,
         # ====== (b) code or oracle changed in round 6 ======================
         # connected_components now releases superseded checkpoint blocks
         "dedup_clusters": dedup.near_dup_clusters,
@@ -2427,6 +2430,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.vec_id, ROUND({_cos_sql("b.v", "q.qv")}, 6) AS cosine_sim
             FROM b, q
             WHERE b.bucket_id = q.qb AND b.vec_id <> 0
+            ORDER BY cosine_sim DESC, b.vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_topk_multiprobe": f"""
+            WITH {_LSH_PLANES_CTE},
+            b AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       {_lsh_bucket_sql("embedding")} AS bucket_id
+                FROM embeddings, np
+            ),
+            q AS (SELECT v AS qv, bucket_id AS qb FROM b WHERE vec_id = 0)
+            SELECT b.vec_id, ROUND({_cos_sql("b.v", "q.qv")}, 6) AS cosine_sim
+            FROM b, q
+            WHERE bit_count(CAST(xor(b.bucket_id, q.qb) AS BIGINT)) <= 1
+              AND b.vec_id <> 0
             ORDER BY cosine_sim DESC, b.vec_id
             LIMIT 10
         """,

@@ -556,3 +556,54 @@ def ann_kmeans_refine(
             "n_assigned",
         )
     )
+
+
+def ann_lsh_topk_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int | None = None,
+    radius: int = 1,
+) -> DataFrame:
+    """Multi-probe LSH top-k: score every vector whose sketch is within
+    Hamming distance ``radius`` of the query's bucket — the standard
+    recall fix for sign-LSH (Lv et al., multi-probe LSH): a true
+    neighbor that lands one hyperplane-sign flip away is found by
+    probing the adjacent buckets instead of growing tables. radius=1
+    probes planes+1 of the 2^planes buckets, so the scored set stays
+    ~(planes+1)/2^planes of the corpus while recall@10 jumps from the
+    single-probe 0.1-0.2 to 0.6-0.9 on the test corpora
+    (tests/test_ann_recall.py pins the floor).
+
+    Scale shape is unchanged from :func:`ann_lsh_topk`: one broadcast
+    of the query row, bucket check as a bit_count(xor) expression in
+    the scan filter, TakeOrdered(k) at the end.
+    """
+    if n_planes is None:
+        n_planes = _auto_planes(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucketed = emb.withColumn("bucket_id", _bucket_id(F.col("embedding"), n_planes))
+    query = bucketed.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("embedding")).alias("q"), F.col("bucket_id").alias("q_bucket")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(query))
+        .where(
+            (
+                F.bit_count(
+                    F.col("bucket_id").bitwiseXOR(F.col("q_bucket"))
+                )
+                <= radius
+            )
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .select(
+            "vec_id",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("q")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -762,6 +762,56 @@ class ManagedTable:
             "rows_kept_bound": sum(stats[f].get("rows", 0) for f in kept),
         }
 
+    def metadata_aggregate(self, *columns: str, version: int | None = None) -> dict:
+        """Metadata-only COUNT/MIN/MAX — the Delta/Iceberg optimization
+        where ``SELECT count(*), min(c), max(c)`` is answered from the
+        snapshot's file statistics without reading ANY data: O(manifest)
+        instead of O(table), the difference between milliseconds and a
+        full scan at 100 TB.
+
+        Returns ``{"count": n, "<col>": {"min": …, "max": …,
+        "null_count": …}}``. Raises if any file in the snapshot lacks
+        stats (pre-stats manifest) or lacks the column's bounds while
+        holding non-null rows — falling back silently to a wrong answer
+        is worse than telling the caller to scan (Delta likewise only
+        uses this path when stats cover every file). min/max are the
+        stored stat scalars: dates/timestamps come back as ISO strings,
+        exactly as ``scan`` compares them."""
+        v = self.current_version() if version is None else version
+        entries = self._read_manifest(v)
+        stats = self._read_stats(v)
+        entry_dirs = set(entries.values())
+        files = [f for f in stats if os.path.dirname(f) in entry_dirs]
+        covered = {os.path.dirname(f) for f in files}
+        if entry_dirs - covered:
+            raise ValueError(
+                f"table {self.name}: snapshot v{v} has files without "
+                "stats — metadata aggregate unavailable, scan instead"
+            )
+        out: dict = {"count": sum(stats[f]["rows"] for f in files)}
+        for col in columns:
+            mn = mx = None
+            nulls = 0
+            for f in files:
+                s = stats[f]
+                cs = s.get("cols", {}).get(col)
+                if cs is None:
+                    if s.get("rows", 0):
+                        raise ValueError(
+                            f"table {self.name}: file {f} has no stats for "
+                            f"column {col!r} — metadata aggregate "
+                            "unavailable, scan instead"
+                        )
+                    continue
+                fmn, fmx, fnull = cs
+                nulls += fnull
+                if fmn is not None:
+                    mn = fmn if mn is None else min(mn, fmn)
+                if fmx is not None:
+                    mx = fmx if mx is None else max(mx, fmx)
+            out[col] = {"min": mn, "max": mx, "null_count": nulls}
+        return out
+
     def compact(
         self,
         zorder_by: Sequence[str] = (),

@@ -373,3 +373,35 @@ def test_decimal_column_scan_roundtrip(spark, tmp_path):
     # sample-based, so the probe may straddle two files)
     id_rep = t.skipping_report([("id", "<", 500)])
     assert id_rep["files_kept"] < id_rep["files_total"]
+
+
+def test_metadata_aggregate_matches_scan(spark, tmp_path):
+    """COUNT/MIN/MAX from manifest stats must equal the real aggregates
+    — O(manifest), no data read (the Delta metadata-only-query path)."""
+    df = _base_df(spark, 3000)
+    t = _mk(spark, tmp_path, name="ma")
+    t.overwrite(df.repartitionByRange(4, "id"))
+    t.merge_insert_only(
+        _base_df(spark, 3500).filter(F.col("id") >= 3000).repartition(2)
+    )
+    agg = t.metadata_aggregate("id", "a", "s")
+    real = t.read().agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("mn"), F.max("id").alias("mx"),
+        F.min("a").alias("amn"), F.max("a").alias("amx"),
+        F.sum(F.col("s").isNull().cast("long")).alias("snull"),
+    ).collect()[0]
+    assert agg["count"] == real.n == 3500
+    assert agg["id"] == {"min": real.mn, "max": real.mx, "null_count": 0}
+    assert agg["a"]["min"] == real.amn and agg["a"]["max"] == real.amx
+    assert agg["s"]["null_count"] == real.snull > 0
+    # a pre-stats snapshot refuses rather than guessing
+    mpath = t._manifest_path(t.current_version())
+    with open(mpath) as f:
+        m = json.load(f)
+    m["stats"] = {}
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    t2 = ManagedTable(spark, t.name, t.location)
+    with pytest.raises(ValueError, match="metadata aggregate unavailable"):
+        t2.metadata_aggregate("id")

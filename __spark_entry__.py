@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         registry, 3 rounds old this round (VERDICT item 3's list);
     (d) the r04 TPC-H classics (2 rounds old — at the freshness bar),
         as many as the 50-slot window still holds after (a)-(c) grew
-        to 38: ~12 of the 14; the rest join round 7's front.
+        to 39: ~11 of the 14; the rest join round 7's front.
     Left OUT, with justification: the 48 entries green in r05 (1 round
     old) on files this round did not touch — op_*/gold/dash/text/
     events_json/ann_cosine/pairs_per_label/simhash/tpch q1-q6/

@@ -267,6 +267,14 @@ class ManagedTable:
         exactly Delta's write-time enforcement."""
         if not self.constraints:
             return
+        has_files = any(
+            fn.endswith(".parquet")
+            for _d, _s, fns in os.walk(write_dir)
+            for fn in fns
+        )
+        if not has_files:
+            return  # empty write: no rows, nothing to violate (and an
+            # empty dir has no schema to infer)
         staged = self.spark.read.parquet(write_dir)
         names = sorted(self.constraints)
         flags = [
@@ -726,6 +734,8 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if self.schema is None:
             self.schema = self._load_schema()
+        if self.schema is None:
+            raise ValueError(f"table {self.name}: no schema available")
         cols = [f.name for f in self.schema.fields]
         kept, legacy_dirs, _total, _stats = self._prune(filters, v)
         paths = sorted(kept) + sorted(legacy_dirs)

@@ -224,3 +224,16 @@ def test_concurrent_commit_first_writer_wins(spark, tmp_path):
     assert sorted(r.id for r in t1b.read().collect()) == [1, 2, 3]
     # no stray tmp files
     assert not [f for f in os.listdir(loc) if ".tmp." in f]
+
+
+def test_constraint_survives_empty_overwrite(spark, tmp_path):
+    """A zero-row write has nothing to violate — and an empty staged
+    dir has no schema to infer; enforcement must not crash on it."""
+    t = ManagedTable(spark, "ce", str(tmp_path / "ce"))
+    t.overwrite(_df(spark, [(1, "a", 5.0)]))
+    t.add_constraint("amt_positive", "amt > 0")
+    t.overwrite(_df(spark, []).filter("1=0"))
+    assert t.read().count() == 0
+    # and the constraint still bites on the next real write
+    with pytest.raises(ValueError, match="amt_positive"):
+        t.overwrite(_df(spark, [(2, "b", -1.0)]))

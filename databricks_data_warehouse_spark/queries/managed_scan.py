@@ -59,13 +59,20 @@ def table_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..streaming.windows import _scratch_root
 
+    from ..sources.tables import ConcurrentWriteError
+
     h = _corpus_fingerprint(sf_dir)
     loc = os.path.join(_scratch_root(), f"zorder_tbl_{h}")
     table = ManagedTable(spark, f"orders_z_{h}", loc)
     if table.current_version() < 1:
-        orders = load(spark, sf_dir, "orders")
-        table.overwrite(orders)
-        table.compact(zorder_by=["o_custkey", "o_totalprice"], target_files=16)
+        try:
+            orders = load(spark, sf_dir, "orders")
+            table.overwrite(orders)
+            table.compact(zorder_by=["o_custkey", "o_totalprice"], target_files=16)
+        except ConcurrentWriteError:
+            # another process (driver + bench side by side) won the
+            # build race — its table is the same deterministic layout
+            pass
     probe = [
         ("o_custkey", "between", _CUST_LO, _CUST_HI),
         ("o_totalprice", "between", _PRICE_LO, _PRICE_HI),

@@ -347,6 +347,7 @@ class ManagedTable:
         entries: Mapping[str, str],
         stats: Mapping[str, dict] | None = None,
         txn: Mapping[str, int] | None = None,
+        op: str = "WRITE",
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -358,6 +359,7 @@ class ManagedTable:
                         "entries": dict(entries),
                         "stats": dict(stats or {}),
                         "txn": dict(txn or {}),
+                        "op": op,
                     },
                     sort_keys=True,
                 )
@@ -536,6 +538,7 @@ class ManagedTable:
         replace_all: bool,
         sort: bool = True,
         txn: tuple[str, int] | None = None,
+        op: str = "WRITE",
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -577,7 +580,7 @@ class ManagedTable:
             txns[txn[0]] = int(txn[1])
         self._save_schema()
         try:
-            self._write_manifest(v_new, entries, stats, txns)
+            self._write_manifest(v_new, entries, stats, txns, op)
         except ConcurrentWriteError:
             # lost the race: discard this transaction's staged files
             shutil.rmtree(write_dir, ignore_errors=True)
@@ -587,7 +590,7 @@ class ManagedTable:
             self.vacuum(keep=self.retain_versions)
         return v_new
 
-    def _commit_metadata_only(self) -> int:
+    def _commit_metadata_only(self, op: str = "SCHEMA EVOLVE") -> int:
         """Bump the version carrying the current schema but the PREVIOUS
         manifest's entries unchanged — no data files are written. Used
         when a merge changes the schema (evolution) but inserts nothing."""
@@ -598,15 +601,16 @@ class ManagedTable:
             self._read_manifest(v_new - 1),
             self._read_stats(v_new - 1),
             self._read_txn(v_new - 1),
+            op,
         )
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
         return v_new
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, op: str = "WRITE") -> int:
         cols = [f.name for f in (self.schema or df.schema).fields]
-        return self._stage_and_commit(df.select(*cols), replace_all=True)
+        return self._stage_and_commit(df.select(*cols), replace_all=True, op=op)
 
     # ----------------------------------------------------- data skipping
     @staticmethod
@@ -844,7 +848,7 @@ class ManagedTable:
         cost shape as Delta's OPTIMIZE."""
         df = self.read()
         if not zorder_by:
-            return self.overwrite(df)
+            return self.overwrite(df, op="OPTIMIZE")
         n_files = target_files or max(
             8, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
@@ -882,7 +886,7 @@ class ManagedTable:
             .select(*cols)
         )
         # sort=False: the Z-order IS the layout; sort_columns would undo it
-        return self._stage_and_commit(ordered, replace_all=True, sort=False)
+        return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
 
     def history(self) -> list[dict]:
         """Version history from the manifests still on disk (newest
@@ -897,8 +901,15 @@ class ManagedTable:
             v = int(entry[len(_MANIFEST_PREFIX):])
             entries = self._read_manifest(v)
             roots = {_write_root(rel) for rel in entries.values()}
+            with open(self._manifest_path(v)) as f:
+                op = json.loads(f.read()).get("op", "WRITE")
             out.append(
-                {"version": v, "partitions": len(entries), "write_roots": len(roots)}
+                {
+                    "version": v,
+                    "operation": op,
+                    "partitions": len(entries),
+                    "write_roots": len(roots),
+                }
             )
         out.sort(key=lambda d: -d["version"])
         return out
@@ -932,7 +943,9 @@ class ManagedTable:
         # txn watermarks move forward even through a restore — an
         # additive sink must not re-apply batches the rolled-back
         # versions had consumed
-        self._write_manifest(v_new, entries, stats, self._read_txn(v_new - 1))
+        self._write_manifest(
+            v_new, entries, stats, self._read_txn(v_new - 1), op=f"RESTORE v{version}"
+        )
         self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -973,7 +986,7 @@ class ManagedTable:
         out.constraints = dict(self.constraints)
         out._save_constraints()
         out._save_schema()
-        out._write_manifest(0, entries, stats)
+        out._write_manifest(0, entries, stats, op=f"CLONE {self.name}")
         out._commit(0)
         return out
 
@@ -1204,7 +1217,8 @@ class ManagedTable:
                 return self.current_version()
             merged = target.unionByName(new_rows.select(*target.columns))
             return self._stage_and_commit(
-                merged, replace_all=not self.partition_columns
+                merged, replace_all=not self.partition_columns,
+                op="MERGE INSERT",
             )
         except BaseException:
             self.schema = prev_schema
@@ -1264,7 +1278,7 @@ class ManagedTable:
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
             merged = kept.unionByName(source.select(*target.columns))
-            return self._stage_and_commit(merged, replace_all=not scoped, txn=txn)
+            return self._stage_and_commit(merged, replace_all=not scoped, txn=txn, op="MERGE UPSERT")
         except BaseException:
             self.schema = prev_schema
             raise
@@ -1296,7 +1310,9 @@ class ManagedTable:
         if target.join(src_keys, on=keys, how="left_semi").isEmpty():
             return self.current_version()
         kept = target.join(src_keys, on=keys, how="left_anti")
-        return self._stage_and_commit(kept, replace_all=not scoped)
+        return self._stage_and_commit(
+            kept, replace_all=not scoped, op="MERGE DELETE"
+        )
 
     def delete_where(self, condition: Column) -> int:
         """``DELETE FROM table WHERE ...`` parity: rewrite the table
@@ -1313,6 +1329,7 @@ class ManagedTable:
         return self._stage_and_commit(
             self.read().filter(~F.coalesce(condition, F.lit(False))),
             replace_all=True,
+            op="DELETE",
         )
 
     def merge_update(
@@ -1388,4 +1405,6 @@ class ManagedTable:
                 )
             else:
                 out_cols.append(F.col(c))
-        return self._stage_and_commit(joined.select(*out_cols), replace_all=not scoped)
+        return self._stage_and_commit(
+            joined.select(*out_cols), replace_all=not scoped, op="MERGE UPDATE"
+        )

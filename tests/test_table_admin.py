@@ -237,3 +237,23 @@ def test_constraint_survives_empty_overwrite(spark, tmp_path):
     # and the constraint still bites on the next real write
     with pytest.raises(ValueError, match="amt_positive"):
         t.overwrite(_df(spark, [(2, "b", -1.0)]))
+
+
+def test_history_records_operations(spark, tmp_path):
+    """DESCRIBE HISTORY parity: every version records what produced it."""
+    t = ManagedTable(spark, "h", str(tmp_path / "h"))
+    t.overwrite(_df(spark, [(1, "a", 1.0)]))                       # v0 WRITE
+    t.merge_insert_only(_df(spark, [(2, "b", 2.0)]))               # v1 MERGE INSERT
+    t.merge_upsert(_df(spark, [(2, "B", 2.5)]), key_columns=["id"])  # v2
+    t.merge_delete(_df(spark, [(1, "a", 1.0)]), key_columns=["id"])  # v3
+    t.compact(zorder_by=["id", "amt"])                             # v4
+    t.restore(2)                                                   # v5
+    ops = {h["version"]: h["operation"] for h in t.history()}
+    assert ops[0] == "WRITE"
+    assert ops[1] == "MERGE INSERT"
+    assert ops[2] == "MERGE UPSERT"
+    assert ops[3] == "MERGE DELETE"
+    assert ops[4] == "OPTIMIZE ZORDER"
+    assert ops[5] == "RESTORE v2"
+    clone = t.clone("h2", str(tmp_path / "h2"))
+    assert clone.history()[0]["operation"] == "CLONE h"

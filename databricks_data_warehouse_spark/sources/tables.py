@@ -54,6 +54,7 @@ import decimal
 import json
 import os
 import shutil
+import uuid
 from collections.abc import Mapping, Sequence
 from functools import reduce
 from urllib.parse import unquote
@@ -171,8 +172,15 @@ class ManagedTable:
         if self.schema is None:
             self.schema = self._load_schema()
         # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity):
-        # name -> SQL boolean expression, enforced on every write
-        self.constraints: dict[str, str] = self._load_constraints()
+        # name -> SQL boolean expression, enforced on every write.
+        # VERSIONED in the manifest (Delta keeps them in the table
+        # metadata of the log): add/drop are commits, RESTORE restores
+        # the set, and a data write racing a constraint change loses
+        # the version claim and re-validates.
+        v0 = self.current_version()
+        self.constraints: dict[str, str] = (
+            self._read_constraints(v0) if v0 >= 0 else self._load_constraints()
+        )
 
     # ------------------------------------------------------------------ meta
     @property
@@ -220,18 +228,26 @@ class ManagedTable:
     def _constraints_path(self) -> str:
         return os.path.join(self.location, "_CONSTRAINTS")
 
-    def _save_constraints(self) -> None:
-        os.makedirs(self.location, exist_ok=True)
-        tmp = self._constraints_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(self.constraints, sort_keys=True))
-        os.replace(tmp, self._constraints_path)
-
     def _load_constraints(self) -> dict[str, str]:
+        """Legacy side-file fallback (pre-versioned-constraint tables);
+        current tables carry the set in every manifest."""
         if not os.path.exists(self._constraints_path):
             return {}
         with open(self._constraints_path) as f:
             return json.loads(f.read())
+
+    def _read_constraints(self, version: int) -> dict[str, str]:
+        """The CHECK constraint set committed WITH a version. Manifests
+        written before constraints were versioned lack the key — fall
+        back to the legacy side file so old tables keep enforcing."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return self._load_constraints()
+        with open(path) as f:
+            m = json.loads(f.read())
+        if "constraints" in m:
+            return dict(m["constraints"])
+        return self._load_constraints()
 
     def add_constraint(self, name: str, expression: str) -> None:
         """Delta ``ALTER TABLE … ADD CONSTRAINT name CHECK (expr)``:
@@ -239,8 +255,16 @@ class ManagedTable:
         one scan) and is enforced on every subsequent write — a staged
         batch containing a violating row aborts before the commit, so
         no version ever contains it. SQL CHECK semantics: NULL passes,
-        only ``expr IS FALSE`` violates."""
-        if self.exists() and self.current_version() >= 0:
+        only ``expr IS FALSE`` violates.
+
+        The change is a metadata-only COMMIT carrying the new
+        constraint set (DESCRIBE HISTORY records it, RESTORE restores
+        it). The atomic version claim makes validate-then-install race-
+        safe against concurrent data writes: a write staged before this
+        commit targets the same version number and loses, re-validating
+        against the new set on retry."""
+        v = self.current_version()
+        if v >= 0:
             bad = (
                 self.read()
                 .filter(~F.coalesce(F.expr(expression), F.lit(True)))
@@ -252,12 +276,27 @@ class ManagedTable:
                     f"table {self.name}: existing rows violate CHECK "
                     f"constraint {name!r} ({expression})"
                 )
-        self.constraints[name] = expression
-        self._save_constraints()
+            self.constraints[name] = expression
+            try:
+                self._commit_metadata_only(op=f"ADD CONSTRAINT {name}")
+            except BaseException:
+                self.constraints.pop(name, None)
+                raise
+        else:
+            # pre-creation declaration: carried into manifest v0 by
+            # create_if_not_exists
+            self.constraints[name] = expression
 
     def drop_constraint(self, name: str) -> None:
-        self.constraints.pop(name, None)
-        self._save_constraints()
+        if name not in self.constraints:
+            return
+        dropped = self.constraints.pop(name)
+        if self.current_version() >= 0:
+            try:
+                self._commit_metadata_only(op=f"DROP CONSTRAINT {name}")
+            except BaseException:
+                self.constraints[name] = dropped
+                raise
 
     def _enforce_constraints(self, write_dir: str) -> None:
         """Validate a staged write against all CHECK constraints in ONE
@@ -348,6 +387,7 @@ class ManagedTable:
         stats: Mapping[str, dict] | None = None,
         txn: Mapping[str, int] | None = None,
         op: str = "WRITE",
+        constraints: Mapping[str, str] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -360,6 +400,12 @@ class ManagedTable:
                         "stats": dict(stats or {}),
                         "txn": dict(txn or {}),
                         "op": op,
+                        # constraint set is part of the committed
+                        # version (Delta keeps it in table metadata):
+                        # versions, restores, and race-detects with data
+                        "constraints": dict(
+                            self.constraints if constraints is None else constraints
+                        ),
                     },
                     sort_keys=True,
                 )
@@ -549,7 +595,17 @@ class ManagedTable:
         footer stats carry over with them).
         """
         v_new = self.current_version() + 1
-        write_rel = f"data/w={v_new}"
+        # enforce against the constraint set of the version being built
+        # on (a constraint added by another writer after this handle
+        # opened must bind; a retry after ConcurrentWriteError must see
+        # the winner's constraints)
+        if v_new > 0:
+            self.constraints = self._read_constraints(v_new - 1)
+        # writer-unique staging root (Delta's GUID-named data files):
+        # two writers racing for the same version number must never
+        # share a directory — the loser's cleanup would otherwise
+        # delete files the winner's committed manifest references
+        write_rel = f"data/w={v_new}-{uuid.uuid4().hex[:8]}"
         write_dir = os.path.join(self.location, write_rel)
         if sort and self.sort_columns:
             df = df.sortWithinPartitions(*self.sort_columns)
@@ -651,7 +707,15 @@ class ManagedTable:
                 continue
             if op == "between":
                 lo, hi = _stat_scalar(rest[0]), _stat_scalar(rest[1])
-                if _comparable(lo, mx) and (mx < lo or mn > hi):
+                # BOTH bounds must be comparable with the file's stats
+                # before either comparison runs — a hi that normalizes
+                # to None (unsupported literal type) or mismatches mn's
+                # type must fall back to "keep", not raise at scan time
+                if (
+                    _comparable(lo, mx)
+                    and _comparable(hi, mn)
+                    and (mx < lo or mn > hi)
+                ):
                     return False
                 continue
             v = _stat_scalar(rest[0])
@@ -790,7 +854,27 @@ class ManagedTable:
         is worse than telling the caller to scan (Delta likewise only
         uses this path when stats cover every file). min/max are the
         stored stat scalars: dates/timestamps come back as ISO strings,
-        exactly as ``scan`` compares them."""
+        exactly as ``scan`` compares them.
+
+        min/max are reported ONLY for types whose parquet footer stats
+        are exact values (numeric/bool/date/timestamp). String/binary
+        footers may hold TRUNCATED bounds (parquet caps long binary
+        stats and bumps the last byte of a truncated max) — sound for
+        pruning, but ``max(s)`` could come back as a value not present
+        in the table. Such columns return ``{"null_count": …}`` alone
+        (null counts are always exact); asking the dict for a bound
+        fails loud instead of answering wrong — scan for those."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DateType,
+            NumericType,
+            TimestampNTZType,
+            TimestampType,
+        )
+
+        exact_types = (
+            NumericType, BooleanType, DateType, TimestampType, TimestampNTZType,
+        )
         v = self.current_version() if version is None else version
         entries = self._read_manifest(v)
         stats = self._read_stats(v)
@@ -803,7 +887,13 @@ class ManagedTable:
                 "stats — metadata aggregate unavailable, scan instead"
             )
         out: dict = {"count": sum(stats[f]["rows"] for f in files)}
+        fields = {f.name: f for f in (self.schema.fields if self.schema else [])}
         for col in columns:
+            if col not in fields:
+                raise ValueError(
+                    f"table {self.name}: unknown column {col!r}"
+                )
+            bounds_exact = isinstance(fields[col].dataType, exact_types)
             mn = mx = None
             nulls = 0
             for f in files:
@@ -823,7 +913,11 @@ class ManagedTable:
                     mn = fmn if mn is None else min(mn, fmn)
                 if fmx is not None:
                     mx = fmx if mx is None else max(mx, fmx)
-            out[col] = {"min": mn, "max": mx, "null_count": nulls}
+            out[col] = (
+                {"min": mn, "max": mx, "null_count": nulls}
+                if bounds_exact
+                else {"null_count": nulls}
+            )
         return out
 
     def compact(
@@ -940,6 +1034,9 @@ class ManagedTable:
         stats = self._read_stats(version)
         v_new = self.current_version() + 1
         self._save_schema()
+        # the restored snapshot's constraint set comes back with it
+        # (Delta RESTORE restores table metadata, constraints included)
+        self.constraints = self._read_constraints(version)
         # txn watermarks move forward even through a restore — an
         # additive sink must not re-apply batches the rolled-back
         # versions had consumed
@@ -983,8 +1080,7 @@ class ManagedTable:
         )
         if out.exists():
             raise FileExistsError(f"table {name}: already exists at {location}")
-        out.constraints = dict(self.constraints)
-        out._save_constraints()
+        out.constraints = dict(self.constraints)  # manifest 0 carries them
         out._save_schema()
         out._write_manifest(0, entries, stats, op=f"CLONE {self.name}")
         out._commit(0)

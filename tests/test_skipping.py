@@ -394,7 +394,11 @@ def test_metadata_aggregate_matches_scan(spark, tmp_path):
     assert agg["count"] == real.n == 3500
     assert agg["id"] == {"min": real.mn, "max": real.mx, "null_count": 0}
     assert agg["a"]["min"] == real.amn and agg["a"]["max"] == real.amx
-    assert agg["s"]["null_count"] == real.snull > 0
+    # string footer stats may be truncated bounds: null_count (exact)
+    # is reported, min/max are withheld rather than possibly wrong
+    assert agg["s"] == {"null_count": real.snull} and real.snull > 0
+    with pytest.raises(ValueError, match="unknown column"):
+        t.metadata_aggregate("nope")
     # a pre-stats snapshot refuses rather than guessing
     mpath = t._manifest_path(t.current_version())
     with open(mpath) as f:

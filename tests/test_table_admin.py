@@ -257,3 +257,99 @@ def test_history_records_operations(spark, tmp_path):
     assert ops[5] == "RESTORE v2"
     clone = t.clone("h2", str(tmp_path / "h2"))
     assert clone.history()[0]["operation"] == "CLONE h"
+
+
+def test_concurrent_full_merges_never_corrupt_winner(spark, tmp_path):
+    """ADVICE r06 (high): two writers racing FULL merges for the same
+    version number must not share a staging directory — before the
+    writer-unique staging root, the loser's cleanup deleted the very
+    files the winner's committed manifest referenced."""
+    from databricks_data_warehouse_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    loc = str(tmp_path / "race")
+    t1 = ManagedTable(spark, "race", loc)
+    t1.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t2 = ManagedTable(spark, "race", loc)
+
+    # interleave: t1 stages its files, then t2 runs a FULL stage+commit
+    # for the same version number, then t1 resumes and loses the claim
+    orig = t1._collect_file_stats
+    fired = {}
+
+    def hook(write_dir):
+        if not fired:
+            fired["x"] = 1
+            t2.merge_insert_only(_df(spark, [(2, "b", 2.0)]))
+        return orig(write_dir)
+
+    t1._collect_file_stats = hook
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge_insert_only(_df(spark, [(3, "c", 3.0)]))
+    # the winner's committed version reads back intact — the loser's
+    # cleanup removed only its own staging dir
+    fresh = ManagedTable(spark, "race", loc)
+    assert sorted(r.id for r in fresh.read().collect()) == [1, 2]
+    # loser's retry against the new current version lands cleanly
+    fresh.merge_insert_only(_df(spark, [(3, "c", 3.0)]))
+    assert sorted(r.id for r in fresh.read().collect()) == [1, 2, 3]
+
+
+def test_constraints_are_versioned_and_restored(spark, tmp_path):
+    """ADVICE r06 (low): the constraint set is part of the committed
+    manifest — add/drop create versions, DESCRIBE HISTORY records them,
+    and RESTORE restores the set of the restored version."""
+    import os
+
+    t = ManagedTable(spark, "cvr", str(tmp_path / "cvr"))
+    t.overwrite(_df(spark, [(1, "a", 5.0)]))           # v0
+    t.add_constraint("amt_positive", "amt > 0")        # v1
+    t.drop_constraint("amt_positive")                  # v2
+    ops = {h["version"]: h["operation"] for h in t.history()}
+    assert ops[1] == "ADD CONSTRAINT amt_positive"
+    assert ops[2] == "DROP CONSTRAINT amt_positive"
+    # no side file: the set lives in the versioned manifest
+    assert not os.path.exists(t._constraints_path)
+    # RESTORE to the constrained version brings the constraint back
+    t.restore(1)                                       # v3 == v1
+    assert t.constraints == {"amt_positive": "amt > 0"}
+    assert ManagedTable(spark, "cvr", t.location).constraints == {
+        "amt_positive": "amt > 0"
+    }
+    with pytest.raises(ValueError, match="amt_positive"):
+        t.merge_insert_only(_df(spark, [(2, "b", -1.0)]))
+    # restore to the dropped-constraint version lifts it again
+    t.restore(2)
+    assert t.constraints == {}
+    t.merge_insert_only(_df(spark, [(2, "b", -1.0)]))
+
+
+def test_constraint_add_race_detects_with_data_write(spark, tmp_path):
+    """A write staged BEFORE a concurrent ADD CONSTRAINT commits cannot
+    slip in unvalidated: both target the same version number, the write
+    loses the claim, and its retry enforces the new constraint."""
+    from databricks_data_warehouse_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    loc = str(tmp_path / "ccr")
+    t1 = ManagedTable(spark, "ccr", loc)
+    t1.overwrite(_df(spark, [(1, "a", 1.0)]))
+    t2 = ManagedTable(spark, "ccr", loc)
+    orig = t1._collect_file_stats
+    fired = {}
+
+    def hook(write_dir):
+        if not fired:
+            fired["x"] = 1
+            t2.add_constraint("amt_positive", "amt > 0")
+        return orig(write_dir)
+
+    t1._collect_file_stats = hook
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge_insert_only(_df(spark, [(2, "b", -2.0)]))
+    # the retry re-reads the winner's constraint set and aborts
+    with pytest.raises(ValueError, match="amt_positive"):
+        t1.merge_insert_only(_df(spark, [(2, "b", -2.0)]))
+    assert sorted(r.id for r in t1.read().collect()) == [1]

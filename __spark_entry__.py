@@ -107,6 +107,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_corr_price_qty": stats.stats_corr_price_qty,
         "stats_delay_regression": stats.stats_delay_regression,
         "table_zorder_scan": managed_scan.table_zorder_scan,
+        # NEW round 7: the same Z-order probe through the AUTOMATIC
+        # skipping path — plain SQL WHERE over a registered view, with
+        # Catalyst pushing the conjuncts into the manifest pruner
+        # (no scan() call, no explicit triples; VERDICT r06 item 1)
+        "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -606,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the stats-pruned ManagedTable scan must equal the plain filter
         "table_zorder_scan": managed_scan.table_zorder_scan_oracle(),
+        # the automatic (SQL WHERE → Catalyst pushdown) path must too
+        "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         # additive micro-batch merging must reconstruct the global
         # GROUP BY exactly (integer cents, txn-watermark exactly-once)
         "stream_gold_counts_table": """

@@ -1,0 +1,336 @@
+"""Catalyst-pushdown reader for :class:`ManagedTable` — automatic data
+skipping on the DEFAULT read path.
+
+``ManagedTable.scan(filters)`` prunes files from footer stats, but it
+is a side API: the caller must hand it explicit filter triples. The
+reference's users never do that — Delta prunes implicitly under a plain
+``WHERE`` (Seed-Store-Dashboard.py:64-67 filtering the partitioned
+table laid down by Gold-Orders-By-Customer-Week.py:55). This module
+closes that ergonomic gap with Spark's Python Data Source API
+(pyspark >= 4.1): a ``DataSourceReader`` whose ``pushFilters`` receives
+the query's own filter conjuncts from Catalyst, translates the
+supported ones into the exact triples ``scan`` uses, and prunes the
+manifest's files before any is opened. So
+
+    df = table.read_pushdown()           # or table.create_view("t")
+    df.filter("o_custkey BETWEEN 100 AND 220")      # prunes
+    spark.sql("SELECT … FROM t WHERE o_custkey < 9")  # prunes
+
+all skip files exactly like ``scan`` — no side API, no triples, the
+optimizer hands us the predicate. Every filter is also RETURNED as a
+residual (stats prove absence, not presence), so results are always
+row-identical to an unpruned read + filter: the Delta contract that
+skipping may only remove I/O.
+
+Scale notes (100 TB):
+- planning is O(manifest): the stats dict is already in one JSON read;
+  file matching is the same ``_file_matches`` as ``scan``;
+- each surviving file is one input partition → parallelism = surviving
+  files, and partition-column values are recovered from the hive path
+  (never read from data pages);
+- data movement is Arrow record batches (``read`` yields
+  ``pyarrow.RecordBatch``), the vectorized path of the Python source
+  API. A JVM-native reader would still beat this on raw scan
+  throughput, which is why ``read()``/``scan()`` stay native — this
+  reader is the *filtered*-read path, where skipping dominates: the
+  probe touching 3 of 3 000 files through Arrow beats the native scan
+  of all 3 000.
+
+The last planning pass drops ``_LAST_PUSHDOWN.json`` next to the
+manifest (files_total/files_kept/pushed triples) — the observable the
+tests and SCALE.md read, mirroring ``skipping_report``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "managed_table"
+REPORT_FILE = "_LAST_PUSHDOWN.json"
+
+# Always-null virtual column appended to the source schema. Spark 4.1's
+# PythonDataSourceV2 caches the LAST planned read (readInfo) on the
+# shared relation and re-plans only when the incoming query has at
+# least one serializable filter (PythonScanBuilder.pushFilters ->
+# pushdownFiltersInPython, which bails to the cached plan when
+# isAnyFilterSupported is false). A filter-less query issued after a
+# filtered one on the same relation would therefore silently reuse the
+# PRUNED plan — wrong rows. ``read_pushdown``/``create_view`` defend by
+# stacking ``WHERE __mt_refresh IS NULL`` (a tautology: the column is
+# never non-null) directly on the relation: every derived query then
+# carries one pushable filter, forcing a fresh planning pass each time,
+# so the stale cache is never consulted. The sentinel is projected away
+# before users see the DataFrame and is ignored by the pruning logic.
+SENTINEL = "__mt_refresh"
+
+_OP_BY_TYPE = {
+    EqualTo: "=",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+
+
+def _filter_to_triple(f: Filter):
+    """Catalyst Filter -> scan triple, or None if not stats-prunable.
+
+    Only top-level attributes participate (the stats index holds no
+    nested columns, tables.py _collect_file_stats)."""
+    t = type(f)
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    col = attr[0]
+    if col == SENTINEL:
+        return None  # the cache-busting tautology prunes nothing
+    if t in _OP_BY_TYPE:
+        return (col, _OP_BY_TYPE[t], f.value)
+    if t is In:
+        return (col, "in", list(f.value))
+    if t is IsNull:
+        return (col, "is_null")
+    if t is IsNotNull:
+        return (col, "is_not_null")
+    return None
+
+
+def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
+    """Hive ``col=value`` components of a manifest-relative dir —
+    the partition tuple the staged write encoded in the path."""
+    from urllib.parse import unquote
+
+    from .tables import _HIVE_NULL
+
+    vals: dict[str, str | None] = {}
+    for comp in rel_dir.split("/"):
+        if "=" in comp and not comp.startswith(("_", ".", "w=")):
+            k, raw = comp.split("=", 1)
+            vals[k] = None if raw == _HIVE_NULL else unquote(raw)
+    return vals
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One surviving data file + its hive partition values."""
+
+    path: str
+    part_values: dict = field(default_factory=dict)
+
+
+class ManagedTableReader(DataSourceReader):
+    """Plans a pruned scan of one ManagedTable snapshot.
+
+    Lives in Spark's planning worker: metadata I/O only (pointer,
+    manifest JSON) — no SparkSession, no data pages."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.location = options.get("location")
+        if not self.location:
+            raise ValueError("managed_table: 'location' option is required")
+        self.spark_schema = schema
+        self.schema_json = schema.json()
+        v = options.get("version")
+        self.version = None if v in (None, "") else int(v)
+        self.triples: list[tuple] = []
+
+    # -------------------------------------------------- Catalyst hooks
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            t = _filter_to_triple(f)
+            if t is not None:
+                self.triples.append(t)
+        # stats prune files, they do not evaluate rows: every filter is
+        # residual (Delta applies the predicate to surviving files too)
+        return iter(filters)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # metadata-only ManagedTable handle: manifest/stats/file-match
+        # logic reused verbatim so read-path pruning can never diverge
+        # from scan() (parity is property-tested)
+        from .tables import ManagedTable
+
+        tbl = ManagedTable.__new__(ManagedTable)
+        tbl.name = os.path.basename(self.location.rstrip("/"))
+        tbl.location = self.location
+        v = tbl.current_version() if self.version is None else self.version
+        if v < 0:
+            raise FileNotFoundError(
+                f"managed_table at {self.location} does not exist"
+            )
+        entries = tbl._read_manifest(v)
+        stats = tbl._read_stats(v)
+        part_cols = {f.name for f in self.spark_schema.fields}
+        out: list[_FilePartition] = []
+        total = 0
+        for rel_dir in sorted(set(entries.values())):
+            pvals = {
+                k: val
+                for k, val in _parse_partition_values(rel_dir).items()
+                if k in part_cols
+            }
+            abs_dir = os.path.join(self.location, rel_dir)
+            for dirpath, _dirs, files in os.walk(abs_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.location)
+                    total += 1
+                    st = stats.get(rel)
+                    if st is not None:
+                        if st.get("rows", 0) == 0:
+                            continue  # empty write task: nothing to read
+                        if self.triples and not tbl._file_matches(
+                            self._augment(st, pvals), self.triples
+                        ):
+                            continue
+                    # no stats (legacy manifest): keep, never wrongly skip
+                    out.append(_FilePartition(full, pvals))
+        self._write_report(total, len(out))
+        return out
+
+    def _augment(self, st: dict, pvals: dict) -> dict:
+        """File stats + hive partition values as min=max columns, so a
+        filter on a partition column prunes from the PATH (Delta's
+        partition pruning) through the same ``_file_matches`` code path
+        as footer stats — sound by the same argument."""
+        if not pvals:
+            return st
+        cols = dict(st.get("cols", {}))
+        rows = st.get("rows", 0)
+        for k, val in pvals.items():
+            if k in cols:
+                continue
+            typ = next(
+                (f.dataType.simpleString() for f in self.spark_schema.fields
+                 if f.name == k), "string",
+            )
+            if val is None:  # __HIVE_DEFAULT_PARTITION__: all rows null
+                cols[k] = [None, None, rows]
+                continue
+            cast: object = val
+            if typ in ("tinyint", "smallint", "int", "bigint"):
+                try:
+                    cast = int(val)
+                except ValueError:
+                    pass
+            elif typ in ("float", "double"):
+                try:
+                    cast = float(val)
+                except ValueError:
+                    pass
+            cols[k] = [cast, cast, 0]
+        return {**st, "cols": cols}
+
+    def _write_report(self, total: int, kept: int) -> None:
+        try:
+            tmp = os.path.join(self.location, REPORT_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "files_total": total,
+                        "files_kept": kept,
+                        "pushed": [list(t) for t in self.triples],
+                    },
+                    f,
+                    default=str,  # date/Decimal literals
+                )
+            os.replace(tmp, os.path.join(self.location, REPORT_FILE))
+        except OSError:
+            pass  # observability only; planning must not fail on it
+
+    # ----------------------------------------------------- execution
+    def read(self, partition: _FilePartition):
+        if partition is None or getattr(partition, "path", None) is None:
+            return  # every file pruned: Spark still probes one task
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(StructType.fromJson(json.loads(self.schema_json)))
+        tbl = pq.read_table(partition.path)
+        n = tbl.num_rows
+        arrays = []
+        for fld in target:
+            if fld.name in tbl.column_names:
+                arrays.append(tbl.column(fld.name).cast(fld.type))
+            else:
+                v = partition.part_values.get(fld.name)
+                if v is None:
+                    arrays.append(pa.nulls(n, fld.type))
+                else:
+                    arrays.append(
+                        pa.array([v] * n, type=pa.string()).cast(fld.type)
+                    )
+        yield from pa.table(arrays, schema=target).to_batches()
+
+
+class ManagedTableDataSource(DataSource):
+    """``spark.read.format("managed_table").option("location", …)`` —
+    the pushdown-capable registration of a ManagedTable snapshot."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        from pyspark.sql.types import StringType, StructField
+
+        from .tables import _SCHEMA
+
+        loc = self.options.get("location")
+        if not loc:
+            raise ValueError("managed_table: 'location' option is required")
+        with open(os.path.join(loc, _SCHEMA)) as f:
+            base = StructType.fromJson(json.loads(f.read()))
+        if SENTINEL in base.fieldNames():
+            raise ValueError(
+                f"managed_table: column name {SENTINEL!r} is reserved"
+            )
+        # virtual always-null sentinel — see SENTINEL above. read()
+        # emits nulls for any schema field absent from the data file,
+        # which covers it with no special case.
+        return StructType(base.fields + [StructField(SENTINEL, StringType())])
+
+    def reader(self, schema: StructType) -> ManagedTableReader:
+        return ManagedTableReader(schema, dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a session."""
+    if getattr(spark, "_managed_table_ds", False):
+        return
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ManagedTableDataSource)
+    spark._managed_table_ds = True
+
+
+def last_pushdown_report(location: str) -> dict | None:
+    """The planner's skipping observable for the most recent
+    pushdown-read of the table at ``location`` (None if never read)."""
+    try:
+        with open(os.path.join(location, REPORT_FILE)) as f:
+            return json.load(f)
+    except OSError:
+        return None

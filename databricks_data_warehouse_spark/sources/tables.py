@@ -477,6 +477,45 @@ class ManagedTable:
 
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
 
+    def read_pushdown(self, version: int | None = None) -> DataFrame:
+        """The AUTOMATIC data-skipping read path: a DataFrame whose
+        ``.filter(...)`` (or a SQL ``WHERE`` over a view of it) prunes
+        manifest files through Catalyst filter pushdown — no explicit
+        triples, same ``_file_matches`` logic as ``scan``. Delta-parity
+        ergonomics: the reference's users get pruning implicitly from a
+        plain WHERE (Seed-Store-Dashboard.py:64-67); so do callers of
+        this. ``read()``/``scan()`` remain the JVM-native paths; this
+        one moves data as Arrow batches through the Python source API,
+        which wins whenever skipping removes more scan time than the
+        Arrow hop costs — i.e. exactly the selective-probe workloads
+        skipping exists for."""
+        from .datasource import FORMAT_NAME, SENTINEL, register
+
+        register(self.spark)
+        r = self.spark.read.format(FORMAT_NAME).option("location", self.location)
+        if version is not None:
+            r = r.option("version", str(version))
+        # the sentinel tautology defeats Spark 4.1's stale readInfo
+        # cache (see datasource.SENTINEL); projected away immediately
+        return r.load().where(F.col(SENTINEL).isNull()).drop(SENTINEL)
+
+    def create_view(self, view_name: str, version: int | None = None) -> DataFrame:
+        """Register the table for SQL with implicit data skipping:
+        ``spark.sql(f"SELECT … FROM {view_name} WHERE …")`` prunes files
+        exactly like ``scan`` (the WHERE conjuncts reach the reader via
+        pushFilters). Returns the backing DataFrame."""
+        df = self.read_pushdown(version)
+        df.createOrReplaceTempView(view_name)
+        return df
+
+    def last_pushdown_report(self) -> dict | None:
+        """files_total/files_kept/pushed of the most recent pushdown
+        read — the ``skipping_report`` observable for the automatic
+        path."""
+        from .datasource import last_pushdown_report
+
+        return last_pushdown_report(self.location)
+
     # ----------------------------------------------------------- write core
     def _walk_staged(self, write_dir: str, write_rel: str) -> dict[str, str]:
         """Discover partition dirs produced by a staged write.

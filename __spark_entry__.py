@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst pushing the conjuncts into the manifest pruner
         # (no scan() call, no explicit triples; VERDICT r06 item 1)
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql,
+        # NEW round 7: dropped-mass observability for the dedup caps
+        # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
+        # they BIND here (VERDICT r06 item 5 — no silent truncation)
+        "dedup_cap_report": dedup.dedup_cap_report_bound,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -1868,6 +1872,84 @@ def oracle_sql() -> dict[str, str]:
             FROM ht GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": ngram_pairs_sql,
+        # cap-cost report twin: same band keys as dedup_minhash_pairs,
+        # same gram index as dedup_ngram_jaccard, caps bound at 3/3
+        "dedup_cap_report": f"""
+            WITH sh_t AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+            ),
+            bands_raw AS (
+                SELECT doc_id,
+                       CAST(b AS VARCHAR) || '|' || (CASE b
+                           WHEN 0 THEN {_minhash_expr(0)} || '|' || {_minhash_expr(1)}
+                           WHEN 1 THEN {_minhash_expr(2)} || '|' || {_minhash_expr(3)}
+                           WHEN 2 THEN {_minhash_expr(4)} || '|' || {_minhash_expr(5)}
+                           ELSE {_minhash_expr(6)} || '|' || {_minhash_expr(7)}
+                       END) AS band_key
+                FROM sh_t, (SELECT unnest(range(4)) AS b)
+            ),
+            bsz AS (
+                SELECT band_key, COUNT(*) AS kn
+                FROM bands_raw GROUP BY band_key
+            ),
+            b_keys AS (
+                SELECT COUNT(*) AS keys_total,
+                       SUM(CASE WHEN kn > 3 THEN 1 ELSE 0 END) AS keys_dropped,
+                       SUM(kn) AS postings_total,
+                       SUM(CASE WHEN kn > 3 THEN kn ELSE 0 END)
+                           AS postings_dropped
+                FROM bsz
+            ),
+            b_docs AS (
+                SELECT COUNT(DISTINCT r.doc_id) AS docs_affected
+                FROM bands_raw r JOIN bsz USING (band_key)
+                WHERE bsz.kn > 3
+            ),
+            grams_t AS (
+                SELECT doc_id, lang, source,
+                       list_distinct(CASE WHEN len({_TOKS_NORM}) < 2 THEN []
+                           ELSE list_transform(range(1, len({_TOKS_NORM})),
+                                i -> array_to_string({_TOKS_NORM}[i:i+1], ' '))
+                           END) AS grams
+                FROM documents
+            ),
+            inv_raw AS (
+                SELECT doc_id, lang, source, unnest(grams) AS gram
+                FROM grams_t
+            ),
+            gsz AS (
+                SELECT lang, source, gram, COUNT(*) AS kn
+                FROM inv_raw GROUP BY lang, source, gram
+            ),
+            g_keys AS (
+                SELECT COUNT(*) AS keys_total,
+                       SUM(CASE WHEN kn > 3 THEN 1 ELSE 0 END) AS keys_dropped,
+                       SUM(kn) AS postings_total,
+                       SUM(CASE WHEN kn > 3 THEN kn ELSE 0 END)
+                           AS postings_dropped
+                FROM gsz
+            ),
+            g_docs AS (
+                SELECT COUNT(DISTINCT i.doc_id) AS docs_affected
+                FROM inv_raw i JOIN gsz USING (lang, source, gram)
+                WHERE gsz.kn > 3
+            )
+            SELECT 'band_bucket' AS cap, CAST(3 AS BIGINT) AS threshold,
+                   CAST(keys_total AS BIGINT) AS keys_total,
+                   CAST(keys_dropped AS BIGINT) AS keys_dropped,
+                   CAST(postings_total AS BIGINT) AS postings_total,
+                   CAST(postings_dropped AS BIGINT) AS postings_dropped,
+                   CAST(docs_affected AS BIGINT) AS docs_affected
+            FROM b_keys, b_docs
+            UNION ALL
+            SELECT 'gram_df', CAST(3 AS BIGINT),
+                   CAST(keys_total AS BIGINT), CAST(keys_dropped AS BIGINT),
+                   CAST(postings_total AS BIGINT),
+                   CAST(postings_dropped AS BIGINT),
+                   CAST(docs_affected AS BIGINT)
+            FROM g_keys, g_docs
+            ORDER BY cap
+        """,
         "dedup_containment_pairs": containment_pairs_sql,
         # online dedup: arrival order == doc_id order, so the streamed
         # flags equal a strictly-earlier same-lang self-join over the

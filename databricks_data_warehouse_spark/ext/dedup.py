@@ -86,19 +86,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
 
 
-def minhash_candidate_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int = _MAX_BAND_BUCKET
-) -> DataFrame:
-    """LSH banding: docs sharing any band (concatenated minhash slice)
-    become a candidate pair; pairs are then verified with exact shingle
-    Jaccard. Only bucket-colliding pairs are ever joined — no O(n²),
-    and band buckets larger than ``max_bucket`` are dropped entirely
-    (degenerate buckets = boilerplate mass; see _MAX_BAND_BUCKET).
-
-    Output: (doc_a, doc_b, jaccard) for verified pairs ≥ 0.5.
-    """
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+def _band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows: each signature sliced into
+    ``_N_MINHASH / _BAND_SIZE`` concatenated band keys — shared by the
+    pair join and by ``dedup_cap_report`` so the report measures the
+    exact key space the join buckets on."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -113,6 +106,21 @@ def minhash_candidate_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = _MAX_BAND_BUCKET
+) -> DataFrame:
+    """LSH banding: docs sharing any band (concatenated minhash slice)
+    become a candidate pair; pairs are then verified with exact shingle
+    Jaccard. Only bucket-colliding pairs are ever joined — no O(n²),
+    and band buckets larger than ``max_bucket`` are dropped entirely
+    (degenerate buckets = boilerplate mass; see _MAX_BAND_BUCKET).
+
+    Output: (doc_a, doc_b, jaccard) for verified pairs ≥ 0.5.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = _band_keys(sigs)
     # bucket-size guard: the count window shares the band_key partitioning
     # with the self-join below, so Catalyst reuses the exchange — the cap
     # costs no extra shuffle.
@@ -476,3 +484,84 @@ def ngram_containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("lang", "source", "doc_a", "doc_b", "containment")
     )
+
+
+def dedup_cap_report(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int = _MAX_BAND_BUCKET,
+    max_df: int = _MAX_GRAM_DF,
+) -> DataFrame:
+    """What the two dedup safety caps COST on this corpus — the
+    skipping_report pattern applied to ``_MAX_BAND_BUCKET`` (LSH band
+    buckets dropped by :func:`minhash_candidate_pairs`) and
+    ``_MAX_GRAM_DF`` (stop-grams dropped by the inverted-index joins).
+
+    The caps exist because a degenerate key is quadratic (pair fan-out
+    per key is n²), but "dropped by design" must never mean "dropped
+    silently": a production run reads this report to see how many keys
+    bound, how much posting mass they carried, and how many documents
+    lost candidate edges — the repo's no-silent-truncation standard
+    (the count that tells you whether the capped join's recall story
+    still holds on YOUR data).
+
+    One row per cap:
+      (cap, threshold, keys_total, keys_dropped,
+       postings_total, postings_dropped, docs_affected)
+    computed with the same key construction the joins use (shared
+    helpers), one groupBy per cap plus a distinct-doc count over the
+    dropped keys — O(index), no pair join.
+    """
+
+    def cap_row(postings: DataFrame, key_cols: list[str], cap_name: str,
+                threshold: int) -> DataFrame:
+        sizes = postings.groupBy(*key_cols).agg(F.count("*").alias("kn"))
+        keys = sizes.agg(
+            F.count("*").alias("keys_total"),
+            F.sum(F.when(F.col("kn") > threshold, 1).otherwise(0)).alias(
+                "keys_dropped"
+            ),
+            F.sum("kn").alias("postings_total"),
+            F.sum(F.when(F.col("kn") > threshold, F.col("kn")).otherwise(0))
+            .alias("postings_dropped"),
+        )
+        docs = (
+            postings.withColumn(
+                "kn", F.count("*").over(Window.partitionBy(*key_cols))
+            )
+            .where(F.col("kn") > threshold)
+            .agg(F.countDistinct("doc_id").alias("docs_affected"))
+        )
+        return keys.crossJoin(docs).select(
+            F.lit(cap_name).alias("cap"),
+            F.lit(threshold).cast("long").alias("threshold"),
+            F.col("keys_total").cast("long"),
+            F.col("keys_dropped").cast("long"),
+            F.col("postings_total").cast("long"),
+            F.col("postings_dropped").cast("long"),
+            F.col("docs_affected").cast("long"),
+        )
+
+    bands = _band_keys(minhash_signatures(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.array_distinct(word_ngrams(tokens(normalized_text(F.col("text"))), 2))
+        ).alias("gram"),
+    )
+    return cap_row(bands, ["band_key"], "band_bucket", max_bucket).unionByName(
+        cap_row(grams, ["lang", "source", "gram"], "gram_df", max_df)
+    ).orderBy("cap")
+
+
+def dedup_cap_report_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report with caps tightened (3/3) so they BIND on the test
+    corpus — exercised cross-engine so the dropped-mass arithmetic is
+    pinned, not just the all-zeros case the production caps produce
+    here."""
+    return dedup_cap_report(spark, sf_dir, max_bucket=3, max_df=3)

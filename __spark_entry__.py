@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
         # they BIND here (VERDICT r06 item 5 — no silent truncation)
         "dedup_cap_report": dedup.dedup_cap_report_bound,
+        # NEW round 7: SemDeDup-style composed semantic dedup — IVF
+        # clustering -> intra-cluster cosine pairs -> connected
+        # components -> keep-canonical (VERDICT r06 item 3)
+        "dedup_semantic": similarity.semantic_dedup,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -2551,6 +2555,60 @@ def oracle_sql() -> dict[str, str]:
             FROM b a
             JOIN b b2 ON a.bucket_id = b2.bucket_id AND a.vec_id < b2.vec_id
             WHERE ROUND({_cos_sql("a.v", "b2.v")}, 6) >= 0.35
+        """,
+        # SemDeDup twin: IVF assignment (as ann_ivf_assignments) ->
+        # intra-cluster cosine pairs -> recursive-CTE components (as
+        # dedup_clusters) -> corpus minus non-canonical members
+        "dedup_semantic": f"""
+            WITH RECURSIVE e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            c AS (
+                SELECT vec_id AS centroid_id, v AS centroid
+                FROM e WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT e.vec_id, c.centroid_id,
+                       {_cos_sql("e.v", "c.centroid")} AS sim
+                FROM e CROSS JOIN c
+            ),
+            ranked AS (
+                SELECT vec_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, centroid_id) AS rn
+                FROM scored
+            ),
+            assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+            vv AS (
+                SELECT a.centroid_id, e.vec_id, e.v
+                FROM e JOIN assign a USING (vec_id)
+            ),
+            prs AS (
+                SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+                FROM vv x
+                JOIN vv y ON x.centroid_id = y.centroid_id
+                         AND x.vec_id < y.vec_id
+                WHERE ROUND({_cos_sql("x.v", "y.v")}, 6) >= 0.35
+            ),
+            edges AS (
+                SELECT vec_a AS a2, vec_b AS b2 FROM prs
+                UNION
+                SELECT vec_b, vec_a FROM prs
+            ),
+            reach(node, r) AS (
+                SELECT a2, a2 FROM edges
+                UNION
+                SELECT ed.a2, reach.r
+                FROM edges ed JOIN reach ON reach.node = ed.b2
+            ),
+            comp AS (SELECT node AS vec_id, MIN(r) AS comp
+                     FROM reach GROUP BY node)
+            SELECT emb.vec_id, emb.label
+            FROM embeddings emb
+            WHERE emb.vec_id NOT IN
+                (SELECT vec_id FROM comp WHERE vec_id <> comp)
         """,
         "ann_ivf_topk": f"""
             WITH e AS (

@@ -607,3 +607,76 @@ def ann_lsh_topk_multiprobe(
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication — the embedding-space
+    sibling of :func:`..dedup.dedup_keep_canonical` (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    pairs ONLY within clusters, resolve clusters of near-dups, keep one
+    canonical member each. Returns the SURVIVING corpus
+    ``(vec_id, label)``.
+
+    Composition of the existing blocked pieces, nothing all-pairs:
+    1. IVF assignment (:func:`ann_ivf_assignments`): every vector to
+       its best centroid — broadcast argmax, one pass;
+    2. intra-cluster exact cosine pairs >= ``threshold``: quadratic
+       only within a cluster (the SemDeDup trick — cross-cluster pairs
+       are below threshold with high probability because the centroid
+       assignment already separates them; the miss rate is the price of
+       linearity, exactly as the paper frames it);
+    3. :func:`..dedup.connected_components` over the pair graph
+       (pointer jumping, O(log n) rounds);
+    4. keep min-vec_id per component: left-anti of the corpus against
+       the losers, so embedding payloads never enter the CC shuffle.
+
+    At 100 TB: centroids are a broadcast table, the pair join's key is
+    the centroid id (≈ corpus/n_centroids rows per block — n_centroids
+    scales with corpus size like ``_auto_planes``), and CC runs on the
+    pair graph, which near-dup thresholds keep sparse.
+    """
+    from .dedup import connected_components
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    assign = ann_ivf_assignments(spark, sf_dir, n_centroids).select(
+        "vec_id", "centroid_id"
+    )
+    vecs = (
+        emb.join(assign, "vec_id")
+        .select(
+            "centroid_id",
+            "vec_id",
+            _as_double(F.col("embedding")).alias("e"),
+        )
+        .withColumn("n", norm(F.col("e")))
+    )
+    a = vecs.select(
+        "centroid_id", F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"), F.col("n").alias("n_a"),
+    )
+    b = vecs.select(
+        "centroid_id", F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, on="centroid_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    losers = comps.where(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.select("vec_id", "label").join(losers, "vec_id", "left_anti")

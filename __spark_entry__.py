@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from databricks_data_warehouse_spark.ext import (
     asof,
     dedup,
+    dedup_incremental,
     json_ops,
     multimodal,
     packing,
@@ -120,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering -> intra-cluster cosine pairs -> connected
         # components -> keep-canonical (VERDICT r06 item 3)
         "dedup_semantic": similarity.semantic_dedup,
+        # NEW round 7: new-batch-vs-persisted-index near-dup — the
+        # 100 TB ingestion shape; oracle = full non-incremental
+        # recompute over existing ∪ batch (VERDICT r06 item 6)
+        "dedup_incremental": dedup_incremental.dedup_incremental,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -1955,6 +1960,61 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cap
         """,
         "dedup_containment_pairs": containment_pairs_sql,
+        # incremental ingest twin: the full NON-incremental recompute —
+        # band index of the existing 3/4 corpus (same bucket cap), batch
+        # = doc_id % 4 = 0, candidate join + exact-Jaccard verification
+        "dedup_incremental": f"""
+            WITH sh_t AS (
+                SELECT doc_id, {_SHINGLES3} AS sh FROM documents
+            ),
+            bands_all AS (
+                SELECT doc_id,
+                       CAST(b AS VARCHAR) || '|' || (CASE b
+                           WHEN 0 THEN {_minhash_expr(0)} || '|' || {_minhash_expr(1)}
+                           WHEN 1 THEN {_minhash_expr(2)} || '|' || {_minhash_expr(3)}
+                           WHEN 2 THEN {_minhash_expr(4)} || '|' || {_minhash_expr(5)}
+                           ELSE {_minhash_expr(6)} || '|' || {_minhash_expr(7)}
+                       END) AS band_key
+                FROM sh_t, (SELECT unnest(range(4)) AS b)
+            ),
+            idx AS (
+                SELECT doc_id, band_key FROM (
+                    SELECT *, COUNT(*) OVER (PARTITION BY band_key) AS bn
+                    FROM bands_all WHERE doc_id % 4 <> 0
+                ) WHERE bn <= 1000
+            ),
+            newb AS (
+                SELECT doc_id AS new_doc, band_key
+                FROM bands_all WHERE doc_id % 4 = 0
+            ),
+            cand AS (
+                SELECT DISTINCT n.new_doc, i.doc_id AS old_doc
+                FROM newb n JOIN idx i USING (band_key)
+                WHERE n.new_doc <> i.doc_id
+            ),
+            ver AS (
+                SELECT c.new_doc, c.old_doc,
+                       floor(len(list_intersect(x.sh, y.sh))
+                             / len(list_distinct(list_concat(x.sh, y.sh)))
+                             * 10000 + 0.5) / 10000 AS j
+                FROM cand c
+                JOIN sh_t x ON c.new_doc = x.doc_id
+                JOIN sh_t y ON c.old_doc = y.doc_id
+            ),
+            best AS (
+                SELECT new_doc, old_doc AS best_match, j AS best_jaccard,
+                       ROW_NUMBER() OVER (PARTITION BY new_doc
+                                          ORDER BY j DESC, old_doc) AS rn
+                FROM ver WHERE j >= 0.5
+            )
+            SELECT d.doc_id,
+                   b.best_match IS NOT NULL AS is_dup,
+                   b.best_match, b.best_jaccard
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON d.doc_id = b.new_doc
+            WHERE d.doc_id % 4 = 0
+        """,
         # online dedup: arrival order == doc_id order, so the streamed
         # flags equal a strictly-earlier same-lang self-join over the
         # same 16-bit fingerprints at Hamming <= 1

@@ -66,6 +66,20 @@ def _shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def _minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """Signature core over any (doc_id, text) frame — shared by the
+    corpus-wide path and the incremental batch path so the two can
+    never drift."""
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
+        for j in range(_N_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document MinHash signature (8 hashes over 3-word shingles).
 
@@ -76,14 +90,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shingling once per hash after projection collapse: 8× the work).
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exploded = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("s")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh_{j}")
-        for j in range(_N_MINHASH)
-    ]
-    return exploded.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_shingles"))
+    return _minhash_signatures_df(docs)
 
 
 def _band_keys(sigs: DataFrame) -> DataFrame:

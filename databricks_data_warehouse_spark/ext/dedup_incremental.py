@@ -1,0 +1,172 @@
+"""Incremental near-dup ingestion against a PERSISTED band-key index —
+the actual 100 TB ingestion shape (VERDICT r06 item 6).
+
+Corpus-wide dedup (:mod:`.dedup`) re-shingles everything per run; a
+production pipeline cannot. Instead the MinHash band keys of every
+ingested document are stored ONCE in a ManagedTable, and each new batch
+is deduplicated by joining ITS band keys (O(batch)) against the stored
+index — no full-corpus re-shingle, exactly how a Delta-backed ingest
+job checks arrivals against history. Candidates are then verified with
+exact shingle Jaccard by fetching only the matched old documents'
+texts (a selective join against the corpus table, not a scan).
+
+Index maintenance is idempotent: band rows are appended with
+``merge_insert_only`` (the reference's S5 idempotent-append primitive),
+so replaying a batch neither duplicates index rows nor changes any
+later dedup decision — pinned by tests/test_dedup_incremental.py,
+which also pins the semantic contract: the incremental answer equals
+the full recompute over existing ∪ batch.
+
+Scale notes: the index table is partition-friendly (band_key is the
+join key; at 100 TB you bucket it by band hash), the batch join touches
+O(batch × bands) rows, and the verification join fetches only candidate
+texts. The ``_MAX_BAND_BUCKET`` degenerate-bucket cap applies to the
+stored index exactly as it does in the batch path, and its cost is
+observable via :func:`.dedup.dedup_cap_report`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries._util import load, rnd
+from ..sources.tables import ManagedTable
+from .dedup import (
+    _MAX_BAND_BUCKET,
+    _band_keys,
+    _minhash_signatures_df,
+    _shingles,
+)
+
+
+def band_index_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows for any (doc_id, text) frame — the
+    persisted representation of a document in the near-dup index
+    (8 minhashes → 4 band keys per doc, ~200 bytes/doc)."""
+    return _band_keys(_minhash_signatures_df(docs))
+
+
+def incremental_dedup_batch(
+    batch_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = _MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Dedup a new batch against a stored band index.
+
+    ``batch_docs``/``corpus_docs``: (doc_id, text); ``index``:
+    (doc_id, band_key) as stored by :func:`band_index_rows`. Returns
+    one row per batch document: ``(doc_id, is_dup, best_match,
+    best_jaccard)`` — best_match is the highest-Jaccard verified
+    existing document (ties to the smallest doc_id), NULL when the
+    document is novel.
+    """
+    # degenerate index buckets dropped exactly like the batch path
+    # (same cap, same window construction — see _MAX_BAND_BUCKET)
+    idx = (
+        index.withColumn(
+            "bucket_n", F.count("*").over(Window.partitionBy("band_key"))
+        )
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    new_bands = band_index_rows(batch_docs).select(
+        F.col("doc_id").alias("new_doc"), "band_key"
+    )
+    candidates = (
+        new_bands.join(
+            idx.select(F.col("doc_id").alias("old_doc"), "band_key"),
+            "band_key",
+        )
+        .where(F.col("new_doc") != F.col("old_doc"))
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    new_sh = batch_docs.select(
+        F.col("doc_id").alias("new_doc"), _shingles(F.col("text")).alias("sh_n")
+    )
+    old_sh = corpus_docs.select(
+        F.col("doc_id").alias("old_doc"), _shingles(F.col("text")).alias("sh_o")
+    )
+    verified = (
+        candidates.join(new_sh, "new_doc")
+        .join(old_sh, "old_doc")
+        .withColumn(
+            "jaccard",
+            rnd(
+                F.size(F.array_intersect("sh_n", "sh_o"))
+                / F.size(F.array_union("sh_n", "sh_o")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    best = (
+        verified.groupBy("new_doc")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard"), (-F.col("old_doc")).alias("neg"))
+            ).alias("b")
+        )
+        .select(
+            "new_doc",
+            (-F.col("b.neg")).alias("best_match"),
+            F.col("b.jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        batch_docs.select(F.col("doc_id"))
+        .join(best, F.col("doc_id") == F.col("new_doc"), "left")
+        .select(
+            "doc_id",
+            F.col("best_match").isNotNull().alias("is_dup"),
+            "best_match",
+            "best_jaccard",
+        )
+    )
+
+
+def update_band_index(table: ManagedTable, docs: DataFrame) -> int:
+    """Append a batch's band rows to the persisted index —
+    ``merge_insert_only`` makes the append idempotent (replaying the
+    batch inserts nothing new), the same exactly-once-by-idempotence
+    contract as the reference's bronze ingestion. Returns the committed
+    table version."""
+    return table.merge_insert_only(band_index_rows(docs))
+
+
+# ------------------------------------------------------- oracle entry
+def _scratch_index(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    import os
+
+    from ..queries.managed_scan import _corpus_fingerprint
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"band_idx_{h}")
+    table = ManagedTable(spark, f"band_idx_{h}", loc)
+    if table.current_version() < 0:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        existing = docs.filter(F.col("doc_id") % 4 != 0)
+        try:
+            table.overwrite(band_index_rows(existing))
+        except ConcurrentWriteError:
+            pass  # concurrent builder won; identical deterministic rows
+    return table
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: documents split deterministically into an
+    existing corpus (doc_id % 4 != 0, band-indexed into a ManagedTable
+    once per corpus) and an arriving batch (doc_id % 4 == 0) that is
+    deduplicated against the STORED index — the oracle recomputes the
+    same answer non-incrementally, which is the semantic contract:
+    incremental ≡ full recompute."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    table = _scratch_index(spark, sf_dir)
+    return incremental_dedup_batch(batch, table.read(), existing)

@@ -131,10 +131,13 @@ def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
 
 @dataclass
 class _FilePartition(InputPartition):
-    """One surviving data file + its hive partition values."""
+    """One surviving data file + its hive partition values, plus the
+    deletion-vector sidecar to apply (merge-on-read)."""
 
     path: str
     part_values: dict = field(default_factory=dict)
+    dv_path: str | None = None
+    dv_key: str | None = None
 
 
 class ManagedTableReader(DataSourceReader):
@@ -179,6 +182,7 @@ class ManagedTableReader(DataSourceReader):
             )
         entries = tbl._read_manifest(v)
         stats = tbl._read_stats(v)
+        dv, _dv_n = tbl._read_dv(v)
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         total = 0
@@ -194,9 +198,15 @@ class ManagedTableReader(DataSourceReader):
                     if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                         continue
                     full = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(full, self.location)
+                    # manifest key space: location-relative for own
+                    # files, absolute for clone-referenced ones
+                    key = (
+                        full
+                        if os.path.isabs(rel_dir)
+                        else os.path.relpath(full, self.location)
+                    )
                     total += 1
-                    st = stats.get(rel)
+                    st = stats.get(key)
                     if st is not None:
                         if st.get("rows", 0) == 0:
                             continue  # empty write task: nothing to read
@@ -205,7 +215,23 @@ class ManagedTableReader(DataSourceReader):
                         ):
                             continue
                     # no stats (legacy manifest): keep, never wrongly skip
-                    out.append(_FilePartition(full, pvals))
+                    dvd = dv.get(key)
+                    out.append(
+                        _FilePartition(
+                            full,
+                            pvals,
+                            dv_path=(
+                                None
+                                if dvd is None
+                                else (
+                                    dvd
+                                    if os.path.isabs(dvd)
+                                    else os.path.join(self.location, dvd)
+                                )
+                            ),
+                            dv_key=key if dvd is not None else None,
+                        )
+                    )
         self._write_report(total, len(out))
         return out
 
@@ -270,6 +296,19 @@ class ManagedTableReader(DataSourceReader):
 
         target = to_arrow_schema(StructType.fromJson(json.loads(self.schema_json)))
         tbl = pq.read_table(partition.path)
+        if partition.dv_path is not None:
+            # merge-on-read: drop the rows this file's deletion vector
+            # marks (positions are row indices in file order)
+            import numpy as np
+
+            dvt = pq.read_table(
+                partition.dv_path,
+                filters=[("file", "==", partition.dv_key)],
+            )
+            dead = dvt.column("pos").to_numpy(zero_copy_only=False)
+            mask = np.ones(tbl.num_rows, dtype=bool)
+            mask[dead[dead < tbl.num_rows].astype(int)] = False
+            tbl = tbl.filter(pa.array(mask))
         n = tbl.num_rows
         arrays = []
         for fld in target:

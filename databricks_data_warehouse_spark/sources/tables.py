@@ -420,6 +420,21 @@ class ManagedTable:
         with open(path) as f:
             return json.loads(f.read()).get("stats", {})
 
+    def _read_dv(self, version: int) -> tuple[dict[str, str], dict[str, int]]:
+        """Deletion-vector metadata of a manifest: ``(dv, dv_n)`` where
+        ``dv`` maps a data file to the dv parquet dir holding its
+        deleted row positions and ``dv_n`` to the deleted-row count
+        (the Delta numDeletedRecords analogue the metadata-only COUNT
+        uses). Pre-DV manifests → empty maps."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}, {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return dict(m.get("dv", {})), {
+            k: int(v) for k, v in m.get("dv_n", {}).items()
+        }
+
     def _write_manifest(
         self,
         version: int,
@@ -428,6 +443,8 @@ class ManagedTable:
         txn: Mapping[str, int] | None = None,
         op: str = "WRITE",
         constraints: Mapping[str, str] | None = None,
+        dv: Mapping[str, str] | None = None,
+        dv_n: Mapping[str, int] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -446,6 +463,9 @@ class ManagedTable:
                         "constraints": dict(
                             self.constraints if constraints is None else constraints
                         ),
+                        # merge-on-read deletes: file -> dv dir + count
+                        "dv": dict(dv or {}),
+                        "dv_n": dict(dv_n or {}),
                     },
                     sort_keys=True,
                 )
@@ -483,8 +503,40 @@ class ManagedTable:
         return self
 
     # ------------------------------------------------------------------ I/O
-    def read(self, version: int | None = None) -> DataFrame:
-        v = self.current_version() if version is None else version
+    def _file_key(self) -> Column:
+        """Map ``_metadata.file_path`` (a URI) to the key DV rows use:
+        location-relative for own files, absolute for clone-referenced
+        source files — the same key space as manifest stats."""
+        abs_p = F.regexp_replace(F.col("__mt_path"), "^[a-z]+:/+", "/")
+        loc = os.path.abspath(self.location)
+        return F.when(
+            abs_p.startswith(loc + os.sep),
+            abs_p.substr(F.lit(len(loc) + 2), F.lit(2147483647)),
+        ).otherwise(abs_p)
+
+    def _dv_rows(self, dv: Mapping[str, str]) -> DataFrame:
+        """(file, pos) rows of every dv dir a snapshot references —
+        O(deleted rows), the merge-on-read side of the table."""
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        schema = StructType(
+            [StructField("file", StringType()), StructField("pos", LongType())]
+        )
+        paths = sorted(
+            {
+                d if os.path.isabs(d) else os.path.join(self.location, d)
+                for d in dv.values()
+            }
+        )
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _read_internal(self, version: int, with_pos: bool = False) -> DataFrame:
+        """Snapshot read. With ``with_pos`` the result keeps
+        ``__mt_key``/``__mt_pos`` (the DV key space) for the delete
+        paths; deletion vectors of the snapshot are ALWAYS applied —
+        a DV'd row is invisible to every reader, the Delta
+        merge-on-read contract."""
+        v = version
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
         if self.schema is None:
@@ -493,8 +545,13 @@ class ManagedTable:
             raise ValueError(f"table {self.name}: no schema available")
         cols = [f.name for f in self.schema.fields]
         entries = self._read_manifest(v)
+        dv, _ = self._read_dv(v)
         if not entries:
-            return self.spark.createDataFrame([], self.schema)
+            df = self.spark.createDataFrame([], self.schema)
+            if with_pos:
+                df = df.withColumn("__mt_key", F.lit(None).cast("string")) \
+                       .withColumn("__mt_pos", F.lit(None).cast("long"))
+            return df
         # group entry dirs by their write root so partition-column
         # recovery (basePath-relative dir names) works per group; one
         # scan per write root, unioned. Untouched partitions keep their
@@ -503,17 +560,43 @@ class ManagedTable:
         groups: dict[str, list[str]] = {}
         for rel in entries.values():
             groups.setdefault(_write_root(rel), []).append(rel)
+        need_meta = with_pos or bool(dv)
         scans = []
         for wroot, rels in sorted(groups.items()):
             reader = self.spark.read.schema(self.schema).option(
                 "basePath", os.path.join(self.location, wroot)
             )
-            scans.append(
-                reader.parquet(
-                    *[os.path.join(self.location, r) for r in sorted(rels)]
-                ).select(*cols)
+            base = reader.parquet(
+                *[os.path.join(self.location, r) for r in sorted(rels)]
             )
-        return reduce(DataFrame.unionByName, scans)
+            if need_meta:
+                base = base.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("__mt_path"),
+                    F.col("_metadata.row_index").alias("__mt_pos"),
+                )
+            else:
+                base = base.select(*cols)
+            scans.append(base)
+        df = reduce(DataFrame.unionByName, scans)
+        if need_meta:
+            df = df.withColumn("__mt_key", self._file_key()).drop("__mt_path")
+        if dv:
+            # anti-join on (file, position): removes exactly the
+            # DV-marked rows; Spark broadcasts the (small) DV relation
+            df = df.join(
+                self._dv_rows(dv).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            )
+        return df if with_pos else df.select(*cols)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        return self._read_internal(v)
 
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
 
@@ -710,12 +793,26 @@ class ManagedTable:
             if os.path.dirname(f) in kept_dirs
         }
         stats.update(self._collect_file_stats(write_dir))
+        # deletion vectors of RETAINED files carry over; a replaced
+        # file's DV dies with it (its replacement holds only visible
+        # rows, because every read path applies DVs)
+        if replace_all or v_new == 0:
+            dv, dv_n = {}, {}
+        else:
+            prev_dv, prev_dv_n = self._read_dv(v_new - 1)
+            dv = {
+                f: d for f, d in prev_dv.items()
+                if os.path.dirname(f) in kept_dirs
+            }
+            dv_n = {f: n for f, n in prev_dv_n.items() if f in dv}
         txns = dict(self._read_txn(v_new - 1)) if v_new > 0 else {}
         if txn is not None:
             txns[txn[0]] = int(txn[1])
         self._save_schema()
         try:
-            self._write_manifest(v_new, entries, stats, txns, op)
+            self._write_manifest(
+                v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n
+            )
         except ConcurrentWriteError:
             # lost the race: discard this transaction's staged files
             shutil.rmtree(write_dir, ignore_errors=True)
@@ -740,12 +837,15 @@ class ManagedTable:
         when a merge changes the schema (evolution) but inserts nothing."""
         v_new = self.current_version() + 1
         self._save_schema()
+        dv, dv_n = self._read_dv(v_new - 1)
         self._write_manifest(
             v_new,
             self._read_manifest(v_new - 1),
             self._read_stats(v_new - 1),
             self._read_txn(v_new - 1),
             op,
+            dv=dv,
+            dv_n=dv_n,
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -1137,6 +1237,7 @@ class ManagedTable:
         if not paths:
             df = self.spark.createDataFrame([], self.schema)
             return df.filter(cond) if cond is not None else df
+        dv, _ = self._read_dv(v)
         groups: dict[str, list[str]] = {}
         for rel in paths:
             groups.setdefault(_write_root(rel), []).append(rel)
@@ -1145,12 +1246,33 @@ class ManagedTable:
             reader = self.spark.read.schema(self.schema).option(
                 "basePath", os.path.join(self.location, wroot)
             )
-            scans.append(
-                reader.parquet(
-                    *[os.path.join(self.location, r) for r in rels]
-                ).select(*cols)
+            base = reader.parquet(
+                *[os.path.join(self.location, r) for r in rels]
             )
+            if dv:
+                base = base.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("__mt_path"),
+                    F.col("_metadata.row_index").alias("__mt_pos"),
+                )
+            else:
+                base = base.select(*cols)
+            scans.append(base)
         df = reduce(DataFrame.unionByName, scans)
+        if dv:
+            # DV rows are invisible to scan too (merge-on-read read side)
+            df = (
+                df.withColumn("__mt_key", self._file_key())
+                .join(
+                    self._dv_rows(dv).select(
+                        F.col("file").alias("__mt_key"),
+                        F.col("pos").alias("__mt_pos"),
+                    ),
+                    ["__mt_key", "__mt_pos"],
+                    "left_anti",
+                )
+                .select(*cols)
+            )
         return df.filter(cond) if cond is not None else df
 
     def skipping_report(
@@ -1214,12 +1336,29 @@ class ManagedTable:
                 f"table {self.name}: snapshot v{v} has files without "
                 "stats — metadata aggregate unavailable, scan instead"
             )
-        out: dict = {"count": sum(stats[f]["rows"] for f in files)}
+        # DV-aware COUNT: footer rows minus the per-file deleted-row
+        # counts the delete commits recorded (Delta: numRecords −
+        # numDeletedRecords) — still metadata-only and still exact
+        dv, dv_n = self._read_dv(v)
+        out: dict = {
+            "count": sum(stats[f]["rows"] for f in files)
+            - sum(n for f, n in dv_n.items() if f in stats)
+        }
         fields = {f.name: f for f in (self.schema.fields if self.schema else [])}
         for col in columns:
             if col not in fields:
                 raise ValueError(
                     f"table {self.name}: unknown column {col!r}"
+                )
+            if dv:
+                # a deleted row may HOLD the min/max/null — footer
+                # bounds are no longer exact aggregates for any file
+                # of a DV'd snapshot; fail loud, scan instead
+                raise ValueError(
+                    f"table {self.name}: snapshot v{v} carries deletion "
+                    f"vectors — min/max/null_count of {col!r} are not "
+                    "metadata-derivable, scan instead (COUNT alone is "
+                    "exact via metadata_aggregate())"
                 )
             bounds_exact = isinstance(fields[col].dataType, exact_types)
             mn = mx = None
@@ -1367,9 +1506,12 @@ class ManagedTable:
         self.constraints = self._read_constraints(version)
         # txn watermarks move forward even through a restore — an
         # additive sink must not re-apply batches the rolled-back
-        # versions had consumed
+        # versions had consumed. The restored snapshot's DV set comes
+        # back with it (rows deleted after `version` reappear).
+        dv, dv_n = self._read_dv(version)
         self._write_manifest(
-            v_new, entries, stats, self._read_txn(v_new - 1), op=f"RESTORE v{version}"
+            v_new, entries, stats, self._read_txn(v_new - 1),
+            op=f"RESTORE v{version}", dv=dv, dv_n=dv_n,
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -1410,7 +1552,36 @@ class ManagedTable:
             raise FileExistsError(f"table {name}: already exists at {location}")
         out.constraints = dict(self.constraints)  # manifest 0 carries them
         out._save_schema()
-        out._write_manifest(0, entries, stats, op=f"CLONE {self.name}")
+        # active deletion vectors travel with the clone: dv ROWS are
+        # rewritten with the absolute file keys the clone reads under
+        # (O(deleted rows) — the data files themselves stay zero-copy)
+        src_dv, src_dv_n = self._read_dv(v)
+        dv: dict[str, str] = {}
+        dv_n: dict[str, int] = {}
+        if src_dv:
+            rows = self._dv_rows(src_dv).select(
+                # already-absolute keys (source itself a clone) pass
+                # through; own-relative keys get the source root
+                F.when(
+                    F.col("file").startswith("/"), F.col("file")
+                ).otherwise(
+                    F.concat(F.lit(self.location + os.sep), F.col("file"))
+                ).alias("file"),
+                "pos",
+            )
+            dv_rel = f"_dv/w=0-{uuid.uuid4().hex[:8]}"
+            rows.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(location, dv_rel)
+            )
+            dv = {
+                os.path.join(self.location, f): dv_rel for f in src_dv
+            }
+            dv_n = {
+                os.path.join(self.location, f): n for f, n in src_dv_n.items()
+            }
+        out._write_manifest(
+            0, entries, stats, op=f"CLONE {self.name}", dv=dv, dv_n=dv_n
+        )
         out._commit(0)
         return out
 
@@ -1455,11 +1626,14 @@ class ManagedTable:
             v = int(entry[len(_MANIFEST_PREFIX):])
             if v >= oldest_kept:
                 referenced |= set(self._read_manifest(v).values())
+                # dv dirs referenced by a live manifest must survive
+                referenced |= set(self._read_dv(v)[0].values())
             else:
                 dropped_manifests.append(v)
         dead: set[str] = set()
         for v in dropped_manifests:
             dead |= set(self._read_manifest(v).values())
+            dead |= set(self._read_dv(v)[0].values())
         own_root = os.path.realpath(self.location) + os.sep
         for rel in dead - referenced:
             target = os.path.join(self.location, rel)
@@ -1715,18 +1889,87 @@ class ManagedTable:
             self.schema = prev_schema
             raise
 
-    def merge_delete(self, source: DataFrame, key_columns: Sequence[str]) -> int:
+    def _delete_rows_dv(self, doomed: DataFrame, op: str) -> int:
+        """Commit a merge-on-read delete: mark ``doomed`` rows
+        (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
+        deletion-vector sidecar instead of rewriting their data files —
+        Delta's DV path, where a GDPR-delete of 100 rows writes a few
+        KB of positions and ZERO data files (``compact()`` materializes
+        later). The new dv dir holds the UNION of old and new positions
+        for every touched file, so each manifest references exactly one
+        dv dir per file and old dv dirs age out with their manifests."""
+        v = self.current_version()
+        doomed = doomed.select("__mt_key", "__mt_pos")
+        per_file = {
+            r["__mt_key"]: r["n"]
+            for r in doomed.groupBy("__mt_key").agg(F.count("*").alias("n")).collect()
+        }
+        if not per_file:
+            return v  # nothing matched: commit-free no-op
+        prev_dv, prev_n = self._read_dv(v)
+        rows = doomed.select(
+            F.col("__mt_key").alias("file"), F.col("__mt_pos").alias("pos")
+        )
+        touched_with_prev = [f for f in per_file if f in prev_dv]
+        if touched_with_prev:
+            rows = rows.unionByName(
+                self._dv_rows({f: prev_dv[f] for f in touched_with_prev}).where(
+                    F.col("file").isin(touched_with_prev)
+                )
+            )
+        dv_rel = f"_dv/w={v + 1}-{uuid.uuid4().hex[:8]}"
+        rows.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self.location, dv_rel)
+        )
+        new_dv = {f: d for f, d in prev_dv.items() if f not in per_file}
+        new_dv.update({f: dv_rel for f in per_file})
+        new_n = {f: n for f, n in prev_n.items() if f not in per_file}
+        new_n.update(
+            {f: prev_n.get(f, 0) + n for f, n in per_file.items()}
+        )
+        try:
+            self._write_manifest(
+                v + 1,
+                self._read_manifest(v),
+                self._read_stats(v),
+                self._read_txn(v),
+                op=op,
+                dv=new_dv,
+                dv_n=new_n,
+            )
+        except ConcurrentWriteError:
+            shutil.rmtree(
+                os.path.join(self.location, dv_rel), ignore_errors=True
+            )
+            raise
+        self._commit(v + 1)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
+        return v + 1
+
+    def merge_delete(
+        self,
+        source: DataFrame,
+        key_columns: Sequence[str],
+        deletion_vectors: bool = True,
+    ) -> int:
         """Delta ``whenMatchedDelete`` parity: target rows whose key
         matches a source row are REMOVED; everything else carries over.
         The right-to-erasure primitive (delete all rows for a set of
         user ids) and the retraction half of a CDC apply.
 
-        Partition-scoped exactly like :meth:`merge_upsert`: when the
-        partition columns are part of the key, only the source's
-        partitions are rewritten — a keyed delete against a 100 TB
-        table touches only the partitions holding those keys.
+        Default is merge-on-read (``deletion_vectors=True``): matched
+        rows are marked in a DV sidecar, no data file is rewritten.
+        ``deletion_vectors=False`` is the copy-on-write path,
+        partition-scoped exactly like :meth:`merge_upsert` when the
+        partition columns are part of the key.
         """
         keys = list(key_columns)
+        src_keys = source.select(*keys).distinct()
+        if deletion_vectors:
+            target = self._read_internal(self.current_version(), with_pos=True)
+            doomed = target.join(src_keys, on=keys, how="left_semi")
+            return self._delete_rows_dv(doomed, op="MERGE DELETE (DV)")
         scoped = bool(self.partition_columns) and set(
             self.partition_columns
         ) <= set(keys)
@@ -1736,7 +1979,6 @@ class ManagedTable:
             if pf is None:
                 return self.current_version()
             target = target.filter(pf)
-        src_keys = source.select(*keys).distinct()
         # nothing matches → nothing to delete → commit-free no-op
         # (one limit-1 semi-join probe, vs a full rewrite)
         if target.join(src_keys, on=keys, how="left_semi").isEmpty():
@@ -1746,18 +1988,27 @@ class ManagedTable:
             kept, replace_all=not scoped, op="MERGE DELETE"
         )
 
-    def delete_where(self, condition: Column) -> int:
-        """``DELETE FROM table WHERE ...`` parity: rewrite the table
-        without the matching rows. A predicate on partition columns
-        alone would allow a manifest-only commit; this general form
-        rewrites data (like Delta's DELETE when files mix matching and
-        non-matching rows).
+    def delete_where(
+        self, condition: Column, deletion_vectors: bool = True
+    ) -> int:
+        """``DELETE FROM table WHERE ...`` parity.
+
+        Default is merge-on-read (``deletion_vectors=True``): matching
+        rows are marked in a deletion-vector sidecar — O(matches)
+        written, zero data files rewritten, ``history`` records
+        ``DELETE (DV)``. ``deletion_vectors=False`` is the
+        copy-on-write rewrite (Delta's behavior with DVs disabled).
 
         SQL DELETE removes only rows where the predicate is TRUE; a
         NULL predicate (e.g. a NULL column compared with ``==``) means
-        "not matched, keep" — hence the ``coalesce(cond, false)`` before
-        negating, where a bare ``filter(~cond)`` would silently delete
-        the NULL-predicate rows too (ADVICE r05)."""
+        "not matched, keep" — hence the ``coalesce(cond, false)``
+        (on the DV path the same coalesce SELECTS only true-matches),
+        where a bare ``filter(~cond)`` would silently delete the
+        NULL-predicate rows too (ADVICE r05)."""
+        if deletion_vectors:
+            target = self._read_internal(self.current_version(), with_pos=True)
+            doomed = target.filter(F.coalesce(condition, F.lit(False)))
+            return self._delete_rows_dv(doomed, op="DELETE (DV)")
         return self._stage_and_commit(
             self.read().filter(~F.coalesce(condition, F.lit(False))),
             replace_all=True,

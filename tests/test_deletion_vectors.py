@@ -1,0 +1,192 @@
+"""Deletion vectors: merge-on-read deletes (VERDICT r06 item 4).
+
+Delta's DV contract re-created over the manifest MVCC: delete_where /
+merge_delete mark row positions in a parquet sidecar instead of
+rewriting data files; every read path (read, scan, pushdown datasource)
+applies the DVs; compact() materializes them away; RESTORE resurrects;
+vacuum honors DV liveness; metadata_aggregate stays exact for COUNT and
+refuses bounds it can no longer prove.
+"""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, name="dv", **kw):
+    t = ManagedTable(spark, name, str(tmp_path / name), **kw)
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 10).alias("g"))
+    t.overwrite(df.repartitionByRange(4, "id"))
+    return t
+
+
+def _data_files(t):
+    return {
+        p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in glob.glob(t.location + "/data/**/*.parquet", recursive=True)
+    }
+
+
+def test_delete_where_writes_dv_not_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _data_files(t)
+    v = t.delete_where(F.col("id").between(100, 149))
+    assert v == 1
+    assert _data_files(t) == before  # zero data files rewritten
+    assert t.history()[0]["operation"] == "DELETE (DV)"
+    assert t.read().count() == 950
+    assert sorted(r.id for r in t.read().filter("id < 102").collect()) == list(
+        range(100)
+    ) + [100, 101][2:]  # 0..99 only
+    # scan sees the same snapshot
+    assert t.scan([("id", "<", 200)]).count() == 150
+    # second delete over the same file unions positions
+    t.delete_where(F.col("id") == 150)
+    assert t.read().count() == 949
+    # deleting an already-deleted row is a no-op commit
+    v2 = t.current_version()
+    assert t.delete_where(F.col("id") == 150) == v2
+
+
+def test_null_predicate_keeps_rows(spark, tmp_path):
+    t = ManagedTable(spark, "dvnull", str(tmp_path / "dvnull"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, None), (3, "b")], "id long, v string")
+    )
+    t.delete_where(F.col("v") == "a")  # NULL predicate rows must stay
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_merge_delete_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvmd")
+    before = _data_files(t)
+    t.merge_delete(spark.createDataFrame([(5,), (7,)], "id long"), ["id"])
+    assert _data_files(t) == before
+    assert t.history()[0]["operation"] == "MERGE DELETE (DV)"
+    assert t.read().count() == 998
+    # no match → commit-free no-op
+    v = t.current_version()
+    assert t.merge_delete(
+        spark.createDataFrame([(10**9,)], "id long"), ["id"]
+    ) == v
+
+
+def test_pushdown_read_applies_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvpd")
+    t.delete_where(F.col("id") < 100)
+    pdf = t.read_pushdown()
+    assert pdf.count() == 900
+    assert pdf.filter(pdf.id < 200).count() == 100
+    assert sorted(pdf.collect()) == sorted(t.read().collect())
+
+
+def test_time_travel_and_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvtt")
+    t.delete_where(F.col("id").between(0, 9))
+    assert t.read(version=0).count() == 1000  # pre-delete snapshot intact
+    ch = t.changes(0, 1)
+    agg = {r["_change_type"]: r["count"] for r in
+           ch.groupBy("_change_type").count().collect()}
+    assert agg == {"delete": 10}
+
+
+def test_metadata_aggregate_dv_count_exact_bounds_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvma")
+    t.delete_where(F.col("id") >= 990)
+    assert t.metadata_aggregate()["count"] == 990
+    try:
+        t.metadata_aggregate("id")
+        assert False, "bounds over a DV'd snapshot must refuse"
+    except ValueError as e:
+        assert "deletion vectors" in str(e)
+
+
+def test_compact_materializes_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvc")
+    t.delete_where(F.col("id") < 500)
+    t.compact()
+    assert t._read_dv(t.current_version())[0] == {}
+    assert t.read().count() == 500
+    assert [r.id for r in t.read().orderBy("id").limit(3).collect()] == [
+        500, 501, 502,
+    ]
+
+
+def test_restore_resurrects_deleted_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvr")
+    t.delete_where(F.col("id") < 500)
+    assert t.read().count() == 500
+    t.restore(0)
+    assert t.read().count() == 1000
+    # and restoring the DV'd version brings the DV set back
+    t.restore(1)
+    assert t.read().count() == 500
+
+
+def test_merge_upsert_over_dv_snapshot(spark, tmp_path):
+    """A keyed merge after a DV delete must not resurrect DV'd rows:
+    the rewrite reads the VISIBLE snapshot."""
+    t = _mk(spark, tmp_path, name="dvm")
+    t.delete_where(F.col("id") < 10)
+    src = spark.createDataFrame([(5, 99), (2000, 1)], "id long, g long")
+    t.merge_upsert(src, key_columns=["id"])
+    got = {r.id: r.g for r in t.read().filter("id in (1, 5, 2000)").collect()}
+    assert got == {5: 99, 2000: 1}  # id=1 stays deleted; 5 re-inserted
+
+
+def test_partition_scoped_merge_carries_dv_of_untouched_partitions(
+    spark, tmp_path
+):
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    t = ManagedTable(spark, "dvp", str(tmp_path / "dvp"),
+                     partition_columns=["g"])
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 10).alias("g"))
+    t.overwrite(df)
+    t.delete_where(F.col("id") < 100)  # 10 per partition, DV across all
+    assert t.read().count() == 900
+    # scoped insert rewrites only partition g=0: its DV'd rows vanish
+    # physically (read is DV-applied), the other partitions keep DVs
+    t.merge_insert_only(spark.createDataFrame([(5000, 0)], "id long, g long"))
+    dv, dv_n = t._read_dv(t.current_version())
+    assert dv and all("g=0" not in f for f in dv)
+    assert t.read().count() == 901
+    assert t.read().filter("id < 100").count() == 0
+
+
+def test_vacuum_honors_dv_liveness(spark, tmp_path):
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    t = ManagedTable(spark, "dvv", str(tmp_path / "dvv"),
+                     partition_columns=["g"])
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 10).alias("g"))
+    t.overwrite(df)
+    t.delete_where(F.col("id") < 100)  # v1 + dv dir A (all partitions)
+    dv_dirs = lambda: set(os.listdir(os.path.join(t.location, "_dv")))
+    assert len(dv_dirs()) == 1
+    t.merge_insert_only(
+        spark.createDataFrame([(5000, 1)], "id long, g long")
+    )  # v2: partition g=1 rewritten, dir A still referenced by g!=1
+    t.delete_where(F.col("id") == 5000)  # v3: dv dirs A + B
+    assert len(dv_dirs()) == 2
+    t.vacuum(keep=1)  # only v3 alive: BOTH dirs still referenced
+    assert len(dv_dirs()) == 2
+    assert t.read().count() == 900  # 1000 − 100 + 5000-row − its delete
+    t.compact()  # v4: DVs materialized away
+    t.vacuum(keep=1)
+    assert not dv_dirs()
+    assert t.read().count() == 900  # 5000 deleted, id<100 deleted
+
+
+def test_clone_carries_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="dvsrc")
+    t.delete_where(F.col("id") < 250)
+    c = t.clone("dvclone", str(tmp_path / "dvclone"))
+    assert c.read().count() == 750
+    assert sorted(c.read().collect()) == sorted(t.read().collect())
+    # clone's DVs are its own: deleting more in the clone leaves the
+    # source untouched
+    c.delete_where(F.col("id") < 300)
+    assert c.read().count() == 700
+    assert t.read().count() == 750

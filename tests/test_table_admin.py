@@ -252,7 +252,7 @@ def test_history_records_operations(spark, tmp_path):
     assert ops[0] == "WRITE"
     assert ops[1] == "MERGE INSERT"
     assert ops[2] == "MERGE UPSERT"
-    assert ops[3] == "MERGE DELETE"
+    assert ops[3] == "MERGE DELETE (DV)"
     assert ops[4] == "OPTIMIZE ZORDER"
     assert ops[5] == "RESTORE v2"
     clone = t.clone("h2", str(tmp_path / "h2"))

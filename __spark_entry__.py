@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from databricks_data_warehouse_spark.ext import (
     asof,
+    bpe,
     dedup,
     dedup_incremental,
     json_ops,
@@ -125,6 +126,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 100 TB ingestion shape; oracle = full non-incremental
         # recompute over existing ∪ batch (VERDICT r06 item 6)
         "dedup_incremental": dedup_incremental.dedup_incremental,
+        # NEW round 7: corpus-trained mini-BPE token accounting — merge
+        # table persisted as a ManagedTable; rows-only by construction
+        # (iterative training is not a relational expression; exactness
+        # pinned by tests/test_bpe.py — VERDICT r06 item 7)
+        "text_token_counts_bpe": bpe.text_token_counts_bpe,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch

@@ -41,7 +41,10 @@ SEQ_LEN = 2048
 
 
 def pack_sequences(
-    spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = SEQ_LEN,
+    token_counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing plan: documents are laid out
     back-to-back per ``source`` shard in ``doc_id`` order, and each
@@ -57,6 +60,15 @@ def pack_sequences(
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
     )
+    if token_counts_df is not None:
+        # tokenizer-accurate packing: the plan's offsets come from the
+        # supplied (doc_id, n_tokens) counter (e.g. the trained BPE)
+        docs = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "source")
+            .join(token_counts_df, "doc_id")
+            .select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+        )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -479,7 +479,10 @@ def quality_percentile_filter(
 
 
 def sample_token_budget(
-    spark: SparkSession, sf_dir: str, budget_per_source: int = 800
+    spark: SparkSession,
+    sf_dir: str,
+    budget_per_source: int = 800,
+    token_counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget subsampling: per ``source``, admit documents in
     deterministic hash order until the source's cumulative whitespace
@@ -498,21 +501,33 @@ def sample_token_budget(
     pass; no collect, no second scan. At 100 TB the window partitions
     are per-source — if one source dwarfs memory, pre-aggregate per
     (source, hash-prefix) and admit prefix blocks first.
+
+    ``token_counts_df`` swaps the counter: a (doc_id, n_tokens) frame —
+    e.g. :func:`..bpe.bpe_token_counts` — makes the admitted budget
+    tokenizer-accurate instead of whitespace-approximate.
     """
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    n_tok = F.size(tokens(F.col("text"))).cast("long")
     h = F.md5(F.col("doc_id").cast("string"))
+    if token_counts_df is not None:
+        base = docs.join(token_counts_df, "doc_id").select(
+            "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
+    else:
+        base = docs.select(
+            "doc_id", "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            h.alias("h"),
+        )
     w = (
         Window.partitionBy("source")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.select(
-            "doc_id", "source", n_tok.alias("n_tokens"), h.alias("h")
-        )
+        base
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .where(F.col("cum_tokens") <= budget_per_source)
         .select("doc_id", "source", "n_tokens", "cum_tokens")

@@ -1,0 +1,165 @@
+"""Oracle-checkable end-to-end exercise of the SQL DML surface: land
+orders into a ManagedTable, mutate it with Delta-style SQL statements
+(DELETE, UPDATE, MERGE upsert — the write-side sibling of
+``table_zorder_scan``'s read-side story), and return an aggregate of
+the final state that DuckDB reproduces by replaying the same mutations
+relationally (CASE/anti-join algebra — DML over parquet views isn't a
+single SELECT, but its fixpoint is).
+
+This pins two things cross-engine: the STATEMENT layer (sql_dml.py
+routes each spelling to the right merge/delete/update primitive) and
+the MERGE-ON-READ semantics underneath (the DELETE and UPDATE run on
+the deletion-vector path — old files untouched, vectors + appended
+rewrites — so the oracle match proves DV reads reconstruct exactly the
+copy-on-write answer). Reference habit being matched: %sql mutation
+cells over Delta tables (Seed-Store-Dashboard.py:22-123 is the query
+half; Delta's docs spell the mutation half with exactly these
+statements).
+
+All arithmetic stays on 2-decimal money (+10, +5) so the cents
+encoding is exact in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.sql_dml import SqlSession
+from ..sources.tables import ConcurrentWriteError, ManagedTable
+from ._util import cents, load
+from .managed_scan import _corpus_fingerprint
+
+# the three mutations (deterministic; final version must be 3)
+_DELETE = "DELETE FROM t WHERE o_orderstatus = 'F' AND o_totalprice < 100000"
+_UPDATE = (
+    "UPDATE t SET o_totalprice = o_totalprice + 10 WHERE o_orderstatus = 'O'"
+)
+_MERGE = (
+    "MERGE INTO t USING batch ON t.o_orderkey = batch.o_orderkey "
+    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+)
+_FINAL_VERSION = 3
+_KEY_SHIFT = 100_000_000
+
+_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+def _batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE source: every 'P' order repriced (+5) — matched,
+    replaces its target row — unioned with the same rows under shifted
+    keys — unmatched, inserted."""
+    p = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 5).alias("o_totalprice"),
+        )
+    )
+    shifted = p.select(
+        (F.col("o_orderkey") + _KEY_SHIFT).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return p.unionByName(shifted)
+
+
+def _dml_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """The mutated table, built once per corpus (cached by fingerprint +
+    final version; a partially-built leftover is rebuilt from scratch —
+    the statement sequence is deterministic, so any complete build is
+    byte-equal in content)."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"sqldml_tbl_{h}")
+    table = ManagedTable(spark, "t", loc)
+    v = table.current_version()
+    if v == _FINAL_VERSION:
+        return table
+    if v >= 0:  # partial build from a crashed run: start over
+        shutil.rmtree(loc, ignore_errors=True)
+        table = ManagedTable(spark, "t", loc)
+    try:
+        table.overwrite(load(spark, sf_dir, "orders").select(*_COLS))
+        sess = SqlSession(spark)
+        sess.register(table)
+        _batch(spark, sf_dir).createOrReplaceTempView("batch")
+        sess.sql(_DELETE)  # v1 — DV path, no file rewrite
+        sess.sql(_UPDATE)  # v2 — DV + appended rewrites, one commit
+        sess.sql(_MERGE)   # v3 — keyed upsert
+    except ConcurrentWriteError:
+        pass  # concurrent builder won; the sequence is deterministic
+    return table
+
+
+def table_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the SQL-mutated orders table, aggregated per
+    status (count + exact cents sum). DuckDB replays DELETE/UPDATE/
+    MERGE as relational algebra over the raw parquet — hash-equality
+    proves the statement router AND the DV merge-on-read snapshot
+    agree with the copy-on-write fixpoint."""
+    t = _dml_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def table_sql_dml_oracle() -> str:
+    """DuckDB replay of the three SQL mutations as pure relational
+    algebra (DELETE → negated filter, UPDATE → CASE projection, MERGE
+    upsert → anti-join ∪ source), aggregated identically. Keep in
+    lockstep with _DELETE/_UPDATE/_MERGE and :func:`_batch`."""
+    from ._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+        ),
+        after_del AS (
+            SELECT * FROM base
+            WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        ),
+        after_upd AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderstatus = 'O'
+                        THEN o_totalprice + 10 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM after_del
+        ),
+        batch AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5 AS o_totalprice
+            FROM base WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey + {_KEY_SHIFT}, o_custkey, o_orderstatus,
+                   o_totalprice + 5
+            FROM base WHERE o_orderstatus = 'P'
+        ),
+        final AS (
+            SELECT * FROM after_upd
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+            UNION ALL
+            SELECT * FROM batch
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS total_cents
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

@@ -1,0 +1,437 @@
+"""SQL spelling for ManagedTable DML — ``%sql``-cell parity.
+
+The reference's operational habit is SQL cells against Delta tables
+(Seed-Store-Dashboard.py:22-123 queries; Delta users likewise spell
+MERGE INTO / DELETE / UPDATE / OPTIMIZE / VACUUM / RESTORE as SQL).
+Queries already work here via ``create_view``; this module gives table
+MUTATIONS the same spelling: a :class:`SqlSession` that routes
+Delta-style DML statements to the :class:`~.tables.ManagedTable`
+methods and passes everything else through ``spark.sql``.
+
+Design: the scaffolding keywords (MERGE INTO … USING … ON …,
+DELETE FROM … WHERE …) are parsed here with anchored regexes, but
+every EXPRESSION — WHERE predicates, SET right-hand sides — is handed
+to Spark's own parser via ``F.expr``: this module never interprets a
+predicate, so the SQL expression surface is exactly Spark SQL's. The
+statement grammar is the subset Delta documents:
+
+- ``DELETE FROM t [WHERE cond]``
+- ``UPDATE t SET c = expr[, ...] [WHERE cond]``
+- ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...)``
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+  ``ALTER TABLE t DROP CONSTRAINT name``
+- ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with clauses
+  ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN MATCHED THEN UPDATE SET
+  c = expr[, ...]``, ``WHEN MATCHED THEN DELETE``, ``WHEN NOT MATCHED
+  THEN INSERT *`` (the combinations mapping to the four merge
+  primitives S5-S7)
+- ``OPTIMIZE t [ZORDER BY (c, ...)]``
+- ``VACUUM t [RETAIN n VERSIONS]`` (version-based retention — this
+  engine's MVCC keeps versions, not hours)
+- ``RESTORE [TABLE] t [TO] VERSION AS OF n``
+- ``DESCRIBE HISTORY t``
+- any other statement → ``spark.sql`` over the registered tables'
+  pushdown views (implicit data skipping), with ``t VERSION AS OF n``
+  time travel rewritten to a versioned view first.
+
+DML statements return a one-row metrics DataFrame (operation +
+committed version) — the Delta convention of returning operation
+metrics, and something a test can assert on.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import ManagedTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0 (SET lists may contain
+    function calls and string literals holding commas)."""
+    out, depth, cur, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def _parse_assignments(set_text: str) -> dict[str, str]:
+    """``a = expr, b.c = expr`` → {col: expr} (alias prefixes on the
+    TARGET side stripped; the right-hand side stays verbatim)."""
+    out: dict[str, str] = {}
+    for part in _split_top_level(set_text):
+        m = re.match(rf"({_IDENT}(?:\.{_IDENT})?)\s*=\s*(.+)$", part, re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse SET assignment: {part!r}")
+        col = m.group(1).split(".")[-1]
+        out[col] = m.group(2).strip()
+    return out
+
+
+def _merge_keys(on_text: str, tgt_alias: str | None, src_alias: str | None) -> list[str]:
+    """Equi-key columns of a MERGE ON clause: a conjunction of
+    ``x.k = y.k`` terms where both sides name the SAME column. The
+    merge primitives are keyed joins, so that is the supported (and by
+    far the dominant) shape; anything else raises rather than silently
+    mis-keying."""
+    keys: list[str] = []
+    for conj in re.split(r"(?i)\bAND\b", on_text):
+        m = re.match(
+            rf"\(?\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*\)?$",
+            conj.strip(),
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON must be a conjunction of alias.col = alias.col "
+                f"equalities; cannot parse {conj!r}"
+            )
+        a_alias, a_col, b_alias, b_col = m.groups()
+        if a_col != b_col:
+            raise ValueError(
+                f"MERGE ON equality joins different columns "
+                f"({a_col!r} vs {b_col!r}) — keyed merges need matching names"
+            )
+        aliases = {a_alias, b_alias}
+        expect = {x for x in (tgt_alias, src_alias) if x}
+        if expect and not aliases <= expect:
+            raise ValueError(
+                f"MERGE ON references unknown alias in {conj!r} "
+                f"(declared: {sorted(expect)})"
+            )
+        keys.append(a_col)
+    if not keys:
+        raise ValueError("MERGE ON clause has no equality conjuncts")
+    return keys
+
+
+class SqlSession:
+    """One SQL entrypoint over a set of registered ManagedTables —
+    the ``%sql`` cell. ``sql()`` mutates through the table methods
+    (full MVCC: DVs, constraints, concurrency, history) and reads
+    through pushdown views (implicit data skipping)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, ManagedTable] = {}
+
+    def register(self, table: ManagedTable, name: str | None = None) -> ManagedTable:
+        self._tables[name or table.name] = table
+        return table
+
+    def table(self, name: str) -> ManagedTable:
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise KeyError(
+                f"no ManagedTable registered as {name!r} "
+                f"(registered: {sorted(self._tables)})"
+            ) from None
+
+    # ------------------------------------------------------------- dispatch
+    def sql(self, statement: str) -> DataFrame:
+        stmt = statement.strip().rstrip(";").strip()
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head == "DELETE":
+            return self._delete(stmt)
+        if head == "UPDATE":
+            return self._update(stmt)
+        if head == "MERGE":
+            return self._merge(stmt)
+        if head == "INSERT":
+            return self._insert(stmt)
+        if head == "ALTER":
+            return self._alter(stmt)
+        if head == "OPTIMIZE":
+            return self._optimize(stmt)
+        if head == "VACUUM":
+            return self._vacuum(stmt)
+        if head == "RESTORE":
+            return self._restore(stmt)
+        if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
+            return self._describe_history(stmt)
+        return self._query(stmt)
+
+    def _metrics(self, op: str, table: ManagedTable, version: int) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(op, table.name, version)], "operation string, table string, version long"
+        )
+
+    # ----------------------------------------------------------- statements
+    def _delete(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
+        t = self.table(m.group(1))
+        cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+        return self._metrics("DELETE", t, t.delete_where(cond))
+
+    def _update(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"UPDATE\s+({_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
+        t = self.table(m.group(1))
+        assignments = _parse_assignments(m.group(2))
+        cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        return self._metrics("UPDATE", t, t.update_where(assignments, cond))
+
+    def _insert(self, stmt: str) -> DataFrame:
+        """``INSERT INTO t <query>`` — plain append (Delta INSERT:
+        no dedup; that's MERGE's job). The query half is any Spark
+        SELECT/VALUES/TABLE clause, parsed by Spark itself."""
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
+        t = self.table(m.group(1))
+        self._register_views()
+        body = m.group(2).strip()
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            body = f"SELECT * FROM ({body})"
+        df = self.spark.sql(body)
+        cols = [f.name for f in t.schema.fields] if t.schema else df.columns
+        if df.columns != cols:
+            if len(df.columns) != len(cols):
+                raise ValueError(
+                    f"INSERT INTO {t.name}: query produces {len(df.columns)} "
+                    f"columns, table has {len(cols)}"
+                )
+            # SQL INSERT matches by POSITION (VALUES tuples have no names)
+            df = df.toDF(*cols)
+        return self._metrics("INSERT", t, t.append(df))
+
+    def _alter(self, stmt: str) -> DataFrame:
+        """``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+        ``ALTER TABLE t DROP CONSTRAINT name`` — Delta's constraint
+        DDL, routed to the manifest-versioned constraint set."""
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+            rf"\s+CHECK\s*\((.*)\)\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            t.add_constraint(m.group(2), m.group(3).strip())
+            return self._metrics("ADD CONSTRAINT", t, t.current_version())
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+({_IDENT})\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            t.drop_constraint(m.group(2))
+            return self._metrics("DROP CONSTRAINT", t, t.current_version())
+        raise ValueError(f"cannot parse ALTER TABLE statement: {stmt!r}")
+
+    def _merge(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+USING\s+(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE statement: {stmt!r}")
+        tgt_name, tgt_alias, rest = m.groups()
+        rest = rest.strip()
+        if rest.startswith("("):
+            # balanced-paren scan: subqueries may nest parens freely
+            depth = 0
+            for i, ch in enumerate(rest):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            else:
+                raise ValueError(f"unbalanced parens in MERGE USING: {stmt!r}")
+            src_text, rest = rest[: i + 1], rest[i + 1:]
+        else:
+            m2 = re.match(rf"({_IDENT})(.*)$", rest, re.DOTALL)
+            if not m2:
+                raise ValueError(f"cannot parse MERGE USING source: {stmt!r}")
+            src_text, rest = m2.group(1), m2.group(2)
+        m3 = re.match(
+            rf"\s*(?:AS\s+({_IDENT})\s+)?ON\s+(.*?)\s+(WHEN\s+.*)$",
+            rest,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m3:
+            raise ValueError(f"cannot parse MERGE ON/WHEN clauses: {stmt!r}")
+        src_alias, on_text, when_text = m3.groups()
+        t = self.table(tgt_name)
+        source = self._resolve_source(src_text)
+        # an unaliased named source is addressable by its own name
+        if src_alias is None and not src_text.startswith("("):
+            src_alias = src_text
+        keys = _merge_keys(on_text, tgt_alias or tgt_name, src_alias)
+        clauses = self._parse_when(when_text)
+        matched = clauses.get("matched")
+        not_matched = clauses.get("not_matched")
+        if matched == "delete":
+            if not_matched:
+                raise ValueError(
+                    "WHEN MATCHED THEN DELETE combined with INSERT is not supported"
+                )
+            return self._metrics("MERGE DELETE", t, t.merge_delete(source, keys))
+        if matched == "update_all" and not_matched == "insert_all":
+            return self._metrics("MERGE UPSERT", t, t.merge_upsert(source, keys))
+        if matched is None and not_matched == "insert_all":
+            return self._metrics(
+                "MERGE INSERT", t, t.merge_insert_only(source, match_columns=keys)
+            )
+        if isinstance(matched, dict) and not_matched is None:
+            return self._metrics(
+                "MERGE UPDATE", t, t.merge_update(source, keys, set_map=matched)
+            )
+        raise ValueError(
+            f"unsupported MERGE clause combination: matched={matched!r} "
+            f"not_matched={not_matched!r}"
+        )
+
+    def _parse_when(self, when_text: str):
+        """Split the WHEN clause tail into matched / not-matched actions."""
+        out: dict = {}
+        parts = re.split(r"(?i)\bWHEN\s+", when_text)
+        for part in parts:
+            part = part.strip()
+            if not part:
+                continue
+            nm = re.match(
+                r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", part, re.IGNORECASE
+            )
+            if nm:
+                out["not_matched"] = "insert_all"
+                continue
+            mu = re.match(
+                r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mu:
+                body = mu.group(1).strip()
+                out["matched"] = (
+                    "update_all" if body == "*" else _parse_assignments(body)
+                )
+                continue
+            if re.match(r"MATCHED\s+THEN\s+DELETE\s*$", part, re.IGNORECASE):
+                out["matched"] = "delete"
+                continue
+            raise ValueError(f"cannot parse MERGE WHEN clause: {part!r}")
+        return out
+
+    def _resolve_source(self, src_text: str) -> DataFrame:
+        src_text = src_text.strip()
+        if src_text.startswith("("):
+            self._register_views()
+            return self.spark.sql(src_text[1:-1])
+        if src_text in self._tables:
+            return self._tables[src_text].read()
+        return self.spark.table(src_text)
+
+    def _optimize(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s+\(?([^)]*?)\)?)?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse OPTIMIZE statement: {stmt!r}")
+        t = self.table(m.group(1))
+        cols = [c.strip() for c in (m.group(2) or "").split(",") if c.strip()]
+        return self._metrics(
+            "OPTIMIZE ZORDER" if cols else "OPTIMIZE", t, t.compact(zorder_by=cols)
+        )
+
+    def _vacuum(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse VACUUM statement: {stmt!r}")
+        t = self.table(m.group(1))
+        t.vacuum(keep=int(m.group(2)) if m.group(2) else 2)
+        return self._metrics("VACUUM", t, t.current_version())
+
+    def _restore(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse RESTORE statement: {stmt!r}")
+        t = self.table(m.group(1))
+        return self._metrics("RESTORE", t, t.restore(int(m.group(2))))
+
+    def _describe_history(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE HISTORY statement: {stmt!r}")
+        rows = self.table(m.group(1)).history()
+        return self.spark.createDataFrame(
+            [(r["version"], r["operation"], r["partitions"]) for r in rows],
+            "version long, operation string, partitions long",
+        )
+
+    # -------------------------------------------------------------- queries
+    def _register_views(self) -> None:
+        for name, t in self._tables.items():
+            if t.exists():
+                t.create_view(name)
+
+    def _query(self, stmt: str) -> DataFrame:
+        # `t VERSION AS OF n` time travel: swap in a versioned view
+        def sub(m: re.Match) -> str:
+            name, v = m.group(1), int(m.group(2))
+            if name not in self._tables:
+                return m.group(0)
+            view = f"{name}__v{v}"
+            self._tables[name].create_view(view, version=v)
+            return view
+
+        stmt = re.sub(
+            rf"\b({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+            sub,
+            stmt,
+            flags=re.IGNORECASE,
+        )
+        self._register_views()
+        return self.spark.sql(stmt)

@@ -747,6 +747,7 @@ class ManagedTable:
         sort: bool = True,
         txn: tuple[str, int] | None = None,
         op: str = "WRITE",
+        append_only: bool = False,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -754,7 +755,9 @@ class ManagedTable:
         partitions; otherwise staged partitions replace their previous
         entries and all other entries carry over untouched (their files
         are never rewritten — byte-identical across the merge, and their
-        footer stats carry over with them).
+        footer stats carry over with them). With ``append_only`` the
+        staged entries replace NOTHING: their keys are suffixed with the
+        write id so they coexist with the partition's existing entries.
         """
         v_new = self.current_version() + 1
         # enforce against the constraint set of the version being built
@@ -777,11 +780,24 @@ class ManagedTable:
         writer.parquet(write_dir)
         self._enforce_constraints(write_dir)
         staged = self._walk_staged(write_dir, write_rel)
+        if append_only:
+            staged = {f"{k}@{write_rel}": rel for k, rel in staged.items()}
         if replace_all or v_new == 0:
             entries = staged
             prev_stats: dict[str, dict] = {}
         else:
-            entries = {**self._read_manifest(v_new - 1), **staged}
+            # replace by BASE partition key: append-entries (INSERT
+            # INTO / DV updates) carry a "@<write id>" suffix but
+            # belong to the same partition — restaging that partition
+            # drops them too. An append_only stage replaces nothing:
+            # its keys are unique by construction.
+            prev_entries = self._read_manifest(v_new - 1)
+            entries = {
+                k: rel
+                for k, rel in prev_entries.items()
+                if append_only or k.split("@", 1)[0] not in staged
+            }
+            entries.update(staged)
             prev_stats = self._read_stats(v_new - 1)
         if self.schema is None:
             self.schema = df.schema
@@ -855,6 +871,20 @@ class ManagedTable:
     def overwrite(self, df: DataFrame, op: str = "WRITE") -> int:
         cols = [f.name for f in (self.schema or df.schema).fields]
         return self._stage_and_commit(df.select(*cols), replace_all=True, op=op)
+
+    def append(self, df: DataFrame, op: str = "APPEND") -> int:
+        """Plain ``INSERT INTO`` / mode("append") parity: the staged
+        dirs COEXIST with every existing entry — nothing is replaced,
+        nothing deduplicated (that's :meth:`merge_insert_only`). Entry
+        keys carry the write id so two appends to the same partition
+        both survive; a later partition-scoped merge replaces by base
+        key and drops all of a partition's appended entries at once."""
+        if self.current_version() < 0:
+            return self.overwrite(df, op=op)
+        cols = [f.name for f in (self.schema or df.schema).fields]
+        return self._stage_and_commit(
+            df.select(*cols), replace_all=False, append_only=True, op=op
+        )
 
     # ----------------------------------------------------- data skipping
     @staticmethod
@@ -1889,7 +1919,9 @@ class ManagedTable:
             self.schema = prev_schema
             raise
 
-    def _delete_rows_dv(self, doomed: DataFrame, op: str) -> int:
+    def _delete_rows_dv(
+        self, doomed: DataFrame, op: str, append_df: DataFrame | None = None
+    ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
         (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
         deletion-vector sidecar instead of rewriting their data files —
@@ -1897,7 +1929,13 @@ class ManagedTable:
         KB of positions and ZERO data files (``compact()`` materializes
         later). The new dv dir holds the UNION of old and new positions
         for every touched file, so each manifest references exactly one
-        dv dir per file and old dv dirs age out with their manifests."""
+        dv dir per file and old dv dirs age out with their manifests.
+
+        ``append_df`` stages additional rows into the SAME commit —
+        the merge-on-read UPDATE shape (Delta with DVs enabled): the
+        old row versions go dead via the vector, their replacements
+        land in a fresh data dir, and both become visible atomically
+        in one manifest. Constraints bind on the appended rows."""
         v = self.current_version()
         doomed = doomed.select("__mt_key", "__mt_pos")
         per_file = {
@@ -1927,11 +1965,38 @@ class ManagedTable:
         new_n.update(
             {f: prev_n.get(f, 0) + n for f, n in per_file.items()}
         )
+        entries = self._read_manifest(v)
+        stats = dict(self._read_stats(v))
+        write_dir = None
+        if append_df is not None:
+            cols = [f.name for f in self.schema.fields]
+            write_rel = f"data/w={v + 1}-{uuid.uuid4().hex[:8]}"
+            write_dir = os.path.join(self.location, write_rel)
+            staged_df = append_df.select(*cols)
+            if self.sort_columns:
+                staged_df = staged_df.sortWithinPartitions(*self.sort_columns)
+            writer = staged_df.write.mode("overwrite")
+            if self.partition_columns:
+                writer = writer.partitionBy(*self.partition_columns)
+            writer.parquet(write_dir)
+            self._enforce_constraints(write_dir)
+            # append semantics: the new dir COEXISTS with the partition's
+            # existing entries (an update rewrites only matched rows), so
+            # its entry key carries the write id; a later partition-
+            # scoped merge replaces by BASE key and drops both
+            entries = {
+                **entries,
+                **{
+                    f"{k}@{write_rel}": rel
+                    for k, rel in self._walk_staged(write_dir, write_rel).items()
+                },
+            }
+            stats.update(self._collect_file_stats(write_dir))
         try:
             self._write_manifest(
                 v + 1,
-                self._read_manifest(v),
-                self._read_stats(v),
+                entries,
+                stats,
                 self._read_txn(v),
                 op=op,
                 dv=new_dv,
@@ -1941,6 +2006,8 @@ class ManagedTable:
             shutil.rmtree(
                 os.path.join(self.location, dv_rel), ignore_errors=True
             )
+            if write_dir is not None:
+                shutil.rmtree(write_dir, ignore_errors=True)
             raise
         self._commit(v + 1)
         if self.retain_versions is not None:
@@ -2014,6 +2081,58 @@ class ManagedTable:
             replace_all=True,
             op="DELETE",
         )
+
+    def update_where(
+        self,
+        assignments: Mapping[str, str | Column],
+        condition: Column,
+        deletion_vectors: bool = True,
+    ) -> int:
+        """``UPDATE table SET col = expr, ... WHERE ...`` parity
+        (Delta UPDATE). ``assignments`` maps target column -> new-value
+        expression (a SQL string or a Column; expressions may reference
+        any target column's OLD value, standard UPDATE semantics).
+
+        Default is merge-on-read, Delta's UPDATE-with-DVs shape: the
+        matched rows' old versions are marked dead in a deletion-vector
+        sidecar and their rewritten versions are appended, both in ONE
+        atomic commit — O(matches) written, untouched files never
+        rewritten. ``deletion_vectors=False`` is the copy-on-write
+        rewrite. A NULL WHERE predicate means "not matched, keep"
+        (same coalesce discipline as :meth:`delete_where`); matching
+        zero rows is a commit-free no-op. CHECK constraints bind on the
+        rewritten rows."""
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        unknown = set(assignments) - set(cols)
+        if unknown:
+            raise ValueError(
+                f"table {self.name}: UPDATE of unknown columns {sorted(unknown)}"
+            )
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+        cond = F.coalesce(condition, F.lit(False))
+        if deletion_vectors:
+            target = self._read_internal(self.current_version(), with_pos=True)
+            matched = target.filter(cond)
+            rewritten = matched.select(
+                *[exprs.get(c, F.col(c)).alias(c) for c in cols]
+            )
+            return self._delete_rows_dv(
+                matched, op="UPDATE (DV)", append_df=rewritten
+            )
+        updated = self.read().select(
+            *[
+                F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in exprs
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        return self._stage_and_commit(updated, replace_all=True, op="UPDATE")
 
     def merge_update(
         self,

@@ -1,0 +1,294 @@
+"""SQL spelling for ManagedTable DML (VERDICT r06 "What's missing" 6).
+
+The reference's operational habit is %sql cells (Seed-Store-
+Dashboard.py:22-123); SqlSession gives table MUTATIONS the same
+spelling. Each statement form is pinned against the Python method it
+routes to, plus the merge-on-read guarantees (DV delete/update leave
+data files untouched) surviving the SQL path.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, name="sqlt", rows=200):
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))
+    return t
+
+
+def _data_files(t):
+    return {
+        p: (os.stat(p).st_ino, os.stat(p).st_mtime_ns)
+        for p in glob.glob(t.location + "/data/**/*.parquet", recursive=True)
+    }
+
+
+def _sess(spark, *tables):
+    s = SqlSession(spark)
+    for t in tables:
+        s.register(t)
+    return s
+
+
+def test_sql_delete_routes_to_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s = _sess(spark, t)
+    before = _data_files(t)
+    out = s.sql("DELETE FROM sqlt WHERE g = 1")
+    r = out.collect()[0]
+    assert (r["operation"], r["version"]) == ("DELETE", 1)
+    assert t.read().count() == 150
+    assert t.read().filter("g = 1").count() == 0
+    # merge-on-read through SQL: no data file rewritten
+    assert _data_files(t) == before
+    assert t.history()[0]["operation"] == "DELETE (DV)"
+
+
+def test_sql_delete_without_where_empties_table(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    _sess(spark, t).sql("DELETE FROM sqlt")
+    assert t.read().count() == 0
+
+
+def test_sql_update_dv_values_and_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s = _sess(spark, t)
+    before = _data_files(t)
+    s.sql("UPDATE sqlt SET v = v + 0.5, g = g + 100 WHERE k < 10")
+    got = {r["k"]: (r["g"], r["v"]) for r in t.read().collect()}
+    assert len(got) == 200
+    assert got[3] == (103, 30.5)
+    assert got[11] == (3, 110.0)
+    # old files untouched; exactly one new data dir appended
+    after = _data_files(t)
+    assert set(before) <= set(after)
+    assert all(after[p] == before[p] for p in before)
+    assert len(after) > len(before)
+    assert t.history()[0]["operation"] == "UPDATE (DV)"
+
+
+def test_update_expressions_see_old_values(spark, tmp_path):
+    # swap-style UPDATE: both RHS evaluate against the pre-image
+    t = ManagedTable(spark, "swap", str(tmp_path / "swap"))
+    t.overwrite(spark.createDataFrame([(1, 2.0, 3.0)], "k long, a double, b double"))
+    _sess(spark, t).sql("UPDATE swap SET a = b, b = a")
+    r = t.read().collect()[0]
+    assert (r["a"], r["b"]) == (3.0, 2.0)
+
+
+def test_update_null_predicate_keeps_rows(spark, tmp_path):
+    t = ManagedTable(spark, "nullp", str(tmp_path / "nullp"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, None), (2, 5.0)], "k long, v double"
+        )
+    )
+    _sess(spark, t).sql("UPDATE nullp SET k = k + 10 WHERE v > 0")
+    assert {r["k"] for r in t.read().collect()} == {1, 12}
+
+
+def test_update_copy_on_write_matches_dv(spark, tmp_path):
+    t1 = _mk(spark, tmp_path, "cw1")
+    t2 = _mk(spark, tmp_path, "cw2")
+    t1.update_where({"v": "v * 2"}, F.expr("g = 2"))
+    t2.update_where({"v": "v * 2"}, F.expr("g = 2"), deletion_vectors=False)
+    assert sorted(map(tuple, t1.read().collect())) == sorted(
+        map(tuple, t2.read().collect())
+    )
+
+
+def test_update_unknown_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, "bad")
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where({"nope": "1"}, F.lit(True))
+
+
+def test_update_no_match_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, "noop")
+    v = t.update_where({"v": "0.0"}, F.expr("k < 0"))
+    assert v == 0  # commit-free
+    assert t.read().filter("v = 0.0").count() == 1  # only k=0's original
+
+
+def test_sql_merge_upsert(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=20)
+    s = _sess(spark, t)
+    src = spark.createDataFrame(
+        [(5, 99, 5000.0), (1000, 7, 1.0)], "k long, g long, v double"
+    )
+    src.createOrReplaceTempView("updates")
+    out = s.sql(
+        "MERGE INTO sqlt AS t USING updates AS u ON t.k = u.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert out["operation"] == "MERGE UPSERT"
+    got = {r["k"]: (r["g"], r["v"]) for r in t.read().collect()}
+    assert len(got) == 21
+    assert got[5] == (99, 5000.0)
+    assert got[1000] == (7, 1.0)
+
+
+def test_sql_merge_delete_and_subquery_source(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=20)
+    s = _sess(spark, t)
+    s.sql(
+        "MERGE INTO sqlt USING (SELECT k FROM sqlt WHERE g = 0) AS d "
+        "ON sqlt.k = d.k WHEN MATCHED THEN DELETE"
+    )
+    assert t.read().filter("g = 0").count() == 0
+    assert t.read().count() == 15
+
+
+def test_sql_merge_insert_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=10)
+    s = _sess(spark, t)
+    src = spark.createDataFrame(
+        [(3, 3, 30.0), (100, 0, 0.0)], "k long, g long, v double"
+    )
+    src.createOrReplaceTempView("batch")
+    s.sql(
+        "MERGE INTO sqlt USING batch ON sqlt.k = batch.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.read().count() == 11  # k=3 matched, skipped; k=100 inserted
+    # idempotent replay
+    s.sql(
+        "MERGE INTO sqlt USING batch ON sqlt.k = batch.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.read().count() == 11
+
+
+def test_sql_merge_update_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=10)
+    s = _sess(spark, t)
+    src = spark.createDataFrame([(4, 77.0)], "k long, nv double")
+    src.createOrReplaceTempView("fix")
+    s.sql(
+        "MERGE INTO sqlt USING fix ON sqlt.k = fix.k "
+        "WHEN MATCHED THEN UPDATE SET v = nv"
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[4] == 77.0 and len(got) == 10
+
+
+def test_sql_merge_on_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path, rows=5)
+    s = _sess(spark, t)
+    spark.createDataFrame([(1, 1, 1.0)], "k long, g long, v double").createOrReplaceTempView("x")
+    with pytest.raises(ValueError, match="different columns"):
+        s.sql(
+            "MERGE INTO sqlt USING x ON sqlt.k = x.g "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_sql_optimize_vacuum_restore_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    s = _sess(spark, t)
+    s.sql("DELETE FROM sqlt WHERE k >= 100")
+    s.sql("OPTIMIZE sqlt ZORDER BY (k, v)")
+    hist = {r["version"]: r["operation"] for r in s.sql("DESCRIBE HISTORY sqlt").collect()}
+    assert hist[2] == "OPTIMIZE ZORDER"
+    s.sql("RESTORE sqlt TO VERSION AS OF 0")
+    assert t.read().count() == 200
+    s.sql("VACUUM sqlt RETAIN 2 VERSIONS")
+    assert t.read().count() == 200  # current still readable after vacuum
+
+
+def test_sql_select_passthrough_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, "tt")
+    s = _sess(spark, t)
+    s.sql("DELETE FROM tt WHERE g = 0")
+    assert s.sql("SELECT COUNT(*) AS n FROM tt").collect()[0]["n"] == 150
+    assert (
+        s.sql("SELECT COUNT(*) AS n FROM tt VERSION AS OF 0").collect()[0]["n"]
+        == 200
+    )
+
+
+def test_scoped_merge_replaces_update_appended_entries(spark, tmp_path):
+    # a DV update appends an extra manifest entry for its partition;
+    # a later partition-scoped merge restaging that partition must drop
+    # BOTH the original entry and the appended one — no duplicate rows
+    t = ManagedTable(
+        spark, "pup", str(tmp_path / "pup"), partition_columns=["g"]
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t.overwrite(df)
+    t.update_where({"v": "v + 1000"}, F.expr("g = 0 AND k < 10"))
+    assert t.read().count() == 100
+    src = spark.createDataFrame(
+        [(k, 0, float(k)) for k in range(0, 100, 2)], "k long, g long, v double"
+    )
+    t.merge_upsert(src, ["g", "k"])
+    got = t.read()
+    assert got.count() == 100
+    assert got.filter("g = 0").count() == 50
+    # partition 0 fully restaged: the +1000 updates were overwritten
+    assert got.filter("v >= 1000").count() == 0
+
+
+def test_append_coexists_and_scoped_merge_replaces(spark, tmp_path):
+    t = ManagedTable(spark, "ap", str(tmp_path / "ap"), partition_columns=["g"])
+    df = spark.createDataFrame([(1, 0, 1.0), (2, 1, 2.0)], "k long, g long, v double")
+    t.overwrite(df)
+    before = _data_files(t)
+    t.append(spark.createDataFrame([(3, 0, 3.0)], "k long, g long, v double"))
+    after = _data_files(t)
+    # appended: existing files untouched, both appends visible
+    assert all(after[p] == before[p] for p in before)
+    assert t.read().count() == 3
+    assert t.read().filter("g = 0").count() == 2
+    # restaging partition 0 via scoped merge drops base AND appended entries
+    t.merge_upsert(
+        spark.createDataFrame([(9, 0, 9.0)], "k long, g long, v double"), ["g", "k"]
+    )
+    assert {r["k"] for r in t.read().filter("g = 0").collect()} == {1, 3, 9}
+
+
+def test_sql_insert_into_select_and_values(spark, tmp_path):
+    t = _mk(spark, tmp_path, "ins", rows=5)
+    s = _sess(spark, t)
+    out = s.sql("INSERT INTO ins SELECT k + 100 AS k, g, v FROM ins").collect()[0]
+    assert out["operation"] == "INSERT"
+    assert t.read().count() == 10
+    s.sql("INSERT INTO ins VALUES (999, 0, 0.5)")
+    assert t.read().count() == 11
+    assert t.read().filter("k = 999").count() == 1
+    # plain INSERT does NOT dedup — replay duplicates (MERGE's job)
+    s.sql("INSERT INTO ins VALUES (999, 0, 0.5)")
+    assert t.read().filter("k = 999").count() == 2
+
+
+def test_sql_alter_table_constraints(spark, tmp_path):
+    t = _mk(spark, tmp_path, "con", rows=5)
+    s = _sess(spark, t)
+    s.sql("ALTER TABLE con ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        s.sql("INSERT INTO con VALUES (50, 0, -1.0)")
+    assert t.read().count() == 5  # failed insert committed nothing
+    s.sql("ALTER TABLE con DROP CONSTRAINT v_nonneg")
+    s.sql("INSERT INTO con VALUES (50, 0, -1.0)")
+    assert t.read().count() == 6
+
+
+def test_sql_unknown_table_raises(spark, tmp_path):
+    s = SqlSession(spark)
+    with pytest.raises(KeyError, match="no ManagedTable registered"):
+        s.sql("DELETE FROM ghost WHERE 1 = 1")

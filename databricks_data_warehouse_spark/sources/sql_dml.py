@@ -26,6 +26,8 @@ statement grammar is the subset Delta documents:
   THEN INSERT *`` (the combinations mapping to the four merge
   primitives S5-S7)
 - ``OPTIMIZE t [ZORDER BY (c, ...)]``
+- ``REORG TABLE t APPLY (PURGE)`` — selective deletion-vector
+  materialization
 - ``VACUUM t [RETAIN n VERSIONS]`` (version-based retention — this
   engine's MVCC keeps versions, not hours)
 - ``RESTORE [TABLE] t [TO] VERSION AS OF n``
@@ -168,6 +170,16 @@ class SqlSession:
             return self._alter(stmt)
         if head == "OPTIMIZE":
             return self._optimize(stmt)
+        if head == "REORG":
+            m = re.match(
+                rf"REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse REORG statement: {stmt!r}")
+            t = self.table(m.group(1))
+            return self._metrics("REORG", t, t.reorg())
         if head == "VACUUM":
             return self._vacuum(stmt)
         if head == "RESTORE":

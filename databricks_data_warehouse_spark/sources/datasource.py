@@ -51,6 +51,7 @@ from typing import Iterator, List, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -287,42 +288,187 @@ class ManagedTableReader(DataSourceReader):
 
     # ----------------------------------------------------- execution
     def read(self, partition: _FilePartition):
-        if partition is None or getattr(partition, "path", None) is None:
-            return  # every file pruned: Spark still probes one task
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _read_file_partition(self.schema_json, partition)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(StructType.fromJson(json.loads(self.schema_json)))
-        tbl = pq.read_table(partition.path)
-        if partition.dv_path is not None:
-            # merge-on-read: drop the rows this file's deletion vector
-            # marks (positions are row indices in file order)
-            import numpy as np
+def _read_file_partition(schema_json: str, partition: _FilePartition):
+    """Arrow-batch read of one data file: DV mask applied, partition
+    values recovered from the path, schema conformed. Shared by the
+    batch and stream readers (executor-side, no SparkSession)."""
+    if partition is None or getattr(partition, "path", None) is None:
+        return  # every file pruned: Spark still probes one task
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-            dvt = pq.read_table(
-                partition.dv_path,
-                filters=[("file", "==", partition.dv_key)],
-            )
-            dead = dvt.column("pos").to_numpy(zero_copy_only=False)
-            mask = np.ones(tbl.num_rows, dtype=bool)
-            mask[dead[dead < tbl.num_rows].astype(int)] = False
-            tbl = tbl.filter(pa.array(mask))
-        n = tbl.num_rows
-        arrays = []
-        for fld in target:
-            if fld.name in tbl.column_names:
-                arrays.append(tbl.column(fld.name).cast(fld.type))
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    tbl = pq.read_table(partition.path)
+    if partition.dv_path is not None:
+        # merge-on-read: drop the rows this file's deletion vector
+        # marks (positions are row indices in file order)
+        import numpy as np
+
+        dvt = pq.read_table(
+            partition.dv_path,
+            filters=[("file", "==", partition.dv_key)],
+        )
+        dead = dvt.column("pos").to_numpy(zero_copy_only=False)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[dead[dead < tbl.num_rows].astype(int)] = False
+        tbl = tbl.filter(pa.array(mask))
+    n = tbl.num_rows
+    arrays = []
+    for fld in target:
+        if fld.name in tbl.column_names:
+            arrays.append(tbl.column(fld.name).cast(fld.type))
+        else:
+            v = partition.part_values.get(fld.name)
+            if v is None:
+                arrays.append(pa.nulls(n, fld.type))
             else:
-                v = partition.part_values.get(fld.name)
-                if v is None:
-                    arrays.append(pa.nulls(n, fld.type))
-                else:
-                    arrays.append(
-                        pa.array([v] * n, type=pa.string()).cast(fld.type)
+                arrays.append(
+                    pa.array([v] * n, type=pa.string()).cast(fld.type)
+                )
+    yield from pa.table(arrays, schema=target).to_batches()
+
+
+class ManagedTableStreamReader(DataSourceStreamReader):
+    """Structured-Streaming source over a ManagedTable — Delta's
+    streaming-source contract re-created on the manifest MVCC: each
+    micro-batch reads the files APPENDED between two table versions
+    (offsets ARE versions), so a pipeline can ``readStream`` a managed
+    table that batch jobs keep merging into.
+
+    Change handling mirrors Delta's options:
+
+    - appended entry dirs → streamed (with the END version's DVs
+      applied, so rows appended and deleted within one window never
+      appear);
+    - rows deleted (DV delta on carried-over files) → error unless
+      ``ignoreDeletes`` — a delete is not representable in an
+      append-only stream;
+    - entries removed/replaced (overwrite, compact, copy-on-write
+      merge) → error unless ``ignoreChanges``, which streams the
+      restaged dirs' rows (possibly re-delivering old rows — the same
+      at-least-once caveat Delta documents for ignoreChanges).
+
+    ``startingVersion`` picks the backfill point: 0 (default) streams
+    the whole table first, N starts at version N, "latest" streams only
+    post-start changes. Offsets are committed by the engine's
+    checkpoint; versions older than the retention window must outlive
+    the stream's lag (same operational rule as Delta's
+    logRetentionDuration)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.location = options.get("location")
+        if not self.location:
+            raise ValueError("managed_table: 'location' option is required")
+        self.spark_schema = schema
+        self.schema_json = schema.json()
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", options.get("ignoreDeletes", "false"))
+        ).lower() == "true"
+        self.ignore_changes = str(
+            options.get("ignorechanges", options.get("ignoreChanges", "false"))
+        ).lower() == "true"
+        self.starting = str(options.get("startingversion",
+                                        options.get("startingVersion", "0")))
+
+    def _table(self):
+        from .tables import ManagedTable
+
+        tbl = ManagedTable.__new__(ManagedTable)
+        tbl.name = os.path.basename(self.location.rstrip("/"))
+        tbl.location = self.location
+        return tbl
+
+    # ------------------------------------------------------- offsets
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return {"version": self._table().current_version()}
+        return {"version": int(self.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._table().current_version()}
+
+    def commit(self, end: dict) -> None:
+        pass  # engine checkpoint owns progress; nothing to release
+
+    # ----------------------------------------------------- planning
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        tbl = self._table()
+        v_from, v_to = int(start["version"]), int(end["version"])
+        if v_to <= v_from:
+            return [_FilePartition(None)]  # empty batch probe
+        old_entries = tbl._read_manifest(v_from) if v_from >= 0 else {}
+        new_entries = tbl._read_manifest(v_to)
+        removed = set(old_entries.items()) - set(new_entries.items())
+        if removed and not self.ignore_changes:
+            raise RuntimeError(
+                f"managed_table stream at {self.location}: versions "
+                f"{v_from}->{v_to} rewrote {len(removed)} manifest "
+                "entries (overwrite/compact/merge). An append-only "
+                "stream cannot represent that; set ignoreChanges=true "
+                "to stream the rewritten files (rows may re-deliver)."
+            )
+        dv_old = tbl._read_dv(v_from)[0] if v_from >= 0 else {}
+        dv_new, _ = tbl._read_dv(v_to)
+        old_dirs = set(old_entries.values())
+        grew = {
+            f
+            for f, d in dv_new.items()
+            if os.path.dirname(f) in old_dirs and dv_old.get(f) != d
+        }
+        if grew and not (self.ignore_deletes or self.ignore_changes):
+            raise RuntimeError(
+                f"managed_table stream at {self.location}: versions "
+                f"{v_from}->{v_to} deleted rows from {len(grew)} "
+                "carried-over files (deletion vectors). Set "
+                "ignoreDeletes=true to skip them."
+            )
+        added_rels = sorted(set(new_entries.values()) - old_dirs)
+        part_cols = {f.name for f in self.spark_schema.fields}
+        out: list[_FilePartition] = []
+        for rel_dir in added_rels:
+            pvals = {
+                k: val
+                for k, val in _parse_partition_values(rel_dir).items()
+                if k in part_cols
+            }
+            abs_dir = os.path.join(self.location, rel_dir)
+            for dirpath, _dirs, files in os.walk(abs_dir):
+                for fn in sorted(files):
+                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    key = (
+                        full
+                        if os.path.isabs(rel_dir)
+                        else os.path.relpath(full, self.location)
                     )
-        yield from pa.table(arrays, schema=target).to_batches()
+                    dvd = dv_new.get(key)
+                    out.append(
+                        _FilePartition(
+                            full,
+                            pvals,
+                            dv_path=(
+                                None
+                                if dvd is None
+                                else (
+                                    dvd
+                                    if os.path.isabs(dvd)
+                                    else os.path.join(self.location, dvd)
+                                )
+                            ),
+                            dv_key=key if dvd is not None else None,
+                        )
+                    )
+        return out or [_FilePartition(None)]
+
+    # ----------------------------------------------------- execution
+    def read(self, partition: _FilePartition):
+        yield from _read_file_partition(self.schema_json, partition)
 
 
 class ManagedTableDataSource(DataSource):
@@ -354,6 +500,9 @@ class ManagedTableDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ManagedTableReader:
         return ManagedTableReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> ManagedTableStreamReader:
+        return ManagedTableStreamReader(schema, dict(self.options))
 
 
 def register(spark) -> None:

@@ -629,6 +629,34 @@ class ManagedTable:
         # cache (see datasource.SENTINEL); projected away immediately
         return r.load().where(F.col(SENTINEL).isNull()).drop(SENTINEL)
 
+    def read_stream(
+        self,
+        starting_version: int | str = 0,
+        ignore_deletes: bool = False,
+        ignore_changes: bool = False,
+    ) -> DataFrame:
+        """Structured-Streaming read of this table — Delta's
+        ``spark.readStream.format("delta")`` parity: each micro-batch
+        delivers the rows APPENDED since the last committed table
+        version (offsets are versions, tracked by the engine's
+        checkpoint). ``starting_version=0`` backfills the whole table
+        first; ``"latest"`` streams only new data. Deletes/rewrites in
+        the version window raise unless ``ignore_deletes`` /
+        ``ignore_changes`` — the same contract (and caveats) as Delta's
+        options of the same names."""
+        from .datasource import FORMAT_NAME, SENTINEL, register
+
+        register(self.spark)
+        return (
+            self.spark.readStream.format(FORMAT_NAME)
+            .option("location", self.location)
+            .option("startingVersion", str(starting_version))
+            .option("ignoreDeletes", str(ignore_deletes).lower())
+            .option("ignoreChanges", str(ignore_changes).lower())
+            .load()
+            .drop(SENTINEL)
+        )
+
     def create_view(self, view_name: str, version: int | None = None) -> DataFrame:
         """Register the table for SQL with implicit data skipping:
         ``spark.sql(f"SELECT … FROM {view_name} WHERE …")`` prunes files

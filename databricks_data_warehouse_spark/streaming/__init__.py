@@ -8,6 +8,7 @@ from .bronze_stream import (
     stream_gold_counts_table,
 )
 from .dedup_stream import stream_dedup_simhash
+from .table_stream import stream_table_source, stream_table_source_oracle
 from .windows import (
     stream_click_purchase_join,
     stream_dedup_events,
@@ -25,6 +26,8 @@ __all__ = [
     "stream_gold_aggregate",
     "stream_gold_counts_table",
     "stream_dedup_simhash",
+    "stream_table_source",
+    "stream_table_source_oracle",
     "stream_click_purchase_join",
     "stream_dedup_events",
     "stream_enriched_counts",

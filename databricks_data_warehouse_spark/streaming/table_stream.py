@@ -1,0 +1,95 @@
+"""Oracle-checkable streaming read FROM a ManagedTable — the Delta
+``spark.readStream.format("delta")`` story (reference pipelines write
+Delta with streaming and read it back downstream;
+Bronze-Ingestion-Customers.py:40-58 is the write half). A table is
+landed in two commits (initial load + append), then drained as a
+stream whose offsets are table versions: the sink must hold exactly
+the union of both commits' rows — hash-equal to the batch SQL over the
+raw source, proving the version-window file planning delivers every
+appended row exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries._util import cents, load
+from ..queries.managed_scan import _corpus_fingerprint
+from ..sources.tables import ConcurrentWriteError, ManagedTable
+
+
+def _source_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Orders landed as two commits — 4/5 of the keys in the initial
+    overwrite, the rest appended — cached per corpus fingerprint."""
+    from .windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"stream_src_tbl_{h}")
+    table = ManagedTable(spark, f"orders_src_{h}", loc)
+    if table.current_version() < 1:
+        try:
+            orders = load(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            table.overwrite(orders.where(F.col("o_orderkey") % 5 != 0))
+            table.append(orders.where(F.col("o_orderkey") % 5 == 0))
+        except ConcurrentWriteError:
+            pass  # concurrent builder won; same deterministic layout
+    return table
+
+
+def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the table as a stream (fresh checkpoint → full backfill:
+    version -1 → current in one planned window, covering both the
+    overwrite and the append) into a parquet sink, then aggregate the
+    sink. Equal to the batch GROUP BY over raw orders."""
+    from .windows import _scratch_root
+
+    table = _source_table(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(_scratch_root(), "stream_src_out", run)
+    ckpt = os.path.join(_scratch_root(), "stream_src_ckpt", run)
+    q = (
+        table.read_stream(starting_version=0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sunk = spark.read.schema(table.schema).parquet(out)
+    agg = (
+        sunk.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    # materialize the (3-row) aggregate so the per-run sink/checkpoint
+    # scratch can be deleted immediately — repeated bench reps must not
+    # accumulate drained copies of the table
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+def stream_table_source_oracle() -> str:
+    from ..queries._util import cents_sql
+
+    return f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

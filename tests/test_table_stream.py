@@ -1,0 +1,112 @@
+"""Streaming FROM a ManagedTable (Delta streaming-source parity):
+offsets are table versions, each micro-batch delivers appended rows,
+and non-append changes follow the ignoreDeletes/ignoreChanges contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryException
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, name, rows=20):
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    )
+    t.overwrite(df)
+    return t
+
+
+def _drain(t, tmp_path, qname, **kw):
+    # file sink: the one built-in sink that recovers from a checkpoint,
+    # so re-draining resumes at the committed table version
+    q = (
+        t.read_stream(**kw)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / f"out_{qname}"))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(spark, tmp_path, qname):
+    import glob
+
+    if not glob.glob(str(tmp_path / f"out_{qname}") + "/*.parquet"):
+        return []
+    return spark.read.parquet(str(tmp_path / f"out_{qname}")).collect()
+
+
+def test_stream_backfill_then_appends_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, "st", rows=20)
+    _drain(t, tmp_path, "st1")
+    assert len(_rows(spark, tmp_path, "st1")) == 20
+    # append twice; the SAME checkpoint resumes from the committed version
+    t.append(spark.createDataFrame([(100, 0)], "k long, g long"))
+    t.append(spark.createDataFrame([(101, 1)], "k long, g long"))
+    _drain(t, tmp_path, "st1")
+    got = {r["k"] for r in _rows(spark, tmp_path, "st1")}
+    assert got == set(range(20)) | {100, 101}
+    assert len(got) == 22  # backfilled rows NOT re-delivered
+
+
+def test_stream_starting_latest_skips_backfill(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sl", rows=10)
+    _drain(t, tmp_path, "sl1", starting_version="latest")
+    assert len(_rows(spark, tmp_path, "sl1")) == 0
+    t.append(spark.createDataFrame([(50, 2)], "k long, g long"))
+    _drain(t, tmp_path, "sl1", starting_version="latest")
+    assert {r["k"] for r in _rows(spark, tmp_path, "sl1")} == {50}
+
+
+def test_stream_delete_raises_without_ignore(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sd", rows=10)
+    _drain(t, tmp_path, "sd1")
+    t.delete_where(F.expr("k < 3"))
+    with pytest.raises(StreamingQueryException, match="ignoreDeletes"):
+        _drain(t, tmp_path, "sd1")
+
+
+def test_stream_delete_skipped_with_ignore(spark, tmp_path):
+    t = _mk(spark, tmp_path, "si", rows=10)
+    _drain(t, tmp_path, "si1", ignore_deletes=True)
+    t.delete_where(F.expr("k < 3"))
+    t.append(spark.createDataFrame([(77, 0)], "k long, g long"))
+    _drain(t, tmp_path, "si1", ignore_deletes=True)
+    got = {r["k"] for r in _rows(spark, tmp_path, "si1")}
+    # the delete is skipped (not representable), the append arrives
+    assert got == set(range(10)) | {77}
+
+
+def test_stream_rewrite_raises_without_ignore_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sr", rows=10)
+    _drain(t, tmp_path, "sr1")
+    t.compact()
+    with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+        _drain(t, tmp_path, "sr1")
+
+
+def test_stream_rewrite_redelivers_with_ignore_changes(spark, tmp_path):
+    t = _mk(spark, tmp_path, "sc", rows=5)
+    _drain(t, tmp_path, "sc1", ignore_changes=True)
+    t.compact()
+    _drain(t, tmp_path, "sc1", ignore_changes=True)
+    n = len(_rows(spark, tmp_path, "sc1"))
+    assert n == 10  # at-least-once: the rewrite re-delivered all 5
+
+
+def test_stream_window_applies_end_dvs(spark, tmp_path):
+    # rows appended AND DV-deleted before the stream catches up must
+    # not appear (the END version's vectors are applied to new files)
+    t = _mk(spark, tmp_path, "sw", rows=5)
+    _drain(t, tmp_path, "sw1", ignore_deletes=True)
+    t.append(spark.createDataFrame([(200, 0), (201, 1)], "k long, g long"))
+    t.delete_where(F.expr("k = 200"))
+    _drain(t, tmp_path, "sw1", ignore_deletes=True)
+    got = {r["k"] for r in _rows(spark, tmp_path, "sw1")}
+    assert 201 in got and 200 not in got

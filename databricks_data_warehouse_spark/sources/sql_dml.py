@@ -406,10 +406,21 @@ class SqlSession:
             stmt,
             re.IGNORECASE,
         )
-        if not m:
-            raise ValueError(f"cannot parse RESTORE statement: {stmt!r}")
-        t = self.table(m.group(1))
-        return self._metrics("RESTORE", t, t.restore(int(m.group(2))))
+        if m:
+            t = self.table(m.group(1))
+            return self._metrics("RESTORE", t, t.restore(int(m.group(2))))
+        m = re.match(
+            rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+"
+            rf"'([^']+)'\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            return self._metrics(
+                "RESTORE", t, t.restore(t.version_at_timestamp(m.group(2)))
+            )
+        raise ValueError(f"cannot parse RESTORE statement: {stmt!r}")
 
     def _describe_history(self, stmt: str) -> DataFrame:
         m = re.match(
@@ -442,6 +453,25 @@ class SqlSession:
         stmt = re.sub(
             rf"\b({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
             sub,
+            stmt,
+            flags=re.IGNORECASE,
+        )
+
+        # `t TIMESTAMP AS OF '...'`: resolve to a version via manifest
+        # commit times (Delta's log-mtime mechanism), then same rewrite
+        def sub_ts(m: re.Match) -> str:
+            name, lit = m.group(1), m.group(2)
+            if name not in self._tables:
+                return m.group(0)
+            t = self._tables[name]
+            v = t.version_at_timestamp(lit)
+            view = f"{name}__v{v}"
+            t.create_view(view, version=v)
+            return view
+
+        stmt = re.sub(
+            rf"\b({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+            sub_ts,
             stmt,
             flags=re.IGNORECASE,
         )

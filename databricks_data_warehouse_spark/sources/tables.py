@@ -1606,6 +1606,37 @@ class ManagedTable:
             self.vacuum(keep=self.retain_versions)
         return v + 1
 
+    def version_at_timestamp(self, ts) -> int:
+        """Timestamp time travel: the newest version committed at or
+        before ``ts`` (datetime, ISO-8601 string, or epoch seconds).
+        Resolution uses the manifest files' modification times — the
+        same mechanism Delta uses for ``TIMESTAMP AS OF`` (log-file
+        mtimes), so it needs no format change and works for versions
+        committed before this feature existed. Commits are sequential,
+        so mtimes are monotone per table."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            when = _dt.datetime.fromisoformat(ts)
+        elif isinstance(ts, (int, float)):
+            when = _dt.datetime.fromtimestamp(float(ts))
+        else:
+            when = ts
+        epoch = when.timestamp()
+        best = -1
+        for entry in os.listdir(self.location):
+            if not entry.startswith(_MANIFEST_PREFIX):
+                continue
+            v = int(entry[len(_MANIFEST_PREFIX):])
+            if os.stat(os.path.join(self.location, entry)).st_mtime <= epoch:
+                best = max(best, v)
+        if best < 0:
+            raise ValueError(
+                f"table {self.name}: no version committed at or before {when} "
+                "(or the versions were vacuumed)"
+            )
+        return best
+
     def history(self) -> list[dict]:
         """Version history from the manifests still on disk (newest
         first): version, partition count, write roots — the DESCRIBE
@@ -1627,6 +1658,8 @@ class ManagedTable:
                     "operation": op,
                     "partitions": len(entries),
                     "write_roots": len(roots),
+                    # commit time = manifest mtime (TIMESTAMP AS OF anchor)
+                    "timestamp": os.stat(self._manifest_path(v)).st_mtime,
                 }
             )
         out.sort(key=lambda d: -d["version"])

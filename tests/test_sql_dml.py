@@ -288,6 +288,29 @@ def test_sql_alter_table_constraints(spark, tmp_path):
     assert t.read().count() == 6
 
 
+def test_timestamp_time_travel(spark, tmp_path):
+    import datetime
+    import time
+
+    t = _mk(spark, tmp_path, "ts0", rows=10)
+    time.sleep(1.1)
+    mark = datetime.datetime.now().isoformat()
+    time.sleep(1.1)
+    s = _sess(spark, t)
+    s.sql("DELETE FROM ts0 WHERE k < 5")
+    # the marked instant resolves to v0 (pre-delete)
+    assert t.version_at_timestamp(mark) == 0
+    n = s.sql(
+        f"SELECT COUNT(*) AS n FROM ts0 TIMESTAMP AS OF '{mark}'"
+    ).collect()[0]["n"]
+    assert n == 10
+    s.sql(f"RESTORE ts0 TO TIMESTAMP AS OF '{mark}'")
+    assert t.read().count() == 10
+    with pytest.raises(ValueError, match="no version committed"):
+        t.version_at_timestamp("2000-01-01T00:00:00")
+    assert t.history()[0]["timestamp"] > 0
+
+
 def test_sql_unknown_table_raises(spark, tmp_path):
     s = SqlSession(spark)
     with pytest.raises(KeyError, match="no ManagedTable registered"):

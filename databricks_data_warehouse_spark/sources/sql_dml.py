@@ -268,6 +268,26 @@ class SqlSession:
             t = self.table(m.group(1))
             t.drop_constraint(m.group(2))
             return self._metrics("DROP CONSTRAINT", t, t.current_version())
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\(?\s*"
+            rf"({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*\)?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            return self._metrics(
+                "ADD COLUMN", t, t.add_column(m.group(2), m.group(3))
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMNS?\s*\(?\s*"
+            rf"({_IDENT})\s*\)?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            return self._metrics("DROP COLUMN", t, t.drop_column(m.group(2)))
         raise ValueError(f"cannot parse ALTER TABLE statement: {stmt!r}")
 
     def _merge(self, stmt: str) -> DataFrame:

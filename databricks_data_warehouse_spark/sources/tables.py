@@ -1606,6 +1606,59 @@ class ManagedTable:
             self.vacuum(keep=self.retain_versions)
         return v + 1
 
+    def add_column(self, name: str, data_type: str) -> int:
+        """``ALTER TABLE … ADD COLUMN name type`` — a metadata-only
+        commit (Delta parity): no data file changes; files written
+        before the evolution lack the column and every read path fills
+        NULL for it (the same parquet schema-evolution mechanics
+        ``merge_schema`` relies on). The new column is nullable — a
+        NOT-NULL column would instantly invalidate existing rows."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        if self.schema is None:
+            self.schema = self._load_schema()
+        if self.schema is None:
+            raise ValueError(f"table {self.name}: no schema available")
+        if name in {f.name for f in self.schema.fields}:
+            raise ValueError(f"table {self.name}: column {name!r} already exists")
+        self.schema = StructType(
+            self.schema.fields
+            + [StructField(name, _parse_datatype_string(data_type), True)]
+        )
+        return self._commit_metadata_only(op=f"ADD COLUMN {name}")
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE … DROP COLUMN name`` — metadata-only: the
+        column leaves the schema (reads project it away; the bytes in
+        old files become dead weight until a ``compact()``, exactly
+        Delta-with-column-mapping's behavior). Refuses to drop a
+        partition/sort column (the layout depends on it) or a column a
+        CHECK constraint references (Delta errors likewise)."""
+        import re as _re
+
+        if self.schema is None:
+            self.schema = self._load_schema()
+        if self.schema is None:
+            raise ValueError(f"table {self.name}: no schema available")
+        if name not in {f.name for f in self.schema.fields}:
+            raise ValueError(f"table {self.name}: no column {name!r}")
+        if name in (self.partition_columns or []) or name in (
+            self.sort_columns or []
+        ):
+            raise ValueError(
+                f"table {self.name}: {name!r} is a partition/sort column"
+            )
+        for cname, expr in (self.constraints or {}).items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"table {self.name}: column {name!r} is referenced by "
+                    f"CHECK constraint {cname!r} ({expr}) — drop it first"
+                )
+        self.schema = StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+        return self._commit_metadata_only(op=f"DROP COLUMN {name}")
+
     def version_at_timestamp(self, ts) -> int:
         """Timestamp time travel: the newest version committed at or
         before ``ts`` (datetime, ISO-8601 string, or epoch seconds).

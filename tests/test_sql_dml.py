@@ -311,6 +311,37 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert t.history()[0]["timestamp"] > 0
 
 
+def test_alter_table_add_drop_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, "ac", rows=5)
+    s = _sess(spark, t)
+    s.sql("ALTER TABLE ac ADD COLUMN note string")
+    got = t.read()
+    assert "note" in got.columns
+    assert got.filter("note IS NULL").count() == 5  # old files fill NULL
+    # writes after evolution carry the column
+    s.sql("INSERT INTO ac VALUES (99, 0, 9.0, 'hi')")
+    assert t.read().filter("note = 'hi'").count() == 1
+    # time travel reads the OLD schema's data under the new projection
+    assert t.read().count() == 6
+    s.sql("ALTER TABLE ac DROP COLUMN note")
+    assert "note" not in t.read().columns
+    assert t.read().count() == 6
+    assert t.history()[0]["operation"] == "DROP COLUMN note"
+
+
+def test_drop_column_guards(spark, tmp_path):
+    t = ManagedTable(spark, "dg", str(tmp_path / "dg"), partition_columns=["g"])
+    t.overwrite(spark.createDataFrame([(1, 0, 2.0)], "k long, g long, v double"))
+    with pytest.raises(ValueError, match="partition/sort"):
+        t.drop_column("g")
+    t.add_constraint("v_pos", "v > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column("v")
+    t.drop_constraint("v_pos")
+    assert t.drop_column("v") > 0
+    assert t.read().columns == ["k", "g"]
+
+
 def test_sql_unknown_table_raises(spark, tmp_path):
     s = SqlSession(spark)
     with pytest.raises(KeyError, match="no ManagedTable registered"):

@@ -495,5 +495,25 @@ class SqlSession:
             stmt,
             flags=re.IGNORECASE,
         )
+
+        # `table_changes('t', from[, to])` — Delta's CDF table function:
+        # swap in a view over changes() (incremental when the window
+        # allows, see tables.changes)
+        def sub_cdf(m: re.Match) -> str:
+            name = m.group(1)
+            v_from = int(m.group(2))
+            v_to = int(m.group(3)) if m.group(3) else None
+            t = self.table(name)
+            view = f"{name}__changes_{v_from}_{v_to if v_to is not None else 'cur'}"
+            t.changes(v_from, v_to).createOrReplaceTempView(view)
+            return view
+
+        stmt = re.sub(
+            rf"\btable_changes\s*\(\s*'({_IDENT})'\s*,\s*(\d+)"
+            rf"(?:\s*,\s*(\d+))?\s*\)",
+            sub_cdf,
+            stmt,
+            flags=re.IGNORECASE,
+        )
         self._register_views()
         return self.spark.sql(stmt)

@@ -342,6 +342,23 @@ def test_drop_column_guards(spark, tmp_path):
     assert t.read().columns == ["k", "g"]
 
 
+def test_sql_table_changes_tvf(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cf", rows=10)
+    s = _sess(spark, t)
+    s.sql("DELETE FROM cf WHERE k < 4")
+    got = s.sql(
+        "SELECT k, _change_type FROM table_changes('cf', 0) ORDER BY k"
+    ).collect()
+    assert [(r["k"], r["_change_type"]) for r in got] == [
+        (i, "delete") for i in range(4)
+    ]
+    # explicit window form
+    n = s.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('cf', 0, 1)"
+    ).collect()[0]["n"]
+    assert n == 4
+
+
 def test_sql_unknown_table_raises(spark, tmp_path):
     s = SqlSession(spark)
     with pytest.raises(KeyError, match="no ManagedTable registered"):

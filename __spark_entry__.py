@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrites), MERGE upserts; the oracle replays the statements
         # relationally (VERDICT r06 "What's missing" item 6)
         "table_sql_dml": sql_dml_query.table_sql_dml,
+        # NEW round 7: incremental change feed (manifest/DV diff) over
+        # the DV-delete commit — O(changed rows), no full-table diff
+        "table_cdf": sql_dml_query.table_cdf,
         # NEW round 7: dropped-mass observability for the dedup caps
         # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
         # they BIND here (VERDICT r06 item 5 — no silent truncation)
@@ -645,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         # SQL DELETE/UPDATE/MERGE through the DV merge-on-read path
         # must reach the same fixpoint as the relational replay
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),
+        # the incremental CDF must equal the delete's relational row set
+        "table_cdf": sql_dml_query.table_cdf_oracle(),
         # additive micro-batch merging must reconstruct the global
         # GROUP BY exactly (integer cents, txn-watermark exactly-once)
         "stream_gold_counts_table": """

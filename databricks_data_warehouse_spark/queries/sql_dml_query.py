@@ -118,6 +118,30 @@ def table_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed over the DV-delete commit of the DML table:
+    ``changes(0, 1)`` runs the INCREMENTAL strategy (the manifest
+    carried over, only the DV set grew), so this entry pins the
+    manifest/DV-diff feed — not the EXCEPT ALL fallback — against the
+    relational definition of the same delete."""
+    t = _dml_table(spark, sf_dir)
+    out = t.changes(0, 1).select("o_orderkey", "_change_type").orderBy(
+        "o_orderkey"
+    )
+    assert t.last_changes_strategy == "incremental"
+    return out
+
+
+def table_cdf_oracle() -> str:
+    """The DELETE's row set, tagged — what the v0→v1 feed must equal."""
+    return """
+        SELECT o_orderkey, 'delete' AS _change_type
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        ORDER BY o_orderkey
+    """
+
+
 def table_sql_dml_oracle() -> str:
     """DuckDB replay of the three SQL mutations as pure relational
     algebra (DELETE → negated filter, UPDATE → CASE projection, MERGE

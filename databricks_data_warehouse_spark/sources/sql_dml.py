@@ -496,16 +496,17 @@ class SqlSession:
             flags=re.IGNORECASE,
         )
 
-        # `table_changes('t', from[, to])` — Delta's CDF table function:
-        # swap in a view over changes() (incremental when the window
-        # allows, see tables.changes)
+        # `table_changes('t', from[, to])` — Delta's CDF table function
+        # with its full schema (_change_type, _commit_version,
+        # _commit_timestamp): a view over changes_by_version(), which
+        # diffs per version pair (incremental where the pair allows)
         def sub_cdf(m: re.Match) -> str:
             name = m.group(1)
             v_from = int(m.group(2))
             v_to = int(m.group(3)) if m.group(3) else None
             t = self.table(name)
             view = f"{name}__changes_{v_from}_{v_to if v_to is not None else 'cur'}"
-            t.changes(v_from, v_to).createOrReplaceTempView(view)
+            t.changes_by_version(v_from, v_to).createOrReplaceTempView(view)
             return view
 
         stmt = re.sub(

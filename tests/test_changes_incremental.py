@@ -102,3 +102,35 @@ def test_noop_window_is_empty(spark, tmp_path):
     t = _mk(spark, tmp_path, "nop", rows=10)
     assert _got(t, 0, 0) == []
     assert t.last_changes_strategy == "incremental"
+
+
+def test_changes_by_version_attribution(spark, tmp_path):
+    t = _mk(spark, tmp_path, "attr", rows=10)
+    t.append(
+        spark.createDataFrame([(100, 0, 1.0)], "k long, g long, v double")
+    )  # v1
+    t.delete_where(F.expr("k < 2"))  # v2 (DV)
+    t.update_where({"v": "v + 0.5"}, F.expr("k = 5"))  # v3 (DV + append)
+    feed = t.changes_by_version(0)
+    rows = {(r["k"], r["_change_type"], r["_commit_version"]) for r in feed.collect()}
+    assert (100, "insert", 1) in rows
+    assert (0, "delete", 2) in rows and (1, "delete", 2) in rows
+    assert (5, "delete", 3) in rows and (5, "insert", 3) in rows
+    assert len(rows) == 5
+    # timestamps are the commit instants, non-decreasing in version
+    ts = {
+        r["_commit_version"]: r["_commit_timestamp"] for r in feed.collect()
+    }
+    assert ts[1] <= ts[2] <= ts[3]
+    # per-pair sum equals the two-endpoint diff content-wise (update's
+    # delete+insert of the SAME row collapses in the 0..3 endpoint diff
+    # only if values were equal — here they differ, so both remain)
+    flat = sorted(
+        (r["k"], r["_change_type"]) for r in t.changes(0).collect()
+    )
+    assert sorted((k, c) for k, c, _v in rows) == flat
+
+
+def test_changes_by_version_empty_window(spark, tmp_path):
+    t = _mk(spark, tmp_path, "attr0", rows=3)
+    assert t.changes_by_version(0, 0).count() == 0

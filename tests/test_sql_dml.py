@@ -352,11 +352,13 @@ def test_sql_table_changes_tvf(spark, tmp_path):
     assert [(r["k"], r["_change_type"]) for r in got] == [
         (i, "delete") for i in range(4)
     ]
-    # explicit window form
-    n = s.sql(
-        "SELECT COUNT(*) AS n FROM table_changes('cf', 0, 1)"
-    ).collect()[0]["n"]
-    assert n == 4
+    # explicit window form + Delta CDF attribution columns
+    r = s.sql(
+        "SELECT COUNT(*) AS n, MAX(_commit_version) AS v, "
+        "MAX(_commit_timestamp) IS NOT NULL AS has_ts "
+        "FROM table_changes('cf', 0, 1)"
+    ).collect()[0]
+    assert (r["n"], r["v"], r["has_ts"]) == (4, 1, True)
 
 
 def test_sql_unknown_table_raises(spark, tmp_path):

@@ -141,6 +141,23 @@ class _FilePartition(InputPartition):
     dv_key: str | None = None
 
 
+@dataclass
+class _CdfPartition(InputPartition):
+    """One change-feed unit: a data file plus either an explicit
+    position list (DV delta → that commit's deletes/resurrections) or
+    the whole file minus its end-of-pair DV (an appended file →
+    inserts). Carries the commit attribution."""
+
+    path: str
+    change_type: str  # "insert" | "delete"
+    commit_version: int
+    commit_ts: float
+    part_values: dict = field(default_factory=dict)
+    positions: list | None = None  # None = whole file (minus dv mask)
+    dv_path: str | None = None
+    dv_key: str | None = None
+
+
 class ManagedTableReader(DataSourceReader):
     """Plans a pruned scan of one ManagedTable snapshot.
 
@@ -374,6 +391,9 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         ).lower() == "true"
         self.starting = str(options.get("startingversion",
                                         options.get("startingVersion", "0")))
+        self.cdf = str(
+            options.get("readchangefeed", options.get("readChangeFeed", "false"))
+        ).lower() == "true"
 
     def _table(self):
         from .tables import ManagedTable
@@ -401,6 +421,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         v_from, v_to = int(start["version"]), int(end["version"])
         if v_to <= v_from:
             return [_FilePartition(None)]  # empty batch probe
+        if self.cdf:
+            return self._cdf_partitions(tbl, v_from, v_to)
         old_entries = tbl._read_manifest(v_from) if v_from >= 0 else {}
         new_entries = tbl._read_manifest(v_to)
         removed = set(old_entries.items()) - set(new_entries.items())
@@ -466,9 +488,160 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     )
         return out or [_FilePartition(None)]
 
+    def _cdf_partitions(self, tbl, v_from: int, v_to: int):
+        """Change-feed planning: one metadata diff per version pair.
+        Deletion-vector sidecars are O(deleted rows), so position-set
+        deltas are computed right here in the planning worker with
+        pyarrow — each emitted partition carries the exact positions
+        (or the whole appended file) plus its commit attribution."""
+        import pyarrow.parquet as pq
+
+        def dv_positions(dv_rel: str, key: str) -> set:
+            path = (
+                dv_rel
+                if os.path.isabs(dv_rel)
+                else os.path.join(self.location, dv_rel)
+            )
+            t = pq.read_table(path, filters=[("file", "==", key)])
+            return set(t.column("pos").to_pylist())
+
+        part_cols = {f.name for f in self.spark_schema.fields}
+        out: list[_CdfPartition] = []
+        for v in range(v_from, v_to):
+            old_e = tbl._read_manifest(v) if v >= 0 else {}
+            new_e = tbl._read_manifest(v + 1)
+            removed = set(old_e.items()) - set(new_e.items())
+            if removed and not self.ignore_changes:
+                raise RuntimeError(
+                    f"managed_table CDF stream at {self.location}: version "
+                    f"{v}->{v + 1} rewrote {len(removed)} manifest entries; "
+                    "per-row attribution across a rewrite is not derivable. "
+                    "Set ignoreChanges=true to stream rewritten files as "
+                    "inserts (rows may re-deliver)."
+                )
+            dv_o = tbl._read_dv(v)[0] if v >= 0 else {}
+            dv_n, _ = tbl._read_dv(v + 1)
+            ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
+            old_dirs, new_dirs = set(old_e.values()), set(new_e.values())
+            # appended dirs → inserts (pair-end DVs applied: a commit
+            # that both appends and deletes never shows the dead rows)
+            for rel_dir in sorted(new_dirs - old_dirs):
+                abs_dir = os.path.join(self.location, rel_dir)
+                pvals = {
+                    k: val
+                    for k, val in _parse_partition_values(rel_dir).items()
+                    if k in part_cols
+                }
+                for dirpath, _dirs, files in os.walk(abs_dir):
+                    for fn in sorted(files):
+                        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                            continue
+                        full = os.path.join(dirpath, fn)
+                        key = (
+                            full
+                            if os.path.isabs(rel_dir)
+                            else os.path.relpath(full, self.location)
+                        )
+                        dvd = dv_n.get(key)
+                        out.append(
+                            _CdfPartition(
+                                full, "insert", v + 1, ts, pvals,
+                                dv_path=(
+                                    None
+                                    if dvd is None
+                                    else (
+                                        dvd
+                                        if os.path.isabs(dvd)
+                                        else os.path.join(self.location, dvd)
+                                    )
+                                ),
+                                dv_key=key if dvd is not None else None,
+                            )
+                        )
+            # DV deltas on carried-over files → deletes / resurrections
+            carried = old_dirs & new_dirs
+            for key in sorted(set(dv_o) | set(dv_n)):
+                d = os.path.dirname(key)
+                if d not in carried:
+                    continue
+                if dv_o.get(key) == dv_n.get(key):
+                    continue  # same sidecar: no delta
+                po = dv_positions(dv_o[key], key) if key in dv_o else set()
+                pn = dv_positions(dv_n[key], key) if key in dv_n else set()
+                full = (
+                    key
+                    if os.path.isabs(key)
+                    else os.path.join(self.location, key)
+                )
+                pvals = {
+                    k: val
+                    for k, val in _parse_partition_values(d).items()
+                    if k in part_cols
+                }
+                dead, res = sorted(pn - po), sorted(po - pn)
+                if dead:
+                    out.append(
+                        _CdfPartition(full, "delete", v + 1, ts, pvals,
+                                      positions=dead)
+                    )
+                if res:
+                    out.append(
+                        _CdfPartition(full, "insert", v + 1, ts, pvals,
+                                      positions=res)
+                    )
+        return out or [_FilePartition(None)]
+
     # ----------------------------------------------------- execution
-    def read(self, partition: _FilePartition):
-        yield from _read_file_partition(self.schema_json, partition)
+    def read(self, partition):
+        if isinstance(partition, _CdfPartition):
+            yield from _read_cdf_partition(self.schema_json, partition)
+        else:
+            yield from _read_file_partition(self.schema_json, partition)
+
+
+def _read_cdf_partition(schema_json: str, p: _CdfPartition):
+    """Arrow read of one change-feed unit: explicit positions (DV
+    delta) or a whole appended file minus its DV mask, conformed to the
+    CDF schema with attribution columns."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    tbl = pq.read_table(p.path)
+    if p.positions is not None:
+        tbl = tbl.take(pa.array(list(p.positions), type=pa.int64()))
+    elif p.dv_path is not None:
+        import numpy as np
+
+        dvt = pq.read_table(p.dv_path, filters=[("file", "==", p.dv_key)])
+        dead = dvt.column("pos").to_numpy(zero_copy_only=False)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        mask[dead[dead < tbl.num_rows].astype(int)] = False
+        tbl = tbl.filter(pa.array(mask))
+    n = tbl.num_rows
+    when = datetime.datetime.fromtimestamp(p.commit_ts)
+    cdf_cols = {
+        "_change_type": pa.array([p.change_type] * n, pa.string()),
+        "_commit_version": pa.array([p.commit_version] * n, pa.int64()),
+        "_commit_timestamp": pa.array([when] * n, pa.timestamp("us")),
+    }
+    arrays = []
+    for fld in target:
+        if fld.name in cdf_cols:
+            arrays.append(cdf_cols[fld.name].cast(fld.type))
+        elif fld.name in tbl.column_names:
+            arrays.append(tbl.column(fld.name).cast(fld.type))
+        else:
+            v = p.part_values.get(fld.name)
+            if v is None:
+                arrays.append(pa.nulls(n, fld.type))
+            else:
+                arrays.append(pa.array([v] * n, type=pa.string()).cast(fld.type))
+    yield from pa.table(arrays, schema=target).to_batches()
 
 
 class ManagedTableDataSource(DataSource):
@@ -493,10 +666,23 @@ class ManagedTableDataSource(DataSource):
             raise ValueError(
                 f"managed_table: column name {SENTINEL!r} is reserved"
             )
+        fields = list(base.fields)
+        if str(
+            self.options.get(
+                "readchangefeed", self.options.get("readChangeFeed", "false")
+            )
+        ).lower() == "true":
+            from pyspark.sql.types import LongType, TimestampType
+
+            fields += [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
         # virtual always-null sentinel — see SENTINEL above. read()
         # emits nulls for any schema field absent from the data file,
         # which covers it with no special case.
-        return StructType(base.fields + [StructField(SENTINEL, StringType())])
+        return StructType(fields + [StructField(SENTINEL, StringType())])
 
     def reader(self, schema: StructType) -> ManagedTableReader:
         return ManagedTableReader(schema, dict(self.options))

@@ -657,6 +657,34 @@ class ManagedTable:
             .drop(SENTINEL)
         )
 
+    def read_change_stream(
+        self,
+        starting_version: int | str = 0,
+        ignore_changes: bool = False,
+    ) -> DataFrame:
+        """Streaming CDC: ``readStream`` of the table's CHANGE FEED —
+        each micro-batch delivers the row-level changes committed since
+        the last checkpointed version, tagged ``_change_type`` /
+        ``_commit_version`` / ``_commit_timestamp`` (Delta's
+        ``readChangeFeed`` streaming option). DV deletes and updates
+        arrive as change rows (unlike :meth:`read_stream`, which must
+        reject them); only rewrites (overwrite/compact) are
+        unattributable and raise unless ``ignore_changes``. This is the
+        100 TB CDC-consumer shape: planning is per-version metadata, the
+        data read is O(changed rows)."""
+        from .datasource import FORMAT_NAME, SENTINEL, register
+
+        register(self.spark)
+        return (
+            self.spark.readStream.format(FORMAT_NAME)
+            .option("location", self.location)
+            .option("startingVersion", str(starting_version))
+            .option("readChangeFeed", "true")
+            .option("ignoreChanges", str(ignore_changes).lower())
+            .load()
+            .drop(SENTINEL)
+        )
+
     def create_view(self, view_name: str, version: int | None = None) -> DataFrame:
         """Register the table for SQL with implicit data skipping:
         ``spark.sql(f"SELECT … FROM {view_name} WHERE …")`` prunes files
@@ -1854,7 +1882,11 @@ class ManagedTable:
           at write time.
         """
         v_to = self.current_version() if to_version is None else to_version
-        old_entries = self._read_manifest(from_version)
+        # from_version -1 = "before the table existed": everything in
+        # v_to is an insert (the CDC backfill convention)
+        old_entries = (
+            {} if from_version < 0 else self._read_manifest(from_version)
+        )
         new_entries = self._read_manifest(v_to)
         if set(old_entries.items()) <= set(new_entries.items()):
             self.last_changes_strategy = "incremental"

@@ -110,3 +110,62 @@ def test_stream_window_applies_end_dvs(spark, tmp_path):
     _drain(t, tmp_path, "sw1", ignore_deletes=True)
     got = {r["k"] for r in _rows(spark, tmp_path, "sw1")}
     assert 201 in got and 200 not in got
+
+
+def _drain_cdf(t, tmp_path, qname, **kw):
+    q = (
+        t.read_change_stream(**kw)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / f"out_{qname}"))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_cdf_stream_delivers_deletes_and_updates(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cs", rows=10)
+    _drain_cdf(t, tmp_path, "cs1")
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in _rows(spark, tmp_path, "cs1")
+    }
+    assert got == {(i, "insert", 0) for i in range(10)}
+    t.delete_where(F.expr("k < 2"))  # v1
+    t.update_where({"g": "g + 10"}, F.expr("k = 5"))  # v2
+    _drain_cdf(t, tmp_path, "cs1")
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in _rows(spark, tmp_path, "cs1")
+    }
+    assert (0, "delete", 1) in got and (1, "delete", 1) in got
+    assert (5, "delete", 2) in got and (5, "insert", 2) in got
+    assert len(got) == 14  # 10 backfill + 2 deletes + del/ins pair
+    # matches the batch attributed feed
+    batch = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in t.changes_by_version(-1).collect()
+    }
+    # batch starts at v0 as inserts of the initial load too
+    assert got == batch
+
+
+def test_cdf_stream_timestamps_and_restore(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cr", rows=4)
+    t.delete_where(F.expr("k = 0"))  # v1
+    t.restore(0)  # v2: DV removed → resurrection
+    _drain_cdf(t, tmp_path, "cr1")
+    rows = _rows(spark, tmp_path, "cr1")
+    res = [(r["k"], r["_change_type"], r["_commit_version"]) for r in rows]
+    assert (0, "delete", 1) in res and (0, "insert", 2) in res
+    assert all(r["_commit_timestamp"] is not None for r in rows)
+
+
+def test_cdf_stream_rejects_rewrite(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cw2t", rows=4)
+    _drain_cdf(t, tmp_path, "cw2t1")
+    t.compact()
+    with pytest.raises(StreamingQueryException, match="ignoreChanges"):
+        _drain_cdf(t, tmp_path, "cw2t1")

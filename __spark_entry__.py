@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source parity) — offsets are table versions; the drained sink
         # must equal the batch GROUP BY over the raw source
         "stream_table_source": streaming.stream_table_source,
+        # NEW round 7: streaming CDC — the change feed AS a stream
+        # (readChangeFeed), per-commit attribution, O(changed rows)
+        "stream_table_cdf": streaming.stream_table_cdf,
         # NEW round 6: directed n-gram containment (doc-in-doc dup the
         # symmetric Jaccard misses)
         "dedup_containment_pairs": dedup.ngram_containment_pairs,
@@ -665,6 +668,8 @@ def oracle_sql() -> dict[str, str]:
         # a stream drained FROM the managed table (version-window file
         # planning) must deliver exactly the union of its commits
         "stream_table_source": streaming.stream_table_source_oracle(),
+        # the streamed change feed must be the exact attributed multiset
+        "stream_table_cdf": streaming.stream_table_cdf_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

@@ -8,7 +8,12 @@ from .bronze_stream import (
     stream_gold_counts_table,
 )
 from .dedup_stream import stream_dedup_simhash
-from .table_stream import stream_table_source, stream_table_source_oracle
+from .table_stream import (
+    stream_table_cdf,
+    stream_table_cdf_oracle,
+    stream_table_source,
+    stream_table_source_oracle,
+)
 from .windows import (
     stream_click_purchase_join,
     stream_dedup_events,
@@ -26,6 +31,8 @@ __all__ = [
     "stream_gold_aggregate",
     "stream_gold_counts_table",
     "stream_dedup_simhash",
+    "stream_table_cdf",
+    "stream_table_cdf_oracle",
     "stream_table_source",
     "stream_table_source_oracle",
     "stream_click_purchase_join",

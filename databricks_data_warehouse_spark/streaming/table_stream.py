@@ -82,6 +82,122 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, agg.schema)
 
 
+def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC drained from the SQL-DML table: the change feed of
+    its whole history (initial load, DV delete, DV update, merge) —
+    planned per version pair in the stream source's metadata worker,
+    read as O(changed rows). The merge commit is a full rewrite on this
+    unpartitioned table, so the drain runs with ``ignore_changes`` and
+    that pair streams the restaged files as inserts (the documented
+    at-least-once caveat) — which the oracle reproduces exactly as the
+    final-state relation. Matching proves the streamed feed is the
+    exact multiset of row-level changes, attribution included (counts
+    per (_change_type, _commit_version) group, values via the keyed
+    sum)."""
+    from ..queries.sql_dml_query import _dml_table
+
+    table = _dml_table(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    out = os.path.join(_scratch_dir(), "stream_cdf_out", run)
+    ckpt = os.path.join(_scratch_dir(), "stream_cdf_ckpt", run)
+    q = (
+        table.read_change_stream(starting_version=0, ignore_changes=True)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        list(table.schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+    sunk = spark.read.schema(schema).parquet(out)
+    agg = (
+        sunk.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_orderkey")).alias("key_sum"),
+        )
+        .orderBy("_change_type", "_commit_version")
+    )
+    rows = agg.collect()
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
+
+
+def _scratch_dir() -> str:
+    from .windows import _scratch_root
+
+    return _scratch_root()
+
+
+def stream_table_cdf_oracle() -> str:
+    """The DML table's change history, replayed relationally:
+    v1 = DV delete of (F, <100000); v2 = DV update of 'O' rows
+    (delete+insert pairs); v3 = merge upsert — a full rewrite on the
+    unpartitioned table, streamed (under ignoreChanges) as inserts of
+    the FINAL state, which this feed reproduces via the same
+    delete/update/merge algebra as the table_sql_dml oracle."""
+    return """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ),
+        del1 AS (
+            SELECT o_orderkey FROM base
+            WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+        ),
+        upd2 AS (
+            SELECT o_orderkey FROM base WHERE o_orderstatus = 'O'
+        ),
+        after_del AS (
+            SELECT * FROM base
+            WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
+        ),
+        batch AS (
+            SELECT o_orderkey FROM base WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey + 100000000 FROM base WHERE o_orderstatus = 'P'
+        ),
+        final AS (
+            SELECT o_orderkey FROM after_del
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+            UNION ALL
+            SELECT o_orderkey FROM batch
+        ),
+        feed AS (
+            SELECT 'insert' AS _change_type, 0 AS _commit_version,
+                   o_orderkey
+            FROM base
+            UNION ALL
+            SELECT 'delete', 1, o_orderkey FROM del1
+            UNION ALL
+            SELECT 'delete', 2, o_orderkey FROM upd2
+            UNION ALL
+            SELECT 'insert', 2, o_orderkey FROM upd2
+            UNION ALL
+            SELECT 'insert', 3, o_orderkey FROM final
+        )
+        SELECT _change_type,
+               CAST(_commit_version AS BIGINT) AS _commit_version,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM feed
+        GROUP BY _change_type, _commit_version
+        ORDER BY _change_type, _commit_version
+    """
+
+
 def stream_table_source_oracle() -> str:
     from ..queries._util import cents_sql
 

@@ -244,3 +244,21 @@ def test_reorg_then_changes_and_scan(spark, tmp_path):
         == t.read().filter("id >= 900").count()
         == 100
     )
+
+
+def test_clone_dv_reorg_update_roundtrip(spark, tmp_path):
+    # a shallow clone's manifest holds ABSOLUTE source paths; the DV,
+    # reorg, scan and update paths must all handle that key space
+    t = _mk(spark, tmp_path, name="csrc")
+    t.delete_where(F.col("id") < 100)
+    c = t.clone("cdst", str(tmp_path / "cdst"))
+    assert c.read().count() == 900
+    v = c.reorg()  # materializes the carried DV, re-owns the rows
+    assert c._read_dv(v)[0] == {}
+    assert c.read().count() == 900
+    assert c.scan([("id", ">=", 500)]).count() == 500
+    c.update_where({"g": "g + 100"}, F.col("id") == 500)
+    assert c.read().filter("g >= 100").count() == 1
+    assert c.read().count() == 900
+    # the source is untouched throughout
+    assert t.read().count() == 900 and t._read_dv(t.current_version())[0] != {}

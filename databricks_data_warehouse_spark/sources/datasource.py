@@ -394,6 +394,21 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         self.cdf = str(
             options.get("readchangefeed", options.get("readChangeFeed", "false"))
         ).lower() == "true"
+        mv = int(
+            options.get(
+                "maxversionspertrigger",
+                options.get("maxVersionsPerTrigger", "0"),
+            )
+        )
+        # rate limiting for backfills (Delta's maxFilesPerTrigger role):
+        # each micro-batch advances at most N table versions, so a
+        # months-deep backfill lands as bounded batches instead of one
+        # giant first batch. Progress is tracked via the engine's
+        # commit() callback; after a restart the first latestOffset may
+        # lag the checkpoint (we can't see it) — that batch plans empty
+        # and the window re-anchors on the next commit.
+        self.max_versions = mv if mv > 0 else None
+        self._committed: int | None = None
 
     def _table(self):
         from .tables import ManagedTable
@@ -410,10 +425,20 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return {"version": int(self.starting) - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table().current_version()}
+        cur = self._table().current_version()
+        if self.max_versions is None:
+            return {"version": cur}
+        base = (
+            self._committed
+            if self._committed is not None
+            else int(self.initialOffset()["version"])
+        )
+        return {"version": min(cur, base + self.max_versions)}
 
     def commit(self, end: dict) -> None:
-        pass  # engine checkpoint owns progress; nothing to release
+        # engine checkpoint owns durability; we keep the in-run high
+        # water mark so rate limiting windows advance batch by batch
+        self._committed = int(end["version"])
 
     # ----------------------------------------------------- planning
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:

@@ -262,3 +262,49 @@ def test_clone_dv_reorg_update_roundtrip(spark, tmp_path):
     assert c.read().count() == 900
     # the source is untouched throughout
     assert t.read().count() == 900 and t._read_dv(t.current_version())[0] != {}
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "cond",
+    [
+        "id < 250",
+        "g = 7",
+        "id % 3 = 0 AND g >= 5",
+        "id > 2000",            # matches nothing
+        "id >= 0",              # matches everything
+        "CASE WHEN g = 0 THEN NULL ELSE id < 50 END",  # NULL predicate rows
+    ],
+)
+def test_dv_delete_equals_cow_delete(spark, tmp_path, cond):
+    # merge-on-read and copy-on-write must reach the same visible state
+    # for ANY predicate — the DV bookkeeping equivalence property
+    import hashlib
+
+    h = hashlib.md5(cond.encode()).hexdigest()[:6]
+    a = _mk(spark, tmp_path, name=f"pa{h}")
+    b = _mk(spark, tmp_path, name=f"pb{h}")
+    a.delete_where(F.expr(cond))
+    b.delete_where(F.expr(cond), deletion_vectors=False)
+    assert sorted(map(tuple, a.read().collect())) == sorted(
+        map(tuple, b.read().collect())
+    )
+
+
+@_pytest.mark.parametrize(
+    "cond", ["id < 100", "g = 3 AND id > 500", "id > 2000"]
+)
+def test_dv_update_equals_cow_update(spark, tmp_path, cond):
+    import hashlib
+
+    h = hashlib.md5(cond.encode()).hexdigest()[:6]
+    a = _mk(spark, tmp_path, name=f"ua{h}")
+    b = _mk(spark, tmp_path, name=f"ub{h}")
+    assigns = {"g": "g + 1000", "id": "id * 2"}
+    a.update_where(assigns, F.expr(cond))
+    b.update_where(assigns, F.expr(cond), deletion_vectors=False)
+    assert sorted(map(tuple, a.read().collect())) == sorted(
+        map(tuple, b.read().collect())
+    )

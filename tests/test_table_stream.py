@@ -169,3 +169,38 @@ def test_cdf_stream_rejects_rewrite(spark, tmp_path):
     t.compact()
     with pytest.raises(StreamingQueryException, match="ignoreChanges"):
         _drain_cdf(t, tmp_path, "cw2t1")
+
+
+def test_max_versions_per_trigger_offsets(spark, tmp_path):
+    # unit-level: drive the reader object directly — each batch window
+    # advances at most N versions, converging on the current version
+    from databricks_data_warehouse_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    t = _mk(spark, tmp_path, "mv", rows=6)  # v0
+    t.append(spark.createDataFrame([(100, 0)], "k long, g long"))  # v1
+    t.append(spark.createDataFrame([(101, 1)], "k long, g long"))  # v2
+    t.append(spark.createDataFrame([(102, 2)], "k long, g long"))  # v3
+    r = ManagedTableStreamReader(
+        t.schema, {"location": t.location, "maxVersionsPerTrigger": "1"}
+    )
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 0}  # capped at +1
+    parts = r.partitions({"version": -1}, {"version": 0})
+    assert all(p.path for p in parts)  # the initial load's files
+    r.commit({"version": 0})
+    assert r.latestOffset() == {"version": 1}
+    r.commit({"version": 1})
+    assert r.latestOffset() == {"version": 2}
+    # a wider cap jumps straight to current
+    r2 = ManagedTableStreamReader(
+        t.schema, {"location": t.location, "maxVersionsPerTrigger": "10"}
+    )
+    assert r2.latestOffset() == {"version": 3}
+    # uncapped default
+    r3 = ManagedTableStreamReader(t.schema, {"location": t.location})
+    assert r3.latestOffset() == {"version": 3}
+    # each 1-version window delivers exactly that commit's files
+    p1 = r.partitions({"version": 0}, {"version": 1})
+    assert p1 and all("/w=1-" in p.path for p in p1)

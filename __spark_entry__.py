@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (iterative training is not a relational expression; exactness
         # pinned by tests/test_bpe.py — VERDICT r06 item 7)
         "text_token_counts_bpe": bpe.text_token_counts_bpe,
+        # NEW round 7: CCNet-style LM quality filter in exact integer
+        # arithmetic (floor-log2 bigram familiarity — no float logs)
+        "text_lm_familiarity": text.lm_familiarity,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -1166,6 +1169,23 @@ def oracle_sql() -> dict[str, str]:
         "udtf_word_bigrams": _BIGRAMS_SQL,
         # the built-in production shape emits the identical relation
         "text_word_bigrams": _BIGRAMS_SQL,
+        # exact-integer LM familiarity: floor(log2(count)) is the one
+        # log both engines compute identically (power-of-2 boundaries
+        # are IEEE-exact; DuckDB floor(log2()) vs Spark's base-2
+        # bit-length agree on every positive integer)
+        "text_lm_familiarity": f"""
+            WITH bi AS ({_BIGRAMS_SQL}),
+            counts AS (
+                SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY bigram
+            )
+            SELECT bi.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   CAST(SUM(CAST(floor(log2(cnt)) AS BIGINT)) AS BIGINT)
+                       AS familiarity
+            FROM bi JOIN counts USING (bigram)
+            GROUP BY bi.doc_id
+            ORDER BY bi.doc_id
+        """,
         # ------------------- derived-partsupp TPC-H (q2/q11/q16/q20)
         "tpch_q2_min_cost_supplier": f"""
             WITH {_PARTSUPP_CTE},

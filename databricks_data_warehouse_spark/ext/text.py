@@ -532,3 +532,42 @@ def sample_token_budget(
         .where(F.col("cum_tokens") <= budget_per_source)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+def lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020,
+    arXiv:1911.00359 filters Common Crawl by KenLM perplexity) in
+    EXACT cross-engine arithmetic: a corpus bigram LM where each
+    bigram's "familiarity" is ``floor(log2(corpus_count))`` — an exact
+    integer in any engine, because the only counts whose log2 is
+    boundary-exact are powers of two and IEEE log2 is exact there —
+    instead of a float log-probability whose last-ulp differences
+    would break bit-exact comparison. Per document: bigram count and
+    summed familiarity; low familiarity-per-bigram = rare word
+    sequences = the noise/garble end of the corpus, exactly the tail a
+    perplexity filter drops. Single-word documents have no bigrams and
+    no row.
+
+    Scale shape: one vocabulary-sized count aggregation, one join
+    keyed on bigram (AQE broadcasts when the vocabulary is small), one
+    per-document aggregation — all map-side-combinable; no floats
+    anywhere until a consumer divides familiarity/n_bigrams."""
+    from .udf_ext import word_bigrams_builtin
+
+    bi = word_bigrams_builtin(spark, sf_dir).select("doc_id", "bigram")
+    counts = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    # floor(log2(n)) for a positive integer = bit_length - 1, computed
+    # exactly via base-2 string conversion (no floating point at all)
+    fam = (
+        F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        bi.join(counts, "bigram")
+        .select("doc_id", fam.alias("f"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("f").alias("familiarity"),
+        )
+        .orderBy("doc_id")
+    )

@@ -308,3 +308,40 @@ def test_dv_update_equals_cow_update(spark, tmp_path, cond):
     assert sorted(map(tuple, a.read().collect())) == sorted(
         map(tuple, b.read().collect())
     )
+
+
+def test_concurrent_dv_deletes_first_writer_wins(spark, tmp_path):
+    """The DV-path analog of the staged-write race: two delete_where
+    calls racing for the same version — the loser's cleanup removes
+    only ITS OWN dv dir, the winner's committed vector stays intact,
+    and the loser's retry composes both deletes."""
+    import pytest
+    from databricks_data_warehouse_spark.sources.tables import (
+        ConcurrentWriteError,
+    )
+
+    loc = str(tmp_path / "dvrace")
+    t1 = _mk(spark, tmp_path, name="dvrace")
+    t2 = ManagedTable(spark, "dvrace", loc)
+
+    # interleave just before t1's manifest claim (its target version
+    # is already fixed): t2 commits a full DV delete for that version
+    orig = t1._read_txn
+    fired = {}
+
+    def hook(version):
+        if not fired:
+            fired["x"] = 1
+            t2.delete_where(F.col("id") < 5)
+        return orig(version)
+
+    t1._read_txn = hook
+    with pytest.raises(ConcurrentWriteError):
+        t1.delete_where(F.col("id").isin([100, 101]))
+    fresh = ManagedTable(spark, "dvrace", loc)
+    assert fresh.read().count() == 995  # winner's delete intact
+    assert fresh.read().filter("id < 5").count() == 0
+    # retry lands on top of the winner's version
+    fresh.delete_where(F.col("id").isin([100, 101]))
+    assert fresh.read().count() == 993
+    assert fresh.read().filter("id IN (100, 101)").count() == 0

@@ -1169,10 +1169,13 @@ def oracle_sql() -> dict[str, str]:
         "udtf_word_bigrams": _BIGRAMS_SQL,
         # the built-in production shape emits the identical relation
         "text_word_bigrams": _BIGRAMS_SQL,
-        # exact-integer LM familiarity: floor(log2(count)) is the one
-        # log both engines compute identically (power-of-2 boundaries
-        # are IEEE-exact; DuckDB floor(log2()) vs Spark's base-2
-        # bit-length agree on every positive integer)
+        # exact-integer LM familiarity: the oracle computes
+        # floor(log2(cnt)) integrally too (length(bin(cnt)) - 1), not
+        # via float log2 — double log2 of counts just below a power of
+        # two at large magnitude rounds UP to the integer (e.g.
+        # floor(log2(2^60-1)) = 60 in doubles vs 59 exactly), so the
+        # float spelling is only boundary-exact below ~2^48 (ADVICE
+        # r07); bit-length is exact for every positive BIGINT
         "text_lm_familiarity": f"""
             WITH bi AS ({_BIGRAMS_SQL}),
             counts AS (
@@ -1180,8 +1183,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bi.doc_id,
                    COUNT(*) AS n_bigrams,
-                   CAST(SUM(CAST(floor(log2(cnt)) AS BIGINT)) AS BIGINT)
-                       AS familiarity
+                   CAST(SUM(length(bin(CAST(cnt AS BIGINT))) - 1)
+                        AS BIGINT) AS familiarity
             FROM bi JOIN counts USING (bigram)
             GROUP BY bi.doc_id
             ORDER BY bi.doc_id
@@ -1636,7 +1639,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < 16
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2596,7 +2599,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < 16
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2679,7 +2682,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < 16
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2729,7 +2732,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             c AS (SELECT vec_id AS centroid_id, v AS centroid
-                  FROM e WHERE vec_id < 16),
+                  FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
             probe AS (
                 SELECT centroid_id

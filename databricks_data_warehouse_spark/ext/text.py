@@ -538,11 +538,13 @@ def lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style language-model quality filter (Wenzek et al. 2020,
     arXiv:1911.00359 filters Common Crawl by KenLM perplexity) in
     EXACT cross-engine arithmetic: a corpus bigram LM where each
-    bigram's "familiarity" is ``floor(log2(corpus_count))`` — an exact
-    integer in any engine, because the only counts whose log2 is
-    boundary-exact are powers of two and IEEE log2 is exact there —
-    instead of a float log-probability whose last-ulp differences
-    would break bit-exact comparison. Per document: bigram count and
+    bigram's "familiarity" is ``floor(log2(corpus_count))`` — computed
+    INTEGRALLY (bit_length - 1, no floating point) on both engines;
+    the float spelling ``floor(log2(cnt))`` is NOT universally exact
+    (double log2 of counts just below a power of two rounds up at
+    large magnitudes, e.g. 2^60-1), so the oracle uses
+    ``length(bin(cnt)) - 1`` — instead of a float log-probability
+    whose last-ulp differences would break bit-exact comparison. Per document: bigram count and
     summed familiarity; low familiarity-per-bigram = rare word
     sequences = the noise/garble end of the corpus, exactly the tail a
     perplexity filter drops. Single-word documents have no bigrams and

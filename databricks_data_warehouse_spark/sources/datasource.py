@@ -283,6 +283,34 @@ class ManagedTableReader(DataSourceReader):
                     cast = float(val)
                 except ValueError:
                     pass
+            elif typ == "boolean":
+                low = val.lower()
+                if low in ("true", "false"):
+                    cast = int(low == "true")
+            elif typ == "date" or typ.startswith("timestamp"):
+                # must be byte-identical to _stat_scalar's encoding of
+                # the filter literal (date -> ISO + 'T00:00:00.000000',
+                # timestamp -> isoformat(microseconds)); a raw
+                # '2024-01-01' path value compares lexicographically
+                # BELOW the literal's encoding and wrongly proves
+                # emptiness (ADVICE r07)
+                import datetime as _dt
+
+                try:
+                    if typ == "date":
+                        d = _dt.date.fromisoformat(val)
+                        cast = d.isoformat() + "T00:00:00.000000"
+                    else:
+                        t = _dt.datetime.fromisoformat(
+                            val.replace(" ", "T")
+                        )
+                        if t.tzinfo is not None:
+                            t = t.astimezone(
+                                _dt.timezone.utc
+                            ).replace(tzinfo=None)
+                        cast = t.isoformat(timespec="microseconds")
+                except ValueError:
+                    continue  # unparseable: leave un-prunable (sound)
             cols[k] = [cast, cast, 0]
         return {**st, "cols": cols}
 
@@ -344,10 +372,27 @@ def _read_file_partition(schema_json: str, partition: _FilePartition):
             if v is None:
                 arrays.append(pa.nulls(n, fld.type))
             else:
-                arrays.append(
-                    pa.array([v] * n, type=pa.string()).cast(fld.type)
-                )
+                arrays.append(_part_value_array(v, fld.type, n))
     yield from pa.table(arrays, schema=target).to_batches()
+
+
+def _part_value_array(v: str, typ, n: int):
+    """A constant column recovered from a hive partition path value.
+
+    A plain string→type cast covers every type except tz-aware
+    timestamps: the path value is zone-less session wall time (Spark
+    pins the session to UTC), and pyarrow refuses to cast a zone-less
+    string to ``timestamp[us, tz=...]`` — so parse naive first, then
+    ``assume_timezone`` with the target zone."""
+    import pyarrow as pa
+
+    base = pa.array([v] * n, type=pa.string())
+    if pa.types.is_timestamp(typ) and typ.tz is not None:
+        import pyarrow.compute as pc
+
+        naive = base.cast(pa.timestamp(typ.unit))
+        return pc.assume_timezone(naive, typ.tz).cast(typ)
+    return base.cast(typ)
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -665,7 +710,7 @@ def _read_cdf_partition(schema_json: str, p: _CdfPartition):
             if v is None:
                 arrays.append(pa.nulls(n, fld.type))
             else:
-                arrays.append(pa.array([v] * n, type=pa.string()).cast(fld.type))
+                arrays.append(_part_value_array(v, fld.type, n))
     yield from pa.table(arrays, schema=target).to_batches()
 
 

@@ -53,6 +53,7 @@ import datetime
 import decimal
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Mapping, Sequence
@@ -148,6 +149,21 @@ def _comparable(a, b) -> bool:
     return (isinstance(a, num) and isinstance(b, num)) or (
         isinstance(a, str) and isinstance(b, str)
     )
+
+
+_APPEND_SUFFIX_RE = re.compile(r"@data/w=\d+-[0-9a-f]{8}$")
+
+
+def _base_key(k: str) -> str:
+    """Strip an append entry's ``@data/w=<N>-<hex8>`` suffix to get the
+    base partition key. The base key is ``json.dumps`` of partition
+    VALUES, which may themselves contain ``@`` (emails, user ids) — a
+    naive ``split('@', 1)`` truncates those to a JSON prefix and a
+    later partition-scoped merge then fails to retire the partition's
+    earlier append entries, leaving duplicate rows (ADVICE r07). The
+    end-anchored regex is unambiguous: a suffix-less key always ends
+    with the JSON ``]``/``}``/quote, never the hex tail."""
+    return _APPEND_SUFFIX_RE.sub("", k)
 
 
 def _write_root(path: str) -> str:
@@ -506,8 +522,18 @@ class ManagedTable:
     def _file_key(self) -> Column:
         """Map ``_metadata.file_path`` (a URI) to the key DV rows use:
         location-relative for own files, absolute for clone-referenced
-        source files — the same key space as manifest stats."""
-        abs_p = F.regexp_replace(F.col("__mt_path"), "^[a-z]+:/+", "/")
+        source files — the same key space as manifest stats.
+
+        The URI is percent-ENCODED (space → %20, hive-escaped %XX →
+        %25XX), while manifest/stats keys are raw ``os.path.relpath``
+        bytes; without decoding, any path with a URI-escapable char
+        keys its DV in a different space and the carry-over filter in
+        ``_stage_and_commit`` silently drops it on the next commit —
+        deleted rows resurrect (ADVICE r07). ``url_decode`` is
+        form-decoding (literal ``+`` would become a space), so ``+`` is
+        re-escaped first; a file URI never contains a raw form-``+``."""
+        raw = F.regexp_replace(F.col("__mt_path"), "^[a-z]+:/+", "/")
+        abs_p = F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
         loc = os.path.abspath(self.location)
         return F.when(
             abs_p.startswith(loc + os.sep),
@@ -858,7 +884,7 @@ class ManagedTable:
             entries = {
                 k: rel
                 for k, rel in prev_entries.items()
-                if append_only or k.split("@", 1)[0] not in staged
+                if append_only or _base_key(k) not in staged
             }
             entries.update(staged)
             prev_stats = self._read_stats(v_new - 1)

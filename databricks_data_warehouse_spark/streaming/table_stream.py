@@ -22,6 +22,20 @@ from ..queries.managed_scan import _corpus_fingerprint
 from ..sources.tables import ConcurrentWriteError, ManagedTable
 
 
+def _drain(q) -> None:
+    """Block until an availableNow drain finishes, loudly. The boolean
+    return of ``awaitTermination(timeout)`` was previously ignored — on
+    a >300 s drain the caller proceeded to aggregate a half-written
+    sink and delete its checkpoint: silently wrong results instead of
+    an error (ADVICE r07)."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not finish within 300s; "
+            "sink is incomplete"
+        )
+
+
 def _source_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     """Orders landed as two commits — 4/5 of the keys in the initial
     overwrite, the rest appended — cached per corpus fingerprint."""
@@ -61,7 +75,7 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     sunk = spark.read.schema(table.schema).parquet(out)
     agg = (
         sunk.groupBy("o_orderstatus")
@@ -108,7 +122,7 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q)
     from pyspark.sql.types import LongType, StringType, StructField, StructType, TimestampType
 
     schema = StructType(

@@ -40,3 +40,15 @@ def test_ann_recall_floors(spark, sf):
     assert r_lshm >= r_lsh1, (r_lshm, r_lsh1)
     # …and clears the measured floor for this corpus size
     assert r_lshm >= _LSH_MULTI_FLOOR[sf], (r_lshm, r_lsh1)
+
+
+def test_auto_centroids_scales_with_corpus(spark):
+    # sf0.01: 500 vectors -> ceil(500/64)=8, floored at 16 (hash-stable
+    # with the historical constant); sf0.1: 2000 -> ceil(2000/64)=32
+    assert sim._auto_centroids(spark, "/root/testdata/sf0.01") == 16
+    assert sim._auto_centroids(spark, "/root/testdata/sf0.1") == 32
+    # the target-cluster-size invariant: expected inverted list ~= 64
+    assert (
+        sim._auto_centroids(spark, "/root/testdata/sf0.1",
+                            target_cluster_size=32) == 63
+    )

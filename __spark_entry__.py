@@ -1639,7 +1639,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2599,7 +2599,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2682,7 +2682,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT vec_id AS centroid_id, v AS centroid
-                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)
+                FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM embeddings)
             ),
             scored AS (
                 SELECT e.vec_id, c.centroid_id,
@@ -2732,7 +2732,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             c AS (SELECT vec_id AS centroid_id, v AS centroid
-                  FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) FROM embeddings)),
+                  FROM e WHERE vec_id < (SELECT GREATEST(16, CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT)) FROM embeddings)),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
             probe AS (
                 SELECT centroid_id

@@ -43,12 +43,8 @@ def test_ann_recall_floors(spark, sf):
 
 
 def test_auto_centroids_scales_with_corpus(spark):
-    # sf0.01: 500 vectors -> ceil(500/64)=8, floored at 16 (hash-stable
-    # with the historical constant); sf0.1: 2000 -> ceil(2000/64)=32
+    # k ~= sqrt(n/2): sf0.01 (500 vectors) -> ceil(sqrt(250)) = 16,
+    # exactly the historical constant (hash-stable); sf0.1 (2000) ->
+    # ceil(sqrt(1000)) = 32
     assert sim._auto_centroids(spark, "/root/testdata/sf0.01") == 16
     assert sim._auto_centroids(spark, "/root/testdata/sf0.1") == 32
-    # the target-cluster-size invariant: expected inverted list ~= 64
-    assert (
-        sim._auto_centroids(spark, "/root/testdata/sf0.1",
-                            target_cluster_size=32) == 63
-    )

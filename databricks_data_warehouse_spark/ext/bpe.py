@@ -29,12 +29,16 @@ over the ``documents`` table:
   Python boundary is crossed once per VOCABULARY entry, not once per
   corpus token.
 
-No oracle SQL twin: BPE is iterative state, not a relational
-expression — the driver records a rows-only check, and the exactness
-burden sits on property tests (tests/test_bpe.py): driver ≡ distributed
-training, determinism across runs, hand-computed merges on a known
-corpus, count monotonicity in num_merges, and whitespace-count upper
-bounds.
+Oracle (round 8): training itself is iterative state, not a relational
+expression — so the oracle replays it at construction time with the
+in-memory reference trainer (the implementation the distributed path is
+property-tested identical to), emits the resulting (word → token count)
+vocabulary as a fingerprint-keyed VALUES relation, and DuckDB verifies
+the relational half (tokenize, vocabulary join, per-doc aggregation) —
+see ``__spark_entry__._bpe_vocab_values``. Property tests
+(tests/test_bpe.py) still pin driver ≡ distributed training,
+determinism, hand-computed merges, count monotonicity in num_merges,
+and whitespace-count upper bounds.
 """
 
 from __future__ import annotations
@@ -299,8 +303,9 @@ def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: per-document token counts under the
     corpus-trained BPE (merge table persisted as a ManagedTable),
     alongside the whitespace count whose upper-bound relationship the
-    property tests pin (rows-only driver check; exactness is pinned by
-    tests/test_bpe.py)."""
+    property tests pin. Exact-oracled since round 8 (training replayed
+    by the reference trainer at oracle-construction time; relational
+    half verified in DuckDB — see module docstring)."""
     table = _merge_table(spark, sf_dir)
     merges = [
         (r.rank, r.left, r.right) for r in table.read().collect()

@@ -139,6 +139,31 @@ class _FilePartition(InputPartition):
     part_values: dict = field(default_factory=dict)
     dv_path: str | None = None
     dv_key: str | None = None
+    renames: dict = field(default_factory=dict)  # logical -> physical
+
+
+# A rewrite pair's exact diff is computed in ONE partition that loads
+# both sides with pyarrow — bounded by the touched dirs' row count.
+# Above this bound the source falls back to the legacy contract
+# (ignoreChanges streams restaged files as inserts, else error).
+_DIFF_REWRITE_MAX_ROWS = 2_000_000
+
+
+@dataclass
+class _DiffPartition(InputPartition):
+    """One version pair's REWRITE diff: the multiset difference between
+    the removed dirs' visible rows (old side) and the added dirs'
+    visible rows (new side). Old-side leftovers stream as deletes,
+    new-side leftovers as inserts — the exactly-once feed for the
+    reference's Gold-refresh shape (merge = full rewrite of a
+    dimension-sized table), where the legacy ignoreChanges contract
+    would re-deliver every restaged row."""
+
+    old_files: list  # [(path, pvals, dv_path, dv_key), ...]
+    new_files: list
+    commit_version: int = 0
+    commit_ts: float = 0.0
+    renames: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -156,6 +181,7 @@ class _CdfPartition(InputPartition):
     positions: list | None = None  # None = whole file (minus dv mask)
     dv_path: str | None = None
     dv_key: str | None = None
+    renames: dict = field(default_factory=dict)  # logical -> physical
 
 
 class ManagedTableReader(DataSourceReader):
@@ -201,6 +227,12 @@ class ManagedTableReader(DataSourceReader):
         entries = tbl._read_manifest(v)
         stats = tbl._read_stats(v)
         dv, _dv_n = tbl._read_dv(v)
+        renames = tbl._read_renames(v)
+        # footer stats live in PHYSICAL column space; Catalyst pushed
+        # logical names — translate once for the whole plan
+        triples = [
+            (renames.get(t[0], t[0]), *t[1:]) for t in self.triples
+        ]
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         total = 0
@@ -228,8 +260,8 @@ class ManagedTableReader(DataSourceReader):
                     if st is not None:
                         if st.get("rows", 0) == 0:
                             continue  # empty write task: nothing to read
-                        if self.triples and not tbl._file_matches(
-                            self._augment(st, pvals), self.triples
+                        if triples and not tbl._file_matches(
+                            self._augment(st, pvals), triples
                         ):
                             continue
                     # no stats (legacy manifest): keep, never wrongly skip
@@ -248,6 +280,7 @@ class ManagedTableReader(DataSourceReader):
                                 )
                             ),
                             dv_key=key if dvd is not None else None,
+                            renames=renames,
                         )
                     )
         self._write_report(total, len(out))
@@ -365,8 +398,10 @@ def _read_file_partition(schema_json: str, partition: _FilePartition):
     n = tbl.num_rows
     arrays = []
     for fld in target:
-        if fld.name in tbl.column_names:
-            arrays.append(tbl.column(fld.name).cast(fld.type))
+        # column mapping: data files store physical names
+        pname = partition.renames.get(fld.name, fld.name)
+        if pname in tbl.column_names:
+            arrays.append(tbl.column(pname).cast(fld.type))
         else:
             v = partition.part_values.get(fld.name)
             if v is None:
@@ -393,6 +428,158 @@ def _part_value_array(v: str, typ, n: int):
         naive = base.cast(pa.timestamp(typ.unit))
         return pc.assume_timezone(naive, typ.tz).cast(typ)
     return base.cast(typ)
+
+
+def _pair_diff_rows(tbl, v: int, old_dirs: set, new_dirs: set):
+    """Stats-derived row bound of a rewrite pair's touched dirs —
+    None when any touched dir lacks stats coverage (pre-stats
+    manifest: size unknowable without reading, so don't)."""
+    total = 0
+    for stats, dirs in (
+        (tbl._read_stats(v) if v >= 0 else {}, old_dirs - new_dirs),
+        (tbl._read_stats(v + 1), new_dirs - old_dirs),
+    ):
+        covered = set()
+        for f, s in stats.items():
+            d = os.path.dirname(f)
+            if d in dirs:
+                total += int(s.get("rows", 0))
+                covered.add(d)
+        if dirs - covered:
+            return None
+    return total
+
+
+def _dir_files(location: str, rel_dirs, part_cols, dv: dict) -> list:
+    """[(path, pvals, dv_path, dv_key), ...] of every data file under
+    the given manifest dirs — the per-file planning record a
+    _DiffPartition carries for one side of a rewrite diff."""
+    files = []
+    for rel_dir in rel_dirs:
+        abs_dir = os.path.join(location, rel_dir)
+        pvals = {
+            k: val
+            for k, val in _parse_partition_values(rel_dir).items()
+            if k in part_cols
+        }
+        for dirpath, _dirs, fns in os.walk(abs_dir):
+            for fn in sorted(fns):
+                if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, fn)
+                key = (
+                    full
+                    if os.path.isabs(rel_dir)
+                    else os.path.relpath(full, location)
+                )
+                dvd = dv.get(key)
+                files.append(
+                    (
+                        full,
+                        pvals,
+                        None
+                        if dvd is None
+                        else (
+                            dvd
+                            if os.path.isabs(dvd)
+                            else os.path.join(location, dvd)
+                        ),
+                        key if dvd is not None else None,
+                    )
+                )
+    return files
+
+
+def _hashable(v):
+    """Row value → hashable form (arrays come back as Python lists)."""
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
+
+def _read_diff_partition(schema_json: str, p: _DiffPartition):
+    """Execute a rewrite pair's exact multiset diff: load both sides
+    (DV-masked, partition values recovered), subtract, and emit
+    old-side leftovers as deletes and new-side leftovers as inserts
+    with commit attribution. O(touched rows) memory — the planner only
+    chooses this path under ``_DIFF_REWRITE_MAX_ROWS``."""
+    import datetime as _dt
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    full_schema = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    data_fields = [
+        f
+        for f in full_schema
+        if f.name
+        not in ("_change_type", "_commit_version", "_commit_timestamp")
+    ]
+
+    def load_side(files) -> Counter:
+        rows: Counter = Counter()
+        for path, pvals, dv_path, dv_key in files:
+            tbl = pq.read_table(path)
+            if dv_path is not None:
+                import numpy as np
+
+                dvt = pq.read_table(
+                    dv_path, filters=[("file", "==", dv_key)]
+                )
+                dead = dvt.column("pos").to_numpy(zero_copy_only=False)
+                mask = np.ones(tbl.num_rows, dtype=bool)
+                mask[dead[dead < tbl.num_rows].astype(int)] = False
+                tbl = tbl.filter(pa.array(mask))
+            n = tbl.num_rows
+            cols = []
+            for fld in data_fields:
+                pname = p.renames.get(fld.name, fld.name)
+                if pname in tbl.column_names:
+                    cols.append(
+                        tbl.column(pname).cast(fld.type).to_pylist()
+                    )
+                else:
+                    v = pvals.get(fld.name)
+                    if v is None:
+                        cols.append([None] * n)
+                    else:
+                        cols.append(
+                            _part_value_array(v, fld.type, n).to_pylist()
+                        )
+            for row in zip(*cols) if cols else []:
+                rows[tuple(_hashable(x) for x in row)] += 1
+        return rows
+
+    old_rows = load_side(p.old_files)
+    new_rows = load_side(p.new_files)
+    deletes = old_rows - new_rows  # multiset difference
+    inserts = new_rows - old_rows
+    when = _dt.datetime.fromtimestamp(p.commit_ts)
+    for counter, tag in ((deletes, "delete"), (inserts, "insert")):
+        flat = [r for row, cnt in counter.items() for r in [row] * cnt]
+        if not flat:
+            continue
+        n = len(flat)
+        cols = list(zip(*flat))
+        by_name = {
+            fld.name: pa.array(list(cols[i]), type=fld.type)
+            for i, fld in enumerate(data_fields)
+        }
+        cdf_cols = {
+            "_change_type": pa.array([tag] * n, pa.string()),
+            "_commit_version": pa.array([p.commit_version] * n, pa.int64()),
+            "_commit_timestamp": pa.array([when] * n, pa.timestamp("us")),
+        }
+        arrays = [
+            (by_name.get(fld.name) or cdf_cols[fld.name]).cast(fld.type)
+            for fld in full_schema
+        ]
+        yield from pa.table(arrays, schema=full_schema).to_batches()
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -520,6 +707,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 "ignoreDeletes=true to skip them."
             )
         added_rels = sorted(set(new_entries.values()) - old_dirs)
+        renames = tbl._read_renames(v_to)  # mapping at the window's end
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         for rel_dir in added_rels:
@@ -554,6 +742,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                                 )
                             ),
                             dv_key=key if dvd is not None else None,
+                            renames=renames,
                         )
                     )
         return out or [_FilePartition(None)]
@@ -581,21 +770,52 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             old_e = tbl._read_manifest(v) if v >= 0 else {}
             new_e = tbl._read_manifest(v + 1)
             removed = set(old_e.items()) - set(new_e.items())
-            if removed and not self.ignore_changes:
-                raise RuntimeError(
-                    f"managed_table CDF stream at {self.location}: version "
-                    f"{v}->{v + 1} rewrote {len(removed)} manifest entries; "
-                    "per-row attribution across a rewrite is not derivable. "
-                    "Set ignoreChanges=true to stream rewritten files as "
-                    "inserts (rows may re-deliver)."
-                )
             dv_o = tbl._read_dv(v)[0] if v >= 0 else {}
             dv_n, _ = tbl._read_dv(v + 1)
+            renames = tbl._read_renames(v + 1)
             ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
             old_dirs, new_dirs = set(old_e.values()), set(new_e.values())
+            diff_pair = False
+            if removed:
+                # exact per-pair diff: the removed dirs' visible rows
+                # vs the added dirs' (both immutable parquet), so a
+                # merge/compact rewrite streams as exact delete+insert
+                # rows instead of re-delivering every restaged row.
+                # Feasible when stats bound the touched rows under the
+                # in-worker cap; otherwise the legacy ignoreChanges
+                # contract applies.
+                est = _pair_diff_rows(tbl, v, old_dirs, new_dirs)
+                if est is not None and est <= _DIFF_REWRITE_MAX_ROWS:
+                    diff_pair = True
+                    out.append(
+                        _DiffPartition(
+                            old_files=_dir_files(
+                                self.location, sorted(old_dirs - new_dirs),
+                                part_cols, dv_o,
+                            ),
+                            new_files=_dir_files(
+                                self.location, sorted(new_dirs - old_dirs),
+                                part_cols, dv_n,
+                            ),
+                            commit_version=v + 1,
+                            commit_ts=ts,
+                            renames=renames,
+                        )
+                    )
+                elif not self.ignore_changes:
+                    raise RuntimeError(
+                        f"managed_table CDF stream at {self.location}: "
+                        f"version {v}->{v + 1} rewrote {len(removed)} "
+                        "manifest entries and the touched rows exceed "
+                        f"the in-worker diff cap ({_DIFF_REWRITE_MAX_ROWS}); "
+                        "per-row attribution is not derivable. Set "
+                        "ignoreChanges=true to stream rewritten files as "
+                        "inserts (rows may re-deliver)."
+                    )
             # appended dirs → inserts (pair-end DVs applied: a commit
-            # that both appends and deletes never shows the dead rows)
-            for rel_dir in sorted(new_dirs - old_dirs):
+            # that both appends and deletes never shows the dead rows);
+            # a diff pair already accounts for its added dirs
+            for rel_dir in sorted(new_dirs - old_dirs) if not diff_pair else []:
                 abs_dir = os.path.join(self.location, rel_dir)
                 pvals = {
                     k: val
@@ -626,6 +846,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                                     )
                                 ),
                                 dv_key=key if dvd is not None else None,
+                                renames=renames,
                             )
                         )
             # DV deltas on carried-over files → deletes / resurrections
@@ -652,18 +873,20 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 if dead:
                     out.append(
                         _CdfPartition(full, "delete", v + 1, ts, pvals,
-                                      positions=dead)
+                                      positions=dead, renames=renames)
                     )
                 if res:
                     out.append(
                         _CdfPartition(full, "insert", v + 1, ts, pvals,
-                                      positions=res)
+                                      positions=res, renames=renames)
                     )
         return out or [_FilePartition(None)]
 
     # ----------------------------------------------------- execution
     def read(self, partition):
-        if isinstance(partition, _CdfPartition):
+        if isinstance(partition, _DiffPartition):
+            yield from _read_diff_partition(self.schema_json, partition)
+        elif isinstance(partition, _CdfPartition):
             yield from _read_cdf_partition(self.schema_json, partition)
         else:
             yield from _read_file_partition(self.schema_json, partition)
@@ -701,10 +924,11 @@ def _read_cdf_partition(schema_json: str, p: _CdfPartition):
     }
     arrays = []
     for fld in target:
+        pname = p.renames.get(fld.name, fld.name)
         if fld.name in cdf_cols:
             arrays.append(cdf_cols[fld.name].cast(fld.type))
-        elif fld.name in tbl.column_names:
-            arrays.append(tbl.column(fld.name).cast(fld.type))
+        elif pname in tbl.column_names:
+            arrays.append(tbl.column(pname).cast(fld.type))
         else:
             v = p.part_values.get(fld.name)
             if v is None:

@@ -15,11 +15,15 @@ to Spark's own parser via ``F.expr``: this module never interprets a
 predicate, so the SQL expression surface is exactly Spark SQL's. The
 statement grammar is the subset Delta documents:
 
+- ``CREATE TABLE [IF NOT EXISTS] t (col type, …) [USING MANAGED]
+  [PARTITIONED BY (c, …)] [LOCATION 'path']``
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c = expr[, ...] [WHERE cond]``
 - ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...)``
 - ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
   ``ALTER TABLE t DROP CONSTRAINT name``
+- ``ALTER TABLE t ADD|DROP COLUMN(S) ...`` /
+  ``ALTER TABLE t RENAME COLUMN old TO new`` (column mapping)
 - ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with clauses
   ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN MATCHED THEN UPDATE SET
   c = expr[, ...]``, ``WHEN MATCHED THEN DELETE``, ``WHEN NOT MATCHED
@@ -28,7 +32,9 @@ statement grammar is the subset Delta documents:
 - ``OPTIMIZE t [ZORDER BY (c, ...)]``
 - ``REORG TABLE t APPLY (PURGE)`` — selective deletion-vector
   materialization
-- ``VACUUM t [RETAIN n VERSIONS]`` (version-based retention — this
+- ``VACUUM t RETAIN n HOURS`` (Delta's habitual time-based retention,
+  resolved through manifest commit mtimes) /
+  ``VACUUM t [RETAIN n VERSIONS]`` (version-based retention — this
   engine's MVCC keeps versions, not hours)
 - ``RESTORE [TABLE] t [TO] VERSION AS OF n``
 - ``DESCRIBE HISTORY t``
@@ -137,9 +143,12 @@ class SqlSession:
     (full MVCC: DVs, constraints, concurrency, history) and reads
     through pushdown views (implicit data skipping)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, base_location: str | None = None):
         self.spark = spark
         self._tables: dict[str, ManagedTable] = {}
+        # directory under which CREATE TABLE without LOCATION lands
+        # (the metastore-default-location role); None = LOCATION required
+        self.base_location = base_location
 
     def register(self, table: ManagedTable, name: str | None = None) -> ManagedTable:
         self._tables[name or table.name] = table
@@ -158,6 +167,8 @@ class SqlSession:
     def sql(self, statement: str) -> DataFrame:
         stmt = statement.strip().rstrip(";").strip()
         head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if head == "CREATE":
+            return self._create(stmt)
         if head == "DELETE":
             return self._delete(stmt)
         if head == "UPDATE":
@@ -187,6 +198,61 @@ class SqlSession:
         if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
             return self._describe_history(stmt)
         return self._query(stmt)
+
+    def _create(self, stmt: str) -> DataFrame:
+        """``CREATE TABLE [IF NOT EXISTS] t (col type, …) [USING
+        MANAGED] [PARTITIONED BY (c, …)] [LOCATION 'path']`` — the
+        ``%sql`` + ``DeltaTable.createIfNotExists`` spelling
+        (reference: Seed-Store-Dashboard.py:22). The created table is
+        registered in this session under its name; without LOCATION it
+        lands under ``base_location`` (the metastore-default role)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"\((.*?)\)\s*"
+            rf"(?:USING\s+MANAGED\s*)?"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:LOCATION\s+'([^']+)'\s*)?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE statement: {stmt!r}")
+        if_not_exists, name, coldefs, parts, loc = m.groups()
+        schema = _parse_datatype_string(coldefs)
+        part_cols = (
+            [c.strip() for c in parts.split(",") if c.strip()]
+            if parts
+            else []
+        )
+        unknown = set(part_cols) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(
+                f"CREATE TABLE {name}: PARTITIONED BY references unknown "
+                f"column(s) {sorted(unknown)}"
+            )
+        if loc is None:
+            if self.base_location is None:
+                raise ValueError(
+                    f"CREATE TABLE {name}: no LOCATION given and this "
+                    "SqlSession has no base_location"
+                )
+            import os as _os
+
+            loc = _os.path.join(self.base_location, name)
+        t = ManagedTable(
+            self.spark, name, loc, schema=schema,
+            partition_columns=part_cols,
+        )
+        if t.exists() and not if_not_exists:
+            raise FileExistsError(
+                f"CREATE TABLE {name}: already exists at {loc} "
+                "(use IF NOT EXISTS)"
+            )
+        t.create_if_not_exists(schema)
+        self.register(t)
+        return self._metrics("CREATE TABLE", t, t.current_version())
 
     def _metrics(self, op: str, table: ManagedTable, version: int) -> DataFrame:
         return self.spark.createDataFrame(
@@ -288,6 +354,17 @@ class SqlSession:
         if m:
             t = self.table(m.group(1))
             return self._metrics("DROP COLUMN", t, t.drop_column(m.group(2)))
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+"
+            rf"({_IDENT})\s+TO\s+({_IDENT})\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            return self._metrics(
+                "RENAME COLUMN", t, t.rename_column(m.group(2), m.group(3))
+            )
         raise ValueError(f"cannot parse ALTER TABLE statement: {stmt!r}")
 
     def _merge(self, stmt: str) -> DataFrame:
@@ -409,6 +486,18 @@ class SqlSession:
         )
 
     def _vacuum(self, stmt: str) -> DataFrame:
+        # Delta's habitual spelling is time-based: VACUUM t RETAIN n
+        # HOURS (mapped through manifest commit mtimes); RETAIN n
+        # VERSIONS is the count-based variant
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            t.vacuum(retain_hours=float(m.group(2)))
+            return self._metrics("VACUUM", t, t.current_version())
         m = re.match(
             rf"VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
             stmt,

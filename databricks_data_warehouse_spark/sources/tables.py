@@ -237,6 +237,18 @@ class ManagedTable:
         self.constraints: dict[str, str] = (
             self._read_constraints(v0) if v0 >= 0 else self._load_constraints()
         )
+        # Column mapping (Delta's columnMapping.mode=name analogue):
+        # logical name -> PHYSICAL name as stored in parquet files.
+        # Only non-identity entries are kept. Physical names never
+        # change after a column is first written; RENAME COLUMN is a
+        # metadata-only commit that redirects the logical name. Data
+        # files, footer stats and DV keys all live in physical space;
+        # every read aliases physical -> logical, every write renames
+        # logical -> physical. Versioned in the manifest like
+        # constraints.
+        self.renames: dict[str, str] = (
+            self._read_renames(v0) if v0 >= 0 else {}
+        )
 
     # ------------------------------------------------------------------ meta
     @property
@@ -354,6 +366,57 @@ class ManagedTable:
                 self.constraints[name] = dropped
                 raise
 
+    def _read_renames(self, version: int) -> dict[str, str]:
+        """The column-mapping set committed WITH a version (manifest
+        key ``renames``); manifests written before column mapping
+        existed return the identity (empty) map."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return dict(m.get("renames", {}))
+
+    def _phys(self, col: str) -> str:
+        """Physical (parquet/stats/DV) name of a logical column."""
+        return self.renames.get(col, col)
+
+    def _physical_schema(self) -> StructType:
+        """The schema as stored in data files (logical fields renamed
+        to their physical names)."""
+        if not self.renames:
+            return self.schema
+        return StructType(
+            [
+                StructField(self._phys(f.name), f.dataType, f.nullable)
+                for f in self.schema.fields
+            ]
+        )
+
+    def _logical_select(self) -> list[Column]:
+        """Projection that renames a physical-schema scan back to
+        logical names (a no-op select when no mapping is active)."""
+        return [
+            F.col(self._phys(f.name)).alias(f.name)
+            for f in self.schema.fields
+        ]
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Rename a logical-named DataFrame to physical names before it
+        is written (identity when no mapping is active)."""
+        if not self.renames:
+            return df
+        return df.select(
+            [F.col(c).alias(self.renames.get(c, c)) for c in df.columns]
+        )
+
+    def _phys_triples(self, filters: Sequence[tuple]) -> list[tuple]:
+        """Filter triples with logical column names mapped to physical
+        — footer stats are keyed in physical space."""
+        if not self.renames:
+            return list(filters)
+        return [(self._phys(t[0]), *t[1:]) for t in filters]
+
     def _enforce_constraints(self, write_dir: str) -> None:
         """Validate a staged write against all CHECK constraints in ONE
         columnar pass over the staged files (footer-pruned scan of just
@@ -371,6 +434,10 @@ class ManagedTable:
             return  # empty write: no rows, nothing to violate (and an
             # empty dir has no schema to infer)
         staged = self.spark.read.parquet(write_dir)
+        if self.renames:
+            # staged files carry PHYSICAL names; constraint expressions
+            # reference logical ones
+            staged = staged.select(self._logical_select())
         names = sorted(self.constraints)
         flags = [
             F.sum(
@@ -479,6 +546,9 @@ class ManagedTable:
                         "constraints": dict(
                             self.constraints if constraints is None else constraints
                         ),
+                        # column mapping travels with every version
+                        # (Delta keeps it in the log's table metadata)
+                        "renames": dict(self.renames),
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
                         "dv_n": dict(dv_n or {}),
@@ -564,13 +634,13 @@ class ManagedTable:
         spans few write roots and ``compact()`` collapses them to one).
         With ``need_meta`` the result carries ``__mt_key``/``__mt_pos``
         (the DV key space)."""
-        cols = [f.name for f in self.schema.fields]
+        sel = self._logical_select()
         groups: dict[str, list[str]] = {}
         for rel in set(rels):
             groups.setdefault(_write_root(rel), []).append(rel)
         scans = []
         for wroot, group in sorted(groups.items()):
-            reader = self.spark.read.schema(self.schema).option(
+            reader = self.spark.read.schema(self._physical_schema()).option(
                 "basePath", os.path.join(self.location, wroot)
             )
             base = reader.parquet(
@@ -578,12 +648,12 @@ class ManagedTable:
             )
             if need_meta:
                 base = base.select(
-                    *cols,
+                    *sel,
                     F.col("_metadata.file_path").alias("__mt_path"),
                     F.col("_metadata.row_index").alias("__mt_pos"),
                 )
             else:
-                base = base.select(*cols)
+                base = base.select(*sel)
             scans.append(base)
         df = reduce(DataFrame.unionByName, scans)
         if need_meta:
@@ -855,6 +925,10 @@ class ManagedTable:
         # the winner's constraints)
         if v_new > 0:
             self.constraints = self._read_constraints(v_new - 1)
+            # same rule for column mapping: write physical names of the
+            # version being built on (a rename committed by another
+            # writer must bind on retry)
+            self.renames = self._read_renames(v_new - 1)
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
         # share a directory — the loser's cleanup would otherwise
@@ -863,6 +937,10 @@ class ManagedTable:
         write_dir = os.path.join(self.location, write_rel)
         if sort and self.sort_columns:
             df = df.sortWithinPartitions(*self.sort_columns)
+        # data files always store PHYSICAL column names (column
+        # mapping: partition/sort columns are unrenameable, so those
+        # stay literal)
+        df = self._to_physical(df)
         writer = df.write.mode("overwrite")
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
@@ -1307,6 +1385,7 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
+        filters = self._phys_triples(filters)  # stats live in physical space
         entries = self._read_manifest(v)
         stats = self._read_stats(v)
         if len(stats) >= self.distributed_prune_threshold:
@@ -1350,6 +1429,7 @@ class ManagedTable:
         if self.schema is None:
             raise ValueError(f"table {self.name}: no schema available")
         cols = [f.name for f in self.schema.fields]
+        sel = self._logical_select()
         kept, legacy_dirs, _total, _rows, _rows_kept = self._prune(filters, v)
         paths = sorted(kept) + sorted(legacy_dirs)
         cond = self._filter_expr(filters)
@@ -1362,7 +1442,7 @@ class ManagedTable:
             groups.setdefault(_write_root(rel), []).append(rel)
         scans = []
         for wroot, rels in sorted(groups.items()):
-            reader = self.spark.read.schema(self.schema).option(
+            reader = self.spark.read.schema(self._physical_schema()).option(
                 "basePath", os.path.join(self.location, wroot)
             )
             base = reader.parquet(
@@ -1370,12 +1450,12 @@ class ManagedTable:
             )
             if dv:
                 base = base.select(
-                    *cols,
+                    *sel,
                     F.col("_metadata.file_path").alias("__mt_path"),
                     F.col("_metadata.row_index").alias("__mt_pos"),
                 )
             else:
-                base = base.select(*cols)
+                base = base.select(*sel)
             scans.append(base)
         df = reduce(DataFrame.unionByName, scans)
         if dv:
@@ -1484,7 +1564,7 @@ class ManagedTable:
             nulls = 0
             for f in files:
                 s = stats[f]
-                cs = s.get("cols", {}).get(col)
+                cs = s.get("cols", {}).get(self._phys(col))
                 if cs is None:
                     if s.get("rows", 0):
                         raise ValueError(
@@ -1620,7 +1700,7 @@ class ManagedTable:
         write_dir = os.path.join(self.location, write_rel)
         if self.sort_columns:
             live = live.sortWithinPartitions(*self.sort_columns)
-        writer = live.write.mode("overwrite")
+        writer = self._to_physical(live).write.mode("overwrite")
         if self.partition_columns:
             writer = writer.partitionBy(*self.partition_columns)
         writer.parquet(write_dir)
@@ -1712,6 +1792,57 @@ class ManagedTable:
             [f for f in self.schema.fields if f.name != name]
         )
         return self._commit_metadata_only(op=f"DROP COLUMN {name}")
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE … RENAME COLUMN old TO new`` — metadata-only,
+        via column mapping (Delta columnMapping.mode=name): the column's
+        PHYSICAL name in data files never changes; the commit redirects
+        the logical name through ``self.renames``. Old-version reads,
+        RESTORE and the change feed all keep working because every read
+        path resolves logical → physical through the CURRENT mapping
+        (rename is retroactive on read, exactly Delta's behavior).
+        Refuses partition/sort columns (the directory layout spells
+        their names) and columns a CHECK constraint references (the
+        stored expression would dangle — Delta errors likewise)."""
+        import re as _re
+
+        if self.schema is None:
+            self.schema = self._load_schema()
+        if self.schema is None:
+            raise ValueError(f"table {self.name}: no schema available")
+        names = {f.name for f in self.schema.fields}
+        if old not in names:
+            raise ValueError(f"table {self.name}: no column {old!r}")
+        if new in names:
+            raise ValueError(
+                f"table {self.name}: column {new!r} already exists"
+            )
+        if old in (self.partition_columns or []) or old in (
+            self.sort_columns or []
+        ):
+            raise ValueError(
+                f"table {self.name}: {old!r} is a partition/sort column"
+            )
+        for cname, expr in (self.constraints or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"table {self.name}: column {old!r} is referenced by "
+                    f"CHECK constraint {cname!r} ({expr}) — drop it first"
+                )
+        physical = self.renames.pop(old, old)
+        if physical != new:
+            self.renames[new] = physical
+        self.schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        return self._commit_metadata_only(
+            op=f"RENAME COLUMN {old} TO {new}"
+        )
 
     def version_at_timestamp(self, ts) -> int:
         """Timestamp time travel: the newest version committed at or
@@ -1848,6 +1979,7 @@ class ManagedTable:
         if out.exists():
             raise FileExistsError(f"table {name}: already exists at {location}")
         out.constraints = dict(self.constraints)  # manifest 0 carries them
+        out.renames = dict(self.renames)  # column mapping travels too
         out._save_schema()
         # active deletion vectors travel with the clone: dv ROWS are
         # rewritten with the absolute file keys the clone reads under
@@ -2056,9 +2188,16 @@ class ManagedTable:
             )
         return reduce(DataFrame.unionByName, parts)
 
-    def vacuum(self, keep: int = 2) -> None:
-        """Drop data dirs not referenced by the newest ``keep`` manifests
-        (and the superseded manifests themselves).
+    def vacuum(self, keep: int = 2, retain_hours: float | None = None) -> None:
+        """Drop data dirs not referenced by the retained manifests (and
+        the superseded manifests themselves).
+
+        Retention is version-count (``keep``, the default) or
+        time-based (``retain_hours`` — Delta's habitual ``VACUUM t
+        RETAIN n HOURS``): with ``retain_hours`` every version
+        committed within the window survives, resolved through the
+        manifest files' mtimes exactly as ``version_at_timestamp``
+        does, and the CURRENT version always survives regardless.
 
         Explicit — mirroring Delta's VACUUM — because auto-gc inside
         every write would delete files still referenced by lazily-
@@ -2067,7 +2206,21 @@ class ManagedTable:
         current = self.current_version()
         if current < 0 or not os.path.isdir(self.location):
             return
-        oldest_kept = max(0, current - keep + 1)
+        if retain_hours is not None:
+            import time as _time
+
+            cutoff = _time.time() - retain_hours * 3600.0
+            recent = [
+                int(entry[len(_MANIFEST_PREFIX):])
+                for entry in os.listdir(self.location)
+                if entry.startswith(_MANIFEST_PREFIX)
+                and os.stat(
+                    os.path.join(self.location, entry)
+                ).st_mtime >= cutoff
+            ]
+            oldest_kept = min(min(recent), current) if recent else current
+        else:
+            oldest_kept = max(0, current - keep + 1)
         referenced: set[str] = set()
         dropped_manifests: list[int] = []
         for entry in os.listdir(self.location):
@@ -2395,7 +2548,7 @@ class ManagedTable:
             staged_df = append_df.select(*cols)
             if self.sort_columns:
                 staged_df = staged_df.sortWithinPartitions(*self.sort_columns)
-            writer = staged_df.write.mode("overwrite")
+            writer = self._to_physical(staged_df).write.mode("overwrite")
             if self.partition_columns:
                 writer = writer.partitionBy(*self.partition_columns)
             writer.parquet(write_dir)

@@ -101,12 +101,13 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     its whole history (initial load, DV delete, DV update, merge) —
     planned per version pair in the stream source's metadata worker,
     read as O(changed rows). The merge commit is a full rewrite on this
-    unpartitioned table, so the drain runs with ``ignore_changes`` and
-    that pair streams the restaged files as inserts (the documented
-    at-least-once caveat) — which the oracle reproduces exactly as the
-    final-state relation. Matching proves the streamed feed is the
-    exact multiset of row-level changes, attribution included (counts
-    per (_change_type, _commit_version) group, values via the keyed
+    unpartitioned table; since round 8 the source computes that pair's
+    EXACT multiset diff (removed dirs' visible rows vs added dirs',
+    both immutable parquet, in one stats-bounded worker partition), so
+    the feed is exactly-once — no ``ignore_changes``, no restaged-
+    insert caveat. Matching proves the streamed feed is the exact
+    multiset of row-level changes, attribution included (counts per
+    (_change_type, _commit_version) group, values via the keyed
     sum)."""
     from ..queries.sql_dml_query import _dml_table
 
@@ -115,7 +116,7 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(_scratch_dir(), "stream_cdf_out", run)
     ckpt = os.path.join(_scratch_dir(), "stream_cdf_ckpt", run)
     q = (
-        table.read_change_stream(starting_version=0, ignore_changes=True)
+        table.read_change_stream(starting_version=0)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -160,9 +161,11 @@ def stream_table_cdf_oracle() -> str:
     """The DML table's change history, replayed relationally:
     v1 = DV delete of (F, <100000); v2 = DV update of 'O' rows
     (delete+insert pairs); v3 = merge upsert — a full rewrite on the
-    unpartitioned table, streamed (under ignoreChanges) as inserts of
-    the FINAL state, which this feed reproduces via the same
-    delete/update/merge algebra as the table_sql_dml oracle."""
+    unpartitioned table, streamed since round 8 as the EXACT per-pair
+    diff (old dirs' visible rows vs new dirs': matched 'P' rows whose
+    price changed surface as delete+insert, shifted-key rows as
+    inserts, every untouched row cancels) — the exactly-once feed,
+    no ignoreChanges caveat (VERDICT r07 item 7)."""
     return """
         WITH base AS (
             SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -174,20 +177,10 @@ def stream_table_cdf_oracle() -> str:
         upd2 AS (
             SELECT o_orderkey FROM base WHERE o_orderstatus = 'O'
         ),
-        after_del AS (
-            SELECT * FROM base
-            WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)
-        ),
         batch AS (
             SELECT o_orderkey FROM base WHERE o_orderstatus = 'P'
             UNION ALL
             SELECT o_orderkey + 100000000 FROM base WHERE o_orderstatus = 'P'
-        ),
-        final AS (
-            SELECT o_orderkey FROM after_del
-            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
-            UNION ALL
-            SELECT o_orderkey FROM batch
         ),
         feed AS (
             SELECT 'insert' AS _change_type, 0 AS _commit_version,
@@ -200,7 +193,10 @@ def stream_table_cdf_oracle() -> str:
             UNION ALL
             SELECT 'insert', 2, o_orderkey FROM upd2
             UNION ALL
-            SELECT 'insert', 3, o_orderkey FROM final
+            SELECT 'delete', 3, o_orderkey FROM base
+            WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT 'insert', 3, o_orderkey FROM batch
         )
         SELECT _change_type,
                CAST(_commit_version AS BIGINT) AS _commit_version,

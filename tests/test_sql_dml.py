@@ -365,3 +365,59 @@ def test_sql_unknown_table_raises(spark, tmp_path):
     s = SqlSession(spark)
     with pytest.raises(KeyError, match="no ManagedTable registered"):
         s.sql("DELETE FROM ghost WHERE 1 = 1")
+
+
+def test_sql_create_table_end_to_end(spark, tmp_path):
+    """A table created, populated, mutated and queried purely through
+    SqlSession.sql (VERDICT r07 item 6)."""
+    s = SqlSession(spark, base_location=str(tmp_path))
+    out = s.sql(
+        "CREATE TABLE inv (sku BIGINT, store STRING, qty BIGINT) "
+        "USING MANAGED PARTITIONED BY (store)"
+    ).collect()[0]
+    assert (out["operation"], out["version"]) == ("CREATE TABLE", 0)
+    s.sql("INSERT INTO inv VALUES (1, 'a', 10), (2, 'a', 20), (3, 'b', 5)")
+    s.sql("UPDATE inv SET qty = qty + 1 WHERE store = 'a'")
+    s.sql("DELETE FROM inv WHERE sku = 3")
+    rows = s.sql(
+        "SELECT store, SUM(qty) AS q FROM inv GROUP BY store ORDER BY store"
+    ).collect()
+    assert [(r["store"], r["q"]) for r in rows] == [("a", 32)]
+    # IF NOT EXISTS is a no-op; a bare re-CREATE errors
+    s.sql(
+        "CREATE TABLE IF NOT EXISTS inv (sku BIGINT, store STRING, "
+        "qty BIGINT) PARTITIONED BY (store)"
+    )
+    with pytest.raises(FileExistsError, match="already exists"):
+        s.sql("CREATE TABLE inv (sku BIGINT, store STRING, qty BIGINT)")
+    # partition layout is real: store dirs exist on disk
+    t = s.table("inv")
+    assert t.partition_columns == ["store"]
+    assert glob.glob(t.location + "/data/**/store=a/*.parquet", recursive=True)
+
+
+def test_sql_create_table_with_location(spark, tmp_path):
+    s = SqlSession(spark)  # no base_location: LOCATION required
+    with pytest.raises(ValueError, match="no LOCATION"):
+        s.sql("CREATE TABLE x (a BIGINT)")
+    loc = str(tmp_path / "explicit_loc")
+    s.sql(f"CREATE TABLE x (a BIGINT) LOCATION '{loc}'")
+    s.sql("INSERT INTO x VALUES (7)")
+    assert s.table("x").location == loc
+    assert s.sql("SELECT SUM(a) AS s FROM x").collect()[0]["s"] == 7
+
+
+def test_vacuum_retain_hours(spark, tmp_path):
+    tbl = ManagedTable(spark, "vh", str(tmp_path / "vh"))
+    tbl.overwrite(spark.range(0, 10).select(F.col("id")))
+    tbl.overwrite(spark.range(0, 10).select(F.col("id")))
+    tbl.overwrite(spark.range(0, 10).select(F.col("id")))
+    s = _sess(spark, tbl)
+    # a large window keeps everything: old versions stay readable
+    s.sql("VACUUM vh RETAIN 48 HOURS")
+    assert tbl.read(version=0).count() == 10
+    # zero-hour window: everything but the current version goes
+    s.sql("VACUUM vh RETAIN 0 HOURS")
+    assert tbl.read().count() == 10
+    with pytest.raises(FileNotFoundError):
+        tbl.read(version=0).count()

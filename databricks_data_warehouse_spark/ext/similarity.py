@@ -745,15 +745,14 @@ def semantic_dedup(
     rep_losers = comps.where(F.col("comp") != F.col("node")).select(
         F.col("node").alias("vec_id")
     )
-    # non-representative exact copies are losers by construction (their
-    # representative dominates them at cosine 1.0)
-    copy_losers = (
-        emb.join(
-            reps.select("embedding", F.col("vec_id").alias("rep")),
-            "embedding",
-        )
-        .where(F.col("vec_id") != F.col("rep"))
-        .select("vec_id")
+    # survivors = representatives that won their component; every
+    # non-representative exact copy is a loser by construction (its
+    # representative dominates it at cosine 1.0), so the semi-join on
+    # surviving rep ids drops copies without a second embedding-keyed
+    # join
+    survivors = reps.select("vec_id").join(
+        rep_losers, "vec_id", "left_anti"
     )
-    losers = rep_losers.unionByName(copy_losers)
-    return emb.select("vec_id", "label").join(losers, "vec_id", "left_anti")
+    return emb.select("vec_id", "label").join(
+        survivors, "vec_id", "left_semi"
+    )

@@ -16,7 +16,8 @@ predicate, so the SQL expression surface is exactly Spark SQL's. The
 statement grammar is the subset Delta documents:
 
 - ``CREATE TABLE [IF NOT EXISTS] t (col type, …) [USING MANAGED]
-  [PARTITIONED BY (c, …)] [LOCATION 'path']``
+  [PARTITIONED BY (c, …)] [LOCATION 'path']`` and the CTAS form
+  ``CREATE TABLE … AS SELECT …``
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c = expr[, ...] [WHERE cond]``
 - ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...)``
@@ -29,7 +30,10 @@ statement grammar is the subset Delta documents:
   c = expr[, ...]``, ``WHEN MATCHED THEN DELETE``, ``WHEN NOT MATCHED
   THEN INSERT *`` (the combinations mapping to the four merge
   primitives S5-S7)
-- ``OPTIMIZE t [ZORDER BY (c, ...)]``
+- ``OPTIMIZE t`` (selective small-file bin-packing: only fragmented
+  partitions rewritten, Delta's real OPTIMIZE shape) /
+  ``OPTIMIZE t ZORDER BY (c, ...)`` (full clustering rewrite)
+- ``DESCRIBE DETAIL t`` (one-row metadata summary)
 - ``REORG TABLE t APPLY (PURGE)`` — selective deletion-vector
   materialization
 - ``VACUUM t RETAIN n HOURS`` (Delta's habitual time-based retention,
@@ -197,7 +201,58 @@ class SqlSession:
             return self._restore(stmt)
         if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
             return self._describe_history(stmt)
+        if re.match(r"DESCRIBE\s+DETAIL\b", stmt, re.IGNORECASE):
+            return self._describe_detail(stmt)
         return self._query(stmt)
+
+    def _describe_detail(self, stmt: str) -> DataFrame:
+        """``DESCRIBE DETAIL t`` — Delta's one-row table summary,
+        answered from metadata only (manifest + file sizes): format,
+        location, partition columns, file/byte counts, DV'd row count,
+        current version, constraint and column-mapping counts."""
+        import os as _os
+
+        m = re.match(
+            rf"DESCRIBE\s+DETAIL\s+({_IDENT})\s*$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE DETAIL: {stmt!r}")
+        t = self.table(m.group(1))
+        v = t.current_version()
+        entries = t._read_manifest(v) if v >= 0 else {}
+        _dv, dv_n = t._read_dv(v) if v >= 0 else ({}, {})
+        num_files = 0
+        size = 0
+        for rel in set(entries.values()):
+            abs_dir = (
+                rel if _os.path.isabs(rel)
+                else _os.path.join(t.location, rel)
+            )
+            for dirpath, _dirs, fns in _os.walk(abs_dir):
+                for fn in fns:
+                    if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                        num_files += 1
+                        size += _os.path.getsize(_os.path.join(dirpath, fn))
+        return self.spark.createDataFrame(
+            [
+                (
+                    "managed",
+                    t.name,
+                    t.location,
+                    list(t.partition_columns),
+                    num_files,
+                    size,
+                    sum(dv_n.values()),
+                    v,
+                    len(t.constraints or {}),
+                    len(t.renames or {}),
+                )
+            ],
+            "format string, name string, location string, "
+            "partitionColumns array<string>, numFiles long, "
+            "sizeInBytes long, numDeletedRows long, version long, "
+            "numConstraints long, numMappedColumns long",
+        )
 
     def _create(self, stmt: str) -> DataFrame:
         """``CREATE TABLE [IF NOT EXISTS] t (col type, …) [USING
@@ -208,6 +263,23 @@ class SqlSession:
         lands under ``base_location`` (the metastore-default role)."""
         from pyspark.sql.types import _parse_datatype_string
 
+        # CTAS first: CREATE TABLE … [PARTITIONED BY …] [LOCATION …]
+        # AS SELECT … (schema comes from the query)
+        m = re.match(
+            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"(?:USING\s+MANAGED\s*)?"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:LOCATION\s+'([^']+)'\s*)?"
+            rf"AS\s+(SELECT\b.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            if_not_exists, name, parts, loc, select = m.groups()
+            df = self._query(select.strip())
+            return self._create_table(
+                if_not_exists, name, df.schema, parts, loc, data=df
+            )
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
             rf"\((.*?)\)\s*"
@@ -221,6 +293,11 @@ class SqlSession:
             raise ValueError(f"cannot parse CREATE TABLE statement: {stmt!r}")
         if_not_exists, name, coldefs, parts, loc = m.groups()
         schema = _parse_datatype_string(coldefs)
+        return self._create_table(if_not_exists, name, schema, parts, loc)
+
+    def _create_table(
+        self, if_not_exists, name, schema, parts, loc, data=None
+    ) -> DataFrame:
         part_cols = (
             [c.strip() for c in parts.split(",") if c.strip()]
             if parts
@@ -232,6 +309,17 @@ class SqlSession:
                 f"CREATE TABLE {name}: PARTITIONED BY references unknown "
                 f"column(s) {sorted(unknown)}"
             )
+        if name in self._tables:
+            # an already-registered table keeps its handle (with its
+            # true partition columns) — IF NOT EXISTS is a no-op,
+            # a bare re-CREATE errors
+            t = self._tables[name]
+            if not if_not_exists:
+                raise FileExistsError(
+                    f"CREATE TABLE {name}: already exists at {t.location} "
+                    "(use IF NOT EXISTS)"
+                )
+            return self._metrics("CREATE TABLE", t, t.current_version())
         if loc is None:
             if self.base_location is None:
                 raise ValueError(
@@ -250,9 +338,16 @@ class SqlSession:
                 f"CREATE TABLE {name}: already exists at {loc} "
                 "(use IF NOT EXISTS)"
             )
+        existed = t.exists()
         t.create_if_not_exists(schema)
         self.register(t)
-        return self._metrics("CREATE TABLE", t, t.current_version())
+        if data is not None and not existed:
+            t.overwrite(data, op="CTAS")
+        return self._metrics(
+            "CREATE TABLE" if data is None else "CTAS",
+            t,
+            t.current_version(),
+        )
 
     def _metrics(self, op: str, table: ManagedTable, version: int) -> DataFrame:
         return self.spark.createDataFrame(
@@ -481,9 +576,13 @@ class SqlSession:
             raise ValueError(f"cannot parse OPTIMIZE statement: {stmt!r}")
         t = self.table(m.group(1))
         cols = [c.strip() for c in (m.group(2) or "").split(",") if c.strip()]
-        return self._metrics(
-            "OPTIMIZE ZORDER" if cols else "OPTIMIZE", t, t.compact(zorder_by=cols)
-        )
+        if cols:
+            return self._metrics(
+                "OPTIMIZE ZORDER", t, t.compact(zorder_by=cols)
+            )
+        # plain OPTIMIZE = Delta's selective small-file bin-packing
+        # (only fragmented partitions rewritten; no-op when none)
+        return self._metrics("OPTIMIZE", t, t.optimize())
 
     def _vacuum(self, stmt: str) -> DataFrame:
         # Delta's habitual spelling is time-based: VACUUM t RETAIN n

@@ -1648,6 +1648,78 @@ class ManagedTable:
         # sort=False: the Z-order IS the layout; sort_columns would undo it
         return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
 
+    def optimize(
+        self, min_small_files: int = 2, target_bytes: int = 128 << 20
+    ) -> int:
+        """Delta ``OPTIMIZE`` (without ZORDER): bin-pack ONLY the
+        partitions that have accumulated ≥ ``min_small_files`` data
+        files under ``target_bytes`` — their dirs are rewritten into
+        one fresh write per partition (base-key replacement retires the
+        append-suffixed entries too), every other partition's entries,
+        stats and deletion vectors carry over byte-untouched. No-op
+        (commit-free) when nothing qualifies. ``compact()`` remains the
+        whole-table rewrite; this is the incremental maintenance shape
+        that matters at 100 TB, where a streaming sink leaves a few
+        hot partitions fragmented and a full rewrite is off the table."""
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        if self.schema is None:
+            self.schema = self._load_schema()
+        entries = self._read_manifest(v)
+        small_by_base: dict[str, int] = {}
+        bytes_by_base: dict[str, int] = {}
+        rels_by_base: dict[str, list[str]] = {}
+        for k, rel in entries.items():
+            base = _base_key(k)
+            rels_by_base.setdefault(base, []).append(rel)
+            abs_dir = os.path.join(self.location, rel)
+            for dirpath, _dirs, fns in os.walk(abs_dir):
+                for fn in fns:
+                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                        continue
+                    sz = os.path.getsize(os.path.join(dirpath, fn))
+                    bytes_by_base[base] = bytes_by_base.get(base, 0) + sz
+                    if sz < target_bytes:
+                        small_by_base[base] = small_by_base.get(base, 0) + 1
+        qualify = {
+            b for b, n in small_by_base.items() if n >= min_small_files
+        }
+        if not qualify:
+            return v
+        rels = {rel for b in qualify for rel in rels_by_base[b]}
+        total_bytes = sum(bytes_by_base.get(b, 0) for b in qualify)
+        cols = [f.name for f in self.schema.fields]
+        dv, _ = self._read_dv(v)
+        touched_dv = {
+            f: d for f, d in dv.items() if os.path.dirname(f) in rels
+        }
+        live = self._scan_rels(sorted(rels), need_meta=bool(touched_dv))
+        if touched_dv:
+            live = live.join(
+                self._dv_rows(touched_dv).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            ).select(*cols)
+        # bin-pack the rewrite: ~target-sized output files (range-
+        # partitioned so each hive partition's rows stay contiguous —
+        # one file per partition until it outgrows the target), else
+        # the rewrite re-fragments and the next OPTIMIZE loops
+        import math as _math
+
+        n_out = max(1, _math.ceil(total_bytes / target_bytes))
+        range_keys = [F.col(c) for c in self.partition_columns] + [
+            F.monotonically_increasing_id()
+        ]
+        live = live.repartitionByRange(n_out, *range_keys)
+        return self._stage_and_commit(
+            live, replace_all=False, sort=bool(self.sort_columns),
+            op="OPTIMIZE",
+        )
+
     def reorg(self, min_dv_fraction: float = 0.0) -> int:
         """Delta ``REORG TABLE … APPLY (PURGE)`` parity: materialize
         deletion vectors SELECTIVELY — rewrite only the entry dirs whose

@@ -421,3 +421,87 @@ def test_vacuum_retain_hours(spark, tmp_path):
     assert tbl.read().count() == 10
     with pytest.raises(FileNotFoundError):
         tbl.read(version=0).count()
+
+
+def test_ctas_and_describe_detail(spark, tmp_path):
+    src = ManagedTable(spark, "src_t", str(tmp_path / "src_t"))
+    src.overwrite(
+        spark.range(0, 50).select(
+            F.col("id"), (F.col("id") % 5).alias("g")
+        )
+    )
+    s = SqlSession(spark, base_location=str(tmp_path))
+    s.register(src)
+    out = s.sql(
+        "CREATE TABLE agg_t PARTITIONED BY (g) AS "
+        "SELECT g, COUNT(*) AS n FROM src_t GROUP BY g"
+    ).collect()[0]
+    assert out["operation"] == "CTAS"
+    rows = s.sql("SELECT g, n FROM agg_t ORDER BY g").collect()
+    assert [(r["g"], r["n"]) for r in rows] == [(i, 10) for i in range(5)]
+    # IF NOT EXISTS CTAS on an existing table: no-op, data unchanged
+    s.sql("CREATE TABLE IF NOT EXISTS agg_t AS SELECT 1 AS x")
+    assert s.sql("SELECT COUNT(*) AS c FROM agg_t").collect()[0]["c"] == 5
+    d = s.sql("DESCRIBE DETAIL agg_t").collect()[0]
+    assert d["format"] == "managed"
+    assert d["partitionColumns"] == ["g"]
+    assert d["numFiles"] >= 5 and d["sizeInBytes"] > 0
+    assert d["numDeletedRows"] == 0 and d["version"] == 1
+
+
+def test_optimize_bin_packs_only_fragmented_partitions(spark, tmp_path):
+    t = ManagedTable(
+        spark, "frag", str(tmp_path / "frag"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(0, 40).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    )
+    # fragment partition g=0 with three appends; g=1 stays single-write
+    for i in range(3):
+        t.append(
+            spark.range(100 + i, 101 + i).select(
+                F.col("id"), F.lit(0).alias("g")
+            )
+        )
+    before = _data_files(t)
+    g1_files = {p: m for p, m in before.items() if "/g=1/" in p}
+    s = _sess(spark, t)
+    out = s.sql("OPTIMIZE frag").collect()[0]
+    assert out["operation"] == "OPTIMIZE"
+    after = _data_files(t)
+    # g=1 files byte-identical (inode-pinned: untouched partitions are
+    # carried over, not rewritten)
+    assert {p: m for p, m in after.items() if p in g1_files} == g1_files
+    # content unchanged, appended entries retired into the new write
+    got = t.read()
+    assert got.count() == 43
+    assert got.filter(F.col("g") == 0).count() == 23
+    hist_ops = [
+        r["operation"]
+        for r in s.sql("DESCRIBE HISTORY frag").collect()
+        if r["version"] == t.current_version()
+    ]
+    assert hist_ops == ["OPTIMIZE"]
+    # second OPTIMIZE: nothing fragmented -> commit-free no-op
+    v = t.current_version()
+    s.sql("OPTIMIZE frag")
+    assert t.current_version() == v
+
+
+def test_optimize_materializes_dvs_of_rewritten_partitions(spark, tmp_path):
+    t = ManagedTable(
+        spark, "fragdv", str(tmp_path / "fragdv"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(0, 20).select(F.col("id"), (F.col("id") % 2).alias("g"))
+    )
+    t.append(spark.range(100, 102).select(F.col("id"), F.lit(0).alias("g")))
+    t.delete_where(F.col("id") == 2)  # DV in partition g=0
+    assert t.read().count() == 21
+    t.optimize()
+    assert t.read().count() == 21
+    assert t.read().filter(F.col("id") == 2).count() == 0
+    # the rewritten partition's DV died with its files (rows
+    # materialized); no DV entries remain for g=0 dirs
+    dv, _ = t._read_dv(t.current_version())
+    assert all("/g=0/" not in f for f in dv)

@@ -33,6 +33,7 @@ from databricks_data_warehouse_spark.ext import (
     packing,
     sampling,
     similarity,
+    span_dedup,
     text,
     udf_ext,
 )
@@ -146,6 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 7: CCNet-style LM quality filter in exact integer
         # arithmetic (floor-log2 bigram familiarity — no float logs)
         "text_lm_familiarity": text.lm_familiarity,
+        # NEW round 8: span-level exact substring dedup (Lee et al.
+        # 2022 ExactSubstr) — maximal duplicated k-gram spans +
+        # per-doc removal accounting
+        "text_dup_spans": span_dedup.dup_spans,
+        "text_dedup_substrings": span_dedup.dedup_substrings,
         # NEW round 6: incremental Gold — additive per-key aggregates
         # maintained across micro-batches with txn-watermark
         # exactly-once (Delta txnAppId parity); equals the batch
@@ -367,8 +373,10 @@ _R8_WINDOW = [
     "text_token_counts",
     "text_lang_id",
     "text_fingerprint",
-    "text_pii_scrub",
-    "text_decontaminate",
+    # round-8 additions (never checked > oldest greens; pii_scrub and
+    # decontaminate rotate to the round-9 front instead)
+    "text_dup_spans",
+    "text_dedup_substrings",
 ]
 
 
@@ -439,6 +447,45 @@ _PARTSUPP_CTE = """
 # [ \t\n\r\f] on all three sides — the Python UDTF, the Spark split(),
 # and this RE2 split (str.split/\s differ on non-ASCII whitespace,
 # ADVICE r05)
+# shared CTE prefix of the span-dedup twins (ext/span_dedup.py, k=8):
+# tokenize -> positioned k-grams -> corpus-repeated grams -> duplicated
+# occurrences -> gaps-and-islands merge state
+_SPAN_K = 8
+_SPAN_DEDUP_SQL = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS p,
+               array_to_string(t.toks[u.i:u.i + {_SPAN_K} - 1], ' ') AS gram
+        FROM t, UNNEST(range(1, len(t.toks) - {_SPAN_K} + 2)) AS u(i)
+        WHERE len(t.toks) >= {_SPAN_K}
+    ),
+    rep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+    occ AS (
+        SELECT g.doc_id, g.p, g.p + {_SPAN_K} - 1 AS e
+        FROM g JOIN rep USING (gram)
+    ),
+    m AS (
+        SELECT doc_id, p, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_e
+        FROM occ
+    ),
+    isl AS (
+        SELECT doc_id, p, e,
+               SUM(CASE WHEN prev_e IS NULL OR p > prev_e + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    )
+"""
+
 _BIGRAMS_SQL = """
     WITH t AS (
         SELECT doc_id,
@@ -1360,6 +1407,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(bpe.bpe, 0) AS BIGINT) AS bpe_tokens,
                    CAST(len(t.toks) AS BIGINT) AS ws_tokens
             FROM t LEFT JOIN bpe USING (doc_id)
+        """,
+        # span-level exact substring dedup: same k-gram seed, repeated-
+        # gram semi-join, and gaps-and-islands merge as the Spark side
+        "text_dup_spans": _SPAN_DEDUP_SQL + """
+            SELECT doc_id,
+                   CAST(MIN(p) AS BIGINT) AS span_start,
+                   CAST(MAX(e) AS BIGINT) AS span_end,
+                   CAST(MAX(e) - MIN(p) + 1 AS BIGINT) AS span_tokens
+            FROM isl
+            GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """,
+        "text_dedup_substrings": _SPAN_DEDUP_SQL + """
+            , spans AS (
+                SELECT doc_id,
+                       MAX(e) - MIN(p) + 1 AS span_tokens
+                FROM isl GROUP BY doc_id, island
+            ),
+            per_doc AS (
+                SELECT doc_id, SUM(span_tokens) AS dup_tokens,
+                       COUNT(*) AS n_spans
+                FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(per_doc.dup_tokens, 0) AS BIGINT)
+                       AS dup_tokens,
+                   CAST(COALESCE(per_doc.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(len(t.toks) - COALESCE(per_doc.dup_tokens, 0)
+                        AS BIGINT) AS kept_tokens
+            FROM t LEFT JOIN per_doc USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "text_lm_familiarity": f"""
             WITH bi AS ({_BIGRAMS_SQL}),

@@ -260,6 +260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_status": json_ops.events_scd2_status,
         # ---- r04-green: embeddings / IVF
         "emb_quantize_int8": similarity.emb_quantize_int8,
+        # NEW round 8: product quantization (Jégou et al. 2011) —
+        # per-subspace codebook assignment, the ADC serving layout
+        "emb_pq_codes": similarity.emb_pq_codes,
         "emb_centroid_per_label": similarity.emb_centroid_per_label,
         "ann_kmeans_refine": similarity.ann_kmeans_refine,
         "ann_ivf_assignments": similarity.ann_ivf_assignments,
@@ -372,11 +375,11 @@ _R8_WINDOW = [
     "text_quality",
     "text_token_counts",
     "text_lang_id",
-    "text_fingerprint",
-    # round-8 additions (never checked > oldest greens; pii_scrub and
-    # decontaminate rotate to the round-9 front instead)
+    # round-8 additions (never checked > oldest greens; fingerprint,
+    # pii_scrub and decontaminate rotate to the round-9 front instead)
     "text_dup_spans",
     "text_dedup_substrings",
+    "emb_pq_codes",
 ]
 
 
@@ -1845,6 +1848,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events e JOIN med m ON e.event_type = m.event_type
             GROUP BY e.event_type
+        """,
+        # PQ: same deterministic codebooks (first 16 vectors'
+        # subvectors), same sequential squared-L2 fold, same
+        # (distance, code) tie order as the Spark argmin struct
+        "emb_pq_codes": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            subs AS (
+                SELECT vec_id, CAST(u.s AS INT) AS sub_id,
+                       e.v[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+                FROM e, UNNEST(range(0, 4)) AS u(s)
+            ),
+            books AS (
+                SELECT vec_id AS code, sub_id, sv AS c
+                FROM subs WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT subs.vec_id, subs.sub_id, books.code,
+                       list_aggregate(list_transform(range(1, 17),
+                           i -> (subs.sv[i] - books.c[i])
+                              * (subs.sv[i] - books.c[i])), 'sum') AS d
+                FROM subs JOIN books USING (sub_id)
+            ),
+            ranked AS (
+                SELECT vec_id, sub_id, code, d,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                          ORDER BY d, code) AS rn
+                FROM scored
+            )
+            SELECT vec_id, sub_id, CAST(code AS INT) AS code,
+                   floor(d * 1000000 + 0.5) / 1000000 AS dist6
+            FROM ranked WHERE rn = 1
+            ORDER BY vec_id, sub_id
         """,
         "emb_quantize_int8": """
             WITH e AS (

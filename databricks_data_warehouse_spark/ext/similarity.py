@@ -756,3 +756,85 @@ def semantic_dedup(
     return emb.select("vec_id", "label").join(
         survivors, "vec_id", "left_semi"
     )
+
+
+# --------------------------------------------------------------- PQ
+_PQ_M = 4          # subspaces
+_PQ_CODES = 16     # codes per subspace codebook
+_PQ_DIM = 64       # embedding dimensionality of the corpus tables
+
+
+def emb_pq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _PQ_M,
+    n_codes: int = _PQ_CODES,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the embedding is split into ``m``
+    contiguous subvectors, each encoded as the id of its nearest
+    codebook centroid — m·log2(k) bits per vector, the memory layout
+    ADC-style ANN serving uses. Deterministic 'training' as in
+    :func:`_ivf_centroids`: the first ``n_codes`` vectors' subvectors
+    are the per-subspace codebooks (a real deployment k-means them;
+    the encode/search structure is identical and determinism is what
+    lets the oracle replay the assignment).
+
+    Returns ``(vec_id, sub_id, code, dist6)`` — the assigned code per
+    subspace and its squared-L2 distance (rounded to 6 dp; ties break
+    to the smallest code, so assignment is total-order deterministic).
+
+    Scale shape: the codebook is m·k tiny rows broadcast once; each
+    vector row explodes into m subvector rows (JVM ``slice``, no
+    Python), and the assignment is the same broadcast argmin as the
+    IVF build — one pass, no corpus-wide shuffle except the final
+    order. Distances fold sequentially (``F.aggregate``), matching the
+    oracle's ``list_aggregate`` fold exactly."""
+    sub_dim = _PQ_DIM // m
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.slice(
+                        F.col("embedding"), s * sub_dim + 1, sub_dim
+                    ),
+                    lambda x: x.cast("double"),
+                ),
+            )
+        ).alias("sub_id", "v"),
+    )
+    books = (
+        subs.where(F.col("vec_id") < n_codes)
+        .select(
+            F.col("vec_id").alias("code"),
+            "sub_id",
+            F.col("v").alias("c"),
+        )
+    )
+    sq_l2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(books), "sub_id").select(
+        "vec_id", "sub_id", "code", sq_l2.alias("d")
+    )
+    best = (
+        scored.groupBy("vec_id", "sub_id")
+        .agg(
+            F.min(F.struct(F.col("d"), F.col("code"))).alias("b")
+        )
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("b.code").cast("int").alias("code"),
+            (F.floor(F.col("b.d") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "dist6"
+            ),
+        )
+        .orderBy("vec_id", "sub_id")
+    )
+    return best

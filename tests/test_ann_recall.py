@@ -48,3 +48,18 @@ def test_auto_centroids_scales_with_corpus(spark):
     # ceil(sqrt(1000)) = 32
     assert sim._auto_centroids(spark, "/root/testdata/sf0.01") == 16
     assert sim._auto_centroids(spark, "/root/testdata/sf0.1") == 32
+
+
+def test_pq_codes_properties(spark):
+    sf = "/root/testdata/sf0.001"
+    pq = sim.emb_pq_codes(spark, sf).collect()
+    n_vecs = {r.vec_id for r in pq}
+    assert len(pq) == len(n_vecs) * 4  # m=4 codes per vector
+    for r in pq:
+        assert 0 <= r.code < 16 and 0 <= r.sub_id < 4
+        assert r.dist6 >= 0.0
+    # a codebook vector encodes as ITSELF with zero distance in every
+    # subspace (its subvectors ARE centroids)
+    for r in pq:
+        if r.vec_id < 16:
+            assert r.code == r.vec_id and r.dist6 == 0.0

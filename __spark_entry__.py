@@ -263,6 +263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 8: product quantization (Jégou et al. 2011) —
         # per-subspace codebook assignment, the ADC serving layout
         "emb_pq_codes": similarity.emb_pq_codes,
+        # ADC search over the codes: scan touches only integers + a
+        # broadcast 64-double LUT — the PQ serving probe
+        "ann_pq_topk": similarity.ann_pq_topk,
+        # the production pattern: ADC shortlist -> exact re-rank of
+        # only the shortlist's vectors (recall set by shortlist size)
+        "ann_pq_rerank_topk": similarity.ann_pq_rerank_topk,
         "emb_centroid_per_label": similarity.emb_centroid_per_label,
         "ann_kmeans_refine": similarity.ann_kmeans_refine,
         "ann_ivf_assignments": similarity.ann_ivf_assignments,
@@ -373,13 +379,14 @@ _R8_WINDOW = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "text_quality",
-    "text_token_counts",
-    "text_lang_id",
-    # round-8 additions (never checked > oldest greens; fingerprint,
-    # pii_scrub and decontaminate rotate to the round-9 front instead)
+    # round-8 additions (never checked > oldest greens; token_counts,
+    # lang_id, fingerprint, pii_scrub and decontaminate rotate to the
+    # round-9 front instead)
     "text_dup_spans",
     "text_dedup_substrings",
     "emb_pq_codes",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
 ]
 
 
@@ -1884,6 +1891,133 @@ def oracle_sql() -> dict[str, str]:
                    floor(d * 1000000 + 0.5) / 1000000 AS dist6
             FROM ranked WHERE rn = 1
             ORDER BY vec_id, sub_id
+        """,
+        # ADC: the query's exact per-(subspace, code) distance table,
+        # summed per vector over its codes in FIXED subspace order
+        # (conditional one-element sums — a plain SUM's fold order is
+        # engine-dependent and could flip the 6-dp rounding)
+        "ann_pq_topk": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            subs AS (
+                SELECT vec_id, CAST(u.s AS INT) AS sub_id,
+                       e.v[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+                FROM e, UNNEST(range(0, 4)) AS u(s)
+            ),
+            books AS (
+                SELECT vec_id AS code, sub_id, sv AS c
+                FROM subs WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT subs.vec_id, subs.sub_id, books.code,
+                       list_aggregate(list_transform(range(1, 17),
+                           i -> (subs.sv[i] - books.c[i])
+                              * (subs.sv[i] - books.c[i])), 'sum') AS d
+                FROM subs JOIN books USING (sub_id)
+            ),
+            codes AS (
+                SELECT vec_id, sub_id, code FROM (
+                    SELECT vec_id, sub_id, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                              ORDER BY d, code) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT sub_id, sv AS qv FROM subs WHERE vec_id = 0),
+            lut AS (
+                SELECT books.sub_id, books.code,
+                       list_aggregate(list_transform(range(1, 17),
+                           i -> (q.qv[i] - books.c[i])
+                              * (q.qv[i] - books.c[i])), 'sum') AS qd
+                FROM books JOIN q USING (sub_id)
+            ),
+            per_vec AS (
+                SELECT codes.vec_id,
+                       SUM(CASE WHEN codes.sub_id = 0 THEN lut.qd END) AS d0,
+                       SUM(CASE WHEN codes.sub_id = 1 THEN lut.qd END) AS d1,
+                       SUM(CASE WHEN codes.sub_id = 2 THEN lut.qd END) AS d2,
+                       SUM(CASE WHEN codes.sub_id = 3 THEN lut.qd END) AS d3
+                FROM codes
+                JOIN lut ON codes.sub_id = lut.sub_id
+                        AND codes.code = lut.code
+                WHERE codes.vec_id <> 0
+                GROUP BY codes.vec_id
+            )
+            SELECT vec_id,
+                   floor((((d0 + d1) + d2) + d3) * 1000000 + 0.5)
+                       / 1000000 AS adc_dist6
+            FROM per_vec
+            ORDER BY adc_dist6 ASC, vec_id
+            LIMIT 10
+        """,
+        # shortlist (ADC order, 100 candidates) -> exact cosine rerank
+        "ann_pq_rerank_topk": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            subs AS (
+                SELECT vec_id, CAST(u.s AS INT) AS sub_id,
+                       e.v[u.s * 16 + 1 : u.s * 16 + 16] AS sv
+                FROM e, UNNEST(range(0, 4)) AS u(s)
+            ),
+            books AS (
+                SELECT vec_id AS code, sub_id, sv AS c
+                FROM subs WHERE vec_id < 16
+            ),
+            scored AS (
+                SELECT subs.vec_id, subs.sub_id, books.code,
+                       list_aggregate(list_transform(range(1, 17),
+                           i -> (subs.sv[i] - books.c[i])
+                              * (subs.sv[i] - books.c[i])), 'sum') AS d
+                FROM subs JOIN books USING (sub_id)
+            ),
+            codes AS (
+                SELECT vec_id, sub_id, code FROM (
+                    SELECT vec_id, sub_id, code,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+                                              ORDER BY d, code) AS rn
+                    FROM scored
+                ) WHERE rn = 1
+            ),
+            q AS (SELECT sub_id, sv AS qv FROM subs WHERE vec_id = 0),
+            lut AS (
+                SELECT books.sub_id, books.code,
+                       list_aggregate(list_transform(range(1, 17),
+                           i -> (q.qv[i] - books.c[i])
+                              * (q.qv[i] - books.c[i])), 'sum') AS qd
+                FROM books JOIN q USING (sub_id)
+            ),
+            per_vec AS (
+                SELECT codes.vec_id,
+                       SUM(CASE WHEN codes.sub_id = 0 THEN lut.qd END) AS d0,
+                       SUM(CASE WHEN codes.sub_id = 1 THEN lut.qd END) AS d1,
+                       SUM(CASE WHEN codes.sub_id = 2 THEN lut.qd END) AS d2,
+                       SUM(CASE WHEN codes.sub_id = 3 THEN lut.qd END) AS d3
+                FROM codes
+                JOIN lut ON codes.sub_id = lut.sub_id
+                        AND codes.code = lut.code
+                WHERE codes.vec_id <> 0
+                GROUP BY codes.vec_id
+            ),
+            cand AS (
+                SELECT vec_id FROM per_vec
+                ORDER BY floor((((d0 + d1) + d2) + d3) * 1000000 + 0.5)
+                             / 1000000 ASC, vec_id
+                LIMIT 100
+            ),
+            qf AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   ROUND({_cos_sql("e.v", "qf.qv")}, 6) AS cosine_sim
+            FROM e
+            JOIN cand USING (vec_id)
+            CROSS JOIN qf
+            ORDER BY cosine_sim DESC, e.vec_id
+            LIMIT 10
         """,
         "emb_quantize_int8": """
             WITH e AS (

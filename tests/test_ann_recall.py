@@ -63,3 +63,20 @@ def test_pq_codes_properties(spark):
     for r in pq:
         if r.vec_id < 16:
             assert r.code == r.vec_id and r.dist6 == 0.0
+
+
+def test_pq_adc_shortlist_rerank_recall(spark):
+    # raw ADC@10 with 4x16 seed codebooks is a COARSE ranking (recall
+    # 0.1-0.3 measured — the quantization cells are wide relative to
+    # the neighbor gaps on this corpus); the production pattern is an
+    # ADC shortlist + exact re-rank, whose recall is set by the
+    # shortlist size (measured 0.8 at shortlist=100)
+    sf = "/root/testdata/sf0.01"
+    truth = set(_topk_ids(sim.ann_cosine_topk(spark, sf)))
+    adc = _topk_ids(sim.ann_pq_topk(spark, sf))
+    assert len(adc) == 10 and 0 not in adc  # query excluded, k rows
+    rr = set(_topk_ids(sim.ann_pq_rerank_topk(spark, sf)))
+    assert len(truth & rr) / len(truth) >= 0.5, (truth, rr)
+    # the re-ranked set can only agree with truth at least as well as
+    # raw ADC does
+    assert len(truth & rr) >= len(truth & set(adc))

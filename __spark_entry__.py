@@ -81,17 +81,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         table_zorder_scan_sql, stream_ingest_managed_table,
         stream_gold_counts_table, stream_table_source,
         stream_table_cdf;
-    (c) 28 of the oldest greens (r05, 3 rounds old): the 8 op_*, the
-        5 gold_*, the 5 dash_*, tpch q1/q3/q5/q6, and 6 of the text_*
-        family (quality, token_counts, lang_id, fingerprint,
-        pii_scrub, decontaminate).
-    Left OUT, with justification: text_repetition/text_corpus_filter
-    and events_json/ann_cosine/pairs_per_label/anomaly_zscore/
-    quality_floor/unpivot/histogram (r05 greens that didn't fit — the
-    FRONT of round 9's queue), every r06/r07 green on files rounds 7-8
-    did not touch (tpch q2/q4/q7-q22, stretch aggs, streams, mm,
+    (c) 22 of the oldest greens (r05, 3 rounds old): the 8 op_*, the
+        5 gold_*, the 5 dash_*, and tpch q1/q3/q5/q6;
+    (d) the 6 brand-new round-8 operators (never checked beats even
+        the oldest green): text_dup_spans, text_dedup_substrings,
+        emb_pq_codes, ann_pq_topk, ann_pq_rerank_topk,
+        table_mv_incremental.
+    Left OUT, with justification: the r05 text_* family (quality,
+    token_counts, lang_id, fingerprint, pii_scrub, decontaminate,
+    repetition, corpus_filter) plus events_json/ann_cosine/
+    pairs_per_label/anomaly_zscore/quality_floor/unpivot/histogram —
+    the FRONT of round 9's queue; every r06/r07 green on files rounds
+    7-8 did not touch (tpch q2/q4/q7-q22, stretch aggs, streams, mm,
     sample/asof, containment/cap_report/clusters/keep_canonical,
-    lsh family), and the 2 approx twins (rows-only by design)."""
+    lsh family); and the 2 approx twins (rows-only by design)."""
     cat = {
         # ====== (a) never driver-checked ===================================
         # pandas-UDAF / Python-UDTF API-class demos + r05 additions the

@@ -87,7 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the oldest green): text_dup_spans, text_dedup_substrings,
         emb_pq_codes, ann_pq_topk, ann_pq_rerank_topk,
         table_mv_incremental.
-    Left OUT, with justification: the r05 text_* family (quality,
+    Left OUT, with justification: emb_hard_negatives (landed after the
+    window filled — leads round 9 with the rest); the r05 text_*
+    family (quality,
     token_counts, lang_id, fingerprint, pii_scrub, decontaminate,
     repetition, corpus_filter) plus events_json/ann_cosine/
     pairs_per_label/anomaly_zscore/quality_floor/unpivot/histogram —
@@ -277,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the production pattern: ADC shortlist -> exact re-rank of
         # only the shortlist's vectors (recall set by shortlist size)
         "ann_pq_rerank_topk": similarity.ann_pq_rerank_topk,
+        # hard-negative mining for contrastive training: per query,
+        # top-k most-similar vectors with a DIFFERENT label
+        "emb_hard_negatives": similarity.emb_hard_negatives,
         "emb_centroid_per_label": similarity.emb_centroid_per_label,
         "ann_kmeans_refine": similarity.ann_kmeans_refine,
         "ann_ivf_assignments": similarity.ann_ivf_assignments,
@@ -1962,6 +1967,36 @@ def oracle_sql() -> dict[str, str]:
             FROM per_vec
             ORDER BY adc_dist6 ASC, vec_id
             LIMIT 10
+        """,
+        # hard negatives: per query (vec_id < 8), top-5 most-similar
+        # different-label vectors — same cosine fold + tie order
+        "emb_hard_negatives": f"""
+            WITH e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS query_id, label AS q_label, v AS qv
+                FROM e WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id, e.label,
+                       ROUND({_cos_sql("e.v", "q.qv")}, 6) AS cosine_sim
+                FROM e CROSS JOIN q
+                WHERE e.label <> q.q_label
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, label, cosine_sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine_sim DESC,
+                                                   vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, CAST(rank AS INT) AS rank, vec_id, label,
+                   cosine_sim
+            FROM ranked WHERE rank <= 5
+            ORDER BY query_id, rank
         """,
         # shortlist (ADC order, 100 candidates) -> exact cosine rerank
         "ann_pq_rerank_topk": f"""

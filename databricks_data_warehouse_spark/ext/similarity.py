@@ -954,3 +954,63 @@ def ann_pq_rerank_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def emb_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 8,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most similar vectors with a DIFFERENT label —
+    the near-miss examples a contrastive/embedding trainer needs most
+    (easy negatives are uninformative; the hardest ones sit right at
+    the decision boundary). Queries are the first ``n_queries`` vectors
+    by id (broadcast); returns
+    ``(query_id, rank, vec_id, label, cosine_sim)``.
+
+    Scale shape: the query set is a broadcast table, the corpus gets
+    ONE scan scored against all queries (n·q cosine folds, no
+    corpus-side shuffle), and the per-query top-k is a k-bounded
+    window on the query key. At real scale the corpus side is first
+    cut by an ANN structure (:func:`ann_lsh_buckets` /
+    :func:`ivf_index` probes) — the exact form here is the oracle-able
+    ground truth of that pipeline."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("q"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(
+                cosine(_as_double(F.col("embedding")), F.col("q")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            "cosine_sim",
+        )
+        .orderBy("query_id", "rank")
+    )

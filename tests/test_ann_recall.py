@@ -80,3 +80,25 @@ def test_pq_adc_shortlist_rerank_recall(spark):
     # the re-ranked set can only agree with truth at least as well as
     # raw ADC does
     assert len(truth & rr) >= len(truth & set(adc))
+
+
+def test_hard_negatives_semantics(spark):
+    sf = "/root/testdata/sf0.001"
+    from databricks_data_warehouse_spark.queries._util import load
+    labels = {
+        r.vec_id: r.label
+        for r in load(spark, sf, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = sim.emb_hard_negatives(spark, sf).collect()
+    assert len(rows) == 8 * 5
+    for r in rows:
+        assert r.label != labels[r.query_id]  # negatives only
+        assert 1 <= r.rank <= 5
+    # ranks are descending-similarity within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True), (q, sims)

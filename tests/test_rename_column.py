@@ -153,3 +153,38 @@ def test_sql_spelling(spark, tmp_path):
     out = sess.sql("ALTER TABLE rsql RENAME COLUMN val TO amount")
     assert out.collect()[0]["operation"] == "RENAME COLUMN"
     assert set(t.read().columns) == {"id", "grp", "amount"}
+
+
+def test_rename_survives_optimize_and_reorg(spark, tmp_path):
+    t = ManagedTable(
+        spark, "rno", str(tmp_path / "rno"), partition_columns=["p"]
+    )
+    t.overwrite(
+        spark.range(0, 40).select(
+            F.col("id"), (F.col("id") % 2).alias("p"),
+            (F.col("id") * 3).alias("val"),
+        )
+    )
+    t.rename_column("val", "amount")
+    # fragment one partition, then bin-pack: the rewrite must write
+    # PHYSICAL names so old and new files stay schema-compatible
+    for i in range(3):
+        t.append(
+            spark.range(100 + i, 101 + i).select(
+                F.col("id"), F.lit(0).alias("p"),
+                (F.col("id") * 3).alias("amount"),
+            )
+        )
+    t.optimize()
+    got = t.read()
+    assert got.count() == 43
+    assert got.filter(F.col("amount") != F.col("id") * 3).count() == 0
+    # DV + reorg after the rename: materialization keeps the mapping
+    t.delete_where(F.col("id") % 5 == 0)
+    before = got.filter(F.col("id") % 5 != 0).count()
+    t.reorg(min_dv_fraction=0.0)
+    assert t.read().count() == before
+    assert t.read().filter(F.col("amount") != F.col("id") * 3).count() == 0
+    # rename back after all the rewrites still resolves
+    t.rename_column("amount", "val")
+    assert t.read().filter(F.col("val") != F.col("id") * 3).count() == 0

@@ -521,8 +521,11 @@ def _read_diff_partition(schema_json: str, p: _DiffPartition):
         not in ("_change_type", "_commit_version", "_commit_timestamp")
     ]
 
-    def load_side(files) -> Counter:
-        rows: Counter = Counter()
+    def load_side(files) -> "pa.Table":
+        """One side's visible rows as an arrow table in data-field
+        order (DV-masked, partition values recovered, renames
+        resolved)."""
+        parts = []
         for path, pvals, dv_path, dv_key in files:
             tbl = pq.read_table(path)
             if dv_path is not None:
@@ -540,43 +543,98 @@ def _read_diff_partition(schema_json: str, p: _DiffPartition):
             for fld in data_fields:
                 pname = p.renames.get(fld.name, fld.name)
                 if pname in tbl.column_names:
-                    cols.append(
-                        tbl.column(pname).cast(fld.type).to_pylist()
-                    )
+                    cols.append(tbl.column(pname).cast(fld.type))
                 else:
                     v = pvals.get(fld.name)
                     if v is None:
-                        cols.append([None] * n)
+                        cols.append(pa.nulls(n, fld.type))
                     else:
-                        cols.append(
-                            _part_value_array(v, fld.type, n).to_pylist()
-                        )
+                        cols.append(_part_value_array(v, fld.type, n))
+            parts.append(pa.table(cols, schema=pa.schema(data_fields)))
+        if not parts:
+            return pa.table(
+                [pa.array([], type=f.type) for f in data_fields],
+                schema=pa.schema(data_fields),
+            )
+        return pa.concat_tables(parts)
+
+    old_t = load_side(p.old_files)
+    new_t = load_side(p.new_files)
+    names = [f.name for f in data_fields]
+    groupable = all(
+        not (
+            pa.types.is_nested(f.type) or pa.types.is_binary(f.type)
+        )
+        for f in data_fields
+    )
+    sides = {}  # tag -> pa.Table of leftover rows
+    if groupable and names:
+        # arrow-native multiset diff: signed weights, one C++ group_by
+        # over all data columns; positive net weight = old-side
+        # leftovers (deletes), negative = inserts
+        import pyarrow.compute as pc
+
+        def with_w(t, w):
+            return t.append_column(
+                "__w", pa.array([w] * t.num_rows, pa.int64())
+            )
+
+        both = pa.concat_tables([with_w(old_t, 1), with_w(new_t, -1)])
+        net = both.group_by(names).aggregate([("__w", "sum")])
+        w = net.column("__w_sum")
+        for tag, leftover in (
+            ("delete", net.filter(pc.greater(w, 0))),
+            ("insert", net.filter(pc.less(w, 0))),
+        ):
+            counts = pc.abs(leftover.column("__w_sum")).to_pylist()
+            idx = [
+                i for i, c in enumerate(counts) for _ in range(c)
+            ]
+            sides[tag] = leftover.select(names).take(
+                pa.array(idx, pa.int64())
+            )
+    else:
+        # nested/binary key types: Python Counter fallback (hashable
+        # row tuples) — same semantics, row-at-a-time
+        def as_counter(t) -> Counter:
+            rows: Counter = Counter()
+            cols = [t.column(n).to_pylist() for n in names]
             for row in zip(*cols) if cols else []:
                 rows[tuple(_hashable(x) for x in row)] += 1
-        return rows
+            return rows
 
-    old_rows = load_side(p.old_files)
-    new_rows = load_side(p.new_files)
-    deletes = old_rows - new_rows  # multiset difference
-    inserts = new_rows - old_rows
+        old_rows, new_rows = as_counter(old_t), as_counter(new_t)
+        for tag, counter in (
+            ("delete", old_rows - new_rows),
+            ("insert", new_rows - old_rows),
+        ):
+            flat = [r for row, cnt in counter.items() for r in [row] * cnt]
+            cols = list(zip(*flat)) if flat else [[] for _ in names]
+            sides[tag] = pa.table(
+                [
+                    pa.array(list(cols[i]), type=f.type)
+                    for i, f in enumerate(data_fields)
+                ],
+                schema=pa.schema(data_fields),
+            )
+
     when = _dt.datetime.fromtimestamp(p.commit_ts)
-    for counter, tag in ((deletes, "delete"), (inserts, "insert")):
-        flat = [r for row, cnt in counter.items() for r in [row] * cnt]
-        if not flat:
+    for tag in ("delete", "insert"):
+        side = sides.get(tag)
+        if side is None or side.num_rows == 0:
             continue
-        n = len(flat)
-        cols = list(zip(*flat))
-        by_name = {
-            fld.name: pa.array(list(cols[i]), type=fld.type)
-            for i, fld in enumerate(data_fields)
-        }
+        n = side.num_rows
         cdf_cols = {
             "_change_type": pa.array([tag] * n, pa.string()),
             "_commit_version": pa.array([p.commit_version] * n, pa.int64()),
             "_commit_timestamp": pa.array([when] * n, pa.timestamp("us")),
         }
         arrays = [
-            (by_name.get(fld.name) or cdf_cols[fld.name]).cast(fld.type)
+            (
+                side.column(fld.name)
+                if fld.name in names
+                else cdf_cols[fld.name]
+            ).cast(fld.type)
             for fld in full_schema
         ]
         yield from pa.table(arrays, schema=full_schema).to_batches()

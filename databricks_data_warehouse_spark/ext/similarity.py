@@ -761,7 +761,19 @@ def semantic_dedup(
 # --------------------------------------------------------------- PQ
 _PQ_M = 4          # subspaces
 _PQ_CODES = 16     # codes per subspace codebook
-_PQ_DIM = 64       # embedding dimensionality of the corpus tables
+
+
+def _emb_dim(emb: DataFrame, m: int) -> int:
+    """Embedding dimensionality, read from one row — a wrong assumed
+    dim would make ``slice`` return short subvectors and the distances
+    silently garbage, so derive it and fail loud on indivisibility."""
+    row = emb.select("embedding").first()
+    dim = len(row["embedding"]) if row is not None else 0
+    if dim == 0 or dim % m:
+        raise ValueError(
+            f"PQ: embedding dim {dim} not divisible into {m} subspaces"
+        )
+    return dim
 
 
 def emb_pq_codes(
@@ -790,8 +802,8 @@ def emb_pq_codes(
     IVF build — one pass, no corpus-wide shuffle except the final
     order. Distances fold sequentially (``F.aggregate``), matching the
     oracle's ``list_aggregate`` fold exactly."""
-    sub_dim = _PQ_DIM // m
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub_dim = _emb_dim(emb, m) // m
     subs = emb.select(
         "vec_id",
         F.posexplode(
@@ -861,8 +873,8 @@ def ann_pq_topk(
     ties to the smallest vec_id), query excluded. Approximate by
     construction (quantization error); :func:`ann_cosine_topk` is the
     exact ground truth."""
-    sub_dim = _PQ_DIM // m
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub_dim = _emb_dim(emb, m) // m
     subs = emb.select(
         "vec_id",
         F.posexplode(

@@ -1827,6 +1827,15 @@ class ManagedTable:
             raise ValueError(f"table {self.name}: no schema available")
         if name in {f.name for f in self.schema.fields}:
             raise ValueError(f"table {self.name}: column {name!r} already exists")
+        if name in set(self.renames.values()):
+            # the name is the PHYSICAL identity of a renamed column:
+            # adding it would put two same-named fields in the parquet
+            # read schema (Delta's column-mapping rule likewise blocks
+            # reusing a physical name)
+            raise ValueError(
+                f"table {self.name}: {name!r} is the physical name of a "
+                "renamed column; pick another name"
+            )
         self.schema = StructType(
             self.schema.fields
             + [StructField(name, _parse_datatype_string(data_type), True)]
@@ -1888,6 +1897,15 @@ class ManagedTable:
         if new in names:
             raise ValueError(
                 f"table {self.name}: column {new!r} already exists"
+            )
+        if new in {
+            phys for log, phys in self.renames.items() if log != old
+        }:
+            # another column already occupies that PHYSICAL identity —
+            # the physical read schema would hold duplicate names
+            raise ValueError(
+                f"table {self.name}: {new!r} is the physical name of a "
+                "different renamed column; pick another name"
             )
         if old in (self.partition_columns or []) or old in (
             self.sort_columns or []

@@ -188,3 +188,16 @@ def test_rename_survives_optimize_and_reorg(spark, tmp_path):
     # rename back after all the rewrites still resolves
     t.rename_column("amount", "val")
     assert t.read().filter(F.col("val") != F.col("id") * 3).count() == 0
+
+
+def test_physical_name_cannot_be_reused(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="pnr")
+    t.rename_column("val", "amount")  # physical 'val' still in files
+    # adding a column named like the physical identity would put two
+    # same-named fields into the parquet read schema
+    with pytest.raises(ValueError, match="physical name"):
+        t.add_column("val", "bigint")
+    # a fresh name is fine, and reads resolve both
+    t.add_column("extra", "bigint")
+    assert set(t.read().columns) == {"id", "grp", "amount", "extra"}
+    assert t.read().filter(F.col("amount") != F.col("id") * 2).count() == 0

@@ -166,6 +166,18 @@ def _base_key(k: str) -> str:
     return _APPEND_SUFFIX_RE.sub("", k)
 
 
+
+def _manifest_version_of(entry: str) -> int | None:
+    """Version number of a manifest directory entry, or None for
+    non-manifest names INCLUDING a crashed writer's leftover
+    ``…tmp.<pid>`` files — listing loops must skip those instead of
+    crashing on int()."""
+    if not entry.startswith(_MANIFEST_PREFIX):
+        return None
+    suffix = entry[len(_MANIFEST_PREFIX):]
+    return int(suffix) if suffix.isdigit() else None
+
+
 def _write_root(path: str) -> str:
     """The ``…data/w=<N>`` prefix of a manifest path — the basePath for
     hive partition-column recovery. Works for both the usual
@@ -1953,9 +1965,9 @@ class ManagedTable:
         epoch = when.timestamp()
         best = -1
         for entry in os.listdir(self.location):
-            if not entry.startswith(_MANIFEST_PREFIX):
+            v = _manifest_version_of(entry)
+            if v is None:
                 continue
-            v = int(entry[len(_MANIFEST_PREFIX):])
             if os.stat(os.path.join(self.location, entry)).st_mtime <= epoch:
                 best = max(best, v)
         if best < 0:
@@ -1973,9 +1985,9 @@ class ManagedTable:
         if not os.path.isdir(self.location):
             return out
         for entry in sorted(os.listdir(self.location), reverse=True):
-            if not entry.startswith(_MANIFEST_PREFIX):
+            v = _manifest_version_of(entry)
+            if v is None:
                 continue
-            v = int(entry[len(_MANIFEST_PREFIX):])
             entries = self._read_manifest(v)
             roots = {_write_root(rel) for rel in entries.values()}
             with open(self._manifest_path(v)) as f:
@@ -2301,9 +2313,9 @@ class ManagedTable:
 
             cutoff = _time.time() - retain_hours * 3600.0
             recent = [
-                int(entry[len(_MANIFEST_PREFIX):])
+                v
                 for entry in os.listdir(self.location)
-                if entry.startswith(_MANIFEST_PREFIX)
+                if (v := _manifest_version_of(entry)) is not None
                 and os.stat(
                     os.path.join(self.location, entry)
                 ).st_mtime >= cutoff
@@ -2314,9 +2326,9 @@ class ManagedTable:
         referenced: set[str] = set()
         dropped_manifests: list[int] = []
         for entry in os.listdir(self.location):
-            if not entry.startswith(_MANIFEST_PREFIX):
+            v = _manifest_version_of(entry)
+            if v is None:
                 continue
-            v = int(entry[len(_MANIFEST_PREFIX):])
             if v >= oldest_kept:
                 referenced |= set(self._read_manifest(v).values())
                 # dv dirs referenced by a live manifest must survive

@@ -353,3 +353,26 @@ def test_constraint_add_race_detects_with_data_write(spark, tmp_path):
     with pytest.raises(ValueError, match="amt_positive"):
         t1.merge_insert_only(_df(spark, [(2, "b", -2.0)]))
     assert sorted(r.id for r in t1.read().collect()) == [1]
+
+
+def test_crashed_writer_tmp_files_dont_break_admin(spark, tmp_path):
+    # a writer that died between writing its manifest tmp and linking
+    # leaves `…tmp.<pid>` files; listing-based admin (history, vacuum,
+    # timestamp travel) must skip them, not crash on int()
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(spark, "crashy", str(tmp_path / "crashy"))
+    t.overwrite(spark.range(0, 10).select(F.col("id")))
+    t.overwrite(spark.range(0, 10).select(F.col("id")))
+    import os
+
+    # exact shape _write_manifest stages: <manifest path>.tmp.<pid>
+    open(
+        os.path.join(t.location, "_MANIFEST.v=2.tmp.12345"), "w"
+    ).write("{}")
+    assert [h["version"] for h in t.history()] == [1, 0]
+    assert t.version_at_timestamp(2_000_000_000) == 1
+    t.vacuum(keep=1)
+    assert t.read().count() == 10
+    t.vacuum(retain_hours=0.0)
+    assert t.read().count() == 10

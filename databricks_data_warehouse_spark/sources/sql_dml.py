@@ -33,7 +33,9 @@ statement grammar is the subset Delta documents:
 - ``OPTIMIZE t`` (selective small-file bin-packing: only fragmented
   partitions rewritten, Delta's real OPTIMIZE shape) /
   ``OPTIMIZE t ZORDER BY (c, ...)`` (full clustering rewrite)
-- ``DESCRIBE DETAIL t`` (one-row metadata summary)
+- ``DESCRIBE DETAIL t`` (one-row metadata summary) / ``SHOW TABLES``
+- ``CREATE [OR REPLACE] VIEW v AS SELECT …`` (a logical view over the
+  pushdown relations — reflects later table mutations at query time)
 - ``REORG TABLE t APPLY (PURGE)`` — selective deletion-vector
   materialization
 - ``VACUUM t RETAIN n HOURS`` (Delta's habitual time-based retention,
@@ -203,6 +205,14 @@ class SqlSession:
             return self._describe_history(stmt)
         if re.match(r"DESCRIBE\s+DETAIL\b", stmt, re.IGNORECASE):
             return self._describe_detail(stmt)
+        if re.match(r"SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
+            rows = [
+                (n, t.location, t.current_version())
+                for n, t in sorted(self._tables.items())
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, location string, version long"
+            )
         return self._query(stmt)
 
     def _describe_detail(self, stmt: str) -> DataFrame:
@@ -265,6 +275,19 @@ class SqlSession:
 
         # CTAS first: CREATE TABLE … [PARTITIONED BY …] [LOCATION …]
         # AS SELECT … (schema comes from the query)
+        m = re.match(
+            rf"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+"
+            rf"(SELECT\b.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, select = m.groups()
+            self._query(select.strip()).createOrReplaceTempView(name)
+            return self.spark.createDataFrame(
+                [("CREATE VIEW", name, -1)],
+                "operation string, table string, version long",
+            )
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
             rf"(?:USING\s+MANAGED\s*)?"

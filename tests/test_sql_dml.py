@@ -505,3 +505,18 @@ def test_optimize_materializes_dvs_of_rewritten_partitions(spark, tmp_path):
     # materialized); no DV entries remain for g=0 dirs
     dv, _ = t._read_dv(t.current_version())
     assert all("/g=0/" not in f for f in dv)
+
+
+def test_create_view_and_show_tables(spark, tmp_path):
+    t = _mk(spark, tmp_path, name="cvt", rows=20)
+    s = _sess(spark, t)
+    out = s.sql(
+        "CREATE OR REPLACE VIEW big AS SELECT k, v FROM cvt WHERE v >= 100"
+    ).collect()[0]
+    assert out["operation"] == "CREATE VIEW"
+    assert s.sql("SELECT COUNT(*) AS n FROM big").collect()[0]["n"] == 10
+    # views see table mutations at query time (backed by pushdown views)
+    s.sql("DELETE FROM cvt WHERE k >= 15")
+    assert s.sql("SELECT COUNT(*) AS n FROM big").collect()[0]["n"] == 5
+    rows = s.sql("SHOW TABLES").collect()
+    assert [(r["name"], r["version"]) for r in rows] == [("cvt", 1)]

@@ -690,11 +690,20 @@ def semantic_dedup(
     stage quadratic) — and CC runs on the pair graph, which near-dup
     thresholds keep sparse.
     """
-    from .dedup import connected_components
-
     if n_centroids is None:
         n_centroids = _auto_centroids(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    return semantic_dedup_df(emb, threshold, n_centroids)
+
+
+def semantic_dedup_df(
+    emb: DataFrame, threshold: float = 0.35, n_centroids: int = 16
+) -> DataFrame:
+    """:func:`semantic_dedup` over any ``(vec_id, label, embedding)``
+    frame (the testable core; equivalence with the collapse-free
+    reference is property-pinned in tests/test_ann_recall.py)."""
+    from .dedup import connected_components
+
     # Exact-duplicate collapse BEFORE anything corpus-quadratic —
     # result-identical, because identical vectors always share a
     # centroid (deterministic argmax over identical sims) and pair at

@@ -102,3 +102,83 @@ def test_hard_negatives_semantics(spark):
         rs.sort()
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True), (q, sims)
+
+
+def _semantic_reference(emb, threshold, k):
+    """The collapse-free round-7 algorithm: assignment over ALL
+    vectors, intra-cluster pairs over ALL vectors, CC, anti-join."""
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.ext.dedup import (
+        connected_components,
+    )
+
+    assign = sim._assign_to_centroids(
+        emb.select("vec_id", "embedding"),
+        sim._ivf_centroids(emb.select("vec_id", "embedding"), k),
+    ).select("vec_id", "centroid_id")
+    vecs = (
+        emb.join(assign, "vec_id")
+        .select(
+            "centroid_id", "vec_id",
+            sim._as_double(F.col("embedding")).alias("e"),
+        )
+        .withColumn("n", sim.norm(F.col("e")))
+    )
+    a = vecs.select(
+        "centroid_id", F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("e_a"), F.col("n").alias("n_a"),
+    )
+    b = vecs.select(
+        "centroid_id", F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("e_b"), F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, on="centroid_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(
+                sim.dot(F.col("e_a"), F.col("e_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    losers = comps.where(F.col("comp") != F.col("node")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.select("vec_id", "label").join(losers, "vec_id", "left_anti")
+
+
+def test_semantic_dedup_collapse_equivalence(spark):
+    """The exact-duplicate collapse is result-identical to the
+    collapse-free reference on randomized corpora WITH planted exact
+    duplicates (seeded — deterministic across runs)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        base = [
+            [rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)
+        ]
+        rows = []
+        vid = 0
+        for i, v in enumerate(base):
+            copies = 1 + (i % 3)  # 1-3 exact copies of each vector
+            for _ in range(copies):
+                rows.append((vid, f"l{i % 4}", v))
+                vid += 1
+        rng.shuffle(rows)
+        emb = spark.createDataFrame(
+            rows, "vec_id long, label string, embedding array<double>"
+        )
+        got = sorted(
+            tuple(r) for r in sim.semantic_dedup_df(emb, 0.6, 8).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _semantic_reference(emb, 0.6, 8).collect()
+        )
+        assert got == want, (seed, len(got), len(want))

@@ -227,7 +227,11 @@ class ManagedTableReader(DataSourceReader):
         entries = tbl._read_manifest(v)
         stats = tbl._read_stats(v)
         dv, _dv_n = tbl._read_dv(v)
-        renames = tbl._read_renames(v)
+        # column mapping of the CURRENT version, even for a pinned
+        # older snapshot: rename is retroactive on read (the declared
+        # schema is always the current logical one), exactly like the
+        # native read path's self.renames
+        renames = tbl._read_renames(tbl.current_version())
         # footer stats live in PHYSICAL column space; Catalyst pushed
         # logical names — translate once for the whole plan
         triples = [
@@ -823,6 +827,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             return set(t.column("pos").to_pylist())
 
         part_cols = {f.name for f in self.spark_schema.fields}
+        # column mapping AS OF the window's end, applied to every pair:
+        # rename is retroactive on read (physical names never change),
+        # and the source's declared schema is the logical one — a
+        # per-pair mapping would stream pre-rename versions with the
+        # logical column unresolved (nulls)
+        renames = tbl._read_renames(v_to)
         out: list[_CdfPartition] = []
         for v in range(v_from, v_to):
             old_e = tbl._read_manifest(v) if v >= 0 else {}
@@ -830,7 +840,6 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             removed = set(old_e.items()) - set(new_e.items())
             dv_o = tbl._read_dv(v)[0] if v >= 0 else {}
             dv_n, _ = tbl._read_dv(v + 1)
-            renames = tbl._read_renames(v + 1)
             ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
             old_dirs, new_dirs = set(old_e.values()), set(new_e.values())
             diff_pair = False

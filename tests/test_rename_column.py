@@ -201,3 +201,21 @@ def test_physical_name_cannot_be_reused(spark, tmp_path):
     t.add_column("extra", "bigint")
     assert set(t.read().columns) == {"id", "grp", "amount", "extra"}
     assert t.read().filter(F.col("amount") != F.col("id") * 2).count() == 0
+
+
+def test_pushdown_time_travel_before_rename(spark, tmp_path):
+    # pushdown read of a version committed BEFORE the rename must still
+    # resolve the renamed column (mapping is retroactive on read)
+    t = _mk(spark, tmp_path, name="rtt")
+    v0 = t.current_version()
+    t.rename_column("val", "amount")
+    t.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 10).alias("grp"),
+            (F.col("id") * 2).alias("amount"),
+        )
+    )
+    old = t.read_pushdown(version=v0)
+    assert old.count() == 100
+    assert old.filter(F.col("amount").isNull()).count() == 0
+    assert old.filter(F.col("amount") != F.col("id") * 2).count() == 0

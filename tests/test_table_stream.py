@@ -236,3 +236,50 @@ def test_max_versions_per_trigger_offsets(spark, tmp_path):
     # each 1-version window delivers exactly that commit's files
     p1 = r.partitions({"version": 0}, {"version": 1})
     assert p1 and all("/w=1-" in p.path for p in p1)
+
+
+def test_cdf_exact_diff_on_partitioned_rewrite(spark, tmp_path):
+    """The rewrite-diff partition recovers hive partition values from
+    the path on BOTH sides (removed and added dirs)."""
+    t = ManagedTable(
+        spark, "cwp", str(tmp_path / "cwp"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(0, 12).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+        )
+    )
+    _drain_cdf(t, tmp_path, "cwp1")
+    # partition-scoped merge rewrites ONLY g=0 (key covers partition)
+    t.merge_upsert(
+        spark.createDataFrame([(0, 0), (100, 0)], "k long, g long"),
+        ["g", "k"],
+    )
+    _drain_cdf(t, tmp_path, "cwp1")
+    new = [
+        (r["k"], r["g"], r["_change_type"])
+        for r in _rows(spark, tmp_path, "cwp1")
+        if r["_commit_version"] == t.current_version()
+    ]
+    # exact diff: only the inserted key surfaces (k=0 upserted with
+    # identical values cancels out), with its partition value intact
+    assert sorted(new) == [(100, 0, "insert")]
+
+
+def test_stream_resolves_renamed_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path, "rns", rows=6)
+    t.rename_column("k", "key")
+    _drain(t, tmp_path, "rns1")
+    t.append(spark.createDataFrame([(100, 0)], "key long, g long"))
+    _drain(t, tmp_path, "rns1")
+    rows = _rows(spark, tmp_path, "rns1")
+    assert {r["key"] for r in rows} == set(range(6)) | {100}
+    # CDF stream resolves the mapping too
+    t.delete_where(F.expr("key = 100"))
+    _drain_cdf(t, tmp_path, "rns2")
+    got = {
+        (r["key"], r["_change_type"], r["_commit_version"])
+        for r in _rows(spark, tmp_path, "rns2")
+    }
+    assert (100, "delete", t.current_version()) in got
+    assert (100, "insert", 2) in got  # the append, under the new name

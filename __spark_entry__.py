@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst pushing the conjuncts into the manifest pruner
         # (no scan() call, no explicit triples; VERDICT r06 item 1)
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql,
+        # NEW round 8 (cont.): Databricks BLOOMFILTER INDEX analogue —
+        # per-file bitmaps prune =/IN point lookups on a scattered
+        # high-cardinality column where min/max bounds prove nothing
+        "table_bloom_scan": managed_scan.table_bloom_scan,
         # NEW round 7: Delta-style SQL DML over a ManagedTable — DELETE
         # and UPDATE run merge-on-read (deletion vectors + appended
         # rewrites), MERGE upserts; the oracle replays the statements
@@ -400,6 +404,7 @@ _R8_WINDOW = [
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "table_mv_incremental",
+    "table_bloom_scan",
 ]
 
 
@@ -873,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "table_zorder_scan": managed_scan.table_zorder_scan_oracle(),
         # the automatic (SQL WHERE → Catalyst pushdown) path must too
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
+        "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
         # SQL DELETE/UPDATE/MERGE through the DV merge-on-read path
         # must reach the same fixpoint as the relational replay
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),

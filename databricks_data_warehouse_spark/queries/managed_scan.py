@@ -123,3 +123,52 @@ def table_zorder_scan_oracle() -> str:
         WHERE o_custkey BETWEEN {_CUST_LO} AND {_CUST_HI}
           AND o_totalprice BETWEEN {_PRICE_LO} AND {_PRICE_HI}
     """
+
+
+# fixed point-lookup probe — keys present at every bench/driver sf
+_BLOOM_KEYS = (1, 5, 33, 1000, 4000)
+
+
+def _bloom_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached orders table with a bloom index on ``o_orderkey`` and the
+    rows deliberately SCATTERED (hash repartition, no sort): every
+    file's min/max spans ~the whole key range, the layout where bounds-
+    based skipping is useless and Databricks' BLOOMFILTER INDEX is the
+    only thing standing between a point lookup and a full scan."""
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = hashlib.md5(
+        (_corpus_fingerprint(sf_dir) + "|bloom=o_orderkey").encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(_scratch_root(), f"bloom_tbl_{h}")
+    table = ManagedTable(spark, f"orders_bloom_{h}", loc)
+    if table.current_version() < 0:
+        try:
+            orders = load(spark, sf_dir, "orders")
+            table.set_bloom_index("o_orderkey", fpp=0.01, ndv=16_384)
+            table.overwrite(orders.repartition(16))
+        except ConcurrentWriteError:
+            pass  # concurrent builder won; same deterministic content
+    return table
+
+
+def table_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup (``o_orderkey IN …``) through the bloom-pruned
+    ``scan`` on a scattered layout. tests/test_bloom_index.py asserts
+    the file-count drop (``files_bloom_pruned``); this entry pins the
+    value-level cross-engine equality: pruning may only remove I/O,
+    never rows, at any false-positive rate."""
+    table = _bloom_table(spark, sf_dir)
+    return table.scan([("o_orderkey", "in", list(_BLOOM_KEYS))]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def table_bloom_scan_oracle() -> str:
+    keys = ", ".join(str(k) for k in _BLOOM_KEYS)
+    return f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey IN ({keys})
+    """

@@ -173,6 +173,9 @@ class SqlSession:
     def sql(self, statement: str) -> DataFrame:
         stmt = statement.strip().rstrip(";").strip()
         head = stmt.split(None, 1)[0].upper() if stmt else ""
+        if re.match(r"(CREATE|DROP)\s+BLOOMFILTER\s+INDEX\b", stmt,
+                    re.IGNORECASE):
+            return self._bloom_index(stmt)
         if head == "CREATE":
             return self._create(stmt)
         if head == "DELETE":
@@ -215,6 +218,56 @@ class SqlSession:
             )
         return self._query(stmt)
 
+    def _bloom_index(self, stmt: str) -> DataFrame:
+        """Databricks ``CREATE BLOOMFILTER INDEX ON TABLE t FOR
+        COLUMNS(c OPTIONS (FPP=0.01, NUMITEMS=100000), d)`` and the
+        matching ``DROP BLOOMFILTER INDEX`` — each column becomes a
+        :meth:`ManagedTable.set_bloom_index` / ``drop_bloom_index``
+        metadata commit."""
+        m = re.match(
+            rf"(CREATE|DROP)\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?"
+            rf"({_IDENT})\s+FOR\s+COLUMNS\s*\((.*)\)\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                f"cannot parse BLOOMFILTER INDEX statement: {stmt!r}"
+            )
+        create = m.group(1).upper() == "CREATE"
+        t = self.table(m.group(2))
+        for spec in _split_top_level(m.group(3)):
+            cm = re.match(
+                rf"\s*({_IDENT})\s*(?:OPTIONS\s*\((.*)\)\s*)?$",
+                spec,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"cannot parse column spec: {spec!r}")
+            col = cm.group(1)
+            if not create:
+                t.drop_bloom_index(col)
+                continue
+            kwargs: dict = {}
+            for opt in _split_top_level(cm.group(2) or ""):
+                if not opt.strip():
+                    continue
+                om = re.match(
+                    r"\s*(\w+)\s*(?:=|\s)\s*([0-9.eE+-]+)\s*$", opt
+                )
+                if not om:
+                    raise ValueError(f"cannot parse OPTION: {opt!r}")
+                key = om.group(1).lower()
+                if key == "fpp":
+                    kwargs["fpp"] = float(om.group(2))
+                elif key in ("numitems", "ndv"):
+                    kwargs["ndv"] = int(float(om.group(2)))
+                else:
+                    raise ValueError(f"unknown bloom OPTION {key!r}")
+            t.set_bloom_index(col, **kwargs)
+        op = "CREATE BLOOMFILTER INDEX" if create else "DROP BLOOMFILTER INDEX"
+        return self._metrics(op, t, t.current_version())
+
     def _describe_detail(self, stmt: str) -> DataFrame:
         """``DESCRIBE DETAIL t`` — Delta's one-row table summary,
         answered from metadata only (manifest + file sizes): format,
@@ -256,12 +309,14 @@ class SqlSession:
                     v,
                     len(t.constraints or {}),
                     len(t.renames or {}),
+                    len(t.bloom or {}),
                 )
             ],
             "format string, name string, location string, "
             "partitionColumns array<string>, numFiles long, "
             "sizeInBytes long, numDeletedRows long, version long, "
-            "numConstraints long, numMappedColumns long",
+            "numConstraints long, numMappedColumns long, "
+            "numBloomIndexes long",
         )
 
     def _create(self, stmt: str) -> DataFrame:

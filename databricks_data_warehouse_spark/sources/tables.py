@@ -87,6 +87,33 @@ _CHECKPOINT_INTERVAL = 10
 # ~9.4 µs/file (94 ms at 10k) vs ~1 s Spark job floor → ~100k files.
 _DISTRIBUTED_PRUNE_MIN_FILES = 100_000
 _CKPT_DIR = "_checkpoints"
+# Bloom-filter file index (Databricks `CREATE BLOOMFILTER INDEX` /
+# delta.bloomFilter analogue): per-file bitmaps in sidecar parquet
+# under _bloom/, consulted by `_prune` for =/IN literals on indexed
+# columns — the skipping tool for HIGH-cardinality point lookups,
+# where min/max bounds prove nothing (a UUID column's every file
+# spans ~the whole key space). fpp/ndv defaults mirror Databricks'
+# (0.1 fpp, 1M items); the m/k formulas are the textbook optimum.
+_BLOOM_DIR = "_bloom"
+_BLOOM_DEFAULT_FPP = 0.01
+_BLOOM_DEFAULT_NDV = 1_000_000
+_BLOOM_MAX_BITS = 1 << 27  # 16 MiB/file/col cap, Databricks-sized
+
+
+def _bloom_params(ndv: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for `ndv` expected distinct values at
+    false-positive rate `fpp`; m rounded up to a whole byte, both sides
+    (write + prune) derive positions from these stored values only."""
+    import math
+
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    if ndv < 1:
+        raise ValueError(f"ndv must be >= 1, got {ndv}")
+    m = int(math.ceil(-ndv * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(64, (m + 7) // 8 * 8), _BLOOM_MAX_BITS)
+    k = max(1, min(16, round(m / ndv * math.log(2))))
+    return m, k
 
 
 def _num_lo(v: float | int) -> float:
@@ -261,6 +288,11 @@ class ManagedTable:
         self.renames: dict[str, str] = (
             self._read_renames(v0) if v0 >= 0 else {}
         )
+        # Bloom-filter index config (PHYSICAL column -> {fpp, ndv, m, k}),
+        # versioned in the manifest like constraints/renames.
+        self.bloom: dict[str, dict] = (
+            self._read_bloom(v0) if v0 >= 0 else {}
+        )
 
     # ------------------------------------------------------------------ meta
     @property
@@ -376,6 +408,101 @@ class ManagedTable:
                 self._commit_metadata_only(op=f"DROP CONSTRAINT {name}")
             except BaseException:
                 self.constraints[name] = dropped
+                raise
+
+    def _read_bloom(self, version: int) -> dict[str, dict]:
+        """The bloom-index config committed WITH a version (manifest key
+        ``bloom``); pre-bloom manifests return the empty map."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {c: dict(v) for c, v in m.get("bloom", {}).items()}
+
+    def set_bloom_index(
+        self,
+        column: str,
+        fpp: float = _BLOOM_DEFAULT_FPP,
+        ndv: int = _BLOOM_DEFAULT_NDV,
+    ) -> None:
+        """Databricks ``CREATE BLOOMFILTER INDEX … FOR COLUMNS(col
+        OPTIONS (fpp=…, numItems=…))``: subsequent writes compute a
+        per-FILE bloom bitmap for ``column`` (sidecar parquet under
+        ``_bloom/<write id>/``), and ``scan``/``skipping_report`` use it
+        to prune files for ``=``/``IN`` literals that min/max bounds
+        cannot — the point-lookup index for high-cardinality columns
+        (IDs, hashes) whose per-file bounds span the whole key space.
+        Like Databricks, the index covers files written AFTER it is set;
+        earlier files simply stay un-prunable by bloom (min/max still
+        applies). ``ndv`` is the expected distinct count PER FILE.
+
+        The config is a metadata-only COMMIT, versioned like
+        constraints: RESTORE brings it back, time travel to a
+        pre-index version reads without it, and a racing data write
+        loses the version claim and re-reads the config on retry."""
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+        from pyspark.sql.types import StringType as _Str
+
+        if column in self.partition_columns:
+            raise ValueError(
+                f"table {self.name}: {column!r} is a partition column — "
+                "partition pruning already serves equality on it exactly"
+            )
+        if self.schema is not None:
+            fields = {f.name: f.dataType for f in self.schema.fields}
+            if column not in fields:
+                raise ValueError(
+                    f"table {self.name}: no column {column!r} to index"
+                )
+            if not isinstance(
+                fields[column],
+                (ByteType, ShortType, IntegerType, LongType, _Str, DateType),
+            ):
+                raise ValueError(
+                    f"table {self.name}: bloom index needs an integral, "
+                    f"string or date column; {column!r} is "
+                    f"{fields[column].simpleString()}"
+                )
+        m, k = _bloom_params(int(ndv), float(fpp))
+        phys = self._phys(column)
+        prev = self.bloom.get(phys)
+        self.bloom[phys] = {
+            "fpp": float(fpp), "ndv": int(ndv), "m": m, "k": k,
+        }
+        if self.current_version() >= 0:
+            try:
+                self._commit_metadata_only(
+                    op=f"ADD BLOOMFILTER INDEX {column}"
+                )
+            except BaseException:
+                if prev is None:
+                    self.bloom.pop(phys, None)
+                else:
+                    self.bloom[phys] = prev
+                raise
+
+    def drop_bloom_index(self, column: str) -> None:
+        """``DROP BLOOMFILTER INDEX`` for one column: metadata-only
+        commit; existing sidecar bitmaps become dead weight a vacuum
+        sweeps with their write roots."""
+        phys = self._phys(column)
+        if phys not in self.bloom:
+            return
+        dropped = self.bloom.pop(phys)
+        if self.current_version() >= 0:
+            try:
+                self._commit_metadata_only(
+                    op=f"DROP BLOOMFILTER INDEX {column}"
+                )
+            except BaseException:
+                self.bloom[phys] = dropped
                 raise
 
     def _read_renames(self, version: int) -> dict[str, str]:
@@ -561,6 +688,10 @@ class ManagedTable:
                         # column mapping travels with every version
                         # (Delta keeps it in the log's table metadata)
                         "renames": dict(self.renames),
+                        # bloom index config is table metadata too
+                        "bloom": {
+                            c: dict(v) for c, v in self.bloom.items()
+                        },
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
                         "dv_n": dict(dv_n or {}),
@@ -941,6 +1072,9 @@ class ManagedTable:
             # version being built on (a rename committed by another
             # writer must bind on retry)
             self.renames = self._read_renames(v_new - 1)
+            # and for the bloom config: index exactly the columns the
+            # base version declares
+            self.bloom = self._read_bloom(v_new - 1)
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
         # share a directory — the loser's cleanup would otherwise
@@ -958,6 +1092,16 @@ class ManagedTable:
             writer = writer.partitionBy(*self.partition_columns)
         writer.parquet(write_dir)
         self._enforce_constraints(write_dir)
+        if self.schema is None:
+            self.schema = df.schema
+        if self.bloom:
+            try:
+                self._write_bloom_sidecars(write_dir, write_rel)
+            except Exception:
+                # the index is a rebuildable pruning cache — a sidecar
+                # failure must never abort the data transaction; files
+                # without bitmaps are simply never bloom-pruned
+                pass
         staged = self._walk_staged(write_dir, write_rel)
         if append_only:
             staged = {f"{k}@{write_rel}": rel for k, rel in staged.items()}
@@ -1268,6 +1412,368 @@ class ManagedTable:
             self._ckpt_rows(self._read_stats(version)), self._ckpt_schema()
         )
 
+    # ------------------------------------------------ bloom-filter index
+    @staticmethod
+    def _bloom_key(path: str, root: str) -> str:
+        """A manifest path in its sidecar's key space: sidecar rows are
+        keyed relative to the OWNING table's location, so an absolute
+        clone-referenced path is re-relativized against the root's base
+        (``<owner>/data/w=X`` → ``<owner>``)."""
+        if os.path.isabs(root):
+            return os.path.relpath(
+                path, os.path.dirname(os.path.dirname(root))
+            )
+        return path
+
+    def _bloom_dir_for_root(self, root: str) -> str:
+        """Sidecar directory of a write root. Own files use the table's
+        ``_bloom/``; a shallow clone's absolute source roots resolve to
+        the SOURCE table's ``_bloom/`` — clone reads inherit the
+        source's bitmaps for free, exactly like its data files."""
+        name = os.path.basename(root.rstrip("/"))
+        if os.path.isabs(root):
+            return os.path.join(
+                os.path.dirname(os.path.dirname(root)), _BLOOM_DIR, name
+            )
+        return os.path.join(self.location, _BLOOM_DIR, name)
+
+    def _write_bloom_sidecars(self, write_dir: str, write_rel: str) -> None:
+        """One bloom bitmap per (staged file, indexed column), written
+        as sidecar parquet under ``_bloom/<write id>/`` — Databricks
+        keeps its bloom index files beside the data the same way.
+
+        The hot path is fully JVM-side: ``xxhash64(col, i)`` for the k
+        seed indexes, ``pmod`` into the m-bit domain, then a distinct on
+        (file, col, position) whose map-side partial aggregation caps
+        the shuffle at m bits' worth of positions per file per column —
+        independent of row count. Only the final bit-packing runs in
+        Python (Arrow-batched, one group per file/column, O(positions)).
+        A file with zero non-null values gets no row: absent rows always
+        KEEP at prune time, never wrongly skip."""
+        import numpy as np
+        import pandas as pd
+
+        phys_fields = {f.name for f in self._physical_schema().fields}
+        cols = [
+            c
+            for c in sorted(self.bloom)
+            if c in phys_fields and c not in self.partition_columns
+        ]
+        if not cols:
+            return
+        if not any(
+            fn.endswith(".parquet")
+            for _d, _s, fns in os.walk(write_dir)
+            for fn in fns
+        ):
+            return
+        base = (
+            self.spark.read.schema(self._physical_schema())
+            .option("basePath", write_dir)
+            .parquet(write_dir)
+            .select(
+                F.col("_metadata.file_path").alias("fp"),
+                *[F.col(c) for c in cols],
+            )
+        )
+        cfg = {
+            c: (int(self.bloom[c]["m"]), int(self.bloom[c]["k"]))
+            for c in cols
+        }
+        parts = []
+        for c in cols:
+            m, k = cfg[c]
+            col = F.col(c)
+            poss = F.array(
+                *[
+                    F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+            parts.append(
+                base.where(col.isNotNull()).select(
+                    "fp",
+                    F.lit(c).alias("col"),
+                    F.explode(poss).alias("pos"),
+                )
+            )
+        pos_df = reduce(DataFrame.unionByName, parts).distinct()
+        loc = os.path.abspath(self.location)
+
+        def pack(key, pdf):
+            from urllib.parse import unquote as _unq
+            from urllib.parse import urlparse as _up
+
+            fp, colname = key
+            m, k = cfg[colname]
+            bits = np.zeros(m, dtype=bool)
+            bits[pdf["pos"].to_numpy(dtype=np.int64)] = True
+            packed = np.packbits(bits, bitorder="little").tobytes()
+            p = _unq(_up(fp).path)
+            rel = (
+                os.path.relpath(p, loc)
+                if p.startswith(loc + os.sep)
+                else p
+            )
+            return pd.DataFrame(
+                {
+                    "file": [rel],
+                    "col": [colname],
+                    "m": [m],
+                    "k": [k],
+                    "bits": [packed],
+                }
+            )
+
+        out = pos_df.groupBy("fp", "col").applyInPandas(
+            pack, "file string, col string, m long, k long, bits binary"
+        )
+        out.write.mode("overwrite").parquet(
+            self._bloom_dir_for_root(write_rel)
+        )
+
+    @staticmethod
+    def _bloom_clauses(
+        filters: Sequence[tuple], bloom: Mapping[str, dict]
+    ) -> list[tuple[str, list]]:
+        """The conjuncts a bloom index can serve: ``(col, literals)``
+        per ``=``/``IN`` clause on an indexed column, where a file must
+        contain at least ONE of the literals to satisfy the clause."""
+        out = []
+        for t in filters:
+            col, op = t[0], t[1]
+            if col not in bloom:
+                continue
+            if op in ("=", "=="):
+                lits = [t[2]]
+            elif op == "in":
+                lits = list(t[2])
+            else:
+                continue
+            if not lits or any(v is None for v in lits):
+                continue
+            out.append((col, lits))
+        return out
+
+    def _bloom_positions(
+        self, clauses: list[tuple[str, list]], bloom: Mapping[str, dict]
+    ) -> list[tuple[str, int, int, list[list[int]]]]:
+        """Bit positions of every clause literal, computed by the SAME
+        Spark expressions the write side hashed with (``xxhash64(cast(
+        lit AS coltype), i)`` — type-faithful, so a matching row is
+        guaranteed the same positions). One tiny local job for all
+        literals. A literal whose cast to the column type is NULL (type
+        mismatch) poisons its clause: the whole clause is dropped,
+        because an untestable literal might match anything — sound."""
+        from pyspark.sql.types import (
+            ByteType,
+            DateType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        types = {f.name: f.dataType for f in self._physical_schema().fields}
+        exprs: list[Column] = []
+        plan = []
+        for col, lits in clauses:
+            m, k = int(bloom[col]["m"]), int(bloom[col]["k"])
+            dt = types.get(col)
+            if dt is None or not isinstance(
+                dt,
+                (ByteType, ShortType, IntegerType, LongType, StringType,
+                 DateType),
+            ):
+                plan.append(None)
+                continue
+            slots = []
+            for v in lits:
+                c = F.lit(v).try_cast(dt)
+                null_i = len(exprs)
+                exprs.append(c.isNull().alias(f"e{null_i}"))
+                for i in range(k):
+                    exprs.append(
+                        F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m))
+                        .cast("long")
+                        .alias(f"e{len(exprs)}")
+                    )
+                slots.append(null_i)
+            plan.append((col, m, k, slots))
+        if not any(p is not None for p in plan):
+            return []
+        row = self.spark.range(1).select(*exprs).collect()[0]
+        out = []
+        for p in plan:
+            if p is None:
+                continue
+            col, m, k, slots = p
+            pos_lists = []
+            ok = True
+            for null_i in slots:
+                if row[null_i]:
+                    ok = False  # cast failed: clause untestable
+                    break
+                pos_lists.append(
+                    [int(row[null_i + 1 + i]) for i in range(k)]
+                )
+            if ok:
+                out.append((col, m, k, pos_lists))
+        return out
+
+    def _bloom_prune(
+        self, filters: Sequence[tuple], kept: list[str], version: int
+    ) -> tuple[list[str], int]:
+        """Drop files whose bloom bitmaps PROVE no ``=``/``IN`` literal
+        can be present. Sound by construction: a missing sidecar,
+        missing row, m/k mismatch (config changed after the file was
+        written) or unreadable part always keeps the file; the exact
+        predicate still runs on whatever is read. Driver loop below the
+        distributed threshold, Spark job over the sidecar rows above it
+        — O(files), never O(rows)."""
+        if not kept:
+            return kept, 0
+        bloom = self._read_bloom(version)
+        if not bloom:
+            return kept, 0
+        clauses = self._bloom_clauses(filters, bloom)
+        if not clauses:
+            return kept, 0
+        resolved = self._bloom_positions(clauses, bloom)
+        if not resolved:
+            return kept, 0
+        roots: dict[str, list[str]] = {}
+        for f in kept:
+            roots.setdefault(_write_root(f), []).append(f)
+        if len(kept) >= self.distributed_prune_threshold:
+            dropped = self._bloom_test_spark(resolved, roots, kept)
+        else:
+            dropped = self._bloom_test_driver(resolved, roots)
+        if not dropped:
+            return kept, 0
+        return [f for f in kept if f not in dropped], len(dropped)
+
+    def _bloom_test_driver(
+        self,
+        clauses: list[tuple[str, int, int, list[list[int]]]],
+        roots: Mapping[str, list[str]],
+    ) -> set[str]:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        need = {c for c, _m, _k, _p in clauses}
+        side: dict[tuple[str, str], tuple[int, int, bytes]] = {}
+        for root, files in roots.items():
+            d = self._bloom_dir_for_root(root)
+            if not os.path.isdir(d):
+                continue
+            # sidecar rows key files relative to the OWNING table's
+            # location; clone-referenced absolute paths map back into
+            # that key space through the root's base
+            keymap = {self._bloom_key(f, root): f for f in files}
+            for part in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                try:
+                    t = pq.read_table(part)
+                except Exception:
+                    continue  # partial/corrupt sidecar: keep
+                for rec in t.to_pylist():
+                    f = keymap.get(rec["file"])
+                    if rec["col"] in need and f is not None:
+                        side[(f, rec["col"])] = (
+                            rec["m"], rec["k"], rec["bits"],
+                        )
+        dropped: set[str] = set()
+        for files in roots.values():
+            for f in files:
+                for col, m, k, pos_lists in clauses:
+                    row = side.get((f, col))
+                    if row is None:
+                        continue
+                    rm, rk, bits = row
+                    if rm != m or rk != k or bits is None or len(bits) * 8 < m:
+                        continue
+                    if not any(
+                        all((bits[p >> 3] >> (p & 7)) & 1 for p in pl)
+                        for pl in pos_lists
+                    ):
+                        dropped.add(f)
+                        break
+        return dropped
+
+    def _bloom_test_spark(
+        self,
+        clauses: list[tuple[str, int, int, list[list[int]]]],
+        roots: Mapping[str, list[str]],
+        kept: list[str],
+    ) -> set[str]:
+        """The driver loop as one Spark job over sidecar rows (one row
+        per file per column — file-count-sized, like the stats
+        checkpoint), for million-file snapshots."""
+        dirs = sorted(
+            {
+                d
+                for r in roots
+                if os.path.isdir(d := self._bloom_dir_for_root(r))
+            }
+        )
+        if not dirs:
+            return set()
+        by_col: dict[str, list[tuple[int, int, list[list[int]]]]] = {}
+        for col, m, k, pls in clauses:
+            by_col.setdefault(col, []).append((m, k, pls))
+        sdf = (
+            self.spark.read.schema(
+                "file string, col string, m long, k long, bits binary"
+            )
+            .parquet(*dirs)
+            .where(F.col("col").isin(*by_col))
+        )
+        # (sidecar key, manifest name) pairs: identical for own files,
+        # re-relativized for clone-referenced absolute paths
+        kept_df = self.spark.createDataFrame(
+            [
+                (self._bloom_key(f, root), f)
+                for root, files in roots.items()
+                for f in files
+            ],
+            "file string, name string",
+        )
+        cand = sdf.join(F.broadcast(kept_df), "file").withColumn(
+            "file", F.col("name")
+        )
+
+        def verdict(it):
+            import pandas as pd
+
+            for pdf in it:
+                fails = []
+                for _, r in pdf.iterrows():
+                    bad = False
+                    for m, k, pls in by_col.get(r["col"], ()):
+                        bits = r["bits"]
+                        if (
+                            r["m"] != m
+                            or r["k"] != k
+                            or bits is None
+                            or len(bits) * 8 < m
+                        ):
+                            continue
+                        if not any(
+                            all((bits[p >> 3] >> (p & 7)) & 1 for p in pl)
+                            for pl in pls
+                        ):
+                            bad = True
+                            break
+                    if bad:
+                        fails.append(r["file"])
+                yield pd.DataFrame({"file": fails})
+
+        return {
+            r.file
+            for r in cand.mapInPandas(verdict, "file string").collect()
+        }
+
     @staticmethod
     def _keep_expr(filters: Sequence[tuple]) -> Column:
         """``_file_matches`` as a Column over the checkpoint schema —
@@ -1381,14 +1887,24 @@ class ManagedTable:
                 "rows_kept"
             ),
         ).collect()[0]
-        kept = [
-            r.file
-            for r in known.filter(self._keep_expr(filters)).select("file").collect()
+        pairs = [
+            (r.file, r.rows)
+            for r in known.filter(self._keep_expr(filters))
+            .select("file", "rows")
+            .collect()
         ]
+        kept, bloom_dropped = self._bloom_prune(
+            filters, [f for f, _n in pairs], version
+        )
+        if bloom_dropped:
+            kset = set(kept)
+            rows_kept = sum(n for f, n in pairs if f in kset)
+        else:
+            rows_kept = int(agg.rows_kept or 0)
         legacy_dirs = entry_dirs - set(agg.dirs)
         return kept, legacy_dirs, int(agg.files), int(agg.rows_total), int(
-            agg.rows_kept or 0
-        )
+            rows_kept
+        ), bloom_dropped
 
     def _prune(self, filters: Sequence[tuple], version: int | None):
         """(kept files, legacy dirs, files_total, rows_total,
@@ -1410,12 +1926,14 @@ class ManagedTable:
         covered_dirs = {os.path.dirname(f) for f in known}
         legacy_dirs = entry_dirs - covered_dirs
         kept = [f for f in known if self._file_matches(stats[f], filters)]
+        kept, bloom_dropped = self._bloom_prune(filters, kept, v)
         return (
             kept,
             legacy_dirs,
             len(known),
             sum(stats[f].get("rows", 0) for f in known),
             sum(stats[f].get("rows", 0) for f in kept),
+            bloom_dropped,
         )
 
     def scan(
@@ -1442,7 +1960,9 @@ class ManagedTable:
             raise ValueError(f"table {self.name}: no schema available")
         cols = [f.name for f in self.schema.fields]
         sel = self._logical_select()
-        kept, legacy_dirs, _total, _rows, _rows_kept = self._prune(filters, v)
+        kept, legacy_dirs, _total, _rows, _rows_kept, _bloomed = self._prune(
+            filters, v
+        )
         paths = sorted(kept) + sorted(legacy_dirs)
         cond = self._filter_expr(filters)
         if not paths:
@@ -1491,7 +2011,7 @@ class ManagedTable:
     ) -> dict:
         """How much a ``scan`` with these filters would prune — the
         observable for tests and for SCALE.md measurements."""
-        kept, legacy_dirs, total, rows_total, rows_kept = self._prune(
+        kept, legacy_dirs, total, rows_total, rows_kept, bloomed = self._prune(
             filters, version
         )
         return {
@@ -1499,6 +2019,7 @@ class ManagedTable:
             "files_kept": len(kept) + len(legacy_dirs),
             "rows_total": rows_total,
             "rows_kept_bound": rows_kept,
+            "files_bloom_pruned": bloomed,
         }
 
     def metadata_aggregate(self, *columns: str, version: int | None = None) -> dict:
@@ -2034,6 +2555,7 @@ class ManagedTable:
         # the restored snapshot's constraint set comes back with it
         # (Delta RESTORE restores table metadata, constraints included)
         self.constraints = self._read_constraints(version)
+        self.bloom = self._read_bloom(version)
         # txn watermarks move forward even through a restore — an
         # additive sink must not re-apply batches the rolled-back
         # versions had consumed. The restored snapshot's DV set comes
@@ -2082,6 +2604,10 @@ class ManagedTable:
             raise FileExistsError(f"table {name}: already exists at {location}")
         out.constraints = dict(self.constraints)  # manifest 0 carries them
         out.renames = dict(self.renames)  # column mapping travels too
+        # bloom config travels with the clone; the clone's reads keep
+        # using the SOURCE's sidecar bitmaps through the absolute write
+        # roots (same zero-copy rule as the data files)
+        out.bloom = {c: dict(s) for c, s in self.bloom.items()}
         out._save_schema()
         # active deletion vectors travel with the clone: dv ROWS are
         # rewritten with the absolute file keys the clone reads under
@@ -2349,6 +2875,18 @@ class ManagedTable:
             shutil.rmtree(target, ignore_errors=True)
         for v in dropped_manifests:
             os.remove(self._manifest_path(v))
+        # bloom sidecars of write roots no retained manifest references
+        # are dead weight (their data dirs just got swept too)
+        bloom_root = os.path.join(self.location, _BLOOM_DIR)
+        if os.path.isdir(bloom_root):
+            live_roots = {
+                os.path.basename(_write_root(rel)) for rel in referenced
+            }
+            for entry in os.listdir(bloom_root):
+                if entry.startswith("w=") and entry not in live_roots:
+                    shutil.rmtree(
+                        os.path.join(bloom_root, entry), ignore_errors=True
+                    )
         # checkpoints of vacuumed versions serve no reader
         if os.path.isdir(self._ckpt_root):
             for entry in os.listdir(self._ckpt_root):
@@ -2667,6 +3205,11 @@ class ManagedTable:
                 },
             }
             stats.update(self._collect_file_stats(write_dir))
+            if self.bloom:
+                try:
+                    self._write_bloom_sidecars(write_dir, write_rel)
+                except Exception:
+                    pass  # rebuildable cache, never aborts the commit
         try:
             self._write_manifest(
                 v + 1,

@@ -1,0 +1,295 @@
+"""Bloom-filter file index: Databricks `CREATE BLOOMFILTER INDEX`
+analogue (per-file bitmaps in `_bloom/` sidecars, consulted by scan's
+pruning for =/IN literals on high-cardinality columns).
+
+Soundness contract under test: scan(filters) ≡ read().filter(...) for
+every value — present, absent, appended later, deleted, after rename,
+after restore — while the skipping report PROVES files were pruned that
+min/max bounds alone could never prune (ids deliberately scattered
+across files so every file spans ~the full key range).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import (
+    ManagedTable,
+    _bloom_params,
+)
+
+
+def _scattered(spark, n=4000, files=8):
+    """ids 0..n-1 spread round-robin over `files` files: every file's
+    min/max spans ~the whole range, so bounds-based skipping keeps all
+    files and any pruning observed is the bloom index's doing."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+            (F.col("id") % 3).alias("seg"),
+        )
+        .repartition(files)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManagedTable(spark, "bloomed", str(tmp_path / "bloomed"))
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    t.set_bloom_index("val", fpp=0.01, ndv=600)
+    t.overwrite(_scattered(spark))
+    return t
+
+
+def test_params_formula():
+    m, k = _bloom_params(1000, 0.01)
+    assert m % 8 == 0 and m >= 9000  # ~9.6 bits/key at 1% fpp
+    assert 5 <= k <= 9
+    m2, _ = _bloom_params(10, 0.5)
+    assert m2 >= 64  # floor
+    with pytest.raises(ValueError):
+        _bloom_params(10, 1.5)
+
+
+def test_point_lookup_prunes_where_minmax_cannot(table):
+    rep = table.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_total"] == 8
+    assert rep["files_bloom_pruned"] >= 5  # 1% fpp: almost all 7
+    assert rep["files_kept"] == 8 - rep["files_bloom_pruned"]
+    rows = table.scan([("doc_id", "=", 123)]).collect()
+    assert [(r.doc_id, r.val) for r in rows] == [(123, "v123")]
+
+
+def test_in_list_keeps_union_of_matches(table):
+    rep = table.skipping_report([("doc_id", "in", [5, 77, 3999])])
+    assert rep["files_bloom_pruned"] >= 3
+    got = sorted(
+        r.doc_id
+        for r in table.scan([("doc_id", "in", [5, 77, 3999])]).collect()
+    )
+    assert got == [5, 77, 3999]
+
+
+def test_string_column_and_conjunction(table):
+    rep = table.skipping_report([("val", "=", "v42")])
+    assert rep["files_bloom_pruned"] >= 5
+    assert table.scan([("val", "=", "v42")]).count() == 1
+    # AND of two indexed clauses: prune set is the union of both proofs
+    rep2 = table.skipping_report(
+        [("val", "=", "v42"), ("doc_id", "=", 123)]
+    )
+    assert rep2["files_kept"] <= rep["files_kept"]
+    assert (
+        table.scan([("val", "=", "v42"), ("doc_id", "=", 123)]).count() == 0
+    )
+
+
+def test_soundness_exhaustive_sample(table):
+    for v in [0, 1, 1999, 3999, 4001, 10_000_000]:
+        a = sorted(
+            r.val for r in table.scan([("doc_id", "=", v)]).collect()
+        )
+        b = sorted(
+            r.val
+            for r in table.read().filter(F.col("doc_id") == v).collect()
+        )
+        assert a == b
+
+
+def test_absent_value_usually_prunes_everything(table):
+    # value in-range (min/max can't help) but not present
+    hits = 0
+    for v in [4567, 5001, 9999]:  # > n: min/max prunes those; pick in-range
+        pass
+    rep = table.skipping_report([("val", "=", "nope-not-here")])
+    # 1% fpp per file: overwhelmingly all 8 pruned
+    assert rep["files_kept"] <= 1
+    assert table.scan([("val", "=", "nope-not-here")]).count() == 0
+
+
+def test_append_and_carry_over(spark, table):
+    table.append(
+        spark.range(4000, 5000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+            F.lit(0).alias("seg"),
+        )
+        .repartition(4)
+    )
+    # old files' bitmaps still prune; new write got its own sidecars
+    rep_old = table.skipping_report([("doc_id", "=", 123)])
+    assert rep_old["files_total"] == 12
+    assert rep_old["files_kept"] <= 3
+    assert table.scan([("doc_id", "=", 123)]).count() == 1
+    rep_new = table.skipping_report([("val", "=", "v4500")])
+    assert rep_new["files_kept"] < 12
+    assert table.scan([("val", "=", "v4500")]).count() == 1
+
+
+def test_files_written_before_index_stay_unpruned_but_sound(
+    spark, tmp_path
+):
+    t = ManagedTable(spark, "late", str(tmp_path / "late"))
+    t.overwrite(_scattered(spark))  # no index yet
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    rep = t.skipping_report([("doc_id", "=", 7)])
+    assert rep["files_bloom_pruned"] == 0  # Databricks rule: new files only
+    assert t.scan([("doc_id", "=", 7)]).count() == 1
+    # new files span the same range as old (min/max can't prune them)
+    # but hold only multiples of 40 — never 7
+    t.append(_scattered(spark, n=100, files=2).withColumn(
+        "doc_id", F.col("doc_id") * 40
+    ))
+    rep2 = t.skipping_report([("doc_id", "=", 7)])
+    # the new files carry bitmaps proving 7's absence (one may already
+    # fall to min/max if its min landed above 7) — between the two
+    # mechanisms, only the 8 pre-index files survive
+    assert rep2["files_bloom_pruned"] >= 1
+    assert t.scan([("doc_id", "=", 7)]).count() == 1
+
+
+def test_drop_index_disables_pruning(table):
+    table.drop_bloom_index("doc_id")
+    rep = table.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_bloom_pruned"] == 0
+    assert table.scan([("doc_id", "=", 123)]).count() == 1
+
+
+def test_versioned_config_time_travel_and_restore(spark, tmp_path):
+    t = ManagedTable(spark, "tt", str(tmp_path / "tt"))
+    t.overwrite(_scattered(spark))  # v0: no index
+    v0 = t.current_version()
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)  # v1: metadata commit
+    t.overwrite(_scattered(spark))  # v2: indexed files
+    assert (
+        t.skipping_report([("doc_id", "=", 9)])["files_bloom_pruned"] > 0
+    )
+    # time travel to the pre-index snapshot: no bloom pruning, still sound
+    rep0 = t.skipping_report([("doc_id", "=", 9)], version=v0)
+    assert rep0["files_bloom_pruned"] == 0
+    assert t.scan([("doc_id", "=", 9)], version=v0).count() == 1
+    # restore to v0 brings the index-free config back
+    t.restore(v0)
+    assert t.bloom == {}
+    assert (
+        t.skipping_report([("doc_id", "=", 9)])["files_bloom_pruned"] == 0
+    )
+    assert t.scan([("doc_id", "=", 9)]).count() == 1
+
+
+def test_deletion_vectors_and_bloom_compose(spark, table):
+    table.delete_where(F.col("doc_id") == 123)
+    # bitmap still names 123 (bitmaps are immutable per file) — the file
+    # is kept, the DV hides the row: exact result, still pruned hard
+    rep = table.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_kept"] <= 3
+    assert table.scan([("doc_id", "=", 123)]).count() == 0
+    assert table.scan([("doc_id", "=", 124)]).count() == 1
+
+
+def test_rename_column_keeps_pruning(table):
+    table.rename_column("doc_id", "document_id")
+    rep = table.skipping_report([("document_id", "=", 123)])
+    assert rep["files_bloom_pruned"] >= 5
+    assert table.scan([("document_id", "=", 123)]).count() == 1
+
+
+def test_compact_rewrites_bitmaps(table):
+    table.compact(target_files=2)
+    rep = table.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_total"] <= 4
+    assert rep["files_kept"] <= rep["files_total"]
+    assert table.scan([("doc_id", "=", 123)]).count() == 1
+
+
+def test_distributed_and_driver_paths_agree(spark, tmp_path):
+    a = ManagedTable(spark, "drv", str(tmp_path / "t"))
+    a.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    a.overwrite(_scattered(spark))
+    b = ManagedTable(
+        spark, "dist", str(tmp_path / "t"), distributed_prune_threshold=1
+    )
+    for f in [[("doc_id", "=", 123)], [("doc_id", "in", [1, 2, 3000])]]:
+        ra = a._prune(f, None)
+        rb = b._prune(f, None)
+        assert sorted(ra[0]) == sorted(rb[0])
+        assert ra[1:] == rb[1:]
+
+
+def test_mismatched_config_never_wrongly_prunes(spark, tmp_path):
+    t = ManagedTable(spark, "mm", str(tmp_path / "mm"))
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    t.overwrite(_scattered(spark))
+    # re-declare with different geometry: old sidecars' m/k no longer
+    # match — they must be IGNORED (keep), not misread
+    t.set_bloom_index("doc_id", fpp=0.001, ndv=5000)
+    rep = t.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_bloom_pruned"] == 0
+    assert t.scan([("doc_id", "=", 123)]).count() == 1
+    # a fresh write under the new geometry prunes again
+    t.overwrite(_scattered(spark))
+    assert (
+        t.skipping_report([("doc_id", "=", 123)])["files_bloom_pruned"] > 0
+    )
+
+
+def test_unsupported_types_and_partition_columns_rejected(spark, tmp_path):
+    t = ManagedTable(
+        spark,
+        "rej",
+        str(tmp_path / "rej"),
+        partition_columns=["seg"],
+    )
+    t.overwrite(_scattered(spark))
+    with pytest.raises(ValueError, match="partition column"):
+        t.set_bloom_index("seg")
+    with pytest.raises(ValueError, match="no column"):
+        t.set_bloom_index("ghost")
+
+
+def test_vacuum_sweeps_orphaned_sidecars(spark, tmp_path):
+    t = ManagedTable(spark, "vac", str(tmp_path / "vac"))
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    t.overwrite(_scattered(spark))
+    t.overwrite(_scattered(spark))
+    bloom_root = os.path.join(t.location, "_bloom")
+    assert len(os.listdir(bloom_root)) == 2
+    t.vacuum(keep=1)
+    assert len(os.listdir(bloom_root)) == 1
+    assert (
+        t.skipping_report([("doc_id", "=", 123)])["files_bloom_pruned"] > 0
+    )
+
+
+def test_clone_inherits_index_and_source_bitmaps(spark, tmp_path):
+    src = ManagedTable(spark, "src", str(tmp_path / "src"))
+    src.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    src.overwrite(_scattered(spark))
+    cl = src.clone("cl", str(tmp_path / "cl"))
+    rep = cl.skipping_report([("doc_id", "=", 123)])
+    assert rep["files_bloom_pruned"] >= 5  # source sidecars, zero-copy
+    assert cl.scan([("doc_id", "=", 123)]).count() == 1
+
+
+def test_sql_create_and_drop_bloomfilter_index(spark, tmp_path, table):
+    s = SqlSession(spark, base_location=str(tmp_path))
+    s.register(table, "docs")
+    s.sql(
+        "CREATE BLOOMFILTER INDEX ON TABLE docs "
+        "FOR COLUMNS (seg OPTIONS (FPP=0.05, NUMITEMS=100))"
+    )
+    assert "seg" in table.bloom
+    d = s.sql("DESCRIBE DETAIL docs").collect()[0]
+    assert d.numBloomIndexes == 3
+    s.sql("DROP BLOOMFILTER INDEX ON TABLE docs FOR COLUMNS (seg, val)")
+    assert sorted(table.bloom) == ["doc_id"]
+    # the SQL read path flows through scan-equivalent pruning unchanged
+    got = s.sql("SELECT val FROM docs WHERE doc_id = 123").collect()
+    assert [r.val for r in got] == ["v123"]

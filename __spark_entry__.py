@@ -31,8 +31,10 @@ from databricks_data_warehouse_spark.ext import (
     json_ops,
     multimodal,
     packing,
+    rowid,
     sampling,
     similarity,
+    skew,
     span_dedup,
     text,
     udf_ext,
@@ -125,6 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-file bitmaps prune =/IN point lookups on a scattered
         # high-cardinality column where min/max bounds prove nothing
         "table_bloom_scan": managed_scan.table_bloom_scan,
+        # NEW round 8 (cont.): the two canonical distribution-shape
+        # operators, each pinned exactly equal to its naive form —
+        # global ROW_NUMBER without the single-partition window
+        # collapse, and a salted join over a maximally skewed key
+        "op_assign_row_ids": rowid.op_assign_row_ids,
+        "join_skew_salted": skew.join_skew_salted,
         # NEW round 7: Delta-style SQL DML over a ManagedTable — DELETE
         # and UPDATE run merge-on-read (deletion vectors + appended
         # rewrites), MERGE upserts; the oracle replays the statements
@@ -405,6 +413,8 @@ _R8_WINDOW = [
     "ann_pq_rerank_topk",
     "table_mv_incremental",
     "table_bloom_scan",
+    "op_assign_row_ids",
+    "join_skew_salted",
 ]
 
 
@@ -879,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
         # the automatic (SQL WHERE → Catalyst pushdown) path must too
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
+        # distribution-shape operators ≡ their naive relational forms
+        "op_assign_row_ids": rowid.op_assign_row_ids_oracle(),
+        "join_skew_salted": skew.join_skew_salted_oracle(),
         # SQL DELETE/UPDATE/MERGE through the DV merge-on-read path
         # must reach the same fixpoint as the relational replay
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),

@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-file bitmaps prune =/IN point lookups on a scattered
         # high-cardinality column where min/max bounds prove nothing
         "table_bloom_scan": managed_scan.table_bloom_scan,
+        # NEW round 8 (cont.): Delta generated columns — `day =
+        # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
+        # filter derives the partition filter automatically
+        "table_generated_scan": managed_scan.table_generated_scan,
         # NEW round 8 (cont.): the two canonical distribution-shape
         # operators, each pinned exactly equal to its naive form —
         # global ROW_NUMBER without the single-partition window
@@ -413,6 +417,7 @@ _R8_WINDOW = [
     "ann_pq_rerank_topk",
     "table_mv_incremental",
     "table_bloom_scan",
+    "table_generated_scan",
     "op_assign_row_ids",
     "join_skew_salted",
 ]
@@ -889,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         # the automatic (SQL WHERE → Catalyst pushdown) path must too
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
+        "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         # distribution-shape operators ≡ their naive relational forms
         "op_assign_row_ids": rowid.op_assign_row_ids_oracle(),
         "join_skew_salted": skew.join_skew_salted_oracle(),

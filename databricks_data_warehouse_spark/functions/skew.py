@@ -28,15 +28,32 @@ def salted_join(
     small: DataFrame,
     on: Sequence[str],
     n_salts: int = 8,
+    salt_expr=None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner equi-join with the skewed side salted over ``n_salts``
+    """Equi-join with the skewed side salted over ``n_salts``
     sub-partitions. ``small`` is replicated ``n_salts``× (keep it the
-    dimension side)."""
+    dimension side).
+
+    ``salt_expr`` is the deterministic per-row expression the salt is
+    hashed from (default: all of the skewed side's columns). It MUST be
+    deterministic — ``rand()`` would re-salt differently when a task
+    retries recomputes the row, losing/duplicating matches (the classic
+    nondeterministic-salt bug). ``how`` supports ``inner`` and ``left``
+    (an unmatched left row joins nothing under every salt, so the
+    null-extension is identical to the plain left join)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = list(on)
+    salt_src = (
+        [salt_expr]
+        if salt_expr is not None
+        else [F.col(c) for c in skewed.columns]
+    )
     salted = skewed.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+        _SALT, F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     )
     replicated = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    return salted.join(replicated, on=keys + [_SALT], how="inner").drop(_SALT)
+    return salted.join(replicated, on=keys + [_SALT], how=how).drop(_SALT)

@@ -172,3 +172,86 @@ def table_bloom_scan_oracle() -> str:
         FROM orders
         WHERE o_orderkey IN ({keys})
     """
+
+
+# fixed event-time probe — the canonical time-series slice
+_TS_LO = "2024-01-10 00:00:00"
+_TS_HI = "2024-01-12 23:59:59"
+
+
+def _generated_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached events table partitioned by the GENERATED column
+    ``day = CAST(ts AS DATE)`` (Delta generated columns): ingest never
+    supplies ``day`` — the write computes it — and any filter on ``ts``
+    derives a partition filter on ``day`` automatically."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = hashlib.md5(
+        (_corpus_fingerprint(sf_dir) + "|generated=day").encode()
+    ).hexdigest()[:10]
+    loc = os.path.join(_scratch_root(), f"gen_tbl_{h}")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("day", DateType()),
+        ]
+    )
+    table = ManagedTable(
+        spark,
+        f"events_gen_{h}",
+        loc,
+        schema=schema,
+        partition_columns=["day"],
+    )
+    if table.current_version() < 0:
+        try:
+            table.set_generated_column("day", "CAST(ts AS DATE)")
+            events = load(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            table.overwrite(events)
+        except ConcurrentWriteError:
+            pass  # concurrent builder won; same deterministic content
+    return table
+
+
+def table_generated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 3-day event-time slice through ``scan`` on the generated-
+    day-partitioned events table: the ``ts BETWEEN`` filter alone
+    derives ``day BETWEEN`` and prunes to ~3/30 partitions
+    (tests/test_generated_columns.py asserts the file-count drop even
+    with source stats stripped); the oracle pins value equality against
+    the raw parquet — derivation may only remove I/O, never rows."""
+    import datetime as _dt
+
+    table = _generated_table(spark, sf_dir)
+    lo = _dt.datetime.fromisoformat(_TS_LO)
+    hi = _dt.datetime.fromisoformat(_TS_HI)
+    return table.scan([("ts", "between", lo, hi)]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def table_generated_scan_oracle() -> str:
+    return f"""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE ts BETWEEN TIMESTAMP '{_TS_LO}' AND TIMESTAMP '{_TS_HI}'
+    """

@@ -237,6 +237,17 @@ class ManagedTableReader(DataSourceReader):
         triples = [
             (renames.get(t[0], t[0]), *t[1:]) for t in self.triples
         ]
+        # generated columns: a pushed filter on a generation SOURCE
+        # implies one on the generated (partition) column — the Delta
+        # optimization where `WHERE ts …` partition-prunes a
+        # `d = CAST(ts AS DATE)` layout through plain SQL
+        generated = tbl._read_generated(v)
+        if generated:
+            from .tables import _derived_generated_triples
+
+            triples = triples + _derived_generated_triples(
+                triples, generated
+            )
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         total = 0

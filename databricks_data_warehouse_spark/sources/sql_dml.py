@@ -370,11 +370,45 @@ class SqlSession:
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE statement: {stmt!r}")
         if_not_exists, name, coldefs, parts, loc = m.groups()
-        schema = _parse_datatype_string(coldefs)
-        return self._create_table(if_not_exists, name, schema, parts, loc)
+        # Delta generated columns: `d DATE GENERATED ALWAYS AS (expr)`
+        # — extract the clause (the datatype parser doesn't know it),
+        # declare via set_generated_column before creation
+        generated: dict[str, str] = {}
+        identity: dict[str, tuple[int, int]] = {}
+        clean: list[str] = []
+        for piece in _split_top_level(coldefs):
+            im = re.match(
+                r"^\s*(\S+\s+.+?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY"
+                r"\s*(?:\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+"
+                r"(-?\d+)\s*\))?\s*$",
+                piece,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if im:
+                clean.append(im.group(1))
+                identity[piece.split()[0].strip("`")] = (
+                    int(im.group(2) or 1), int(im.group(3) or 1),
+                )
+                continue
+            gm = re.match(
+                r"^\s*(\S+\s+.+?)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*$",
+                piece,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if gm:
+                clean.append(gm.group(1))
+                generated[piece.split()[0].strip("`")] = gm.group(2).strip()
+            else:
+                clean.append(piece)
+        schema = _parse_datatype_string(", ".join(clean))
+        return self._create_table(
+            if_not_exists, name, schema, parts, loc, generated=generated,
+            identity=identity,
+        )
 
     def _create_table(
-        self, if_not_exists, name, schema, parts, loc, data=None
+        self, if_not_exists, name, schema, parts, loc, data=None,
+        generated=None, identity=None,
     ) -> DataFrame:
         part_cols = (
             [c.strip() for c in parts.split(",") if c.strip()]
@@ -417,6 +451,12 @@ class SqlSession:
                 "(use IF NOT EXISTS)"
             )
         existed = t.exists()
+        if generated and not existed:
+            for c, e in generated.items():
+                t.set_generated_column(c, e)
+        if identity and not existed:
+            for c, (start, step) in identity.items():
+                t.set_identity_column(c, start=start, step=step)
         t.create_if_not_exists(schema)
         self.register(t)
         if data is not None and not existed:
@@ -475,13 +515,23 @@ class SqlSession:
         df = self.spark.sql(body)
         cols = [f.name for f in t.schema.fields] if t.schema else df.columns
         if df.columns != cols:
-            if len(df.columns) != len(cols):
+            non_gen = [
+                c for c in cols
+                if c not in (t.generated or {})
+                and c not in (t.identity or {})
+            ]
+            if len(df.columns) == len(cols):
+                # SQL INSERT matches by POSITION (VALUES have no names)
+                df = df.toDF(*cols)
+            elif len(df.columns) == len(non_gen):
+                # generated columns may be omitted — append() computes
+                # them from their expressions (Delta INSERT behavior)
+                df = df.toDF(*non_gen)
+            else:
                 raise ValueError(
                     f"INSERT INTO {t.name}: query produces {len(df.columns)} "
                     f"columns, table has {len(cols)}"
                 )
-            # SQL INSERT matches by POSITION (VALUES tuples have no names)
-            df = df.toDF(*cols)
         return self._metrics("INSERT", t, t.append(df))
 
     def _alter(self, stmt: str) -> DataFrame:

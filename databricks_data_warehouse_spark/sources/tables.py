@@ -178,6 +178,138 @@ def _comparable(a, b) -> bool:
     )
 
 
+# Generated columns (Delta `GENERATED ALWAYS AS`): the derivable
+# expression shapes — monotonic non-decreasing functions of one source
+# column, the property that makes range/equality filters on the SOURCE
+# translate soundly into filters on the GENERATED (usually partition)
+# column. Delta's optimizer recognizes the same family; month()/
+# dayofmonth() alone are NOT monotonic and are compute-only.
+_GEN_SHAPES = [
+    (re.compile(r"^CAST\s*\(\s*(\w+)\s+AS\s+DATE\s*\)$", re.I),
+     lambda m: ("to_date", None, m.group(1))),
+    (re.compile(r"^to_date\s*\(\s*(\w+)\s*\)$", re.I),
+     lambda m: ("to_date", None, m.group(1))),
+    (re.compile(
+        r"^date_trunc\s*\(\s*'(year|month|week|day|hour)'\s*,\s*(\w+)\s*\)$",
+        re.I),
+     lambda m: ("date_trunc", m.group(1).lower(), m.group(2))),
+    (re.compile(r"^year\s*\(\s*(\w+)\s*\)$", re.I),
+     lambda m: ("year", None, m.group(1))),
+    (re.compile(r"^substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)$",
+                re.I),
+     lambda m: ("substr", int(m.group(2)), m.group(1))),
+]
+
+
+def _parse_generation_expr(expr: str):
+    """(fn, arg, src) for a derivable generation expression, or None
+    for a recognized-as-opaque one (computed on write, enforced on
+    every write, but never used for pruning)."""
+    e = expr.strip()
+    for rx, mk in _GEN_SHAPES:
+        m = rx.match(e)
+        if m:
+            return mk(m)
+    return None
+
+
+def _gen_apply(fn: str, arg, v):
+    """The generation function applied to a FILTER LITERAL, in Python,
+    with exactly Spark's semantics for the supported shapes. Returns
+    None when the literal's type doesn't fit — the derivation is then
+    skipped (sound)."""
+    if v is None:
+        return None
+    if isinstance(v, str) and fn in ("to_date", "year", "date_trunc"):
+        # the pushdown reader hands timestamp literals as ISO strings
+        # (possibly tz-aware); parse to the datetime the shapes expect
+        try:
+            v = datetime.datetime.fromisoformat(v.replace(" ", "T"))
+        except ValueError:
+            return None
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    if fn == "to_date":
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        if isinstance(v, datetime.date):
+            return v
+        return None
+    if fn == "year":
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.year
+        return None
+    if fn == "date_trunc":
+        if isinstance(v, datetime.date) and not isinstance(
+            v, datetime.datetime
+        ):
+            v = datetime.datetime(v.year, v.month, v.day)
+        if not isinstance(v, datetime.datetime):
+            return None
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        day0 = v.replace(hour=0, minute=0, second=0, microsecond=0)
+        if arg == "year":
+            return day0.replace(month=1, day=1)
+        if arg == "month":
+            return day0.replace(day=1)
+        if arg == "week":  # Spark: preceding Monday
+            return day0 - datetime.timedelta(days=v.weekday())
+        if arg == "day":
+            return day0
+        if arg == "hour":
+            return v.replace(minute=0, second=0, microsecond=0)
+        return None
+    if fn == "substr":
+        return v[: int(arg)] if isinstance(v, str) else None
+    return None
+
+
+def _derived_generated_triples(
+    filters: Sequence[tuple], generated: Mapping[str, dict]
+) -> list[tuple]:
+    """Extra filter triples on generated columns implied by filters on
+    their SOURCE columns — e.g. ``ts BETWEEN a AND b`` on a table
+    partitioned by ``d = CAST(ts AS DATE)`` implies ``d BETWEEN
+    date(a) AND date(b)``, which the stats pruner turns into partition
+    pruning. Sound because every supported shape is monotonic
+    non-decreasing and null-propagating."""
+    by_src: dict[str, list[tuple[str, dict]]] = {}
+    for g, spec in generated.items():
+        if spec.get("fn"):
+            by_src.setdefault(spec["src"], []).append((g, spec))
+    if not by_src:
+        return []
+    out: list[tuple] = []
+    for t in filters:
+        col, op = t[0], t[1]
+        for g, spec in by_src.get(col, ()):
+            fn, arg = spec["fn"], spec.get("arg")
+            if op in ("=", "=="):
+                m = _gen_apply(fn, arg, t[2])
+                if m is not None:
+                    out.append((g, "=", m))
+            elif op in ("<", "<="):
+                m = _gen_apply(fn, arg, t[2])
+                if m is not None:
+                    out.append((g, "<=", m))
+            elif op in (">", ">="):
+                m = _gen_apply(fn, arg, t[2])
+                if m is not None:
+                    out.append((g, ">=", m))
+            elif op == "between":
+                lo, hi = _gen_apply(fn, arg, t[2]), _gen_apply(fn, arg, t[3])
+                if lo is not None and hi is not None:
+                    out.append((g, "between", lo, hi))
+            elif op == "in":
+                ms = [_gen_apply(fn, arg, v) for v in t[2]]
+                if ms and all(m is not None for m in ms):
+                    out.append((g, "in", ms))
+            elif op in ("is_null", "is_not_null"):
+                out.append((g, op))
+    return out
+
+
 _APPEND_SUFFIX_RE = re.compile(r"@data/w=\d+-[0-9a-f]{8}$")
 
 
@@ -292,6 +424,21 @@ class ManagedTable:
         # versioned in the manifest like constraints/renames.
         self.bloom: dict[str, dict] = (
             self._read_bloom(v0) if v0 >= 0 else {}
+        )
+        # Generated columns (Delta GENERATED ALWAYS AS): col ->
+        # {expr, fn, arg, src}. Declared BEFORE creation only (a
+        # generation expression set over pre-existing data could not
+        # soundly drive pruning), carried in every manifest.
+        self.generated: dict[str, dict] = (
+            self._read_generated(v0) if v0 >= 0 else {}
+        )
+        # Identity columns (Delta GENERATED ALWAYS AS IDENTITY): col ->
+        # {start, step, next}. `next` is the transactional high
+        # watermark — bumped atomically WITH the data commit that
+        # consumed the ids, so two racing writers can never hand out
+        # the same id (the loser's stale base fails the claim check).
+        self.identity: dict[str, dict] = (
+            self._read_identity(v0) if v0 >= 0 else {}
         )
 
     # ------------------------------------------------------------------ meta
@@ -505,6 +652,139 @@ class ManagedTable:
                 self.bloom[phys] = dropped
                 raise
 
+    def _read_generated(self, version: int) -> dict[str, dict]:
+        """Generated-column specs committed WITH a version (manifest
+        key ``generated``); pre-feature manifests return the empty
+        map."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {c: dict(v) for c, v in m.get("generated", {}).items()}
+
+    def set_generated_column(self, column: str, expr: str) -> None:
+        """Delta ``col GENERATED ALWAYS AS (expr)``: the column is
+        computed from ``expr`` on every ingest when absent, and every
+        write that DOES supply it is validated against ``expr`` in the
+        same columnar pass as CHECK constraints (a mismatching batch
+        aborts, Delta's rule). When ``expr`` is one of the derivable
+        monotonic shapes (CAST AS DATE / to_date / date_trunc / year /
+        substring-prefix), filters on the SOURCE column automatically
+        imply filters on this column — the Delta optimization where
+        ``WHERE ts BETWEEN …`` partition-prunes a table partitioned by
+        ``d = CAST(ts AS DATE)`` without the query ever naming ``d``.
+
+        Declare-before-create only: a generation expression bolted onto
+        existing data could be violated by already-committed rows,
+        which would make the derived pruning silently wrong."""
+        if self.current_version() >= 0:
+            raise ValueError(
+                f"table {self.name}: generated columns must be declared "
+                "before the table is created (existing rows cannot be "
+                "proven to satisfy the expression)"
+            )
+        parsed = _parse_generation_expr(expr)
+        spec: dict = {"expr": expr.strip()}
+        if parsed is not None:
+            fn, arg, src = parsed
+            if self.schema is not None:
+                names = {f.name for f in self.schema.fields}
+                if src not in names:
+                    raise ValueError(
+                        f"table {self.name}: generation source {src!r} "
+                        "not in schema"
+                    )
+            spec.update({"fn": fn, "arg": arg, "src": src})
+        self.generated[column] = spec
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        """Compute any generated columns the incoming batch omitted
+        (Delta computes them on write the same way)."""
+        for g, spec in self.generated.items():
+            if g not in df.columns:
+                df = df.withColumn(g, F.expr(spec["expr"]))
+        return df
+
+    def _read_identity(self, version: int) -> dict[str, dict]:
+        """Identity-column specs + high watermarks committed WITH a
+        version (manifest key ``identity``)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {c: dict(v) for c, v in m.get("identity", {}).items()}
+
+    def set_identity_column(
+        self, column: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Delta ``col BIGINT GENERATED ALWAYS AS IDENTITY (START WITH
+        s INCREMENT BY t)``: every ingest that omits the column gets
+        fresh, never-reused ids. Assignment is the scalable two-phase
+        shape (per-partition counts → driver prefix sum → offset +
+        local row number — no global window, no single-partition
+        collapse), and the high watermark advances atomically with the
+        commit: a writer racing on the same base watermark fails its
+        claim and retries with fresh ids, exactly Delta's identity
+        conflict rule. Ids are unique and monotonic per commit, NOT
+        gap-free across aborted transactions — the same contract every
+        transactional identity column has. Declare before creation."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        if self.current_version() >= 0:
+            raise ValueError(
+                f"table {self.name}: identity columns must be declared "
+                "before the table is created"
+            )
+        self.identity[column] = {
+            "start": int(start), "step": int(step), "next": int(start),
+        }
+
+    def _assign_identity(self, df: DataFrame):
+        """(df with identity columns assigned, claim) — claim maps each
+        column to ``(base_watermark, rows_consumed)`` and MUST be handed
+        to ``_stage_and_commit`` so the bump commits atomically with the
+        data (and a stale base is detected)."""
+        if not self.identity:
+            return df, None
+        present = sorted(c for c in self.identity if c in df.columns)
+        if present:
+            raise ValueError(
+                f"table {self.name}: identity column(s) {present} are "
+                "GENERATED ALWAYS — the insert must not supply them"
+            )
+        from pyspark.sql import Window
+
+        pid_df = df.withColumn("__pid", F.spark_partition_id())
+        counts = {
+            r["__pid"]: r["count"]
+            for r in pid_df.groupBy("__pid").count().collect()
+        }
+        offsets, acc = [], 0
+        for pid in sorted(counts):
+            offsets.append((pid, acc))
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            offsets or [(0, 0)], "__pid int, __off long"
+        )
+        w = Window.partitionBy("__pid").orderBy(
+            F.monotonically_increasing_id()
+        )
+        out = pid_df.withColumn("__rn", F.row_number().over(w) - 1).join(
+            F.broadcast(off_df), "__pid", "left"
+        )
+        claim = {}
+        for c, spec in self.identity.items():
+            out = out.withColumn(
+                c,
+                F.lit(int(spec["next"]))
+                + F.lit(int(spec["step"]))
+                * (F.coalesce(F.col("__off"), F.lit(0)) + F.col("__rn")),
+            )
+            claim[c] = (int(spec["next"]), acc)
+        return out.drop("__pid", "__rn", "__off"), claim
+
     def _read_renames(self, version: int) -> dict[str, str]:
         """The column-mapping set committed WITH a version (manifest
         key ``renames``); manifests written before column mapping
@@ -561,8 +841,16 @@ class ManagedTable:
         columnar pass over the staged files (footer-pruned scan of just
         this batch, never the table); raise before the commit if any
         row violates — the transaction aborts with no version written,
-        exactly Delta's write-time enforcement."""
-        if not self.constraints:
+        exactly Delta's write-time enforcement. Generated columns are
+        validated in the SAME pass: a batch that supplied its own value
+        for a generated column must match the expression row-for-row
+        (``<=>`` so null source rows pass against null generated
+        values), or the transaction aborts — Delta's rule, and the
+        invariant the derived-filter pruning relies on."""
+        checks = dict(self.constraints)
+        for g, spec in self.generated.items():
+            checks[f"generated column {g}"] = f"`{g}` <=> ({spec['expr']})"
+        if not checks:
             return
         has_files = any(
             fn.endswith(".parquet")
@@ -577,10 +865,10 @@ class ManagedTable:
             # staged files carry PHYSICAL names; constraint expressions
             # reference logical ones
             staged = staged.select(self._logical_select())
-        names = sorted(self.constraints)
+        names = sorted(checks)
         flags = [
             F.sum(
-                (~F.coalesce(F.expr(self.constraints[n]), F.lit(True)))
+                (~F.coalesce(F.expr(checks[n]), F.lit(True)))
                 .cast("long")
             ).alias(n)
             for n in names
@@ -590,7 +878,7 @@ class ManagedTable:
         if bad:
             shutil.rmtree(write_dir, ignore_errors=True)
             detail = ", ".join(
-                f"{n!r} ({self.constraints[n]}): {c} rows" for n, c in bad.items()
+                f"{n!r} ({checks[n]}): {c} rows" for n, c in bad.items()
             )
             raise ValueError(
                 f"table {self.name}: write violates CHECK constraint(s) "
@@ -691,6 +979,16 @@ class ManagedTable:
                         # bloom index config is table metadata too
                         "bloom": {
                             c: dict(v) for c, v in self.bloom.items()
+                        },
+                        # generated-column specs are creation-fixed
+                        # metadata, repeated in every manifest
+                        "generated": {
+                            c: dict(v) for c, v in self.generated.items()
+                        },
+                        # identity high watermarks travel with every
+                        # version (bumped only by consuming commits)
+                        "identity": {
+                            c: dict(v) for c, v in self.identity.items()
                         },
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
@@ -969,6 +1267,42 @@ class ManagedTable:
         rec(write_dir, write_rel, [])
         return staged
 
+    def _partition_stat(self, typ: str, raw: str | None, rows: int):
+        """``[min, max, nulls]`` stats entry for one hive partition
+        value, encoded EXACTLY as ``_stat_scalar`` encodes the matching
+        filter literal (date → ISO + 'T00:00:00.000000', timestamp →
+        isoformat(microseconds), bool → int) — a raw path string would
+        compare in the wrong space and wrongly prove emptiness (the
+        ADVICE r07 datasource bug, kept fixed here by construction).
+        Returns None for an unparseable value: un-indexed, never
+        wrongly skipped."""
+        if raw is None:  # __HIVE_DEFAULT_PARTITION__: every row null
+            return [None, None, rows]
+        try:
+            if typ in ("tinyint", "smallint", "int", "bigint"):
+                return [int(raw), int(raw), 0]
+            if typ in ("float", "double"):
+                return [float(raw), float(raw), 0]
+            if typ == "boolean":
+                low = raw.lower()
+                if low not in ("true", "false"):
+                    return None
+                v = int(low == "true")
+                return [v, v, 0]
+            if typ == "date":
+                v = datetime.date.fromisoformat(raw)
+                s = _stat_scalar(v)
+                return [s, s, 0]
+            if typ.startswith("timestamp"):
+                t = datetime.datetime.fromisoformat(raw.replace(" ", "T"))
+                s = _stat_scalar(t)
+                return [s, s, 0]
+            if typ == "string":
+                return [raw, raw, 0]
+        except ValueError:
+            return None
+        return None
+
     def _collect_file_stats(self, write_dir: str) -> dict[str, dict]:
         """Harvest per-file column min/max/null-count from the parquet
         FOOTERS of a staged write — no data pages are read, which is
@@ -976,6 +1310,15 @@ class ManagedTable:
         reads are driver-local metadata I/O, O(files in the batch), not
         O(table); an object-store deployment would parallelize the
         listing but the cost model is the same.
+
+        Hive PARTITION values are injected as min=max entries per file
+        (Delta records partitionValues on every add-file the same way):
+        a partition-column filter then prunes through the ordinary
+        stats path — on ``scan``, the distributed checkpoint job, AND
+        the SQL pushdown reader — instead of only the pushdown reader's
+        path-recovery special case. At 100 TB this is the difference
+        between a partition-scoped ``scan`` touching one leaf dir and
+        touching every file in the table.
 
         Truncated string bounds (parquet-mr caps binary stats and bumps
         the last byte of a truncated max) remain valid BOUNDS, so
@@ -990,8 +1333,18 @@ class ManagedTable:
             f.name
             for f in (self.schema.fields if self.schema else [])[:_STATS_MAX_COLS]
         }
+        ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in (self.schema.fields if self.schema else [])
+            if f.name in self.partition_columns
+        }
         out: dict[str, dict] = {}
         for dirpath, _dirs, files in os.walk(write_dir):
+            pvals: dict[str, str | None] = {}
+            for piece in os.path.relpath(dirpath, write_dir).split(os.sep):
+                if "=" in piece and not piece.startswith(("_", ".")):
+                    k, raw = piece.split("=", 1)
+                    pvals[k] = None if raw == _HIVE_NULL else unquote(raw)
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
@@ -1038,6 +1391,14 @@ class ManagedTable:
                             ]
                 for name in dead:
                     cols.pop(name, None)
+                for k, raw in pvals.items():
+                    if k in cols or (ptypes and k not in ptypes):
+                        continue
+                    ent = self._partition_stat(
+                        ptypes.get(k, "string"), raw, md.num_rows
+                    )
+                    if ent is not None:
+                        cols[k] = ent
                 out[rel] = {"rows": md.num_rows, "cols": cols}
         return out
 
@@ -1050,6 +1411,7 @@ class ManagedTable:
         txn: tuple[str, int] | None = None,
         op: str = "WRITE",
         append_only: bool = False,
+        identity_claim: Mapping[str, tuple[int, int]] | None = None,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -1075,6 +1437,22 @@ class ManagedTable:
             # and for the bloom config: index exactly the columns the
             # base version declares
             self.bloom = self._read_bloom(v_new - 1)
+            self.generated = self._read_generated(v_new - 1)
+            self.identity = self._read_identity(v_new - 1)
+        if identity_claim:
+            # ids were minted against a base watermark; if another
+            # writer consumed ids since, this batch's ids may collide —
+            # fail BEFORE staging so the caller re-assigns and retries
+            # (Delta's identity high-watermark conflict rule)
+            for c, (base_next, used) in identity_claim.items():
+                spec = self.identity.get(c)
+                if spec is None or int(spec["next"]) != int(base_next):
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: identity column {c!r} "
+                        "watermark moved under this transaction; re-run "
+                        "the write to mint fresh ids"
+                    )
+                spec["next"] = int(base_next) + int(spec["step"]) * int(used)
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
         # share a directory — the loser's cleanup would otherwise
@@ -1192,8 +1570,13 @@ class ManagedTable:
         return v_new
 
     def overwrite(self, df: DataFrame, op: str = "WRITE") -> int:
+        df = self._apply_generated(df)
+        df, id_claim = self._assign_identity(df)
         cols = [f.name for f in (self.schema or df.schema).fields]
-        return self._stage_and_commit(df.select(*cols), replace_all=True, op=op)
+        return self._stage_and_commit(
+            df.select(*cols), replace_all=True, op=op,
+            identity_claim=id_claim,
+        )
 
     def append(self, df: DataFrame, op: str = "APPEND") -> int:
         """Plain ``INSERT INTO`` / mode("append") parity: the staged
@@ -1204,9 +1587,12 @@ class ManagedTable:
         key and drops all of a partition's appended entries at once."""
         if self.current_version() < 0:
             return self.overwrite(df, op=op)
+        df = self._apply_generated(df)
+        df, id_claim = self._assign_identity(df)
         cols = [f.name for f in (self.schema or df.schema).fields]
         return self._stage_and_commit(
-            df.select(*cols), replace_all=False, append_only=True, op=op
+            df.select(*cols), replace_all=False, append_only=True, op=op,
+            identity_claim=id_claim,
         )
 
     # ----------------------------------------------------- data skipping
@@ -1914,6 +2300,13 @@ class ManagedTable:
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
         filters = self._phys_triples(filters)  # stats live in physical space
+        if self.generated:
+            # filters on a generation SOURCE imply filters on the
+            # generated (partition) column — free partition pruning for
+            # `WHERE ts …` over a `d = CAST(ts AS DATE)` layout
+            filters = list(filters) + _derived_generated_triples(
+                filters, self.generated
+            )
         entries = self._read_manifest(v)
         stats = self._read_stats(v)
         if len(stats) >= self.distributed_prune_threshold:
@@ -2452,6 +2845,16 @@ class ManagedTable:
                     f"table {self.name}: column {old!r} is referenced by "
                     f"CHECK constraint {cname!r} ({expr}) — drop it first"
                 )
+        for g, spec in (self.generated or {}).items():
+            if old == g or _re.search(
+                rf"\b{_re.escape(old)}\b", spec["expr"]
+            ):
+                # the stored generation expression (and its derived
+                # pruning) would dangle — Delta errors likewise
+                raise ValueError(
+                    f"table {self.name}: column {old!r} is part of "
+                    f"generated column {g!r} ({spec['expr']})"
+                )
         physical = self.renames.pop(old, old)
         if physical != new:
             self.renames[new] = physical
@@ -2556,6 +2959,10 @@ class ManagedTable:
         # (Delta RESTORE restores table metadata, constraints included)
         self.constraints = self._read_constraints(version)
         self.bloom = self._read_bloom(version)
+        # identity watermark moves FORWARD through a restore — ids the
+        # rolled-back versions consumed are never re-minted (Delta
+        # keeps the identity high watermark monotonic the same way)
+        self.identity = self._read_identity(v_new - 1)
         # txn watermarks move forward even through a restore — an
         # additive sink must not re-apply batches the rolled-back
         # versions had consumed. The restored snapshot's DV set comes
@@ -2608,6 +3015,8 @@ class ManagedTable:
         # using the SOURCE's sidecar bitmaps through the absolute write
         # roots (same zero-copy rule as the data files)
         out.bloom = {c: dict(s) for c, s in self.bloom.items()}
+        out.generated = {c: dict(s) for c, s in self.generated.items()}
+        out.identity = {c: dict(s) for c, s in self.identity.items()}
         out._save_schema()
         # active deletion vectors travel with the clone: dv ROWS are
         # rewritten with the absolute file keys the clone reads under

@@ -1,0 +1,226 @@
+"""Generated columns (Delta `GENERATED ALWAYS AS`): computed on write,
+validated on every write, and — for the monotonic shapes — filters on
+the SOURCE column derive filters on the generated (partition) column,
+so `WHERE ts …` partition-prunes a `d = CAST(ts AS DATE)` layout
+without the query naming `d`."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import (
+    ManagedTable,
+    _derived_generated_triples,
+    _gen_apply,
+    _parse_generation_expr,
+)
+
+_TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, n=3000):
+    return spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(mins=(F.col("id") * 15).cast("int"))
+        ).alias("ts"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+
+
+@pytest.fixture()
+def day_table(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("v", DoubleType()),
+            StructField("day", DateType()),
+        ]
+    )
+    t = ManagedTable(
+        spark,
+        "genday",
+        str(tmp_path / "genday"),
+        schema=schema,
+        partition_columns=["day"],
+    )
+    t.set_generated_column("day", "CAST(ts AS DATE)")
+    t.overwrite(_events(spark))  # 'day' omitted: computed on write
+    return t
+
+
+def test_parse_shapes():
+    assert _parse_generation_expr("CAST(ts AS DATE)") == ("to_date", None, "ts")
+    assert _parse_generation_expr("to_date(ts)") == ("to_date", None, "ts")
+    assert _parse_generation_expr("date_trunc('month', ts)") == (
+        "date_trunc", "month", "ts",
+    )
+    assert _parse_generation_expr("year(ts)") == ("year", None, "ts")
+    assert _parse_generation_expr("substring(s, 1, 4)") == ("substr", 4, "s")
+    assert _parse_generation_expr("month(ts)") is None  # not monotonic
+    assert _parse_generation_expr("a + b") is None
+
+
+def test_gen_apply_semantics():
+    ts = datetime.datetime(2024, 3, 7, 15, 44, 9, 123)
+    assert _gen_apply("to_date", None, ts) == datetime.date(2024, 3, 7)
+    assert _gen_apply("year", None, ts) == 2024
+    assert _gen_apply("date_trunc", "month", ts) == datetime.datetime(2024, 3, 1)
+    # 2024-03-07 is a Thursday; Spark weeks start Monday
+    assert _gen_apply("date_trunc", "week", ts) == datetime.datetime(2024, 3, 4)
+    assert _gen_apply("date_trunc", "hour", ts) == datetime.datetime(
+        2024, 3, 7, 15
+    )
+    assert _gen_apply("substr", 3, "abcdef") == "abc"
+    # pushdown string literals (tz-aware ISO) parse too
+    assert _gen_apply("to_date", None, "2024-01-30 00:00:00+00:00") == (
+        datetime.date(2024, 1, 30)
+    )
+    assert _gen_apply("to_date", None, 42) is None
+
+
+def test_derivation_triples():
+    gen = {"day": {"expr": "CAST(ts AS DATE)", "fn": "to_date",
+                   "arg": None, "src": "ts"}}
+    lo = datetime.datetime(2024, 1, 10, 5, 0)
+    hi = datetime.datetime(2024, 1, 12, 23, 59)
+    got = _derived_generated_triples([("ts", "between", lo, hi)], gen)
+    assert got == [
+        ("day", "between", datetime.date(2024, 1, 10),
+         datetime.date(2024, 1, 12))
+    ]
+    got2 = _derived_generated_triples([("ts", "<", lo)], gen)
+    assert got2 == [("day", "<=", datetime.date(2024, 1, 10))]
+    assert _derived_generated_triples([("other", "=", 1)], gen) == []
+
+
+def test_computed_on_write_and_correct(day_table):
+    bad = day_table.read().filter(
+        ~F.col("day").eqNullSafe(F.col("ts").cast("date"))
+    ).count()
+    assert bad == 0
+    assert day_table.read().count() == 3000
+
+
+def test_source_filter_partition_prunes(day_table):
+    lo = datetime.datetime(2024, 1, 10)
+    hi = datetime.datetime(2024, 1, 12, 23, 59, 59)
+    rep = day_table.skipping_report([("ts", "between", lo, hi)])
+    assert rep["files_kept"] < rep["files_total"] / 4
+    got = day_table.scan([("ts", "between", lo, hi)]).count()
+    want = day_table.read().filter(F.col("ts").between(lo, hi)).count()
+    assert got == want > 0
+
+
+def test_derivation_prunes_even_without_source_stats(day_table):
+    """The mechanism itself, isolated: strip the source column's footer
+    stats from the manifest (simulating an unindexable source type) —
+    the derived day-triple must still partition-prune."""
+    v = day_table.current_version()
+    path = day_table._manifest_path(v)
+    with open(path) as f:
+        m = json.load(f)
+    for st in m["stats"].values():
+        st["cols"].pop("ts", None)
+    os.remove(path)
+    with open(path, "w") as f:
+        json.dump(m, f)
+    lo = datetime.datetime(2024, 1, 30)
+    rep = day_table.skipping_report([("ts", ">=", lo)])
+    assert rep["files_kept"] < rep["files_total"] / 4
+    got = day_table.scan([("ts", ">=", lo)]).count()
+    assert got == day_table.read().filter(F.col("ts") >= lo).count() > 0
+
+
+def test_wrong_supplied_value_aborts(day_table, spark):
+    v0 = day_table.current_version()
+    bad = _events(spark, 10).withColumn(
+        "day", F.lit(datetime.date(1999, 1, 1))
+    )
+    with pytest.raises(ValueError, match="generated column day"):
+        day_table.append(bad)
+    assert day_table.current_version() == v0
+    assert day_table.read().count() == 3000
+
+
+def test_append_computes_and_prunes(day_table, spark):
+    extra = spark.range(0, 100).select(
+        (F.col("id") + 10_000).alias("event_id"),
+        F.lit("2024-03-05 12:00:00").cast("timestamp").alias("ts"),
+        F.lit(0.0).alias("v"),
+    )
+    day_table.append(extra)
+    rep = day_table.skipping_report(
+        [("ts", ">=", datetime.datetime(2024, 3, 1))]
+    )
+    assert rep["rows_kept_bound"] == 100
+    assert day_table.scan(
+        [("ts", ">=", datetime.datetime(2024, 3, 1))]
+    ).count() == 100
+
+
+def test_rename_blocked_for_generated_and_source(day_table):
+    with pytest.raises(ValueError, match="generated column"):
+        day_table.rename_column("ts", "event_time")
+    # 'day' is also a partition column; either guard firing is fine
+    with pytest.raises(ValueError):
+        day_table.rename_column("day", "d2")
+
+
+def test_declare_after_create_rejected(spark, tmp_path):
+    t = ManagedTable(spark, "late_gen", str(tmp_path / "late_gen"))
+    t.overwrite(_events(spark, 50))
+    with pytest.raises(ValueError, match="before the table is created"):
+        t.set_generated_column("day", "CAST(ts AS DATE)")
+
+
+def test_pushdown_sql_where_partition_prunes(day_table, spark):
+    day_table.create_view("genday_v")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM genday_v "
+        "WHERE ts >= TIMESTAMP '2024-01-30 00:00:00'"
+    ).collect()[0].n
+    assert n == day_table.read().filter(
+        F.col("ts") >= datetime.datetime(2024, 1, 30)
+    ).count()
+    rep = day_table.last_pushdown_report()
+    assert rep["files_kept"] < rep["files_total"] / 4
+
+
+def test_sql_create_generated_and_insert(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s = SqlSession(spark, base_location=str(tmp_path))
+    s.sql(
+        "CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP, "
+        "day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) "
+        "PARTITIONED BY (day)"
+    )
+    t = s.table("ev")
+    assert "day" in t.generated
+    # INSERT omitting the generated column: computed automatically
+    s.sql(
+        "INSERT INTO ev VALUES "
+        "(1, TIMESTAMP '2024-05-01 10:00:00'), "
+        "(2, TIMESTAMP '2024-05-02 11:00:00')"
+    )
+    rows = sorted(
+        (r.event_id, str(r.day)) for r in s.sql("SELECT * FROM ev").collect()
+    )
+    assert rows == [(1, "2024-05-01"), (2, "2024-05-02")]

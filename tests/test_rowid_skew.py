@@ -8,7 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from databricks_data_warehouse_spark.ext.rowid import assign_row_ids
-from databricks_data_warehouse_spark.ext.skew import salted_join
+from databricks_data_warehouse_spark.functions.skew import salted_join
 
 
 @pytest.fixture()
@@ -106,7 +106,7 @@ def test_salted_left_keeps_unmatched(skewed, dim):
 
 
 def test_salt_spreads_hot_key(skewed, dim):
-    got = salted_join(skewed, dim, ["key"], salt_expr=F.col("rid"), salts=8)
+    got = salted_join(skewed, dim, ["key"], salt_expr=F.col("rid"), n_salts=8)
     # reconstruct the salt the operator assigned: 1800 'hot' rows must
     # not all share one value
     salts = (

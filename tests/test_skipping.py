@@ -409,3 +409,78 @@ def test_metadata_aggregate_matches_scan(spark, tmp_path):
     t2 = ManagedTable(spark, t.name, t.location)
     with pytest.raises(ValueError, match="metadata aggregate unavailable"):
         t2.metadata_aggregate("id")
+
+
+# ---------------------------------------------------------------------------
+# Partition values as per-file stats: a partition-column filter must
+# prune on the plain `scan` path (not only the SQL pushdown reader),
+# with the date/timestamp encoding matching the filter literal's.
+# ---------------------------------------------------------------------------
+
+
+def test_partition_filter_prunes_on_scan(spark, tmp_path):
+    df = _base_df(spark, n=3000).withColumn("y", (F.col("id") % 3).cast("int"))
+    t = _mk(spark, tmp_path, "part_scan", partition_columns=["y"])
+    t.overwrite(df)
+    rep = t.skipping_report([("y", "=", 1)])
+    assert rep["files_kept"] < rep["files_total"]
+    assert rep["rows_kept_bound"] == 1000
+    _assert_scan_equals_filter(t, df, [("y", "=", 1)], F.col("y") == 1)
+    # range op on the partition column prunes too
+    rep2 = t.skipping_report([("y", ">=", 2)])
+    assert rep2["rows_kept_bound"] == 1000
+    _assert_scan_equals_filter(t, df, [("y", ">=", 2)], F.col("y") >= 2)
+
+
+def test_date_partition_filter_prunes_on_scan(spark, tmp_path):
+    df = _base_df(spark, n=900).withColumn(
+        "pd",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int")
+        ),
+    )
+    t = _mk(spark, tmp_path, "part_date", partition_columns=["pd"])
+    t.overwrite(df)
+    probe = datetime.date(2024, 1, 2)
+    rep = t.skipping_report([("pd", "=", probe)])
+    assert rep["rows_kept_bound"] == 300
+    assert rep["files_kept"] < rep["files_total"]
+    _assert_scan_equals_filter(t, df, [("pd", "=", probe)], F.col("pd") == probe)
+    # between over the date partition
+    _assert_scan_equals_filter(
+        t,
+        df,
+        [("pd", "between", datetime.date(2024, 1, 1), datetime.date(2024, 1, 2))],
+        F.col("pd").between("2024-01-01", "2024-01-02"),
+    )
+
+
+def test_null_partition_prunes_both_ways(spark, tmp_path):
+    df = _base_df(spark, n=700).withColumn(
+        "p", F.when(F.col("id") % 2 == 0, F.lit("even"))
+    )
+    t = _mk(spark, tmp_path, "part_null", partition_columns=["p"])
+    t.overwrite(df)
+    rep_null = t.skipping_report([("p", "is_null")])
+    assert rep_null["files_kept"] < rep_null["files_total"]
+    _assert_scan_equals_filter(t, df, [("p", "is_null")], F.col("p").isNull())
+    rep_nn = t.skipping_report([("p", "=", "even")])
+    assert rep_nn["files_kept"] < rep_nn["files_total"]
+    _assert_scan_equals_filter(t, df, [("p", "=", "even")], F.col("p") == "even")
+
+
+def test_partition_stats_agree_across_prune_paths(spark, tmp_path):
+    df = _base_df(spark, n=1200).withColumn("y", (F.col("id") % 4).cast("int"))
+    drv = _mk(spark, tmp_path, "pp_paths", partition_columns=["y"])
+    drv.overwrite(df)
+    dist = ManagedTable(
+        spark,
+        "pp_paths",
+        str(tmp_path / "pp_paths"),
+        distributed_prune_threshold=1,
+    )
+    for filters in ([("y", "=", 2)], [("y", "in", [0, 3])], [("y", "<", 2)]):
+        a = drv._prune(filters, None)
+        b = dist._prune(filters, None)
+        assert sorted(a[0]) == sorted(b[0])
+        assert a[1:] == b[1:]

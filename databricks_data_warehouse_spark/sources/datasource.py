@@ -248,8 +248,25 @@ class ManagedTableReader(DataSourceReader):
             triples = triples + _derived_generated_triples(
                 triples, generated
             )
+        # bloom-filter index: resolve clause literals to bit positions
+        # with the pure-Python Spark-compatible hash (no SparkSession in
+        # this planning subprocess); kept files are tested against the
+        # sidecar bitmaps after the stats pass, same as scan's pruning
+        bloom_cfg = tbl._read_bloom(v)
+        bloom_clauses = []
+        if bloom_cfg and triples:
+            phys_types = {
+                renames.get(f.name, f.name): f.dataType.simpleString()
+                for f in self.spark_schema.fields
+            }
+            bloom_clauses = ManagedTable._bloom_positions_of(
+                ManagedTable._bloom_clauses(triples, bloom_cfg),
+                bloom_cfg,
+                phys_types,
+            )
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
+        kept_keys: list[str] = []
         total = 0
         for rel_dir in sorted(set(entries.values())):
             pvals = {
@@ -281,6 +298,7 @@ class ManagedTableReader(DataSourceReader):
                             continue
                     # no stats (legacy manifest): keep, never wrongly skip
                     dvd = dv.get(key)
+                    kept_keys.append(key)
                     out.append(
                         _FilePartition(
                             full,
@@ -298,6 +316,19 @@ class ManagedTableReader(DataSourceReader):
                             renames=renames,
                         )
                     )
+        if bloom_clauses and out:
+            from .tables import _write_root
+
+            roots: dict[str, list[str]] = {}
+            for key in kept_keys:
+                roots.setdefault(_write_root(key), []).append(key)
+            dropped = tbl._bloom_test_driver(bloom_clauses, roots)
+            if dropped:
+                out = [
+                    p
+                    for p, key in zip(out, kept_keys)
+                    if key not in dropped
+                ]
         self._write_report(total, len(out))
         return out
 

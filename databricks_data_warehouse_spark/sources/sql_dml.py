@@ -208,6 +208,10 @@ class SqlSession:
             return self._describe_history(stmt)
         if re.match(r"DESCRIBE\s+DETAIL\b", stmt, re.IGNORECASE):
             return self._describe_detail(stmt)
+        if re.match(r"SHOW\s+PARTITIONS\b", stmt, re.IGNORECASE):
+            return self._show_partitions(stmt)
+        if re.match(r"ANALYZE\s+TABLE\b", stmt, re.IGNORECASE):
+            return self._analyze(stmt)
         if re.match(r"SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
             rows = [
                 (n, t.location, t.current_version())
@@ -217,6 +221,72 @@ class SqlSession:
                 rows, "name string, location string, version long"
             )
         return self._query(stmt)
+
+    def _show_partitions(self, stmt: str) -> DataFrame:
+        """``SHOW PARTITIONS t`` — answered from the manifest KEYS
+        (JSON partition-value tuples), zero file I/O at any table size:
+        the same metadata-only listing Delta serves from its log."""
+        import json as _json
+
+        from .tables import _base_key
+
+        m = re.match(
+            rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW PARTITIONS: {stmt!r}")
+        t = self.table(m.group(1))
+        if not t.partition_columns:
+            raise ValueError(
+                f"SHOW PARTITIONS {t.name}: table is not partitioned"
+            )
+        v = t.current_version()
+        keys = (
+            {_base_key(k) for k in t._read_manifest(v)} if v >= 0 else set()
+        )
+        rows = sorted(
+            tuple(_json.loads(k)) for k in keys if k != "[]"
+        )
+        schema = ", ".join(f"`{c}` string" for c in t.partition_columns)
+        return self.spark.createDataFrame(rows, schema)
+
+    def _analyze(self, stmt: str) -> DataFrame:
+        """``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS (c, …)]``
+        — served from the manifest's per-file stats via
+        ``metadata_aggregate``: O(manifest), no data read. Columns whose
+        footer stats are truncation-unsafe (long strings, unindexed
+        types) come back with NULL bounds rather than a wrong answer."""
+        m = re.match(
+            rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+            rf"(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\)|\s+FOR\s+ALL\s+COLUMNS)?"
+            rf"\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ANALYZE TABLE: {stmt!r}")
+        t = self.table(m.group(1))
+        cols = (
+            [c.strip().strip("`") for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else [f.name for f in (t.schema.fields if t.schema else [])]
+        )
+        rows_total = t.metadata_aggregate()["count"]
+        out = []
+        for c in cols:
+            try:
+                agg = t.metadata_aggregate(c)[c]
+                out.append(
+                    (c, str(agg["min"]), str(agg["max"]),
+                     int(agg["null_count"]), rows_total)
+                )
+            except (ValueError, KeyError):
+                out.append((c, None, None, None, rows_total))
+        return self.spark.createDataFrame(
+            out,
+            "column string, min string, max string, null_count long, "
+            "rows long",
+        )
 
     def _bloom_index(self, stmt: str) -> DataFrame:
         """Databricks ``CREATE BLOOMFILTER INDEX ON TABLE t FOR

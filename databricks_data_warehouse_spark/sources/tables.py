@@ -178,6 +178,68 @@ def _comparable(a, b) -> bool:
     )
 
 
+_BLOOM_HASH_TYPES = ("tinyint", "smallint", "int", "bigint", "string",
+                     "date")
+
+
+def _coerce_bloom_literal(v, t: str):
+    """The filter literal as the exact value the indexed column holds,
+    or None when no exact coercion exists (clause becomes untestable —
+    sound). Mirrors what casting the literal to the column type does
+    for the EXACT cases; anything lossy or ambiguous is skipped."""
+    if v is None or isinstance(v, bool):
+        return None
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        if not isinstance(v, int):
+            return None
+        bits = {"tinyint": 7, "smallint": 15, "int": 31, "bigint": 63}[t]
+        return v if -(1 << bits) <= v < (1 << bits) else None
+    if t == "string":
+        return v if isinstance(v, str) else None
+    if t == "date":
+        if isinstance(v, datetime.datetime):
+            return None  # timestamp→date cast is tz-dependent: skip
+        return v if isinstance(v, datetime.date) else None
+    return None
+
+
+def _bloom_positions_py(
+    clauses: list[tuple[str, list]],
+    bloom: Mapping[str, dict],
+    types: Mapping[str, str],
+) -> list[tuple[str, int, int, list[list[int]]]]:
+    """Bit positions per clause literal via the pure-Python Spark-
+    compatible XXH64 (sources/_xxh64.py): position_i =
+    pmod(xxhash64(value, i), m), the same fold the sidecar writer's
+    ``F.xxhash64(col, F.lit(i))`` computed — bit-equality is
+    property-tested, which is what makes this sound."""
+    from ._xxh64 import SEED, hash_int, hash_value, signed
+
+    out: list[tuple[str, int, int, list[list[int]]]] = []
+    for col, lits in clauses:
+        m, k = int(bloom[col]["m"]), int(bloom[col]["k"])
+        t = types.get(col)
+        if t not in _BLOOM_HASH_TYPES:
+            continue
+        pos_lists: list[list[int]] = []
+        ok = True
+        for v in lits:
+            cv = _coerce_bloom_literal(v, t)
+            if cv is None:
+                ok = False
+                break
+            h0 = hash_value(cv, t, SEED)
+            if h0 is None:
+                ok = False
+                break
+            pos_lists.append(
+                [signed(hash_int(i, h0)) % m for i in range(k)]
+            )
+        if ok and pos_lists:
+            out.append((col, m, k, pos_lists))
+    return out
+
+
 # Generated columns (Delta `GENERATED ALWAYS AS`): the derivable
 # expression shapes — monotonic non-decreasing functions of one source
 # column, the property that makes range/equality filters on the SOURCE
@@ -1919,6 +1981,12 @@ class ManagedTable:
         )
 
     @staticmethod
+    def _bloom_positions_of(clauses, bloom, types):
+        """Module entry for planners that hold only simple-type maps
+        (the pushdown reader); same contract as ``_bloom_positions``."""
+        return _bloom_positions_py(clauses, bloom, types)
+
+    @staticmethod
     def _bloom_clauses(
         filters: Sequence[tuple], bloom: Mapping[str, dict]
     ) -> list[tuple[str, list]]:
@@ -1944,68 +2012,18 @@ class ManagedTable:
     def _bloom_positions(
         self, clauses: list[tuple[str, list]], bloom: Mapping[str, dict]
     ) -> list[tuple[str, int, int, list[list[int]]]]:
-        """Bit positions of every clause literal, computed by the SAME
-        Spark expressions the write side hashed with (``xxhash64(cast(
-        lit AS coltype), i)`` — type-faithful, so a matching row is
-        guaranteed the same positions). One tiny local job for all
-        literals. A literal whose cast to the column type is NULL (type
-        mismatch) poisons its clause: the whole clause is dropped,
-        because an untestable literal might match anything — sound."""
-        from pyspark.sql.types import (
-            ByteType,
-            DateType,
-            IntegerType,
-            LongType,
-            ShortType,
-            StringType,
-        )
-
-        types = {f.name: f.dataType for f in self._physical_schema().fields}
-        exprs: list[Column] = []
-        plan = []
-        for col, lits in clauses:
-            m, k = int(bloom[col]["m"]), int(bloom[col]["k"])
-            dt = types.get(col)
-            if dt is None or not isinstance(
-                dt,
-                (ByteType, ShortType, IntegerType, LongType, StringType,
-                 DateType),
-            ):
-                plan.append(None)
-                continue
-            slots = []
-            for v in lits:
-                c = F.lit(v).try_cast(dt)
-                null_i = len(exprs)
-                exprs.append(c.isNull().alias(f"e{null_i}"))
-                for i in range(k):
-                    exprs.append(
-                        F.pmod(F.xxhash64(c, F.lit(i)), F.lit(m))
-                        .cast("long")
-                        .alias(f"e{len(exprs)}")
-                    )
-                slots.append(null_i)
-            plan.append((col, m, k, slots))
-        if not any(p is not None for p in plan):
-            return []
-        row = self.spark.range(1).select(*exprs).collect()[0]
-        out = []
-        for p in plan:
-            if p is None:
-                continue
-            col, m, k, slots = p
-            pos_lists = []
-            ok = True
-            for null_i in slots:
-                if row[null_i]:
-                    ok = False  # cast failed: clause untestable
-                    break
-                pos_lists.append(
-                    [int(row[null_i + 1 + i]) for i in range(k)]
-                )
-            if ok:
-                out.append((col, m, k, pos_lists))
-        return out
+        """Bit positions of every clause literal — pure-Python hashing
+        that is property-pinned BIT-IDENTICAL to the ``xxhash64(col,
+        lit(i))`` expressions the write side used (sources/_xxh64.py,
+        tests/test_xxh64.py), so prune planning costs microseconds, no
+        Spark job, and works in the pushdown planner's session-less
+        subprocess. A literal that doesn't coerce exactly to the column
+        type poisons its clause: the clause is dropped (sound)."""
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in self._physical_schema().fields
+        }
+        return _bloom_positions_py(clauses, bloom, types)
 
     def _bloom_prune(
         self, filters: Sequence[tuple], kept: list[str], version: int

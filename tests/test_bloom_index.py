@@ -293,3 +293,24 @@ def test_sql_create_and_drop_bloomfilter_index(spark, tmp_path, table):
     # the SQL read path flows through scan-equivalent pruning unchanged
     got = s.sql("SELECT val FROM docs WHERE doc_id = 123").collect()
     assert [r.val for r in got] == ["v123"]
+
+
+def test_pushdown_sql_path_bloom_prunes(spark, table):
+    """The AUTOMATIC path: plain SQL WHERE over a registered view —
+    the pushdown planner (no SparkSession in its subprocess) resolves
+    the literal's bit positions with the pure-Python Spark-compatible
+    hash and tests sidecar bitmaps, same pruning as scan."""
+    table.create_view("bloom_sql_v")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM bloom_sql_v WHERE doc_id = 123"
+    ).collect()[0].n
+    assert n == 1
+    rep = table.last_pushdown_report()
+    assert rep["files_total"] == 8
+    assert rep["files_kept"] <= 3
+    # absent value: everything pruned, zero rows, still sound
+    n2 = spark.sql(
+        "SELECT count(*) AS n FROM bloom_sql_v WHERE val = 'nope-xyz'"
+    ).collect()[0].n
+    assert n2 == 0
+    assert table.last_pushdown_report()["files_kept"] <= 1

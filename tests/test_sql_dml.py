@@ -520,3 +520,57 @@ def test_create_view_and_show_tables(spark, tmp_path):
     assert s.sql("SELECT COUNT(*) AS n FROM big").collect()[0]["n"] == 5
     rows = s.sql("SHOW TABLES").collect()
     assert [(r["name"], r["version"]) for r in rows] == [("cvt", 1)]
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(
+        spark, "sp", str(tmp_path / "sp"), partition_columns=["y", "q"]
+    )
+    df = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 + 2023).cast("string").alias("y"),
+        (F.col("id") % 3 + 1).cast("string").alias("q"),
+    )
+    t.overwrite(df)
+    s = SqlSession(spark)
+    s.register(t)
+    got = sorted(tuple(r) for r in s.sql("SHOW PARTITIONS sp").collect())
+    assert got == sorted(
+        (str(y), str(q)) for y in (2023, 2024) for q in (1, 2, 3)
+    )
+    with pytest.raises(ValueError, match="not partitioned"):
+        flat = ManagedTable(spark, "flat", str(tmp_path / "flat"))
+        flat.overwrite(df.select("k"))
+        s.register(flat)
+        s.sql("SHOW PARTITIONS flat")
+
+
+def test_analyze_table_from_metadata(spark, tmp_path):
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, "an", str(tmp_path / "an"))
+    t.overwrite(
+        spark.range(0, 500).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise(F.col("id") * 2).alias("v"),
+        )
+    )
+    s = SqlSession(spark)
+    s.register(t)
+    rows = {
+        r.column: r
+        for r in s.sql(
+            "ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS (k, v)"
+        ).collect()
+    }
+    assert rows["k"].rows == 500
+    assert float(rows["k"].min) == 0 and float(rows["k"].max) == 499
+    assert rows["v"].null_count == 100
+    assert float(rows["v"].max) == 998

@@ -89,9 +89,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the oldest green): text_dup_spans, text_dedup_substrings,
         emb_pq_codes, ann_pq_topk, ann_pq_rerank_topk,
         table_mv_incremental.
-    Left OUT, with justification: emb_hard_negatives (landed after the
-    window filled — leads round 9 with the rest); the r05 text_*
-    family (quality,
+    Continuation-session rebalance: 5 oldest-green slots (each sharing
+    its implementing file with a staying entry) ceded to the 5 entries
+    that have NEVER been driver-checked — table_bloom_scan and
+    table_generated_scan (new features on the heavily-edited
+    tables.py/datasource.py), op_assign_row_ids and join_skew_salted
+    (new distribution-shape oracles), and emb_hard_negatives (landed
+    after round 8's original window filled).
+
+    Left OUT, with justification: the 5 ceded oldest greens
+    (op_clean_string_address, gold_customer_breakdown,
+    dash_customer_share_by_segment, dash_low_order_customers,
+    tpch_q6_forecast_revenue — same-file siblings stay in-window) and
+    the r05 text_* family (quality,
     token_counts, lang_id, fingerprint, pii_scrub, decontaminate,
     repetition, corpus_filter) plus events_json/ann_cosine/
     pairs_per_label/anomaly_zscore/quality_floor/unpivot/histogram —
@@ -384,10 +394,16 @@ _R8_WINDOW = [
     "stream_gold_counts_table",
     "stream_table_source",
     "stream_table_cdf",
-    # (c) oldest greens (r05)
+    # (c) oldest greens (r05) — trimmed from 22 to 17 in the
+    # continuation session: 5 slots ceded to never-checked entries
+    # (below). The dropped five (op_clean_string_address,
+    # gold_customer_breakdown, dash_customer_share_by_segment,
+    # dash_low_order_customers, tpch_q6_forecast_revenue) each share
+    # their implementing file with an entry that STAYS in the window
+    # (cleaning.py / gold.py / dashboard.py / tpch.py), so every file
+    # keeps same-round driver coverage; they lead round 9's rotation.
     "op_profile_customer",
     "op_clean_string",
-    "op_clean_string_address",
     "op_validate_columns",
     "op_validate_domain",
     "op_validate_relationship",
@@ -396,17 +412,13 @@ _R8_WINDOW = [
     "gold_customer_status_by_city",
     "gold_orders_by_city",
     "gold_orders_by_customer_week",
-    "gold_customer_breakdown",
     "gold_orders_delivery_time",
     "dash_top_nations_by_segment",
-    "dash_customer_share_by_segment",
-    "dash_low_order_customers",
     "dash_avg_delivery_by_nation",
     "dash_late_orders_by_priority",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     # round-8 additions (never checked > oldest greens; text_quality,
     # token_counts, lang_id, fingerprint, pii_scrub and decontaminate
     # rotate to the round-9 front instead)
@@ -416,10 +428,13 @@ _R8_WINDOW = [
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "table_mv_incremental",
+    # continuation-session additions (never driver-checked, and the
+    # table entries sit on the heavily-edited tables.py/datasource.py)
     "table_bloom_scan",
     "table_generated_scan",
     "op_assign_row_ids",
     "join_skew_salted",
+    "emb_hard_negatives",
 ]
 
 

@@ -94,6 +94,89 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _parse_sql_literal(text: str):
+    """One SQL literal as the Python value filter triples carry."""
+    import datetime as _dt
+
+    t = text.strip()
+    m = re.match(r"^DATE\s+'([^']+)'$", t, re.IGNORECASE)
+    if m:
+        return _dt.date.fromisoformat(m.group(1))
+    m = re.match(r"^TIMESTAMP\s+'([^']+)'$", t, re.IGNORECASE)
+    if m:
+        return _dt.datetime.fromisoformat(m.group(1).replace(" ", "T"))
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+([eE][+-]?\d+)?", t):
+        return float(t)
+    raise ValueError(f"cannot parse SQL literal: {text!r}")
+
+
+def _parse_predicate_triples(text: str) -> list[tuple]:
+    """A conjunction of simple predicates as the filter triples the
+    table layer's pruning speaks: ``col op literal`` (op ∈ = == < <=
+    > >=), ``col IN (…)``, ``col BETWEEN a AND b``, ``col IS [NOT]
+    NULL``, joined by AND. Anything fancier is rejected loudly —
+    maintenance predicates are partition predicates, not general
+    WHERE clauses."""
+    triples: list[tuple] = []
+    parts = re.split(
+        r"\s+AND\s+(?![^()]*\))", text.strip(), flags=re.IGNORECASE
+    )
+    # re-join the BETWEEN halves the split broke apart
+    merged: list[str] = []
+    for p in parts:
+        if merged and re.search(
+            r"\bBETWEEN\b(?!.*\bAND\b)", merged[-1], re.IGNORECASE
+        ):
+            merged[-1] = f"{merged[-1]} AND {p}"
+        else:
+            merged.append(p)
+    for p in merged:
+        p = p.strip()
+        m = re.match(
+            rf"^({_IDENT})\s+IS\s+(NOT\s+)?NULL$", p, re.IGNORECASE
+        )
+        if m:
+            triples.append(
+                (m.group(1), "is_not_null" if m.group(2) else "is_null")
+            )
+            continue
+        m = re.match(
+            rf"^({_IDENT})\s+BETWEEN\s+(.+?)\s+AND\s+(.+)$", p,
+            re.IGNORECASE,
+        )
+        if m:
+            triples.append(
+                (m.group(1), "between",
+                 _parse_sql_literal(m.group(2)),
+                 _parse_sql_literal(m.group(3)))
+            )
+            continue
+        m = re.match(
+            rf"^({_IDENT})\s+IN\s*\((.*)\)$", p, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            vals = [
+                _parse_sql_literal(v)
+                for v in _split_top_level(m.group(2))
+            ]
+            triples.append((m.group(1), "in", vals))
+            continue
+        m = re.match(
+            rf"^({_IDENT})\s*(==|=|<=|>=|<|>)\s*(.+)$", p, re.DOTALL
+        )
+        if m:
+            triples.append(
+                (m.group(1), m.group(2), _parse_sql_literal(m.group(3)))
+            )
+            continue
+        raise ValueError(f"cannot parse maintenance predicate: {p!r}")
+    return triples
+
+
 def _parse_assignments(set_text: str) -> dict[str, str]:
     """``a = expr, b.c = expr`` → {col: expr} (alias prefixes on the
     TARGET side stripped; the right-hand side stays verbatim)."""
@@ -766,21 +849,31 @@ class SqlSession:
 
     def _optimize(self, stmt: str) -> DataFrame:
         m = re.match(
-            rf"OPTIMIZE\s+({_IDENT})(?:\s+ZORDER\s+BY\s+\(?([^)]*?)\)?)?\s*$",
+            rf"OPTIMIZE\s+({_IDENT})"
+            rf"(?:\s+WHERE\s+(.*?))?"
+            rf"(?:\s+ZORDER\s+BY\s+\(?([^)]*?)\)?)?\s*$",
             stmt,
-            re.IGNORECASE,
+            re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse OPTIMIZE statement: {stmt!r}")
         t = self.table(m.group(1))
-        cols = [c.strip() for c in (m.group(2) or "").split(",") if c.strip()]
+        cols = [c.strip() for c in (m.group(3) or "").split(",") if c.strip()]
         if cols:
+            if m.group(2):
+                raise ValueError(
+                    "OPTIMIZE WHERE is the selective bin-packing form; "
+                    "ZORDER BY rewrites the whole table"
+                )
             return self._metrics(
                 "OPTIMIZE ZORDER", t, t.compact(zorder_by=cols)
             )
         # plain OPTIMIZE = Delta's selective small-file bin-packing
-        # (only fragmented partitions rewritten; no-op when none)
-        return self._metrics("OPTIMIZE", t, t.optimize())
+        # (only fragmented partitions rewritten; no-op when none);
+        # WHERE restricts it to matching PARTITIONS (Delta's
+        # `OPTIMIZE t WHERE date >= …` maintenance scoping)
+        where = _parse_predicate_triples(m.group(2)) if m.group(2) else ()
+        return self._metrics("OPTIMIZE", t, t.optimize(where=where))
 
     def _vacuum(self, stmt: str) -> DataFrame:
         # Delta's habitual spelling is time-based: VACUUM t RETAIN n

@@ -1594,7 +1594,12 @@ class ManagedTable:
             )
         except ConcurrentWriteError:
             # lost the race: discard this transaction's staged files
+            # (and their bloom sidecars — vacuum would sweep them, but
+            # the loser knows NOW)
             shutil.rmtree(write_dir, ignore_errors=True)
+            shutil.rmtree(
+                self._bloom_dir_for_root(write_rel), ignore_errors=True
+            )
             raise
         self._commit(v_new)
         if v_new > 0 and v_new % _CHECKPOINT_INTERVAL == 0:
@@ -2592,8 +2597,32 @@ class ManagedTable:
         # sort=False: the Z-order IS the layout; sort_columns would undo it
         return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
 
+    def _base_matches(self, base_key: str, filters: Sequence[tuple]) -> bool:
+        """Does a manifest base key's partition tuple satisfy partition-
+        predicate triples? Values are encoded with ``_partition_stat``
+        (min=max) and evaluated by the SAME ``_file_matches`` logic the
+        scan pruner uses — one semantics for every partition-predicate
+        consumer. Unknown/unparseable values conservatively match."""
+        if not filters:
+            return True
+        vals = json.loads(base_key)
+        ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in (self.schema.fields if self.schema else [])
+            if f.name in self.partition_columns
+        }
+        cols = {}
+        for c, raw in zip(self.partition_columns, vals):
+            ent = self._partition_stat(ptypes.get(c, "string"), raw, 1)
+            if ent is not None:
+                cols[c] = ent
+        return self._file_matches({"rows": 1, "cols": cols}, filters)
+
     def optimize(
-        self, min_small_files: int = 2, target_bytes: int = 128 << 20
+        self,
+        min_small_files: int = 2,
+        target_bytes: int = 128 << 20,
+        where: Sequence[tuple] = (),
     ) -> int:
         """Delta ``OPTIMIZE`` (without ZORDER): bin-pack ONLY the
         partitions that have accumulated ≥ ``min_small_files`` data
@@ -2604,13 +2633,30 @@ class ManagedTable:
         (commit-free) when nothing qualifies. ``compact()`` remains the
         whole-table rewrite; this is the incremental maintenance shape
         that matters at 100 TB, where a streaming sink leaves a few
-        hot partitions fragmented and a full rewrite is off the table."""
+        hot partitions fragmented and a full rewrite is off the table.
+
+        ``where`` (filter triples over PARTITION columns — Delta's
+        ``OPTIMIZE t WHERE date >= …``) restricts which partitions are
+        even considered: the nightly maintenance job compacts the hot
+        recent partitions and never touches (or lists) the cold ones."""
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
         if self.schema is None:
             self.schema = self._load_schema()
+        for t in where:
+            if t[0] not in self.partition_columns:
+                raise ValueError(
+                    f"OPTIMIZE WHERE supports partition columns only; "
+                    f"{t[0]!r} is not one of {self.partition_columns}"
+                )
         entries = self._read_manifest(v)
+        if where:
+            entries = {
+                k: rel
+                for k, rel in entries.items()
+                if self._base_matches(_base_key(k), where)
+            }
         small_by_base: dict[str, int] = {}
         bytes_by_base: dict[str, int] = {}
         rels_by_base: dict[str, list[str]] = {}
@@ -3459,6 +3505,10 @@ class ManagedTable:
             match_columns = [
                 c for c in source.columns if "ingestion_time" not in c
             ]
+        # generated columns the source omitted are computed here (NOT
+        # part of the default match condition — they are functions of
+        # columns that already are)
+        source = self._apply_generated(source)
         prev_schema = self.schema
         if merge_schema:
             source, evolved = self._evolve_schema(source)
@@ -3530,6 +3580,7 @@ class ManagedTable:
         documents.
         """
         keys = list(key_columns)
+        source = self._apply_generated(source)  # compute omitted gen cols
         prev_schema = self.schema
         if merge_schema:
             source, evolved = self._evolve_schema(source)
@@ -3653,6 +3704,9 @@ class ManagedTable:
             )
             if write_dir is not None:
                 shutil.rmtree(write_dir, ignore_errors=True)
+                shutil.rmtree(
+                    self._bloom_dir_for_root(write_rel), ignore_errors=True
+                )
             raise
         self._commit(v + 1)
         if self.retain_versions is not None:

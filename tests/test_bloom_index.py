@@ -314,3 +314,25 @@ def test_pushdown_sql_path_bloom_prunes(spark, table):
     ).collect()[0].n
     assert n2 == 0
     assert table.last_pushdown_report()["files_kept"] <= 1
+
+
+def test_corrupt_or_partial_sidecar_never_wrongly_prunes(spark, table):
+    """A crashed writer can leave a truncated sidecar part file; any
+    unreadable part is skipped (its files keep), any readable row is
+    per-file complete — soundness survives."""
+    import glob
+
+    bdir = os.path.join(table.location, "_bloom")
+    parts = glob.glob(os.path.join(bdir, "*", "*.parquet"))
+    assert parts
+    # truncate one part mid-file and add a garbage part
+    with open(parts[0], "r+b") as f:
+        f.truncate(100)
+    with open(os.path.join(os.path.dirname(parts[0]), "part-junk.parquet"),
+              "wb") as f:
+        f.write(b"\x00" * 64)
+    for v in (0, 123, 3999, 999999):
+        assert (
+            table.scan([("doc_id", "=", v)]).count()
+            == table.read().filter(F.col("doc_id") == v).count()
+        )

@@ -224,3 +224,37 @@ def test_sql_create_generated_and_insert(spark, tmp_path):
         (r.event_id, str(r.day)) for r in s.sql("SELECT * FROM ev").collect()
     )
     assert rows == [(1, "2024-05-01"), (2, "2024-05-02")]
+
+
+def test_merge_paths_compute_generated(day_table, spark):
+    """The streaming-sink primitives (merge_insert_only / merge_upsert)
+    compose with generated columns: a source batch omitting `day` gets
+    it computed, idempotent replay stays a no-op, and the partition
+    filter still derives from ts."""
+    batch = spark.range(0, 20).select(
+        (F.col("id") + 50_000).alias("event_id"),
+        F.lit("2024-04-01 08:00:00").cast("timestamp").alias("ts"),
+        F.lit(1.5).alias("v"),
+    )
+    day_table.merge_insert_only(batch)
+    assert day_table.read().count() == 3020
+    day_table.merge_insert_only(batch)  # replay: idempotent no-op
+    assert day_table.read().count() == 3020
+    upd = batch.withColumn("v", F.lit(99.5))  # sentinel absent from base
+    day_table.merge_upsert(upd, key_columns=["event_id"])
+    assert day_table.read().filter(F.col("v") == 99.5).count() == 20
+    rep = day_table.skipping_report(
+        [("ts", ">=", datetime.datetime(2024, 4, 1))]
+    )
+    assert rep["rows_kept_bound"] == 20
+
+
+def test_metadata_aggregate_on_partition_column(day_table):
+    """Partition values recorded as stats make metadata-only MIN/MAX
+    answerable for the partition column itself."""
+    agg = day_table.metadata_aggregate("day")
+    assert agg["count"] == 3000
+    assert agg["day"]["min"].startswith("2024-01-01")
+    # 3000 events at 15-min spacing span 31.25 days
+    assert agg["day"]["max"].startswith("2024-02-01")
+    assert agg["day"]["null_count"] == 0

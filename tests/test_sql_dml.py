@@ -574,3 +574,53 @@ def test_analyze_table_from_metadata(spark, tmp_path):
     assert float(rows["k"].min) == 0 and float(rows["k"].max) == 499
     assert rows["v"].null_count == 100
     assert float(rows["v"].max) == 998
+
+
+def test_optimize_where_scopes_to_matching_partitions(spark, tmp_path):
+    """Delta `OPTIMIZE t WHERE part >= …`: only matching partitions are
+    considered for bin-packing; cold partitions stay fragmented AND
+    inode-untouched."""
+    import os
+
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(
+        spark, "ow", str(tmp_path / "ow"), partition_columns=["d"]
+    )
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("int").alias("d")
+    )
+    t.overwrite(df.repartition(6))  # every partition fragmented (6 files)
+    v0 = t.current_version()
+
+    def files_of(part):
+        ents = t._read_manifest(t.current_version())
+        import json as _j
+
+        rels = [
+            rel for k, rel in ents.items()
+            if _j.loads(k.split("@")[0])[0] == str(part)
+        ]
+        out = []
+        for rel in rels:
+            for dp, _dn, fns in os.walk(os.path.join(t.location, rel)):
+                out += [
+                    os.path.join(dp, f) for f in fns
+                    if f.endswith(".parquet")
+                ]
+        return sorted(out)
+
+    cold_before = files_of(0)
+    s = SqlSession(spark)
+    s.register(t)
+    s.sql("OPTIMIZE ow WHERE d >= 2")
+    assert t.current_version() == v0 + 1
+    # cold partitions byte-identical (same inodes), hot ones compacted
+    assert files_of(0) == cold_before
+    assert len(files_of(2)) < 6
+    assert t.read().count() == 400
+    # WHERE on a non-partition column is rejected
+    with pytest.raises(ValueError, match="partition columns only"):
+        t.optimize(where=[("k", ">=", 10)])

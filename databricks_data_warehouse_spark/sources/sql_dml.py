@@ -269,6 +269,8 @@ class SqlSession:
             return self._merge(stmt)
         if head == "INSERT":
             return self._insert(stmt)
+        if head == "COPY":
+            return self._copy_into(stmt)
         if head == "ALTER":
             return self._alter(stmt)
         if head == "OPTIMIZE":
@@ -686,6 +688,37 @@ class SqlSession:
                     f"columns, table has {len(cols)}"
                 )
         return self._metrics("INSERT", t, t.append(df))
+
+    def _copy_into(self, stmt: str) -> DataFrame:
+        """``COPY INTO t FROM 'path' FILEFORMAT = PARQUET [PATTERN =
+        'glob'] [FORCE = TRUE]`` — Databricks' idempotent landing-zone
+        load: only never-loaded files ingest, the ledger commits with
+        the rows."""
+        m = re.match(
+            rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
+            rf"FILEFORMAT\s*=\s*(\w+)"
+            rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+            rf"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse COPY INTO statement: {stmt!r}")
+        t = self.table(m.group(1))
+        res = t.copy_into(
+            m.group(2),
+            file_format=m.group(3).lower(),
+            pattern=m.group(4),
+            force=bool(m.group(5)) and m.group(5).upper() == "TRUE",
+        )
+        return self.spark.createDataFrame(
+            [
+                ("COPY INTO", t.name, res["version"],
+                 res["files_loaded"], res["rows_loaded"])
+            ],
+            "operation string, table string, version long, "
+            "num_files_loaded long, num_rows_loaded long",
+        )
 
     def _alter(self, stmt: str) -> DataFrame:
         """``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /

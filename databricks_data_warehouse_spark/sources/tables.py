@@ -502,6 +502,12 @@ class ManagedTable:
         self.identity: dict[str, dict] = (
             self._read_identity(v0) if v0 >= 0 else {}
         )
+        # COPY INTO load history (Databricks COPY INTO): source file ->
+        # [size, mtime_ns], committed atomically with the rows it
+        # loaded — the file-granular exactly-once ledger.
+        self.copy_files: dict[str, list] = (
+            self._read_copy_files(v0) if v0 >= 0 else {}
+        )
 
     # ------------------------------------------------------------------ meta
     @property
@@ -847,6 +853,101 @@ class ManagedTable:
             claim[c] = (int(spec["next"]), acc)
         return out.drop("__pid", "__rn", "__off"), claim
 
+    def _read_copy_files(self, version: int) -> dict[str, list]:
+        """COPY INTO's loaded-file ledger committed WITH a version
+        (manifest key ``copy_files``)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {k: list(v) for k, v in m.get("copy_files", {}).items()}
+
+    def copy_into(
+        self,
+        source: str,
+        file_format: str = "parquet",
+        pattern: str | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Databricks ``COPY INTO``: load the files under ``source``
+        that have NOT been loaded before — file-granular exactly-once
+        ingestion, the landing-zone primitive. The loaded-file ledger
+        commits ATOMICALLY with the appended rows (manifest key
+        ``copy_files``), so a crash between load and record is
+        impossible and a re-run is a free no-op. Two writers racing to
+        copy the same files conflict on the ledger (the loser gets
+        ConcurrentWriteError, and its retry re-diffs to a no-op).
+
+        Source files are assumed immutable once written (the Databricks
+        contract); ``force=True`` reloads everything matching.
+        ``pattern`` is an fnmatch glob on the path relative to
+        ``source``. Generated and identity columns compose: an omitted
+        generated column is computed, identity ids are minted.
+        Returns ``{"version", "files_loaded", "rows_loaded"}``."""
+        import fnmatch
+
+        if self.current_version() < 0:
+            raise FileNotFoundError(
+                f"table {self.name}: COPY INTO requires an existing table"
+            )
+        ext = {"parquet": ".parquet", "csv": ".csv", "json": ".json"}.get(
+            file_format.lower()
+        )
+        if ext is None:
+            raise ValueError(f"unsupported FILEFORMAT {file_format!r}")
+        src_root = os.path.abspath(source)
+        candidates: list[str] = []
+        for dirpath, _dirs, fns in os.walk(src_root):
+            for fn in sorted(fns):
+                if not fn.endswith(ext) or fn.startswith(("_", ".")):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, src_root)
+                if pattern and not fnmatch.fnmatch(rel, pattern):
+                    continue
+                candidates.append(full)
+        ledger = self.copy_files
+        todo = [
+            f for f in candidates if force or f not in ledger
+        ]
+        if not todo:
+            return {
+                "version": self.current_version(),
+                "files_loaded": 0,
+                "rows_loaded": 0,
+            }
+        fmt = file_format.lower()
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option(
+                "inferSchema", "true"
+            )
+        df = reader.format(fmt).load(todo)
+        df = self._apply_generated(df)
+        df, id_claim = self._assign_identity(df)
+        cols = [f.name for f in self.schema.fields]
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"COPY INTO {self.name}: source lacks column(s) {missing}"
+            )
+        rows = df.count()
+        adds = {}
+        for f in todo:
+            st = os.stat(f)
+            adds[f] = [st.st_size, st.st_mtime_ns]
+        v = self._stage_and_commit(
+            df.select(*cols),
+            replace_all=False,
+            append_only=True,
+            op="COPY INTO",
+            identity_claim=id_claim,
+            copy_files_add=adds,
+            copy_files_guard=[f for f in todo if f not in ledger],
+        )
+        return {"version": v, "files_loaded": len(todo), "rows_loaded": rows}
+
     def _read_renames(self, version: int) -> dict[str, str]:
         """The column-mapping set committed WITH a version (manifest
         key ``renames``); manifests written before column mapping
@@ -1051,6 +1152,11 @@ class ManagedTable:
                         # version (bumped only by consuming commits)
                         "identity": {
                             c: dict(v) for c, v in self.identity.items()
+                        },
+                        # COPY INTO's loaded-file ledger rides the same
+                        # commit as the rows it loaded (exactly-once)
+                        "copy_files": {
+                            k: list(v) for k, v in self.copy_files.items()
                         },
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
@@ -1474,6 +1580,8 @@ class ManagedTable:
         op: str = "WRITE",
         append_only: bool = False,
         identity_claim: Mapping[str, tuple[int, int]] | None = None,
+        copy_files_add: Mapping[str, list] | None = None,
+        copy_files_guard: Sequence[str] = (),
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -1501,6 +1609,21 @@ class ManagedTable:
             self.bloom = self._read_bloom(v_new - 1)
             self.generated = self._read_generated(v_new - 1)
             self.identity = self._read_identity(v_new - 1)
+            self.copy_files = self._read_copy_files(v_new - 1)
+        if copy_files_add:
+            # two COPY INTOs racing on the same source files would load
+            # rows twice; the ledger is the conflict detector (the
+            # loser's retry re-diffs and no-ops). The guard holds only
+            # the files the caller diffed as ABSENT — a FORCE reload of
+            # already-recorded files is intentional, not a conflict.
+            dup = sorted(set(copy_files_guard) & set(self.copy_files))
+            if dup:
+                raise ConcurrentWriteError(
+                    f"table {self.name}: {len(dup)} source file(s) were "
+                    "COPY'd by a concurrent writer (first: "
+                    f"{dup[0]!r}); re-run COPY INTO to re-diff"
+                )
+            self.copy_files = {**self.copy_files, **dict(copy_files_add)}
         if identity_claim:
             # ids were minted against a base watermark; if another
             # writer consumed ids since, this batch's ids may collide —

@@ -1,0 +1,147 @@
+"""COPY INTO (Databricks landing-zone load): file-granular exactly-once
+— the loaded-file ledger commits atomically with the rows, re-runs
+no-op, racing loads conflict, FORCE reloads intentionally."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import (
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+_SCHEMA = StructType(
+    [StructField("k", LongType()), StructField("s", StringType())]
+)
+
+
+def _land(spark, root, name, lo, hi):
+    """One immutable landing file (single parquet under root/name)."""
+    d = os.path.join(root, name)
+    spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    root = str(tmp_path / "landing")
+    _land(spark, root, "batch1", 0, 100)
+    _land(spark, root, "batch2", 100, 250)
+    return root
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManagedTable(spark, "cp", str(tmp_path / "cp"), schema=_SCHEMA)
+    t.create_if_not_exists()
+    return t
+
+
+def test_initial_load_and_idempotent_rerun(spark, table, landing):
+    res = table.copy_into(landing)
+    assert res["rows_loaded"] == 250 and res["files_loaded"] >= 2
+    assert table.read().count() == 250
+    v = table.current_version()
+    res2 = table.copy_into(landing)  # re-run: free no-op, no commit
+    assert res2 == {"version": v, "files_loaded": 0, "rows_loaded": 0}
+    assert table.read().count() == 250
+
+
+def test_only_new_files_load(spark, table, landing):
+    table.copy_into(landing)
+    _land(spark, landing, "batch3", 250, 300)
+    res = table.copy_into(landing)
+    assert res["rows_loaded"] == 50
+    assert table.read().count() == 300
+    got = sorted(r.k for r in table.read().select("k").collect())
+    assert got == list(range(300))  # no duplicates
+
+
+def test_force_reloads(spark, table, landing):
+    table.copy_into(landing)
+    res = table.copy_into(landing, force=True)
+    assert res["rows_loaded"] == 250
+    assert table.read().count() == 500  # duplicates by request
+
+
+def test_pattern_scopes_the_load(spark, table, landing):
+    res = table.copy_into(landing, pattern="batch1/*")
+    assert res["rows_loaded"] == 100
+    assert table.read().count() == 100
+
+
+def test_racing_copy_conflicts_and_retry_noops(spark, table, landing):
+    import glob
+
+    files = sorted(
+        glob.glob(os.path.join(landing, "*", "*.parquet"))
+    )
+    df = spark.read.parquet(*files).select("k", "s")
+    adds = {f: [1, 1] for f in files}
+    # writer B lands the same files first through another handle
+    other = ManagedTable(spark, "cp", table.location, schema=_SCHEMA)
+    other.copy_into(landing)
+    # writer A, holding a stale ledger diff, must conflict
+    with pytest.raises(ConcurrentWriteError, match="COPY'd by a concurrent"):
+        table._stage_and_commit(
+            df,
+            replace_all=False,
+            append_only=True,
+            op="COPY INTO",
+            copy_files_add=adds,
+            copy_files_guard=list(adds),
+        )
+    # the public retry re-diffs: no-op, no duplicate rows
+    res = table.copy_into(landing)
+    assert res["files_loaded"] == 0
+    assert table.read().count() == 250
+
+
+def test_generated_and_identity_compose(spark, tmp_path, landing):
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("s", StringType()),
+            StructField("tag", StringType()),
+            StructField("uid", LongType()),
+        ]
+    )
+    t = ManagedTable(spark, "cpg", str(tmp_path / "cpg"), schema=schema)
+    t.set_generated_column("tag", "substring(s, 1, 2)")
+    t.set_identity_column("uid", start=1)
+    t.create_if_not_exists()
+    t.copy_into(landing)
+    got = t.read()
+    assert got.count() == 250
+    assert got.filter(~F.col("tag").eqNullSafe(
+        F.expr("substring(s, 1, 2)"))).count() == 0
+    agg = got.agg(
+        F.min("uid"), F.max("uid"), F.countDistinct("uid")
+    ).collect()[0]
+    assert tuple(agg) == (1, 250, 250)
+
+
+def test_sql_copy_into(spark, tmp_path, table, landing):
+    s = SqlSession(spark)
+    s.register(table, "cp")
+    r = s.sql(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert r.num_rows_loaded == 250 and r.num_files_loaded >= 2
+    r2 = s.sql(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET"
+    ).collect()[0]
+    assert r2.num_rows_loaded == 0
+    assert s.sql("SELECT count(*) AS n FROM cp").collect()[0].n == 250

@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
         "table_generated_scan": managed_scan.table_generated_scan,
+        # NEW round 8 (cont.): COPY INTO loaded twice — the second run
+        # must be a ledger no-op, so content ≡ the source exactly once
+        "table_copy_into": managed_scan.table_copy_into,
         # NEW round 8 (cont.): the two canonical distribution-shape
         # operators, each pinned exactly equal to its naive form —
         # global ROW_NUMBER without the single-partition window
@@ -405,7 +408,8 @@ _R8_WINDOW = [
     "op_profile_customer",
     "op_clean_string",
     "op_validate_columns",
-    "op_validate_domain",
+    # op_validate_domain ceded to table_copy_into (same validation.py
+    # keeps op_validate_columns/op_validate_relationship in-window)
     "op_validate_relationship",
     "op_identify_duplicates",
     "op_ingestion_status",
@@ -435,6 +439,7 @@ _R8_WINDOW = [
     "op_assign_row_ids",
     "join_skew_salted",
     "emb_hard_negatives",
+    "table_copy_into",
 ]
 
 
@@ -910,6 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
+        "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms
         "op_assign_row_ids": rowid.op_assign_row_ids_oracle(),
         "join_skew_salted": skew.join_skew_salted_oracle(),

@@ -255,3 +255,76 @@ def table_generated_scan_oracle() -> str:
         FROM events
         WHERE ts BETWEEN TIMESTAMP '{_TS_LO}' AND TIMESTAMP '{_TS_HI}'
     """
+
+
+def _copy_landing(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(landing dir, table location) for the COPY INTO entry — the
+    landing zone is the corpus' own orders.parquet staged as one
+    immutable file, keyed by corpus fingerprint."""
+    from ..streaming.windows import _scratch_root
+
+    h = hashlib.md5(
+        (_corpus_fingerprint(sf_dir) + "|copyinto").encode()
+    ).hexdigest()[:10]
+    root = os.path.join(_scratch_root(), f"copy_{h}")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    dst = os.path.join(landing, "orders-batch.parquet")
+    if not os.path.exists(dst):
+        if os.path.isdir(src):
+            for i, fn in enumerate(sorted(os.listdir(src))):
+                if fn.endswith(".parquet"):
+                    shutil_copy = __import__("shutil").copyfile
+                    shutil_copy(
+                        os.path.join(src, fn),
+                        os.path.join(landing, f"orders-batch-{i}.parquet"),
+                    )
+        else:
+            __import__("shutil").copyfile(src, dst)
+    return landing, os.path.join(root, "tbl")
+
+
+def table_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO exercised end-to-end: the landing zone is loaded TWICE
+    — the second run must be a file-ledger no-op, so the table holds
+    the source exactly once (tests/test_copy_into.py pins the races and
+    FORCE; this entry pins idempotent content cross-engine)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.tables import ConcurrentWriteError
+
+    landing, loc = _copy_landing(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    table = ManagedTable(
+        spark, f"orders_copy_{os.path.basename(loc)}", loc, schema=schema
+    )
+    try:
+        table.create_if_not_exists()
+        table.copy_into(landing)  # loads on the first run only
+        table.copy_into(landing)  # ALWAYS a no-op (the contract)
+    except ConcurrentWriteError:
+        pass  # concurrent builder won; ledger state identical
+    return table.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def table_copy_into_oracle() -> str:
+    return """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+    """

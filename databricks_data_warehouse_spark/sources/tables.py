@@ -924,6 +924,19 @@ class ManagedTable:
                 "inferSchema", "true"
             )
         df = reader.format(fmt).load(todo)
+        # source types follow the TABLE schema (CSV/JSON inference may
+        # produce int-vs-long / string-vs-date drift; Databricks COPY
+        # INTO casts the same way) — applied BEFORE generated/identity
+        # so generation expressions see table-typed inputs
+        typed = {
+            f.name: f.dataType for f in self.schema.fields
+        }
+        df = df.select(
+            *[
+                F.col(c).cast(typed[c]).alias(c) if c in typed else F.col(c)
+                for c in df.columns
+            ]
+        )
         df = self._apply_generated(df)
         df, id_claim = self._assign_identity(df)
         cols = [f.name for f in self.schema.fields]

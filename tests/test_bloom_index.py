@@ -336,3 +336,42 @@ def test_corrupt_or_partial_sidecar_never_wrongly_prunes(spark, table):
             table.scan([("doc_id", "=", v)]).count()
             == table.read().filter(F.col("doc_id") == v).count()
         )
+
+
+def test_random_geometry_soundness_sweep(spark, tmp_path):
+    """Randomized (seeded) sweep: several (fpp, ndv) geometries, int
+    and string columns, probes both present and absent — scan must
+    equal read+filter for every one (fpp only ever costs I/O)."""
+    import random
+
+    rng = random.Random(20240814)
+    t = ManagedTable(spark, "rand_bloom", str(tmp_path / "rand_bloom"))
+    t.set_bloom_index("doc_id", fpp=rng.choice([0.001, 0.05, 0.3]),
+                      ndv=rng.choice([10, 500, 50_000]))
+    t.set_bloom_index("val", fpp=rng.choice([0.001, 0.05, 0.3]),
+                      ndv=rng.choice([10, 500, 50_000]))
+    t.overwrite(_scattered(spark, n=2000, files=5))
+    probes = (
+        [rng.randrange(0, 2000) for _ in range(6)]
+        + [rng.randrange(2000, 10**9) for _ in range(4)]
+    )
+    for v in probes:
+        assert (
+            t.scan([("doc_id", "=", v)]).count()
+            == t.read().filter(F.col("doc_id") == v).count()
+        )
+    svals = [f"v{rng.randrange(0, 4000)}" for _ in range(6)] + [
+        f"zz{rng.random()}" for _ in range(3)
+    ]
+    for s in svals:
+        assert (
+            t.scan([("val", "=", s)]).count()
+            == t.read().filter(F.col("val") == s).count()
+        )
+    # IN mixing present + absent across both columns
+    assert (
+        t.scan([("doc_id", "in", [1, 2, 10**7]), ("val", "=", "v1")]).count()
+        == t.read()
+        .filter(F.col("doc_id").isin(1, 2, 10**7) & (F.col("val") == "v1"))
+        .count()
+    )

@@ -145,3 +145,24 @@ def test_sql_copy_into(spark, tmp_path, table, landing):
     ).collect()[0]
     assert r2.num_rows_loaded == 0
     assert s.sql("SELECT count(*) AS n FROM cp").collect()[0].n == 250
+
+
+def test_csv_load_casts_to_table_schema(spark, tmp_path, table):
+    """CSV inference yields its own types; COPY INTO casts to the TABLE
+    schema (Databricks behavior), so a csv landing zone round-trips."""
+    import csv
+
+    land = tmp_path / "csvland"
+    land.mkdir()
+    with open(land / "a.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "s"])
+        for i in range(10):
+            w.writerow([i, f"s{i}"])
+    res = table.copy_into(str(land), file_format="csv")
+    assert res["rows_loaded"] == 10
+    got = table.read()
+    assert dict(got.dtypes) == {"k": "bigint", "s": "string"}
+    assert sorted(r.k for r in got.collect()) == list(range(10))
+    # re-run: ledger no-op for csv too
+    assert table.copy_into(str(land), file_format="csv")["rows_loaded"] == 0

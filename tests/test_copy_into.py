@@ -166,3 +166,36 @@ def test_csv_load_casts_to_table_schema(spark, tmp_path, table):
     assert sorted(r.k for r in got.collect()) == list(range(10))
     # re-run: ledger no-op for csv too
     assert table.copy_into(str(land), file_format="csv")["rows_loaded"] == 0
+
+
+def test_copy_into_feeds_a_streaming_consumer(spark, tmp_path, landing):
+    """The landing-zone end-to-end: files → COPY INTO (append commits)
+    → streaming FROM the table. Each COPY's rows arrive exactly once;
+    a ledger no-op produces no batch; a new landed file flows through."""
+    t = ManagedTable(spark, "cps", str(tmp_path / "cps"), schema=_SCHEMA)
+    t.create_if_not_exists()
+    t.copy_into(landing)
+
+    def drain():
+        q = (
+            t.read_stream()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 250
+    t.copy_into(landing)  # ledger no-op: nothing new to stream
+    drain()
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 250
+    _land(spark, landing, "batch3", 250, 260)
+    t.copy_into(landing)
+    drain()
+    final = spark.read.parquet(str(tmp_path / "out"))
+    assert final.count() == 260
+    assert sorted(r.k for r in final.collect()) == list(range(260))

@@ -287,6 +287,20 @@ class SqlSession:
             return self._metrics("REORG", t, t.reorg())
         if head == "VACUUM":
             return self._vacuum(stmt)
+        if head == "FSCK":
+            m = re.match(
+                rf"FSCK\s+REPAIR\s+TABLE\s+({_IDENT})(\s+DRY\s+RUN)?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse FSCK statement: {stmt!r}")
+            t = self.table(m.group(1))
+            res = t.repair(dry_run=bool(m.group(2)))
+            return self.spark.createDataFrame(
+                [(p, res["version"]) for p in res["missing"]] or [],
+                "missing_path string, version long",
+            )
         if head == "RESTORE":
             return self._restore(stmt)
         if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
@@ -911,7 +925,27 @@ class SqlSession:
     def _vacuum(self, stmt: str) -> DataFrame:
         # Delta's habitual spelling is time-based: VACUUM t RETAIN n
         # HOURS (mapped through manifest commit mtimes); RETAIN n
-        # VERSIONS is the count-based variant
+        # VERSIONS is the count-based variant. DRY RUN lists what a
+        # vacuum with the same retention WOULD delete, touching nothing.
+        m = re.match(
+            rf"VACUUM\s+({_IDENT})"
+            rf"(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+(HOURS?|VERSIONS))?"
+            rf"\s+DRY\s+RUN\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            kw: dict = {}
+            if m.group(2):
+                if m.group(3).upper().startswith("HOUR"):
+                    kw["retain_hours"] = float(m.group(2))
+                else:
+                    kw["keep"] = int(float(m.group(2)))
+            paths = t.vacuum_dry_run(**kw)
+            return self.spark.createDataFrame(
+                [(p,) for p in paths] or [], "path string"
+            )
         m = re.match(
             rf"VACUUM\s+({_IDENT})\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS?\s*$",
             stmt,

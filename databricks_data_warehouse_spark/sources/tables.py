@@ -3425,6 +3425,103 @@ class ManagedTable:
             )
         return reduce(DataFrame.unionByName, parts)
 
+    def vacuum_dry_run(
+        self, keep: int = 2, retain_hours: float | None = None
+    ) -> list[str]:
+        """Delta ``VACUUM t DRY RUN``: the location-relative paths a
+        ``vacuum`` with the same retention WOULD delete — nothing is
+        touched. The operator's pre-flight check before destroying
+        time-travel history."""
+        current = self.current_version()
+        if current < 0 or not os.path.isdir(self.location):
+            return []
+        oldest_kept = self._vacuum_horizon(current, keep, retain_hours)
+        referenced: set[str] = set()
+        dead: set[str] = set()
+        for entry in os.listdir(self.location):
+            v = _manifest_version_of(entry)
+            if v is None:
+                continue
+            if v >= oldest_kept:
+                referenced |= set(self._read_manifest(v).values())
+                referenced |= set(self._read_dv(v)[0].values())
+            else:
+                dead |= set(self._read_manifest(v).values())
+                dead |= set(self._read_dv(v)[0].values())
+        own_root = os.path.realpath(self.location) + os.sep
+        return sorted(
+            rel
+            for rel in dead - referenced
+            if os.path.realpath(
+                os.path.join(self.location, rel)
+            ).startswith(own_root)
+        )
+
+    def _vacuum_horizon(
+        self, current: int, keep: int, retain_hours: float | None
+    ) -> int:
+        """Oldest version a vacuum with this retention keeps — shared
+        by the real vacuum and the dry run so they can never
+        disagree."""
+        if retain_hours is not None:
+            import time as _time
+
+            cutoff = _time.time() - retain_hours * 3600.0
+            recent = [
+                v
+                for entry in os.listdir(self.location)
+                if (v := _manifest_version_of(entry)) is not None
+                and os.stat(
+                    os.path.join(self.location, entry)
+                ).st_mtime >= cutoff
+            ]
+            return min(min(recent), current) if recent else current
+        return max(0, current - keep + 1)
+
+    def repair(self, dry_run: bool = False) -> dict:
+        """Delta ``FSCK REPAIR TABLE``: drop manifest entries whose data
+        directories no longer exist on storage (someone deleted files
+        out-of-band) so reads stop failing on missing inputs. Returns
+        ``{"missing": [...], "version": v}``; with ``dry_run`` only
+        reports. The repair is a metadata-only commit — DESCRIBE
+        HISTORY records it, RESTORE can resurrect the pre-repair
+        manifest (pointing at still-missing files, as Delta's would)."""
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        entries = self._read_manifest(v)
+        missing = sorted(
+            {
+                rel
+                for rel in entries.values()
+                if not os.path.isdir(
+                    rel if os.path.isabs(rel)
+                    else os.path.join(self.location, rel)
+                )
+            }
+        )
+        if dry_run or not missing:
+            return {"missing": missing, "version": v}
+        gone = set(missing)
+        kept_entries = {
+            k: rel for k, rel in entries.items() if rel not in gone
+        }
+        stats = {
+            f: s
+            for f, s in self._read_stats(v).items()
+            if os.path.dirname(f) not in gone
+        }
+        dv, dv_n = self._read_dv(v)
+        dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in gone}
+        dv_n = {f: n for f, n in dv_n.items() if f in dv}
+        v_new = v + 1
+        self._write_manifest(
+            v_new, kept_entries, stats, self._read_txn(v),
+            op=f"FSCK REPAIR ({len(missing)} dirs)", dv=dv, dv_n=dv_n,
+        )
+        self._commit(v_new)
+        return {"missing": missing, "version": v_new}
+
     def vacuum(self, keep: int = 2, retain_hours: float | None = None) -> None:
         """Drop data dirs not referenced by the retained manifests (and
         the superseded manifests themselves).
@@ -3443,21 +3540,7 @@ class ManagedTable:
         current = self.current_version()
         if current < 0 or not os.path.isdir(self.location):
             return
-        if retain_hours is not None:
-            import time as _time
-
-            cutoff = _time.time() - retain_hours * 3600.0
-            recent = [
-                v
-                for entry in os.listdir(self.location)
-                if (v := _manifest_version_of(entry)) is not None
-                and os.stat(
-                    os.path.join(self.location, entry)
-                ).st_mtime >= cutoff
-            ]
-            oldest_kept = min(min(recent), current) if recent else current
-        else:
-            oldest_kept = max(0, current - keep + 1)
+        oldest_kept = self._vacuum_horizon(current, keep, retain_hours)
         referenced: set[str] = set()
         dropped_manifests: list[int] = []
         for entry in os.listdir(self.location):

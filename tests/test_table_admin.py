@@ -376,3 +376,64 @@ def test_crashed_writer_tmp_files_dont_break_admin(spark, tmp_path):
     assert t.read().count() == 10
     t.vacuum(retain_hours=0.0)
     assert t.read().count() == 10
+
+
+def test_vacuum_dry_run_predicts_exactly(spark, tmp_path):
+    import os
+    import shutil as _sh
+
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, "vdr", str(tmp_path / "vdr"))
+    for i in range(4):
+        t.overwrite(spark.range(10 * (i + 1)).select(F.col("id").alias("k")))
+    predicted = t.vacuum_dry_run(keep=1)
+    assert predicted  # three superseded versions' dirs
+    for rel in predicted:  # dry run touched nothing
+        assert os.path.isdir(os.path.join(t.location, rel))
+    s = SqlSession(spark)
+    s.register(t)
+    sql_paths = sorted(
+        r.path for r in s.sql("VACUUM vdr RETAIN 1 VERSIONS DRY RUN").collect()
+    )
+    assert sql_paths == predicted
+    t.vacuum(keep=1)
+    for rel in predicted:  # the real vacuum deleted exactly those
+        assert not os.path.isdir(os.path.join(t.location, rel))
+    assert t.read().count() == 40
+
+
+def test_fsck_repair_drops_missing_dirs(spark, tmp_path):
+    import os
+    import shutil as _sh
+
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(
+        spark, "fsck", str(tmp_path / "fsck"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(90).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+        )
+    )
+    # someone deletes one partition's dir out-of-band
+    ents = t._read_manifest(t.current_version())
+    victim = sorted(ents.values())[0]
+    _sh.rmtree(os.path.join(t.location, victim))
+    dry = t.repair(dry_run=True)
+    assert dry["missing"] == [victim]
+    assert t.current_version() == 0  # dry run commits nothing
+    res = t.repair()
+    assert res["missing"] == [victim] and res["version"] == 1
+    assert t.read().count() == 60  # the two surviving partitions
+    assert t.repair()["missing"] == []  # idempotent
+    hist_ops = [h["operation"] for h in t.history()]
+    assert any(op.startswith("FSCK REPAIR") for op in hist_ops)
+    s = SqlSession(spark)
+    s.register(t)
+    assert s.sql("FSCK REPAIR TABLE fsck DRY RUN").count() == 0

@@ -712,7 +712,9 @@ class SqlSession:
             rf"COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'\s+"
             rf"FILEFORMAT\s*=\s*(\w+)"
             rf"(?:\s+PATTERN\s*=\s*'([^']+)')?"
-            rf"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?\s*$",
+            rf"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?"
+            rf"(?:\s+COPY_OPTIONS\s*\(\s*'mergeSchema'\s*=\s*"
+            rf"'(true|false)'\s*\))?\s*$",
             stmt,
             re.IGNORECASE,
         )
@@ -724,6 +726,7 @@ class SqlSession:
             file_format=m.group(3).lower(),
             pattern=m.group(4),
             force=bool(m.group(5)) and m.group(5).upper() == "TRUE",
+            merge_schema=bool(m.group(6)) and m.group(6).lower() == "true",
         )
         return self.spark.createDataFrame(
             [

@@ -869,6 +869,7 @@ class ManagedTable:
         file_format: str = "parquet",
         pattern: str | None = None,
         force: bool = False,
+        merge_schema: bool = False,
     ) -> dict:
         """Databricks ``COPY INTO``: load the files under ``source``
         that have NOT been loaded before — file-granular exactly-once
@@ -924,24 +925,36 @@ class ManagedTable:
                 "inferSchema", "true"
             )
         df = reader.format(fmt).load(todo)
-        # source types follow the TABLE schema (CSV/JSON inference may
-        # produce int-vs-long / string-vs-date drift; Databricks COPY
-        # INTO casts the same way) — applied BEFORE generated/identity
-        # so generation expressions see table-typed inputs
-        typed = {
-            f.name: f.dataType for f in self.schema.fields
-        }
-        df = df.select(
-            *[
-                F.col(c).cast(typed[c]).alias(c) if c in typed else F.col(c)
-                for c in df.columns
-            ]
-        )
+        prev_schema = self.schema
+        if merge_schema:
+            # Databricks COPY_OPTIONS mergeSchema: new source columns
+            # APPEND to the table schema (old rows null-fill), missing
+            # table columns null-fill in this batch, same-named columns
+            # cast — all via the shared evolution used by the merges
+            df, evolved = self._evolve_schema(df)
+            self.schema = evolved
+        else:
+            # source types follow the TABLE schema (CSV/JSON inference
+            # may produce int-vs-long / string-vs-date drift; Databricks
+            # COPY INTO casts the same way) — applied BEFORE generated/
+            # identity so generation expressions see table-typed inputs
+            typed = {
+                f.name: f.dataType for f in self.schema.fields
+            }
+            df = df.select(
+                *[
+                    F.col(c).cast(typed[c]).alias(c)
+                    if c in typed
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
         df = self._apply_generated(df)
         df, id_claim = self._assign_identity(df)
         cols = [f.name for f in self.schema.fields]
         missing = [c for c in cols if c not in df.columns]
         if missing:
+            self.schema = prev_schema
             raise ValueError(
                 f"COPY INTO {self.name}: source lacks column(s) {missing}"
             )
@@ -950,15 +963,19 @@ class ManagedTable:
         for f in todo:
             st = os.stat(f)
             adds[f] = [st.st_size, st.st_mtime_ns]
-        v = self._stage_and_commit(
-            df.select(*cols),
-            replace_all=False,
-            append_only=True,
-            op="COPY INTO",
-            identity_claim=id_claim,
-            copy_files_add=adds,
-            copy_files_guard=[f for f in todo if f not in ledger],
-        )
+        try:
+            v = self._stage_and_commit(
+                df.select(*cols),
+                replace_all=False,
+                append_only=True,
+                op="COPY INTO",
+                identity_claim=id_claim,
+                copy_files_add=adds,
+                copy_files_guard=[f for f in todo if f not in ledger],
+            )
+        except BaseException:
+            self.schema = prev_schema  # evolution binds only on commit
+            raise
         return {"version": v, "files_loaded": len(todo), "rows_loaded": rows}
 
     def _read_renames(self, version: int) -> dict[str, str]:

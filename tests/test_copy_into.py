@@ -199,3 +199,71 @@ def test_copy_into_feeds_a_streaming_consumer(spark, tmp_path, landing):
     final = spark.read.parquet(str(tmp_path / "out"))
     assert final.count() == 260
     assert sorted(r.k for r in final.collect()) == list(range(260))
+
+
+def test_merge_schema_evolves_and_null_fills(spark, tmp_path, table, landing):
+    table.copy_into(landing)
+    # a later landing batch carries a NEW column
+    d = os.path.join(landing, "batch_extra")
+    spark.range(250, 260).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.lit("eu").alias("region"),
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    res = table.copy_into(landing, merge_schema=True)
+    assert res["rows_loaded"] == 10
+    got = table.read()
+    assert got.count() == 260
+    assert dict(got.dtypes)["region"] == "string"
+    # old rows null-fill the appended column; new rows carry it
+    assert got.filter(F.col("region").isNull()).count() == 250
+    assert got.filter(F.col("region") == "eu").count() == 10
+
+
+def test_without_merge_schema_extra_columns_project_away(
+    spark, tmp_path, table, landing
+):
+    """Without mergeSchema, extra source columns are PROJECTED to the
+    table schema (the `COPY INTO t FROM (SELECT …)` ergonomic baked
+    in — table_copy_into relies on it); the table never widens."""
+    d = os.path.join(landing, "wide")
+    spark.range(500, 505).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.lit("junk").alias("extra"),
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    res = table.copy_into(landing)
+    assert res["rows_loaded"] == 255
+    assert dict(table.read().dtypes) == {"k": "bigint", "s": "string"}
+
+
+def test_sql_copy_options_merge_schema(spark, tmp_path, table, landing):
+    s = SqlSession(spark)
+    s.register(table, "cp")
+    s.sql(f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET")
+    d = os.path.join(landing, "widened")
+    spark.range(300, 310).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        F.lit(1.5).alias("w"),
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    r = s.sql(
+        f"COPY INTO cp FROM '{landing}' FILEFORMAT = PARQUET "
+        f"COPY_OPTIONS ('mergeSchema' = 'true')"
+    ).collect()[0]
+    assert r.num_rows_loaded == 10
+    assert "w" in dict(s.sql("SELECT * FROM cp").dtypes)
+
+
+def test_json_format_round_trip(spark, tmp_path, table):
+    import json as _json
+
+    land = tmp_path / "jsonland"
+    land.mkdir()
+    with open(land / "a.json", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"k": i, "s": f"s{i}"}) + "\n")
+    res = table.copy_into(str(land), file_format="json")
+    assert res["rows_loaded"] == 5
+    assert dict(table.read().dtypes) == {"k": "bigint", "s": "string"}
+    assert table.copy_into(str(land), file_format="json")["rows_loaded"] == 0

@@ -3817,6 +3817,17 @@ class ManagedTable:
         """
         keys = list(key_columns)
         source = self._apply_generated(source)  # compute omitted gen cols
+        id_claim = None
+        missing_ident = sorted(
+            c for c in self.identity if c not in source.columns
+        )
+        if missing_ident:
+            # Delta MERGE + identity: matched rows KEEP the target's
+            # ids (stable id per key), not-matched inserts mint fresh
+            # ones; the claim commits atomically with the merge
+            source, id_claim = self._merge_fill_identity(
+                source, keys, missing_ident
+            )
         prev_schema = self.schema
         if merge_schema:
             source, evolved = self._evolve_schema(source)
@@ -3841,10 +3852,48 @@ class ManagedTable:
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
             merged = kept.unionByName(source.select(*target.columns))
-            return self._stage_and_commit(merged, replace_all=not scoped, txn=txn, op="MERGE UPSERT")
+            return self._stage_and_commit(
+                merged, replace_all=not scoped, txn=txn, op="MERGE UPSERT",
+                identity_claim=id_claim,
+            )
         except BaseException:
             self.schema = prev_schema
             raise
+
+    def _merge_fill_identity(
+        self, source: DataFrame, keys: list[str], missing: list[str]
+    ):
+        """(source with identity columns filled, claim): matched keys
+        inherit the target's current ids, unmatched rows get minted
+        ones via the two-phase assignment."""
+        if any(c in keys for c in self.identity):
+            raise ValueError(
+                f"table {self.name}: identity column(s) cannot be merge "
+                "keys when the source omits them"
+            )
+        if len(missing) != len(self.identity):
+            raise ValueError(
+                f"table {self.name}: supply either ALL identity columns "
+                f"or none; source omits only {missing}"
+            )
+        probe = f"__tgt_{missing[0]}"
+        tgt_ids = (
+            self.read()
+            .select(
+                *keys,
+                *[F.col(c).alias(f"__tgt_{c}") for c in missing],
+            )
+            .dropDuplicates(keys)
+        )
+        joined = source.join(tgt_ids, keys, "left")
+        tmp_cols = [f"__tgt_{c}" for c in missing]
+        matched = joined.where(F.col(probe).isNotNull())
+        for c in missing:
+            matched = matched.withColumn(c, F.col(f"__tgt_{c}"))
+        matched = matched.drop(*tmp_cols)
+        unmatched = joined.where(F.col(probe).isNull()).drop(*tmp_cols)
+        unmatched, claim = self._assign_identity(unmatched)
+        return matched.unionByName(unmatched), claim
 
     def _delete_rows_dv(
         self, doomed: DataFrame, op: str, append_df: DataFrame | None = None

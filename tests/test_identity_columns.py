@@ -130,3 +130,55 @@ def test_sql_create_identity_and_insert(spark, tmp_path):
     )
     assert [u for u, _n in rows] == [100, 105, 110]
     assert sorted(n for _u, n in rows) == ["ada", "bob", "eve"]
+
+
+def test_merge_upsert_keeps_matched_ids_and_mints_for_inserts(spark, tmp_path):
+    t = ManagedTable(spark, "mui", str(tmp_path / "mui"), schema=_SCHEMA)
+    t.set_identity_column("id", start=1)
+    t.overwrite(_batch(spark, 0, 100))
+    before = {
+        r.rid: r.id for r in t.read().select("rid", "id").collect()
+    }
+    # upsert: 50 existing keys updated + 20 new keys inserted
+    src = spark.range(50, 120).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("updated"), F.col("id")).alias("name"),
+    )
+    t.merge_upsert(src, key_columns=["rid"])
+    after = {r.rid: r for r in t.read().collect()}
+    assert len(after) == 120
+    # matched keys kept their ids (stable id per key through the upsert)
+    for rid in range(50, 100):
+        assert after[rid].id == before[rid]
+        assert after[rid].name == f"updated{rid}"
+    # untouched rows unchanged; inserted keys got fresh, unique ids
+    for rid in range(0, 50):
+        assert after[rid].id == before[rid]
+    new_ids = {after[rid].id for rid in range(100, 120)}
+    assert len(new_ids) == 20
+    assert min(new_ids) > max(before.values())
+    all_ids = [r.id for r in after.values()]
+    assert len(all_ids) == len(set(all_ids))
+    # replay of the same upsert is stable: no ids minted for matches
+    hwm = t._read_identity(t.current_version())["id"]["next"]
+    t.merge_upsert(src, key_columns=["rid"])
+    after2 = {r.rid: r.id for r in t.read().collect()}
+    assert after2 == {rid: r.id for rid, r in after.items()}
+
+
+def test_merge_partial_identity_supply_rejected(spark, tmp_path):
+    schema = StructType(
+        [
+            StructField("rid", LongType()),
+            StructField("name", StringType()),
+            StructField("id", LongType()),
+            StructField("id2", LongType()),
+        ]
+    )
+    t = ManagedTable(spark, "mpi", str(tmp_path / "mpi"), schema=schema)
+    t.set_identity_column("id")
+    t.set_identity_column("id2", start=1000)
+    t.overwrite(_batch(spark, 0, 10))
+    src = _batch(spark, 10, 20).withColumn("id", F.lit(5))
+    with pytest.raises(ValueError, match="ALL identity columns"):
+        t.merge_upsert(src, key_columns=["rid"])

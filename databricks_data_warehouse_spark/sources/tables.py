@@ -257,6 +257,11 @@ _GEN_SHAPES = [
      lambda m: ("date_trunc", m.group(1).lower(), m.group(2))),
     (re.compile(r"^year\s*\(\s*(\w+)\s*\)$", re.I),
      lambda m: ("year", None, m.group(1))),
+    # month is NOT monotonic — derivable only for =/IN (always implied)
+    # and for ranges whose endpoint YEARS coincide (the (year, month)
+    # pair rule Delta applies); the derivation gates on that below
+    (re.compile(r"^month\s*\(\s*(\w+)\s*\)$", re.I),
+     lambda m: ("month", None, m.group(1))),
     (re.compile(r"^substr(?:ing)?\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)$",
                 re.I),
      lambda m: ("substr", int(m.group(2)), m.group(1))),
@@ -282,7 +287,8 @@ def _gen_apply(fn: str, arg, v):
     skipped (sound)."""
     if v is None:
         return None
-    if isinstance(v, str) and fn in ("to_date", "year", "date_trunc"):
+    if isinstance(v, str) and fn in ("to_date", "year", "month",
+                                     "date_trunc"):
         # the pushdown reader hands timestamp literals as ISO strings
         # (possibly tz-aware); parse to the datetime the shapes expect
         try:
@@ -300,6 +306,10 @@ def _gen_apply(fn: str, arg, v):
     if fn == "year":
         if isinstance(v, (datetime.date, datetime.datetime)):
             return v.year
+        return None
+    if fn == "month":
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.month
         return None
     if fn == "date_trunc":
         if isinstance(v, datetime.date) and not isinstance(
@@ -347,20 +357,30 @@ def _derived_generated_triples(
         col, op = t[0], t[1]
         for g, spec in by_src.get(col, ()):
             fn, arg = spec["fn"], spec.get("arg")
+            # month is non-monotonic: only equality-shaped derivations
+            # are unconditional; ranges derive only when the endpoint
+            # YEARS coincide (the (year, month) pair rule)
+            monotonic = fn != "month"
             if op in ("=", "=="):
                 m = _gen_apply(fn, arg, t[2])
                 if m is not None:
                     out.append((g, "=", m))
             elif op in ("<", "<="):
-                m = _gen_apply(fn, arg, t[2])
+                m = _gen_apply(fn, arg, t[2]) if monotonic else None
                 if m is not None:
                     out.append((g, "<=", m))
             elif op in (">", ">="):
-                m = _gen_apply(fn, arg, t[2])
+                m = _gen_apply(fn, arg, t[2]) if monotonic else None
                 if m is not None:
                     out.append((g, ">=", m))
             elif op == "between":
                 lo, hi = _gen_apply(fn, arg, t[2]), _gen_apply(fn, arg, t[3])
+                if not monotonic and (
+                    _gen_apply("year", None, t[2])
+                    != _gen_apply("year", None, t[3])
+                    or _gen_apply("year", None, t[2]) is None
+                ):
+                    lo = hi = None  # cross-year window: months wrap
                 if lo is not None and hi is not None:
                     out.append((g, "between", lo, hi))
             elif op == "in":

@@ -74,7 +74,10 @@ def test_parse_shapes():
     )
     assert _parse_generation_expr("year(ts)") == ("year", None, "ts")
     assert _parse_generation_expr("substring(s, 1, 4)") == ("substr", 4, "s")
-    assert _parse_generation_expr("month(ts)") is None  # not monotonic
+    # month parses but is pair-gated (non-monotonic): see
+    # test_month_pair_derivation_rules
+    assert _parse_generation_expr("month(ts)") == ("month", None, "ts")
+    assert _parse_generation_expr("dayofmonth(ts)") is None
     assert _parse_generation_expr("a + b") is None
 
 
@@ -258,3 +261,81 @@ def test_metadata_aggregate_on_partition_column(day_table):
     # 3000 events at 15-min spacing span 31.25 days
     assert agg["day"]["max"].startswith("2024-02-01")
     assert agg["day"]["null_count"] == 0
+
+
+def test_month_pair_derivation_rules(spark, tmp_path):
+    """month() is non-monotonic: equality derives unconditionally,
+    ranges only within one year (cross-year windows must NOT derive —
+    months wrap), pinned end-to-end on a (y, m) layout."""
+    from databricks_data_warehouse_spark.sources.tables import (
+        _derived_generated_triples as derive,
+    )
+
+    gen = {
+        "y": {"expr": "year(ts)", "fn": "year", "arg": None, "src": "ts"},
+        "m": {"expr": "month(ts)", "fn": "month", "arg": None, "src": "ts"},
+    }
+    lo = datetime.datetime(2024, 3, 5)
+    hi = datetime.datetime(2024, 7, 20)
+    got = dict(
+        (t[0], t) for t in derive([("ts", "between", lo, hi)], gen)
+    )
+    assert got["y"] == ("y", "between", 2024, 2024)
+    assert got["m"] == ("m", "between", 3, 7)
+    # cross-year: month must NOT derive (Dec..Feb wraps), year still does
+    hi2 = datetime.datetime(2025, 2, 1)
+    got2 = dict(
+        (t[0], t) for t in derive([("ts", "between", lo, hi2)], gen)
+    )
+    assert got2["y"] == ("y", "between", 2024, 2025)
+    assert "m" not in got2
+    # bare range ops never derive month
+    assert all(
+        t[0] != "m" for t in derive([("ts", ">=", lo)], gen)
+    )
+    # equality always derives both
+    got3 = dict((t[0], t) for t in derive([("ts", "=", lo)], gen))
+    assert got3["m"] == ("m", "=", 3) and got3["y"] == ("y", "=", 2024)
+
+    # end-to-end on a (y, m) partitioned table
+    from pyspark.sql.types import IntegerType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("y", IntegerType()),
+            StructField("m", IntegerType()),
+        ]
+    )
+    t = ManagedTable(
+        spark, "ym", str(tmp_path / "ym"),
+        schema=schema, partition_columns=["y", "m"],
+    )
+    t.set_generated_column("y", "year(ts)")
+    t.set_generated_column("m", "month(ts)")
+    t.overwrite(
+        spark.range(0, 2000).select(
+            F.col("id").alias("event_id"),
+            (
+                F.lit("2023-06-01 00:00:00").cast("timestamp")
+                + F.make_interval(hours=(F.col("id") * 8).cast("int"))
+            ).alias("ts"),  # ~22 months: mid-2023 → early 2025
+        )
+    )
+    probe = [("ts", "between", lo, hi)]
+    rep = t.skipping_report(probe)
+    assert rep["files_kept"] < rep["files_total"] / 3
+    assert (
+        t.scan(probe).count()
+        == t.read().filter(F.col("ts").between(lo, hi)).count()
+        > 0
+    )
+    # cross-year probe: year pruning only, still exact
+    probe2 = [("ts", "between", lo, hi2)]
+    assert (
+        t.scan(probe2).count()
+        == t.read().filter(F.col("ts").between(lo, hi2)).count()
+        > 0
+    )

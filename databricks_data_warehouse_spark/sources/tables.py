@@ -2330,13 +2330,17 @@ class ManagedTable:
 
             for pdf in it:
                 fails = []
-                for _, r in pdf.iterrows():
+                # plain zip over columns (iterrows is ~40× slower and
+                # this loop runs once per sidecar row = per file)
+                for fname, cname, rm, rk, bits in zip(
+                    pdf["file"], pdf["col"], pdf["m"], pdf["k"],
+                    pdf["bits"],
+                ):
                     bad = False
-                    for m, k, pls in by_col.get(r["col"], ()):
-                        bits = r["bits"]
+                    for m, k, pls in by_col.get(cname, ()):
                         if (
-                            r["m"] != m
-                            or r["k"] != k
+                            rm != m
+                            or rk != k
                             or bits is None
                             or len(bits) * 8 < m
                         ):
@@ -2348,7 +2352,7 @@ class ManagedTable:
                             bad = True
                             break
                     if bad:
-                        fails.append(r["file"])
+                        fails.append(fname)
                 yield pd.DataFrame({"file": fails})
 
         return {

@@ -63,8 +63,8 @@ def join_skew_salted_oracle() -> str:
             FROM events GROUP BY event_type
         )
         SELECT e.event_type, d.total,
-               SUM(CASE WHEN e.value < (d.lo + d.hi) / 2.0
-                        THEN 1 ELSE 0 END) AS n_below
+               CAST(SUM(CASE WHEN e.value < (d.lo + d.hi) / 2.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below
         FROM events e JOIN dim d USING (event_type)
         GROUP BY e.event_type, d.total
         ORDER BY e.event_type

@@ -1423,10 +1423,13 @@ class ManagedTable:
         ``_commit_version`` / ``_commit_timestamp`` (Delta's
         ``readChangeFeed`` streaming option). DV deletes and updates
         arrive as change rows (unlike :meth:`read_stream`, which must
-        reject them); only rewrites (overwrite/compact) are
-        unattributable and raise unless ``ignore_changes``. This is the
-        100 TB CDC-consumer shape: planning is per-version metadata, the
-        data read is O(changed rows)."""
+        reject them); rewrites (overwrite/compact/merge) stream as an
+        EXACT multiset diff, hash-bucketed across workers so the diff
+        is distributed and unbounded in rewrite size
+        (``ignore_changes`` is accepted for compatibility but no
+        longer needed). This is the 100 TB CDC-consumer shape:
+        planning is per-version metadata, the data read is O(changed
+        rows) plus the touched dirs of rewrite pairs."""
         from .datasource import FORMAT_NAME, SENTINEL, register
 
         register(self.spark)

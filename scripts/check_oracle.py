@@ -25,6 +25,74 @@ TABLES = (
 )
 
 
+def _dtype_class(s: "pd.Series") -> str:
+    """Collapse a pandas dtype into the class the driver's value-hash
+    is sensitive to.  Calibrated against driver history: the r08
+    `join_skew_salted` red was DuckDB SUM(int)→HUGEINT→float64 (via
+    fetchdf) vs Spark int64 — values identical, hash divergent — while
+    decimal(22,1)→float64 vs Spark double (`agg_value_histogram`) and
+    tz-aware vs naive timestamps (every stream_* entry) hash GREEN.
+    So: int vs float is the defect class; widths/tz are not.  The old
+    str/float normalize() erased the int-vs-float difference, so the
+    local gate said "0 bad" on an entry the driver hashed red
+    (VERDICT r08 item 2)."""
+    import pandas.api.types as pt
+
+    dt = s.dtype
+    if pt.is_bool_dtype(dt):
+        return "bool"
+    if pt.is_integer_dtype(dt):
+        return "int"
+    if pt.is_float_dtype(dt):
+        return "float"
+    if pt.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if pt.is_timedelta64_dtype(dt):
+        return "timedelta"
+    if dt == object:
+        v = s.dropna()
+        if len(v):
+            x = v.iloc[0]
+            import datetime
+            import decimal
+
+            if isinstance(x, bool):
+                return "bool"
+            if isinstance(x, decimal.Decimal):
+                # fetchdf only leaves Decimal objects for widths pandas
+                # can't hold — the driver side sees these as numbers
+                return "int" if x == x.to_integral_value() else "float"
+            if isinstance(x, int):
+                return "int"
+            if isinstance(x, float):
+                return "float"
+            if isinstance(x, (datetime.datetime, datetime.date)):
+                return "datetime"
+            if isinstance(x, str):
+                return "string"
+            if isinstance(x, (list, tuple)):
+                return "list"
+            if isinstance(x, (bytes, bytearray)):
+                return "binary"
+        return "object"
+    return str(dt)
+
+
+def compare_types(spark_pd: pd.DataFrame, duck_pd: pd.DataFrame) -> str:
+    """Column-by-column dtype-class comparison (the driver's hash
+    sensitivity), run only after values already matched."""
+    bad = []
+    for name in sorted(set(spark_pd.columns) & set(duck_pd.columns)):
+        cs = _dtype_class(spark_pd[name])
+        cd = _dtype_class(duck_pd[name])
+        if cs != cd:
+            bad.append(
+                f"{name}: spark={spark_pd[name].dtype}({cs}) "
+                f"vs duck={duck_pd[name].dtype}({cd})"
+            )
+    return "; ".join(bad)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -89,6 +157,10 @@ def main() -> int:
             n_bad += 1
             continue
         verdict = compare(name, spark_pd, duck_pd)
+        if verdict == "OK":
+            type_bad = compare_types(spark_pd, duck_pd)
+            if type_bad:
+                verdict = f"TYPE {type_bad}"
         print(f"{name:35s} {verdict}  ({len(spark_pd)} rows)")
         if verdict != "OK":
             n_bad += 1

@@ -184,23 +184,129 @@ def test_cdf_stream_exact_diff_on_rewrite(spark, tmp_path):
     assert len(new) == before + 1  # the one deleted row, exactly once
 
 
-def test_cdf_stream_rewrite_without_stats_requires_ignore_changes(
-    spark, tmp_path
-):
-    """Above the diff cap (or when stats can't bound the rewrite — here
-    forced by stripping stats from the manifest) the legacy contract
-    still applies: error without ignoreChanges."""
+def test_cdf_stream_rewrite_without_stats_still_exact(spark, tmp_path):
+    """r09: the single-partition diff cap is gone. When stats can't
+    bound the rewrite (stripped manifest) the planner sizes buckets
+    from parquet footer counts instead of erroring — a compact is a
+    logical no-op, so the exact diff delivers ZERO change rows."""
     import json as _json
 
     t = _mk(spark, tmp_path, "cw3t", rows=4)
     _drain_cdf(t, tmp_path, "cw3t1")
+    before = len(_rows(spark, tmp_path, "cw3t1"))
     t.compact()
     mpath = t._manifest_path(t.current_version())
     m = _json.loads(open(mpath).read())
     m["stats"] = {}
     open(mpath, "w").write(_json.dumps(m))
-    with pytest.raises(StreamingQueryException, match="ignoreChanges"):
-        _drain_cdf(t, tmp_path, "cw3t1")
+    _drain_cdf(t, tmp_path, "cw3t1")
+    assert len(_rows(spark, tmp_path, "cw3t1")) == before
+
+
+def _cdf_schema(t):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        list(t.schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", LongType()),
+            StructField("_commit_timestamp", TimestampType()),
+        ]
+    )
+
+
+def _read_all_cdf(reader, v_from, v_to):
+    import pyarrow as pa
+
+    parts = reader.partitions({"version": v_from}, {"version": v_to})
+    batches = []
+    for p in parts:
+        batches.extend(reader.read(p))
+    if not batches:
+        return []
+    tbl = pa.Table.from_batches(batches)
+    return list(
+        zip(*(tbl.column(c).to_pylist() for c in ("k", "g", "_change_type")))
+    )
+
+
+def test_cdf_diff_bucketed_exact_unit(spark, tmp_path, monkeypatch):
+    """Force n_buckets > 1 on a small rewrite and verify the union of
+    the bucket partitions' diffs is EXACTLY the single-bucket diff:
+    2 updated rows -> 2 deletes + 2 inserts, nothing re-delivered."""
+    from databricks_data_warehouse_spark.sources import datasource as ds
+
+    t = _mk(spark, tmp_path, "bkt", rows=200)  # v0
+    up = spark.createDataFrame([(5, 99), (6, 99)], "k long, g long")
+    t.merge_upsert(up, ["k"])  # v1: copy-on-write rewrite
+    monkeypatch.setattr(ds, "_DIFF_BUCKET_TARGET_ROWS", 50)
+    r = ds.ManagedTableStreamReader(
+        _cdf_schema(t), {"location": t.location, "readChangeFeed": "true"}
+    )
+    parts = [
+        p
+        for p in r.partitions({"version": 0}, {"version": 1})
+        if isinstance(p, ds._DiffPartition)
+    ]
+    assert len(parts) >= 2  # bucketed fan-out engaged
+    assert all(p.n_buckets == len(parts) for p in parts)
+    assert sorted(p.bucket for p in parts) == list(range(len(parts)))
+    rows = _read_all_cdf(r, 0, 1)
+    assert sorted(r_ for r_ in rows if r_[2] == "delete") == [
+        (5, 5 % 3, "delete"),
+        (6, 6 % 3, "delete"),
+    ]
+    assert sorted(r_ for r_ in rows if r_[2] == "insert") == [
+        (5, 99, "insert"),
+        (6, 99, "insert"),
+    ]
+    # cross-check vs the unbucketed diff
+    monkeypatch.setattr(ds, "_DIFF_BUCKET_TARGET_ROWS", 2_000_000)
+    r1 = ds.ManagedTableStreamReader(
+        _cdf_schema(t), {"location": t.location, "readChangeFeed": "true"}
+    )
+    assert sorted(rows) == sorted(_read_all_cdf(r1, 0, 1))
+
+
+def test_cdf_diff_large_rewrite_over_2m_rows(spark, tmp_path):
+    """VERDICT r08 item 3's done-criterion: a rewrite pair whose
+    touched rows exceed the old 2M cap streams an exact diff (the cap
+    and its error path no longer exist)."""
+    from databricks_data_warehouse_spark.sources import datasource as ds
+
+    t = ManagedTable(spark, "big", str(tmp_path / "big"))
+    t.overwrite(
+        spark.range(0, 2_200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+    )  # v0
+    up = spark.createDataFrame([(17, 999), (1_999_999, 999)], "k long, g long")
+    t.merge_upsert(up, ["k"])  # v1 rewrite touches > 2M rows both sides
+    r = ds.ManagedTableStreamReader(
+        _cdf_schema(t), {"location": t.location, "readChangeFeed": "true"}
+    )
+    parts = [
+        p
+        for p in r.partitions({"version": 0}, {"version": 1})
+        if isinstance(p, ds._DiffPartition)
+    ]
+    assert parts and parts[0].n_buckets >= 2  # over target -> fan-out
+    rows = _read_all_cdf(r, 0, 1)
+    assert sorted(rows) == sorted(
+        [
+            (17, 17 % 7, "delete"),
+            (1_999_999, 1_999_999 % 7, "delete"),
+            (17, 999, "insert"),
+            (1_999_999, 999, "insert"),
+        ]
+    )
 
 
 def test_max_versions_per_trigger_offsets(spark, tmp_path):

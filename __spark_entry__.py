@@ -203,6 +203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 7: streaming CDC — the change feed AS a stream
         # (readChangeFeed), per-commit attribution, O(changed rows)
         "stream_table_cdf": streaming.stream_table_cdf,
+        # NEW round 9: Auto-Loader-shaped streaming COPY — cloud_files
+        # discovery stream + ledger-guarded COPY sink, drained twice
+        # (second drain = full re-delivery) and still exactly-once
+        "stream_copy_into": streaming.stream_copy_into_query,
         # NEW round 6: directed n-gram containment (doc-in-doc dup the
         # symmetric Jaccard misses)
         "dedup_containment_pairs": dedup.ngram_containment_pairs,
@@ -943,6 +947,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_table_source": streaming.stream_table_source_oracle(),
         # the streamed change feed must be the exact attributed multiset
         "stream_table_cdf": streaming.stream_table_cdf_oracle(),
+        # Auto-Loader drain (twice, second = full re-delivery) must
+        # hold exactly one copy of every order
+        "stream_copy_into": streaming.stream_copy_into_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

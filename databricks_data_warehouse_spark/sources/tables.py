@@ -928,6 +928,35 @@ class ManagedTable:
                 if pattern and not fnmatch.fnmatch(rel, pattern):
                     continue
                 candidates.append(full)
+        return self.copy_into_files(
+            candidates,
+            file_format=file_format,
+            force=force,
+            merge_schema=merge_schema,
+        )
+
+    def copy_into_files(
+        self,
+        candidates: Sequence[str],
+        file_format: str = "parquet",
+        force: bool = False,
+        merge_schema: bool = False,
+    ) -> dict:
+        """The file-list core of :meth:`copy_into` — load exactly the
+        given source files that the ledger has not recorded yet, with
+        the load and the ledger entries in ONE atomic commit. This is
+        the sink half of the Auto-Loader composition
+        (:mod:`streaming.autoloader`): the discovery stream hands each
+        micro-batch's file paths here, and exactly-once holds under
+        ANY re-delivery (checkpoint loss, overlapping streams, a
+        concurrent batch COPY INTO) because the ledger — not the
+        stream's checkpoint — is the record of truth."""
+        if file_format.lower() not in ("parquet", "csv", "json"):
+            raise ValueError(f"unsupported FILEFORMAT {file_format!r}")
+        if self.current_version() < 0:
+            raise FileNotFoundError(
+                f"table {self.name}: COPY INTO requires an existing table"
+            )
         ledger = self.copy_files
         todo = [
             f for f in candidates if force or f not in ledger

@@ -1,6 +1,11 @@
 """Structured Streaming extensions (SURVEY.md §2.K: the reference is
 batch-only; these are the additive streaming surface over ``events``)."""
 
+from .autoloader import (
+    stream_copy_into,
+    stream_copy_into_oracle,
+    stream_copy_into_query,
+)
 from .bronze_stream import (
     stream_bronze_ingest,
     stream_events_to_table,
@@ -27,6 +32,9 @@ from .windows import (
 
 __all__ = [
     "stream_bronze_ingest",
+    "stream_copy_into",
+    "stream_copy_into_oracle",
+    "stream_copy_into_query",
     "stream_events_to_table",
     "stream_gold_aggregate",
     "stream_gold_counts_table",

@@ -1,0 +1,178 @@
+"""Auto-Loader-shaped streaming COPY INTO: continuous file ingestion
+with ledger-owned exactly-once.
+
+Composition (VERDICT r08 item 5): the ``cloud_files`` discovery source
+(:mod:`..sources.cloud_files`) streams newly-landed file paths; each
+micro-batch's ``foreachBatch`` sink loads those paths with Spark's
+native reader through :meth:`ManagedTable.copy_into_files`, which
+commits the rows and the loaded-file ledger entries atomically. The
+division of labor is deliberate:
+
+- the STREAM moves only metadata (paths) — one directory listing per
+  trigger, offsets bounded by the lookback window;
+- the DATA moves through the native vectorized scan, not the Python
+  source API;
+- exactly-once is owned by the table's COPY ledger, so checkpoint
+  loss, overlapping streams, and concurrent batch ``COPY INTO`` runs
+  all deduplicate to no-ops (re-delivered paths re-diff against the
+  ledger inside the same atomic commit protocol).
+
+Reference shape: the re-runnable Bronze ingestion loop
+(Bronze-Ingestion-Customers.py:51-58) made continuous — Databricks
+users express this as ``cloudFiles`` + ``trigger(availableNow)`` into
+``COPY INTO``-equivalent idempotent loads.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.cloud_files import CLOUD_FILES_FORMAT, register
+from ..sources.tables import ConcurrentWriteError, ManagedTable
+
+
+def stream_copy_into(
+    spark: SparkSession,
+    source_dir: str,
+    table: ManagedTable,
+    file_format: str = "parquet",
+    pattern: str | None = None,
+    checkpoint_dir: str | None = None,
+    merge_schema: bool = False,
+    available_now: bool = True,
+) -> dict:
+    """Drain the landing directory's unloaded files into ``table``.
+
+    With ``available_now`` (default) the call returns after every file
+    present at start has been ingested — the re-runnable batch shape;
+    pass ``False`` to keep a continuous micro-batch query running
+    (caller owns the returned query's lifecycle).
+
+    Returns ``{"files_loaded": n, "rows_loaded": n}`` totals for this
+    drain (availableNow mode)."""
+    register(spark)
+    if checkpoint_dir is None:
+        import tempfile
+
+        checkpoint_dir = os.path.join(
+            tempfile.gettempdir(), f"autoloader_ckpt_{uuid.uuid4().hex[:8]}"
+        )
+    totals = {"files_loaded": 0, "rows_loaded": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # O(new files) driver-side metadata collect — the paths, never
+        # the rows; the rows ride the native reader in copy_into_files
+        paths = sorted(
+            r["path"] for r in batch_df.select("path").collect()
+        )
+        if not paths:
+            return
+        for attempt in (1, 2):
+            try:
+                res = table.copy_into_files(
+                    paths,
+                    file_format=file_format,
+                    merge_schema=merge_schema,
+                )
+                totals["files_loaded"] += res["files_loaded"]
+                totals["rows_loaded"] += res["rows_loaded"]
+                return
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
+                # a concurrent writer claimed some of these files or
+                # the version number; re-diff retries to the remainder
+
+    reader = (
+        spark.readStream.format(CLOUD_FILES_FORMAT)
+        .option("location", source_dir)
+        .option(
+            "ext",
+            {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[
+                file_format.lower()
+            ],
+        )
+    )
+    if pattern:
+        reader = reader.option("pattern", pattern)
+    writer = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "autoloader availableNow drain did not finish within "
+                "300s; ingestion is incomplete"
+            )
+        return totals
+    return writer.start()
+
+
+def stream_copy_into_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable Auto-Loader drain: the ``orders`` landing file
+    streamed into a fresh ManagedTable via cloud_files discovery +
+    ledger-guarded COPY, drained TWICE — the second time from a brand
+    new checkpoint, so every file re-delivers and the ledger must
+    no-op it. The table then holds exactly one copy of every order:
+    the per-status rollup hash-matches the bare SQL over ``orders``
+    (exactly-once under full re-delivery, the VERDICT r08 item 5
+    done-criterion)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..queries._util import cents
+    from .windows import _scratch_root
+
+    run = uuid.uuid4().hex[:8]
+    loc = os.path.join(_scratch_root(), "autoloader_tbl", run)
+    ck1 = os.path.join(_scratch_root(), "autoloader_ckpt", run, "a")
+    ck2 = os.path.join(_scratch_root(), "autoloader_ckpt", run, "b")
+    src = os.path.abspath(sf_dir)
+    schema = spark.read.parquet(os.path.join(src, "orders.parquet")).schema
+    table = ManagedTable(spark, f"al_orders_{run}", loc)
+    table.create_if_not_exists(schema)
+    try:
+        stream_copy_into(
+            spark, src, table, pattern="orders.parquet*", checkpoint_dir=ck1
+        )
+        # full re-delivery: fresh checkpoint, same landing zone
+        again = stream_copy_into(
+            spark, src, table, pattern="orders.parquet*", checkpoint_dir=ck2
+        )
+        assert again["rows_loaded"] == 0, "ledger must no-op re-delivery"
+        agg = (
+            table.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = agg.collect()
+        out = spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+        shutil.rmtree(os.path.join(_scratch_root(), "autoloader_ckpt", run),
+                      ignore_errors=True)
+    return out
+
+
+def stream_copy_into_oracle() -> str:
+    return """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

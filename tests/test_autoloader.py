@@ -1,0 +1,108 @@
+"""Auto-Loader-shaped streaming COPY: the cloud_files discovery stream
+drained through foreachBatch into ManagedTable.copy_into_files.
+Exactly-once is owned by the COPY ledger, so checkpoint loss, full
+re-delivery, and racing a batch COPY INTO all no-op."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+from databricks_data_warehouse_spark.streaming.autoloader import (
+    stream_copy_into,
+)
+
+
+def _land(spark, path, lo, hi):
+    spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _mk_table(spark, tmp_path, name):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    t.create_if_not_exists(
+        StructType([StructField("k", LongType()), StructField("g", LongType())])
+    )
+    return t
+
+
+def test_autoloader_ingests_then_increments(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    _land(spark, src, 0, 10)
+    t = _mk_table(spark, tmp_path, "al")
+    r1 = stream_copy_into(spark, src, t, checkpoint_dir=str(tmp_path / "c1"))
+    assert r1["rows_loaded"] == 10
+    assert t.read().count() == 10
+    # nothing new: same checkpoint resumes, loads nothing
+    r2 = stream_copy_into(spark, src, t, checkpoint_dir=str(tmp_path / "c1"))
+    assert r2["rows_loaded"] == 0
+    # a new file lands -> exactly its rows ingest
+    _land(spark, src, 10, 15)
+    r3 = stream_copy_into(spark, src, t, checkpoint_dir=str(tmp_path / "c1"))
+    assert r3["rows_loaded"] == 5
+    assert sorted(r.k for r in t.read().collect()) == list(range(15))
+
+
+def test_autoloader_checkpoint_loss_is_harmless(spark, tmp_path):
+    """Delete the checkpoint between drains: every file re-delivers,
+    the ledger re-diffs them to a no-op — table contents unchanged."""
+    src = str(tmp_path / "landing2")
+    _land(spark, src, 0, 8)
+    t = _mk_table(spark, tmp_path, "al2")
+    ckpt = str(tmp_path / "c2")
+    stream_copy_into(spark, src, t, checkpoint_dir=ckpt)
+    v = t.current_version()
+    shutil.rmtree(ckpt)
+    r = stream_copy_into(spark, src, t, checkpoint_dir=ckpt)
+    assert r["rows_loaded"] == 0 and r["files_loaded"] == 0
+    assert t.read().count() == 8
+    assert t.current_version() == v  # no-op did not even commit
+
+
+def test_autoloader_races_batch_copy_into(spark, tmp_path):
+    """A batch COPY INTO that already claimed some files: the stream
+    re-diffs and loads only the remainder."""
+    src = str(tmp_path / "landing3")
+    _land(spark, src, 0, 6)
+    t = _mk_table(spark, tmp_path, "al3")
+    t.copy_into(src)  # batch loads the first file(s)
+    assert t.read().count() == 6
+    _land(spark, src, 6, 9)
+    r = stream_copy_into(spark, src, t, checkpoint_dir=str(tmp_path / "c3"))
+    assert r["rows_loaded"] == 3  # only the post-batch file
+    assert t.read().count() == 9
+
+
+def test_cloud_files_reader_late_mtime_within_lookback(tmp_path):
+    """Unit: a file whose mtime lags the watermark (out-of-order
+    writer) is still delivered next batch when it is inside the
+    lookback window and was absent from the start offset."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz"
+    d.mkdir()
+    f1 = d / "a.parquet"
+    f1.write_bytes(b"x")
+    r = CloudFilesStreamReader({"location": str(d), "lookbackNs": str(10**12)})
+    o1 = r.latestOffset()
+    [batch] = r.partitions(r.initialOffset(), o1)
+    assert [os.path.basename(p) for p, _, _ in batch.files] == ["a.parquet"]
+    # a second file written with an OLDER mtime than the watermark
+    f2 = d / "b.parquet"
+    f2.write_bytes(b"y")
+    early = o1["wm"] - 500_000_000  # 0.5 s behind the watermark
+    os.utime(f2, ns=(early, early))
+    o2 = r.latestOffset()
+    [batch2] = r.partitions(o1, o2)
+    assert [os.path.basename(p) for p, _, _ in batch2.files] == ["b.parquet"]
+    # and it is NOT re-delivered afterwards
+    [batch3] = r.partitions(o2, r.latestOffset())
+    assert batch3.files == []

@@ -223,6 +223,45 @@ def test_distributed_and_driver_paths_agree(spark, tmp_path):
         assert ra[1:] == rb[1:]
 
 
+def test_prune_path_keys_on_sidecar_size_not_kept(spark, tmp_path):
+    """r09 (VERDICT r08 item 4/6): the bloom path decision derives from
+    the SIDECAR's indexed-file count (driver-memory cost), not from how
+    few files stats pruning kept — a huge table narrowed to a handful
+    of kept files must still take the distributed path."""
+    t = ManagedTable(spark, "auto", str(tmp_path / "auto"))
+    t.set_bloom_index("doc_id", fpp=0.01, ndv=600)
+    t.overwrite(_scattered(spark))
+    roots = {}
+    for f in t._prune([], None)[0]:
+        from databricks_data_warehouse_spark.sources.tables import _write_root
+
+        roots.setdefault(_write_root(f), []).append(f)
+    indexed = t._bloom_sidecar_rows(roots)
+    assert indexed >= 8  # one bitmap row per data file
+    # threshold just above kept-count but at/below sidecar rows: the
+    # spark path must engage even though len(kept) < threshold
+    t.distributed_prune_threshold = indexed
+    calls = {}
+    orig = ManagedTable._bloom_test_spark
+
+    def spy(self, *a, **k):
+        calls["spark"] = True
+        return orig(self, *a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ManagedTable, "_bloom_test_spark", spy):
+        kept, _, _, _, _, _ = t._prune([("doc_id", "=", 123)], None)
+    assert calls.get("spark"), "distributed path must engage"
+    # and the decision is unchanged for genuinely small sidecars
+    t.distributed_prune_threshold = indexed + 10**6
+    calls.clear()
+    with mock.patch.object(ManagedTable, "_bloom_test_spark", spy):
+        kept2, _, _, _, _, _ = t._prune([("doc_id", "=", 123)], None)
+    assert not calls.get("spark")
+    assert sorted(kept) == sorted(kept2)
+
+
 def test_mismatched_config_never_wrongly_prunes(spark, tmp_path):
     t = ManagedTable(spark, "mm", str(tmp_path / "mm"))
     t.set_bloom_index("doc_id", fpp=0.01, ndv=600)

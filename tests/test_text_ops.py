@@ -118,6 +118,10 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
             comps.setdefault(find(n), []).append(n)
         return {n: min(m) for m in comps.values() for n in m}
 
+    import unittest.mock as mock
+
+    from databricks_data_warehouse_spark.ext import dedup as dedup_mod
+
     rng = random.Random(7)
     for case in range(3):
         n = 40
@@ -128,11 +132,20 @@ def test_connected_components_matches_union_find_on_random_graphs(spark):
         nodes = sorted({x for e in edges for x in e})
         expected = union_find(nodes, edges)
         df = spark.createDataFrame(edges, "src long, dst long")
+        # r09: both CC paths must agree — the driver union-find fast
+        # path (default for sparse graphs) AND the distributed
+        # pointer-jumping path (forced by zeroing the edge threshold)
         got = {
             r["node"]: r["comp"]
             for r in connected_components(df, "src", "dst").collect()
         }
-        assert got == expected, f"case {case}"
+        assert got == expected, f"case {case} (driver path)"
+        with mock.patch.object(dedup_mod, "_CC_DRIVER_MAX_EDGES", -1):
+            got_dist = {
+                r["node"]: r["comp"]
+                for r in connected_components(df, "src", "dst").collect()
+            }
+        assert got_dist == expected, f"case {case} (distributed path)"
 
 
 def test_boilerplate_ngrams_heavy_hitters(spark):

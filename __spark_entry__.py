@@ -62,53 +62,36 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    Round-8 window (= VERDICT r07 item 3's rotation queue + this
-    round's edits; a green on CHANGED code is the durable record):
-    (a) 7 r7-touched-but-never-rechecked entries (CHANGELOG r7
-        rotation queue, held to by VERDICT r07 item 3): dedup_exact,
-        dedup_minhash_signatures, dedup_minhash_pairs,
-        dedup_ngram_jaccard, dedup_simhash (the dedup.py refactor),
-        sample_token_budget, pack_sequences (optional-param edits);
-    (b) 15 entries whose code or oracle round 8 changed:
-        text_token_counts_bpe (NEW exact oracle — trained vocabulary
-        as VALUES), text_lm_familiarity (integral-log2 oracle),
-        dedup_semantic + dedup_incremental (scale rewrites: exact-dup
-        collapse, √n centroids, O(batch) semi-joins),
-        ann_ivf_assignments/ann_ivf_topk/ann_kmeans_refine
-        (auto-centroids + _assign_to_centroids refactor), and the
-        ManagedTable-backed surface touched by the tables.py /
-        datasource.py / table_stream.py fixes (_file_key decode,
-        _base_key suffix anchor, partition-literal encoding, _drain):
-        table_sql_dml, table_cdf, table_zorder_scan,
-        table_zorder_scan_sql, stream_ingest_managed_table,
-        stream_gold_counts_table, stream_table_source,
-        stream_table_cdf;
-    (c) 22 of the oldest greens (r05, 3 rounds old): the 8 op_*, the
-        5 gold_*, the 5 dash_*, and tpch q1/q3/q5/q6;
-    (d) the 6 brand-new round-8 operators (never checked beats even
-        the oldest green): text_dup_spans, text_dedup_substrings,
-        emb_pq_codes, ann_pq_topk, ann_pq_rerank_topk,
-        table_mv_incremental.
-    Continuation-session rebalance: 5 oldest-green slots (each sharing
-    its implementing file with a staying entry) ceded to the 5 entries
-    that have NEVER been driver-checked — table_bloom_scan and
-    table_generated_scan (new features on the heavily-edited
-    tables.py/datasource.py), op_assign_row_ids and join_skew_salted
-    (new distribution-shape oracles), and emb_hard_negatives (landed
-    after round 8's original window filled).
+    Round-9 window (VERDICT r08 items 1-2 + this round's edits; a
+    green on CHANGED code is the durable record):
+    (a) entries whose code or oracle changed in round 9:
+        join_skew_salted (oracle BIGINT cast — the one r08 red),
+        stream_copy_into (NEW: Auto-Loader streaming COPY),
+        stream_table_cdf (bucketed distributed rewrite diff),
+        dedup_semantic (checkpointed stages), dedup_clusters /
+        dedup_keep_canonical / dedup_incremental (connected-components
+        driver fast path), table_bloom_scan (sidecar-sized prune-path
+        choice), table_copy_into (copy_into_files refactor),
+        agg_distinct_counts_approx + agg_delay_percentiles_approx
+        (NEW deterministic-bound oracles — no rows-only entries left);
+    (b) the r08 rotation queue, in its exact order: the 5 ceded oldest
+        greens (op_clean_string_address, gold_customer_breakdown,
+        dash_customer_share_by_segment, dash_low_order_customers,
+        tpch_q6_forecast_revenue), the r05 text_* family, the r05
+        events_json/ann_cosine/ann_pairs/anomaly/quality_floor/
+        unpivot/histogram block, the dedup/LSH entries sharing this
+        round's touched dedup.py/similarity.py (dedup_cap_report,
+        dedup_containment_pairs, ann_lsh_* ×4, emb_quantize_int8,
+        emb_centroid_per_label), then the r06 TPC-H long tail from q2.
 
-    Left OUT, with justification: the 5 ceded oldest greens
-    (op_clean_string_address, gold_customer_breakdown,
-    dash_customer_share_by_segment, dash_low_order_customers,
-    tpch_q6_forecast_revenue — same-file siblings stay in-window) and
-    the r05 text_* family (quality,
-    token_counts, lang_id, fingerprint, pii_scrub, decontaminate,
-    repetition, corpus_filter) plus events_json/ann_cosine/
-    pairs_per_label/anomaly_zscore/quality_floor/unpivot/histogram —
-    the FRONT of round 9's queue; every r06/r07 green on files rounds
-    7-8 did not touch (tpch q2/q4/q7-q22, stretch aggs, streams, mm,
-    sample/asof, containment/cap_report/clusters/keep_canonical,
-    lsh family); and the 2 approx twins (rows-only by design)."""
+    Left OUT, with justification: tpch q14-q22 + the stretch aggs
+    (window filled; they lead round 10's queue with the rest of the
+    r06 greens), and the r08-green tables.py/similarity.py entries
+    whose round-9 file edits do not touch their code paths
+    (table_sql_dml/cdf/zorder/generated/mv, stream_ingest/gold/
+    table_source: narrow copy_into + bloom-path + docstring edits,
+    all pytest-pinned; ann_ivf/pq/emb_hard_negatives: the
+    similarity.py edit is semantic_dedup_df-local)."""
     cat = {
         # ====== (a) never driver-checked ===================================
         # pandas-UDAF / Python-UDTF API-class demos + r05 additions the
@@ -364,11 +347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": text.decontaminate_splits,
         "text_repetition": text.repetition_scores,
         "text_corpus_filter": text.corpus_filter,
-        # ---- approx twins (rows-only by construction; exact twins above)
+        # ---- approx twins (r09: hash-checked via deterministic-bound
+        # verdicts — sketch estimate vs exact anchor, flag asserted TRUE)
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R8_WINDOW}
+    ordered = {k: cat[k] for k in _R9_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
@@ -376,74 +360,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # The 50-slot driver window for round 8 — see the queries() docstring
 # for the selection rationale. Everything not listed keeps its catalog
 # (round-7 priority) order after these.
-_R8_WINDOW = [
-    # (a) r7-touched, never rechecked
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sample_token_budget",
-    "pack_sequences",
-    # (b) round-8 changed code / oracle
-    "text_token_counts_bpe",
-    "text_lm_familiarity",
-    "dedup_semantic",
-    "dedup_incremental",
-    "ann_ivf_assignments",
-    "ann_ivf_topk",
-    "ann_kmeans_refine",
-    "table_sql_dml",
-    "table_cdf",
-    "table_zorder_scan",
-    "table_zorder_scan_sql",
-    "stream_ingest_managed_table",
-    "stream_gold_counts_table",
-    "stream_table_source",
-    "stream_table_cdf",
-    # (c) oldest greens (r05) — trimmed from 22 to 17 in the
-    # continuation session: 5 slots ceded to never-checked entries
-    # (below). The dropped five (op_clean_string_address,
-    # gold_customer_breakdown, dash_customer_share_by_segment,
-    # dash_low_order_customers, tpch_q6_forecast_revenue) each share
-    # their implementing file with an entry that STAYS in the window
-    # (cleaning.py / gold.py / dashboard.py / tpch.py), so every file
-    # keeps same-round driver coverage; they lead round 9's rotation.
-    "op_profile_customer",
-    "op_clean_string",
-    "op_validate_columns",
-    # op_validate_domain ceded to table_copy_into (same validation.py
-    # keeps op_validate_columns/op_validate_relationship in-window)
-    "op_validate_relationship",
-    "op_identify_duplicates",
-    "op_ingestion_status",
-    "gold_customer_status_by_city",
-    "gold_orders_by_city",
-    "gold_orders_by_customer_week",
-    "gold_orders_delivery_time",
-    "dash_top_nations_by_segment",
-    "dash_avg_delivery_by_nation",
-    "dash_late_orders_by_priority",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    # round-8 additions (never checked > oldest greens; text_quality,
-    # token_counts, lang_id, fingerprint, pii_scrub and decontaminate
-    # rotate to the round-9 front instead)
-    "text_dup_spans",
-    "text_dedup_substrings",
-    "emb_pq_codes",
-    "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "table_mv_incremental",
-    # continuation-session additions (never driver-checked, and the
-    # table entries sit on the heavily-edited tables.py/datasource.py)
-    "table_bloom_scan",
-    "table_generated_scan",
-    "op_assign_row_ids",
+_R9_WINDOW = [
+    # (a) round-9 changed code / oracle
     "join_skew_salted",
-    "emb_hard_negatives",
+    "stream_copy_into",
+    "stream_table_cdf",
+    "dedup_semantic",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "dedup_incremental",
+    "table_bloom_scan",
     "table_copy_into",
+    "agg_distinct_counts_approx",
+    "agg_delay_percentiles_approx",
+    # (b) the r08 rotation queue, in order: 5 ceded oldest greens
+    "op_clean_string_address",
+    "gold_customer_breakdown",
+    "dash_customer_share_by_segment",
+    "dash_low_order_customers",
+    "tpch_q6_forecast_revenue",
+    # the r05 text_* family
+    "text_quality",
+    "text_token_counts",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_decontaminate",
+    "text_repetition",
+    "text_corpus_filter",
+    # the r05 events/ann/stretch block
+    "events_json_extract",
+    "events_json_agg",
+    "events_hourly_windows",
+    "ann_cosine_topk",
+    "ann_pairs_per_label",
+    "events_anomaly_zscore",
+    "text_quality_floor",
+    "agg_unpivot_status",
+    "agg_value_histogram",
+    # dedup/LSH entries sharing this round's touched files
+    "dedup_cap_report",
+    "dedup_containment_pairs",
+    "ann_lsh_buckets",
+    "ann_lsh_topk",
+    "ann_lsh_near_dup_pairs",
+    "ann_lsh_topk_multiprobe",
+    "emb_quantize_int8",
+    "emb_centroid_per_label",
+    # the r06 TPC-H long tail, from the front
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
 ]
 
 
@@ -1615,9 +1588,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN excess e ON s.s_suppkey = e.ps_suppkey
         """,
         # ------------------------------------------ stretch aggregates
-        # (agg_distinct_counts_approx omitted -> rows-only: the HLL
-        # estimate is engine-specific by construction; its exact twin
-        # below is fully hash-checked)
+        # r09: the approx twins are hash-checked via deterministic-bound
+        # verdicts — the sketch estimate must land inside its published
+        # error bound of the exact value (stable for fixed input), and
+        # the oracle asserts the flag TRUE next to the exact anchors
+        "agg_distinct_counts_approx": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS exact_customers,
+                   TRUE AS approx_within_3rsd
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "agg_delay_percentiles_approx": """
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS line_count,
+                   TRUE AS p50_within_bound,
+                   TRUE AS p90_within_bound
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
         "agg_distinct_counts": """
             SELECT o_orderstatus,
                    COUNT(DISTINCT o_custkey) AS exact_customers
@@ -3552,9 +3542,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY user_id
         """,
-        # agg_distinct_counts_approx is the only intentionally
-        # oracle-less entry (HLL estimates are engine-specific); every
-        # approximate index build above (minhash bands, sign-LSH, IVF)
-        # is instead twinned exactly in DuckDB so even the approximation
+        # r09: no oracle-less entries remain — the two approx twins
+        # report deterministic-bound verdicts (see their SQL above),
+        # and every approximate index build (minhash bands, sign-LSH,
+        # IVF) is twinned exactly in DuckDB so even the approximation
         # is hash-checked.
     }

@@ -10,7 +10,7 @@ at 100 TB where exact distinct would shuffle every key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import cents, load, rnd
@@ -78,15 +78,31 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def agg_distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + approximate distinct customers per order status. The HLL
-    estimate is engine-specific by construction, so this entry is
-    rows-only checked; the exact twin above is the hash-checked anchor.
-    At 100 TB approx_count_distinct is the operator you actually run —
+    """Exact + approximate distinct customers per order status. The raw
+    HLL estimate is engine-specific by construction, so the entry
+    reports a DETERMINISTIC-BOUND verdict instead (VERDICT r08 item 7):
+    the estimate must sit within 3× the sketch's published relative
+    standard deviation (rsd 0.05 → 15%) of the exact count — Spark's
+    HLL++ is deterministic for fixed input, so the flag is stable and
+    the oracle asserts it TRUE alongside the exact counts, upgrading
+    the entry from rows-only to hash-checked. At 100 TB
+    approx_count_distinct is the operator you actually run —
     constant-size sketch per group vs a full distinct shuffle."""
     orders = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
-    return orders.groupBy("o_orderstatus").agg(
-        F.count_distinct("o_custkey").alias("exact_customers"),
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.05).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.15 * F.col("exact_customers")
+            ).alias("approx_within_3rsd"),
+        )
     )
 
 
@@ -149,9 +165,13 @@ def agg_delay_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` is a sort-based aggregate that materializes every
     group's values, while ``approx_percentile`` keeps a constant-size
     quantile sketch per group and merges sketches map-side. Mirrors the
-    exact/approx split of ``agg_distinct_counts``; the estimate is
-    engine-specific by construction, so this entry is rows-only checked
-    and the exact twin above is the hash-checked anchor."""
+    exact/approx split of ``agg_distinct_counts``. The raw estimate is
+    engine-specific, so the entry reports a DETERMINISTIC-BOUND
+    verdict (VERDICT r08 item 7): at accuracy 10000 the sketch's rank
+    error is ≤ n/10000, so the estimate must land within 2 days or 2%
+    of the exact interpolated percentile; the flags are stable for
+    fixed input and the oracle asserts them TRUE alongside the exact
+    group counts — hash-checked, no longer rows-only."""
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -162,10 +182,26 @@ def agg_delay_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delay",
         F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")),
     )
-    return delays.groupBy("o_orderpriority").agg(
-        F.expr("approx_percentile(delay, 0.5, 10000)").alias("p50_delay_approx"),
-        F.expr("approx_percentile(delay, 0.9, 10000)").alias("p90_delay_approx"),
-        F.count("*").alias("line_count"),
+    def _within(approx: Column, exact: Column) -> Column:
+        return F.abs(approx - exact) <= F.greatest(
+            F.lit(2.0), 0.02 * F.abs(exact)
+        )
+
+    return (
+        delays.groupBy("o_orderpriority")
+        .agg(
+            F.expr("approx_percentile(delay, 0.5, 10000)").alias("_p50_a"),
+            F.expr("approx_percentile(delay, 0.9, 10000)").alias("_p90_a"),
+            F.expr("percentile(delay, 0.5)").alias("_p50_e"),
+            F.expr("percentile(delay, 0.9)").alias("_p90_e"),
+            F.count("*").alias("line_count"),
+        )
+        .select(
+            "o_orderpriority",
+            "line_count",
+            _within(F.col("_p50_a"), F.col("_p50_e")).alias("p50_within_bound"),
+            _within(F.col("_p90_a"), F.col("_p90_e")).alias("p90_within_bound"),
+        )
     )
 
 

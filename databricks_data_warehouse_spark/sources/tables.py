@@ -451,6 +451,8 @@ class ManagedTable:
         sort_columns: Sequence[str] = (),
         retain_versions: int | None = None,
         distributed_prune_threshold: int | None = None,
+        auto_compact: bool = False,
+        auto_compact_min_files: int = 50,
     ):
         self.spark = spark
         self.name = name
@@ -478,6 +480,16 @@ class ManagedTable:
             if distributed_prune_threshold is None
             else distributed_prune_threshold
         )
+        # Databricks delta.autoOptimize.autoCompact parity: after a
+        # data commit, any partition that has accumulated
+        # ≥ auto_compact_min_files small files is bin-packed in a
+        # follow-up OPTIMIZE commit — bounding the small-file explosion
+        # of per-micro-batch streaming sinks without a scheduled
+        # maintenance job. The OPTIMIZE itself never auto-compacts
+        # (no recursion) and losing a compaction race is best-effort
+        # (the data commit already succeeded).
+        self.auto_compact = auto_compact
+        self.auto_compact_min_files = auto_compact_min_files
         if self.schema is None:
             self.schema = self._load_schema()
         # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity):
@@ -1818,6 +1830,18 @@ class ManagedTable:
                 pass
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
+        if (
+            self.auto_compact
+            and not op.startswith("OPTIMIZE")
+            and op != "VACUUM"
+        ):
+            try:
+                # selective by construction: only partitions at/over the
+                # small-file threshold rewrite; everything else carries
+                # over untouched, and a no-op returns without a commit
+                self.optimize(min_small_files=self.auto_compact_min_files)
+            except ConcurrentWriteError:
+                pass  # another writer compacted or won the version race
         return v_new
 
     def _commit_metadata_only(self, op: str = "SCHEMA EVOLVE") -> int:

@@ -437,3 +437,53 @@ def test_fsck_repair_drops_missing_dirs(spark, tmp_path):
     s = SqlSession(spark)
     s.register(t)
     assert s.sql("FSCK REPAIR TABLE fsck DRY RUN").count() == 0
+
+
+def test_auto_compact_bounds_small_files(spark, tmp_path):
+    """r09: Databricks autoOptimize.autoCompact parity — a table with
+    auto_compact on bin-packs any partition that crosses the
+    small-file threshold in a follow-up OPTIMIZE commit, so streaming
+    micro-batch appends can't accumulate unbounded file counts."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(
+        spark,
+        "ac",
+        str(tmp_path / "ac"),
+        auto_compact=True,
+        auto_compact_min_files=5,
+    )
+    for i in range(7):
+        t.append(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), (F.col("id") % 3).alias("g")
+            ).coalesce(1)
+        )
+    # contents intact
+    assert sorted(r.k for r in t.read().collect()) == list(range(70))
+    # the live manifest references few files (compaction fired)
+    kept, legacy, total, _r, _rk, _b = t._prune([], None)
+    assert total <= 4, f"auto-compact should bound files, saw {total}"
+    # history shows OPTIMIZE commits interleaved with the appends
+    ops = [h["operation"] for h in t.history()]
+    assert any(o.startswith("OPTIMIZE") for o in ops)
+
+
+def test_auto_compact_off_by_default(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(spark, "nac", str(tmp_path / "nac"))
+    for i in range(6):
+        t.append(
+            spark.range(i * 5, i * 5 + 5).select(
+                F.col("id").alias("k")
+            ).coalesce(1)
+        )
+    kept, legacy, total, _r, _rk, _b = t._prune([], None)
+    assert total == 6  # one file per append, untouched

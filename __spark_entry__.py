@@ -84,7 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_containment_pairs, ann_lsh_* ×4, emb_quantize_int8,
         emb_centroid_per_label), then the r06 TPC-H long tail from q2.
 
-    Left OUT, with justification: tpch q14-q22 + the stretch aggs
+    Left OUT, with justification: tpch q13-q22 + the stretch aggs
     (window filled; they lead round 10's queue with the rest of the
     r06 greens), and the r08-green tables.py/similarity.py entries
     whose round-9 file edits do not touch their code paths
@@ -138,6 +138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrites), MERGE upserts; the oracle replays the statements
         # relationally (VERDICT r06 "What's missing" item 6)
         "table_sql_dml": sql_dml_query.table_sql_dml,
+        # NEW round 9: replaceWhere / INSERT OVERWRITE [PARTITION] —
+        # the selective-overwrite write modes (partition-aligned
+        # metadata-only drop, straddling remainder rewrite, static
+        # partition swap), builder-asserted to take the right path
+        "table_replace_where": sql_dml_query.table_replace_where,
         # NEW round 7: incremental change feed (manifest/DV diff) over
         # the DV-delete commit — O(changed rows), no full-table diff
         "table_cdf": sql_dml_query.table_cdf,
@@ -363,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R9_WINDOW = [
     # (a) round-9 changed code / oracle
     "join_skew_salted",
+    "table_replace_where",
     "stream_copy_into",
     "stream_table_cdf",
     "dedup_semantic",
@@ -416,7 +422,6 @@ _R9_WINDOW = [
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
     "tpch_q12_shipping_modes",
-    "tpch_q13_customer_distribution",
 ]
 
 
@@ -899,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         # SQL DELETE/UPDATE/MERGE through the DV merge-on-read path
         # must reach the same fixpoint as the relational replay
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),
+        "table_replace_where": sql_dml_query.table_replace_where_oracle(),
         # the incremental CDF must equal the delete's relational row set
         "table_cdf": sql_dml_query.table_cdf_oracle(),
         # incremental MV ≡ from-scratch GROUP BY over the replayed DML

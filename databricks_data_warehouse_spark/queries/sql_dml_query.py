@@ -187,3 +187,136 @@ def table_sql_dml_oracle() -> str:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """
+
+
+# ------------------------------------------------- replaceWhere entry
+
+# the three selective-overwrite mutations (deterministic; final
+# version must be 3). v1 is partition-aligned (metadata-only drops),
+# v2 straddles files inside one partition (remainder rewrite), v3 is
+# the Hive-style static-partition overwrite through the same path.
+_RW_V1 = (
+    "INSERT INTO t REPLACE WHERE o_orderstatus = 'P' "
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 5 "
+    "FROM rw_src WHERE o_orderstatus = 'P' AND o_totalprice >= 50000"
+)
+_RW_V2 = (
+    "INSERT INTO t REPLACE WHERE o_orderstatus = 'O' "
+    "AND o_totalprice < 100000 "
+    "SELECT o_orderkey, CAST(0 AS BIGINT) AS o_custkey, o_orderstatus, "
+    "o_totalprice FROM rw_src "
+    "WHERE o_orderstatus = 'O' AND o_totalprice < 100000"
+)
+_RW_V3 = (
+    "INSERT OVERWRITE t PARTITION (o_orderstatus = 'F') "
+    "SELECT o_orderkey, o_custkey, o_totalprice + 7 "
+    "FROM rw_src WHERE o_orderstatus = 'F'"
+)
+_RW_FINAL_VERSION = 3
+
+
+def _rw_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Orders partitioned by status, mutated by the three
+    selective-overwrite statements (cached per corpus like
+    :func:`_dml_table`)."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"rw_tbl_{h}")
+    table = ManagedTable(
+        spark, "t", loc, partition_columns=["o_orderstatus"]
+    )
+    v = table.current_version()
+    if v == _RW_FINAL_VERSION:
+        return table
+    if v >= 0:  # partial build from a crashed run: start over
+        shutil.rmtree(loc, ignore_errors=True)
+        table = ManagedTable(
+            spark, "t", loc, partition_columns=["o_orderstatus"]
+        )
+    try:
+        table.overwrite(load(spark, sf_dir, "orders").select(*_COLS))
+        sess = SqlSession(spark)
+        sess.register(table)
+        load(spark, sf_dir, "orders").select(*_COLS).createOrReplaceTempView(
+            "rw_src"
+        )
+        sess.sql(_RW_V1)  # v1 — partition-aligned: metadata-only drop
+        rc = table.last_replace_classification
+        assert rc["dropped"] >= 1 and rc["rewritten"] == 0, rc
+        sess.sql(_RW_V2)  # v2 — straddling: remainder rewrite
+        rc = table.last_replace_classification
+        assert rc["rewritten"] >= 1, rc
+        sess.sql(_RW_V3)  # v3 — static-partition INSERT OVERWRITE
+    except ConcurrentWriteError:
+        pass  # concurrent builder won; the sequence is deterministic
+    return table
+
+
+def table_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the replaceWhere-mutated orders table, aggregated
+    per status (count + exact cents sum + custkey sum, so the v2
+    custkey zeroing is observable). The v1 statement MUST take the
+    metadata-only drop path and v2 the remainder-rewrite path (asserted
+    in the builder) — hash-equality against DuckDB's relational replay
+    proves both region swaps and the static-partition overwrite.
+
+    Scale story: replaceWhere is THE idempotent-backfill write mode at
+    100 TB — a date-window re-run retires the window's partitions
+    metadata-only and never reads the other 3 years. Reference shape:
+    the re-runnable Bronze ingestion window
+    (Bronze-Ingestion-Customers.py:51-58) as one atomic swap."""
+    t = _rw_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def table_replace_where_oracle() -> str:
+    """DuckDB replay: each region swap is delete-region ∪ replacement.
+    Keep in lockstep with _RW_V1/_RW_V2/_RW_V3."""
+    from ._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+        ),
+        after_v1 AS (
+            SELECT * FROM base WHERE o_orderstatus <> 'P'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 5
+            FROM base
+            WHERE o_orderstatus = 'P' AND o_totalprice >= 50000
+        ),
+        after_v2 AS (
+            SELECT * FROM after_v1
+            WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
+            UNION ALL
+            SELECT o_orderkey, CAST(0 AS BIGINT), o_orderstatus,
+                   o_totalprice
+            FROM base
+            WHERE o_orderstatus = 'O' AND o_totalprice < 100000
+        ),
+        final AS (
+            SELECT * FROM after_v2 WHERE o_orderstatus <> 'F'
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 7
+            FROM base WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT)
+                   AS total_cents,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

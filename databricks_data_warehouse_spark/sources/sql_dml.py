@@ -21,6 +21,10 @@ statement grammar is the subset Delta documents:
 - ``DELETE FROM t [WHERE cond]``
 - ``UPDATE t SET c = expr[, ...] [WHERE cond]``
 - ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...)``
+- ``INSERT INTO t REPLACE WHERE pred SELECT ...`` (Databricks' atomic
+  region swap) and ``INSERT OVERWRITE [TABLE] t [PARTITION (p = lit,
+  …)] SELECT ...`` (full overwrite; with a static PARTITION spec only
+  those partitions swap, Hive static-partition semantics)
 - ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
   ``ALTER TABLE t DROP CONSTRAINT name``
 - ``ALTER TABLE t ADD|DROP COLUMN(S) ...`` /
@@ -56,6 +60,7 @@ metrics, and something a test can assert on.
 from __future__ import annotations
 
 import re
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -667,40 +672,108 @@ class SqlSession:
         cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
         return self._metrics("UPDATE", t, t.update_where(assignments, cond))
 
+    def _insert_query_df(self, t, body: str, omit: Sequence[str] = ()):
+        """The query half of an INSERT as a coerced DataFrame: SQL
+        INSERT matches by POSITION (VALUES have no names), generated/
+        identity columns may be omitted (the write path computes them),
+        and ``omit`` names further columns the statement supplies
+        elsewhere (a static PARTITION spec)."""
+        self._register_views()
+        body = body.strip()
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            body = f"SELECT * FROM ({body})"
+        df = self.spark.sql(body)
+        cols = [f.name for f in t.schema.fields] if t.schema else df.columns
+        target = [c for c in cols if c not in omit]
+        if df.columns != target:
+            non_gen = [
+                c for c in target
+                if c not in (t.generated or {})
+                and c not in (t.identity or {})
+            ]
+            if len(df.columns) == len(target):
+                df = df.toDF(*target)
+            elif len(df.columns) == len(non_gen):
+                df = df.toDF(*non_gen)
+            else:
+                raise ValueError(
+                    f"INSERT INTO {t.name}: query produces {len(df.columns)} "
+                    f"columns, expected {len(target)}"
+                )
+        return df
+
     def _insert(self, stmt: str) -> DataFrame:
-        """``INSERT INTO t <query>`` — plain append (Delta INSERT:
-        no dedup; that's MERGE's job). The query half is any Spark
-        SELECT/VALUES/TABLE clause, parsed by Spark itself."""
+        """The INSERT family:
+
+        - ``INSERT INTO t <query>`` — plain append (Delta INSERT: no
+          dedup; that's MERGE's job). The query half is any Spark
+          SELECT/VALUES/TABLE clause, parsed by Spark itself.
+        - ``INSERT INTO t REPLACE WHERE <pred> <query>`` — Databricks'
+          atomic region swap: rows matching the predicate are replaced
+          by the query's rows in one commit (``replace_where``:
+          partition-aligned predicates retire whole dirs metadata-only,
+          straddling files rewrite their remainder).
+        - ``INSERT OVERWRITE [TABLE] t [PARTITION (p = lit, …)]
+          <query>`` — without PARTITION the classic full overwrite;
+          with a static PARTITION spec only those partitions swap
+          (the spec's literals are injected as columns, Hive static
+          partition semantics) via the same replace_where path.
+        """
+        m = re.match(
+            rf"INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})\s+"
+            rf"(?:PARTITION\s*\(([^)]*)\)\s+)?(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            if not m.group(2):
+                df = self._insert_query_df(t, m.group(3))
+                return self._metrics(
+                    "INSERT OVERWRITE", t, t.insert_overwrite(df, dynamic=False)
+                )
+            spec: dict[str, object] = {}
+            for part in _split_top_level(m.group(2)):
+                pm = re.match(rf"^({_IDENT})\s*=\s*(.+)$", part.strip())
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse PARTITION spec element: {part!r}"
+                    )
+                spec[pm.group(1)] = _parse_sql_literal(pm.group(2))
+            for c in spec:
+                if c not in t.partition_columns:
+                    raise ValueError(
+                        f"INSERT OVERWRITE {t.name}: {c!r} is not a "
+                        f"partition column of {t.partition_columns}"
+                    )
+            df = self._insert_query_df(t, m.group(3), omit=list(spec))
+            for c, v in spec.items():
+                df = df.withColumn(c, F.lit(v))
+            df = df.select(*[f.name for f in t.schema.fields])
+            return self._metrics(
+                "INSERT OVERWRITE", t,
+                t.replace_where(df, [(c, "=", v) for c, v in spec.items()]),
+            )
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s+REPLACE\s+WHERE\s+(.+?)\s*"
+            rf"\b(SELECT|VALUES|WITH|TABLE|FROM)\b(.*)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            triples = _parse_predicate_triples(m.group(2))
+            df = self._insert_query_df(t, f"{m.group(3)}{m.group(4)}")
+            return self._metrics(
+                "REPLACE WHERE", t, t.replace_where(df, triples)
+            )
         m = re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL
         )
         if not m:
             raise ValueError(f"cannot parse INSERT statement: {stmt!r}")
         t = self.table(m.group(1))
-        self._register_views()
-        body = m.group(2).strip()
-        if re.match(r"VALUES\b", body, re.IGNORECASE):
-            body = f"SELECT * FROM ({body})"
-        df = self.spark.sql(body)
-        cols = [f.name for f in t.schema.fields] if t.schema else df.columns
-        if df.columns != cols:
-            non_gen = [
-                c for c in cols
-                if c not in (t.generated or {})
-                and c not in (t.identity or {})
-            ]
-            if len(df.columns) == len(cols):
-                # SQL INSERT matches by POSITION (VALUES have no names)
-                df = df.toDF(*cols)
-            elif len(df.columns) == len(non_gen):
-                # generated columns may be omitted — append() computes
-                # them from their expressions (Delta INSERT behavior)
-                df = df.toDF(*non_gen)
-            else:
-                raise ValueError(
-                    f"INSERT INTO {t.name}: query produces {len(df.columns)} "
-                    f"columns, table has {len(cols)}"
-                )
+        df = self._insert_query_df(t, m.group(2))
         return self._metrics("INSERT", t, t.append(df))
 
     def _copy_into(self, stmt: str) -> DataFrame:

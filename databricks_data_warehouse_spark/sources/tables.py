@@ -56,7 +56,7 @@ import os
 import re
 import shutil
 import uuid
-from collections.abc import Mapping, Sequence
+from collections.abc import Collection, Mapping, Sequence
 from functools import reduce
 from urllib.parse import unquote
 
@@ -1676,6 +1676,7 @@ class ManagedTable:
         identity_claim: Mapping[str, tuple[int, int]] | None = None,
         copy_files_add: Mapping[str, list] | None = None,
         copy_files_guard: Sequence[str] = (),
+        drop_rels: Collection[str] = (),
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -1686,6 +1687,9 @@ class ManagedTable:
         footer stats carry over with them). With ``append_only`` the
         staged entries replace NOTHING: their keys are suffixed with the
         write id so they coexist with the partition's existing entries.
+        ``drop_rels`` removes the named entry dirs from the manifest in
+        the same commit (their stats and deletion vectors die with
+        them) — the remove-file half of a ``replace_where`` transaction.
         """
         v_new = self.current_version() + 1
         # enforce against the constraint set of the version being built
@@ -1772,10 +1776,12 @@ class ManagedTable:
             # drops them too. An append_only stage replaces nothing:
             # its keys are unique by construction.
             prev_entries = self._read_manifest(v_new - 1)
+            dropped = set(drop_rels)
             entries = {
                 k: rel
                 for k, rel in prev_entries.items()
-                if append_only or _base_key(k) not in staged
+                if rel not in dropped
+                and (append_only or _base_key(k) not in staged)
             }
             entries.update(staged)
             prev_stats = self._read_stats(v_new - 1)
@@ -1891,6 +1897,156 @@ class ManagedTable:
             identity_claim=id_claim,
         )
 
+    def replace_where(
+        self, df: DataFrame, filters: Sequence[tuple], op: str = "REPLACE WHERE"
+    ) -> int:
+        """Delta/Databricks ``replaceWhere`` — atomically replace
+        exactly the rows matching ``filters`` (conjunctive triples, the
+        ``scan`` shape) with ``df``, in ONE commit: the selective
+        overwrite behind every idempotent backfill job
+        (``.mode("overwrite").option("replaceWhere", "date >= …")``).
+        Reference shape: the Bronze jobs re-run a whole ingestion
+        window (Bronze-Ingestion-Customers.py:51-58); replaceWhere is
+        that re-run as one atomic region swap instead of MERGE.
+
+        Scale shape (the reason this isn't delete+insert): each
+        manifest entry dir is classified against its FOOTER stats —
+        dirs whose files provably all match the predicate are dropped
+        metadata-only (a partition-aligned predicate retires whole
+        partitions with ZERO data I/O), dirs that provably contain no
+        match carry over byte-untouched, and only straddling dirs are
+        rewritten (their non-matching remainder re-staged, deletion
+        vectors applied so dead rows never resurrect). At 100 TB a
+        date-range backfill touches the window's partitions and
+        nothing else. Delta's contract is enforced: every incoming row
+        must satisfy the predicate, NULL-predicate rows are kept (a
+        comparison on NULL is not a match), and the whole swap is one
+        manifest commit — concurrent writers conflict, never interleave.
+
+        ``df`` may be empty (a conditional delete of the region);
+        generated/identity columns and CHECK constraints bind on the
+        staged rows exactly as in ``append``."""
+        for t in filters:
+            if len(t) < 2 or t[1] not in _FILTER_OPS:
+                raise ValueError(f"bad filter triple {t!r}")
+        if not filters:
+            raise ValueError(
+                "replace_where needs at least one filter triple; "
+                "use overwrite() to replace the whole table"
+            )
+        if self.current_version() < 0:
+            # creating through replaceWhere: nothing to replace
+            return self.overwrite(df, op=op)
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        cond = self._filter_expr(list(filters))
+        # Delta's replaceWhere constraint: every incoming row must lie
+        # inside the region being replaced, else the "overwrite region
+        # R with D" contract silently widens
+        viol = df.filter(~F.coalesce(cond, F.lit(False))).take(1)
+        if viol:
+            raise ValueError(
+                f"table {self.name}: replace_where data must match the "
+                f"predicate {filters!r}; found non-matching row {viol[0]!r}"
+            )
+        v = self.current_version()
+        phys = self._phys_triples(list(filters))
+        entries = self._read_manifest(v)
+        stats = self._read_stats(v)
+        drop_rels: set[str] = set()
+        rewrite_rels: set[str] = set()
+        for rel in set(entries.values()):
+            abs_dir = os.path.join(self.location, rel)
+            any_possible = False
+            all_proved = True
+            for dirpath, _dirs, fns in os.walk(abs_dir):
+                for fn in fns:
+                    if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                        continue
+                    frel = os.path.relpath(
+                        os.path.join(dirpath, fn), self.location
+                    )
+                    st = stats.get(frel)
+                    if st is None:
+                        any_possible, all_proved = True, False
+                        continue
+                    if self._file_matches(st, phys):
+                        any_possible = True
+                        if not self._file_all_match(st, phys):
+                            all_proved = False
+                    else:
+                        all_proved = False
+            if not any_possible:
+                continue  # provably untouched: carries over byte-identical
+            if all_proved:
+                drop_rels.add(rel)  # metadata-only retirement
+            else:
+                rewrite_rels.add(rel)
+        # observability: callers (and the oracle entry) can assert the
+        # metadata-only fast path actually engaged
+        self.last_replace_classification = {
+            "dropped": len(drop_rels),
+            "rewritten": len(rewrite_rels),
+            "carried": len(set(entries.values())) - len(drop_rels)
+            - len(rewrite_rels),
+        }
+        staged = self._apply_generated(df)
+        staged, id_claim = self._assign_identity(staged)
+        staged = staged.select(*cols)
+        if rewrite_rels:
+            dv, _ = self._read_dv(v)
+            touched_dv = {
+                f: d for f, d in dv.items()
+                if os.path.dirname(f) in rewrite_rels
+            }
+            live = self._scan_rels(sorted(rewrite_rels), bool(touched_dv))
+            if touched_dv:
+                live = live.join(
+                    self._dv_rows(touched_dv).select(
+                        F.col("file").alias("__mt_key"),
+                        F.col("pos").alias("__mt_pos"),
+                    ),
+                    ["__mt_key", "__mt_pos"],
+                    "left_anti",
+                )
+            remainder = live.select(*cols).filter(
+                ~F.coalesce(cond, F.lit(False))
+            )
+            staged = remainder.unionByName(staged)
+        return self._stage_and_commit(
+            staged,
+            replace_all=False,
+            append_only=True,
+            op=op,
+            identity_claim=id_claim,
+            drop_rels=drop_rels | rewrite_rels,
+        )
+
+    def insert_overwrite(self, df: DataFrame, dynamic: bool = True) -> int:
+        """``INSERT OVERWRITE`` with Spark's
+        ``partitionOverwriteMode=dynamic`` semantics (the default
+        here): only the partitions the incoming data touches are
+        replaced — their previous entries (including append-suffixed
+        ones) retire, every other partition carries over byte-untouched
+        with its stats and deletion vectors. The nightly re-materialize
+        job's write mode: recompute three hot days, keep three years of
+        cold history unread. With ``dynamic=False`` (or on an
+        unpartitioned table) this is the classic static INSERT
+        OVERWRITE: the new snapshot holds only the staged data."""
+        df = self._apply_generated(df)
+        df, id_claim = self._assign_identity(df)
+        cols = [f.name for f in (self.schema or df.schema).fields]
+        if not dynamic or not self.partition_columns or self.current_version() < 0:
+            return self._stage_and_commit(
+                df.select(*cols), replace_all=True,
+                op="INSERT OVERWRITE", identity_claim=id_claim,
+            )
+        return self._stage_and_commit(
+            df.select(*cols), replace_all=False,
+            op="INSERT OVERWRITE (DYNAMIC)", identity_claim=id_claim,
+        )
+
     # ----------------------------------------------------- data skipping
     @staticmethod
     def _file_matches(stat: dict, filters: Sequence[tuple]) -> bool:
@@ -1953,6 +2109,77 @@ class ManagedTable:
             if op == ">" and mx <= v:
                 return False
             if op == ">=" and mx < v:
+                return False
+        return True
+
+    @staticmethod
+    def _file_all_match(stat: dict, filters: Sequence[tuple]) -> bool:
+        """Does EVERY row of the file provably satisfy ALL filters?
+        The dual of :meth:`_file_matches`, used by ``replace_where`` to
+        drop whole files metadata-only (Delta's replaceWhere fast path:
+        a partition-aligned predicate retires entire partitions without
+        reading a byte). Sound, not complete: returns True only when
+        the footer stats PROVE it — stored bounds are conservative
+        (string maxima truncate upward, decimal minima round down), so
+        ``stored_max <= v`` implies ``true_max <= v`` and every proof
+        below stays valid; anything unprovable falls back to False and
+        the caller rewrites the file instead.
+
+        NULL semantics: a comparison predicate is NULL (not TRUE) on a
+        NULL value, so every comparison proof additionally requires a
+        zero null count. Empty files (zero-row write tasks) vacuously
+        all-match — dropping one is free and correct."""
+        rows = stat.get("rows", 0)
+        cols = stat.get("cols", {})
+        if rows == 0:
+            return True
+        for col, op, *rest in filters:
+            cs = cols.get(col)
+            if cs is None:
+                return False  # un-indexed column: nothing provable
+            mn, mx, nulls = cs
+            if op == "is_null":
+                if nulls < rows:
+                    return False
+                continue
+            if op == "is_not_null":
+                if nulls > 0:
+                    return False
+                continue
+            # comparison ops are never TRUE on NULL rows
+            if nulls > 0 or mn is None or mx is None:
+                return False
+            if op == "in":
+                vals = [_stat_scalar(x) for x in rest[0]]
+                if not (
+                    _comparable(mn, mx)
+                    and mn == mx
+                    and any(_comparable(v, mn) and v == mn for v in vals)
+                ):
+                    return False
+                continue
+            if op == "between":
+                lo, hi = _stat_scalar(rest[0]), _stat_scalar(rest[1])
+                if not (
+                    _comparable(lo, mn)
+                    and _comparable(hi, mx)
+                    and mn >= lo
+                    and mx <= hi
+                ):
+                    return False
+                continue
+            v = _stat_scalar(rest[0])
+            if not (_comparable(v, mn) and _comparable(v, mx)):
+                return False
+            if op in ("=", "==") and not (mn == mx == v):
+                return False
+            if op == "<" and not (mx < v):
+                return False
+            if op == "<=" and not (mx <= v):
+                return False
+            if op == ">" and not (mn > v):
+                return False
+            if op == ">=" and not (mn >= v):
                 return False
         return True
 

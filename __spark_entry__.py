@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata-only drop, straddling remainder rewrite, static
         # partition swap), builder-asserted to take the right path
         "table_replace_where": sql_dml_query.table_replace_where,
+        # NEW round 9: Delta's FULL MERGE grammar in one statement —
+        # conditional/ordered WHEN MATCHED clauses, column-list INSERT,
+        # and WHEN NOT MATCHED BY SOURCE (snapshot-sync)
+        "table_merge_sync": sql_dml_query.table_merge_sync,
         # NEW round 7: incremental change feed (manifest/DV diff) over
         # the DV-delete commit — O(changed rows), no full-table diff
         "table_cdf": sql_dml_query.table_cdf,
@@ -369,6 +373,7 @@ _R9_WINDOW = [
     # (a) round-9 changed code / oracle
     "join_skew_salted",
     "table_replace_where",
+    "table_merge_sync",
     "stream_copy_into",
     "stream_table_cdf",
     "dedup_semantic",
@@ -421,7 +426,6 @@ _R9_WINDOW = [
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_shipping_modes",
 ]
 
 
@@ -905,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         # must reach the same fixpoint as the relational replay
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),
         "table_replace_where": sql_dml_query.table_replace_where_oracle(),
+        "table_merge_sync": sql_dml_query.table_merge_sync_oracle(),
         # the incremental CDF must equal the delete's relational row set
         "table_cdf": sql_dml_query.table_cdf_oracle(),
         # incremental MV ≡ from-scratch GROUP BY over the replayed DML

@@ -320,3 +320,123 @@ def table_replace_where_oracle() -> str:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """
+
+
+# ---------------------------------------------- full-grammar MERGE entry
+
+# One statement, all three clause classes, conditional + ordered:
+# the snapshot-sync MERGE (Delta's whenNotMatchedBySource surface).
+_MS_STMT = (
+    "MERGE INTO t USING snap ON t.o_orderkey = snap.o_orderkey "
+    "WHEN MATCHED AND t.o_totalprice < 100000 "
+    "THEN UPDATE SET o_totalprice = snap.o_totalprice "
+    "WHEN MATCHED THEN DELETE "
+    "WHEN NOT MATCHED THEN INSERT "
+    "(o_orderkey, o_custkey, o_orderstatus, o_totalprice) "
+    "VALUES (snap.o_orderkey, snap.o_custkey, 'N', snap.o_totalprice) "
+    "WHEN NOT MATCHED BY SOURCE AND o_orderstatus = 'F' "
+    "THEN UPDATE SET o_custkey = 0"
+)
+_MS_FINAL_VERSION = 1
+
+
+def _ms_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE source: every 'P' order repriced (+5) — matched —
+    unioned with the same rows under shifted keys — unmatched."""
+    return _batch(spark, sf_dir)
+
+
+def _ms_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"msync_tbl_{h}")
+    table = ManagedTable(spark, "t", loc)
+    v = table.current_version()
+    if v == _MS_FINAL_VERSION:
+        return table
+    if v >= 0:
+        shutil.rmtree(loc, ignore_errors=True)
+        table = ManagedTable(spark, "t", loc)
+    try:
+        table.overwrite(load(spark, sf_dir, "orders").select(*_COLS))
+        sess = SqlSession(spark)
+        sess.register(table)
+        _ms_snap(spark, sf_dir).createOrReplaceTempView("snap")
+        sess.sql(_MS_STMT)
+    except ConcurrentWriteError:
+        pass
+    return table
+
+
+def table_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after ONE full-grammar MERGE — conditional matched
+    UPDATE, ordered matched DELETE fallthrough, column-list INSERT
+    (with a literal status so inserts are observable per group), and a
+    conditional WHEN NOT MATCHED BY SOURCE UPDATE (the snapshot-sync
+    clause Delta added for whenNotMatchedBySource). Aggregated per
+    status; DuckDB replays the clause algebra relationally.
+
+    Scale story: the general merge is ONE full-outer shuffle join on
+    the key — no per-clause passes; clause selection is a single
+    first-true CASE evaluated map-side after the join."""
+    t = _ms_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+            F.sum("o_custkey").alias("sum_custkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def table_merge_sync_oracle() -> str:
+    """Relational replay: matched rows split by the ordered conditions
+    (update if old price < 100000, else the DELETE clause fires),
+    source-only rows insert with status 'N', target-only rows update
+    custkey to 0 when status = 'F'. Keep in lockstep with _MS_STMT."""
+    from ._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+        ),
+        snap AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 5 AS o_totalprice
+            FROM base WHERE o_orderstatus = 'P'
+            UNION ALL
+            SELECT o_orderkey + {_KEY_SHIFT}, o_custkey, o_orderstatus,
+                   o_totalprice + 5
+            FROM base WHERE o_orderstatus = 'P'
+        ),
+        final AS (
+            SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+                   s.o_totalprice
+            FROM base b JOIN snap s ON b.o_orderkey = s.o_orderkey
+            WHERE b.o_totalprice < 100000
+            UNION ALL
+            SELECT s.o_orderkey, s.o_custkey, 'N', s.o_totalprice
+            FROM snap s
+            WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM base)
+            UNION ALL
+            SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'F' THEN 0
+                        ELSE o_custkey END,
+                   o_orderstatus, o_totalprice
+            FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM snap)
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT)
+                   AS total_cents,
+               CAST(SUM(o_custkey) AS BIGINT) AS sum_custkey
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

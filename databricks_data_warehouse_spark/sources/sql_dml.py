@@ -29,11 +29,15 @@ statement grammar is the subset Delta documents:
   ``ALTER TABLE t DROP CONSTRAINT name``
 - ``ALTER TABLE t ADD|DROP COLUMN(S) ...`` /
   ``ALTER TABLE t RENAME COLUMN old TO new`` (column mapping)
-- ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with clauses
-  ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN MATCHED THEN UPDATE SET
-  c = expr[, ...]``, ``WHEN MATCHED THEN DELETE``, ``WHEN NOT MATCHED
-  THEN INSERT *`` (the combinations mapping to the four merge
-  primitives S5-S7)
+- ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with Delta's FULL
+  clause grammar: ordered, optionally conditional ``WHEN MATCHED [AND
+  cond] THEN UPDATE SET */assignments | DELETE``, ``WHEN NOT MATCHED
+  [BY TARGET] [AND cond] THEN INSERT * | INSERT (cols) VALUES
+  (exprs)``, and ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE |
+  UPDATE SET …`` (the snapshot-sync clause). The four unconditional
+  single-clause combinations route to the specialized primitives
+  S5-S7 (DV delete, identity-aware upsert, partition-scoped update);
+  everything else runs the general first-true-clause-fires engine
 - ``OPTIMIZE t`` (selective small-file bin-packing: only fragmented
   partitions rewritten, Delta's real OPTIMIZE shape) /
   ``OPTIMIZE t ZORDER BY (c, ...)`` (full clustering rewrite)
@@ -907,57 +911,211 @@ class SqlSession:
             src_alias = src_text
         keys = _merge_keys(on_text, tgt_alias or tgt_name, src_alias)
         clauses = self._parse_when(when_text)
-        matched = clauses.get("matched")
-        not_matched = clauses.get("not_matched")
-        if matched == "delete":
-            if not_matched:
-                raise ValueError(
-                    "WHEN MATCHED THEN DELETE combined with INSERT is not supported"
+        matched = clauses["matched"]
+        not_matched = clauses["not_matched"]
+        by_source = clauses["by_source"]
+        # Legacy single-clause unconditional combinations keep their
+        # specialized primitives (DV merge-on-read delete, identity-
+        # aware upsert, partition-scoped update); everything else —
+        # conditional clauses, column-list INSERT, NOT MATCHED BY
+        # SOURCE, multi-clause — runs the general merge_clauses path.
+        simple = (
+            not by_source
+            and len(matched) <= 1
+            and len(not_matched) <= 1
+            and all(c is None for c, _a in matched + not_matched)
+        )
+        m_act = matched[0][1] if matched else None
+        nm_act = not_matched[0][1] if not_matched else None
+        if simple:
+            if m_act == "delete" and nm_act is None:
+                return self._metrics(
+                    "MERGE DELETE", t, t.merge_delete(source, keys)
                 )
-            return self._metrics("MERGE DELETE", t, t.merge_delete(source, keys))
-        if matched == "update_all" and not_matched == "insert_all":
-            return self._metrics("MERGE UPSERT", t, t.merge_upsert(source, keys))
-        if matched is None and not_matched == "insert_all":
-            return self._metrics(
-                "MERGE INSERT", t, t.merge_insert_only(source, match_columns=keys)
-            )
-        if isinstance(matched, dict) and not_matched is None:
-            return self._metrics(
-                "MERGE UPDATE", t, t.merge_update(source, keys, set_map=matched)
-            )
-        raise ValueError(
-            f"unsupported MERGE clause combination: matched={matched!r} "
-            f"not_matched={not_matched!r}"
+            if m_act == "update_all" and nm_act == "insert_all":
+                return self._metrics(
+                    "MERGE UPSERT", t, t.merge_upsert(source, keys)
+                )
+            if m_act is None and nm_act == "insert_all":
+                return self._metrics(
+                    "MERGE INSERT",
+                    t,
+                    t.merge_insert_only(source, match_columns=keys),
+                )
+            if isinstance(m_act, dict) and nm_act is None:
+                return self._metrics(
+                    "MERGE UPDATE", t, t.merge_update(source, keys, set_map=m_act)
+                )
+        return self._metrics(
+            "MERGE",
+            t,
+            t.merge_clauses(
+                source,
+                keys,
+                matched=self._canon_clauses(
+                    matched, t, source, tgt_alias or tgt_name, src_alias
+                ),
+                not_matched=self._canon_clauses(
+                    not_matched,
+                    t,
+                    source,
+                    tgt_alias or tgt_name,
+                    src_alias,
+                    source_scope=True,
+                ),
+                not_matched_by_source=self._canon_clauses(
+                    by_source, t, source, tgt_alias or tgt_name, src_alias
+                ),
+            ),
         )
 
+    @staticmethod
+    def _canon_clauses(
+        clauses, t, source, tgt_alias, src_alias, source_scope=False
+    ):
+        """Rewrite a parsed clause list into :meth:`ManagedTable.
+        merge_clauses`'s canonical scope: target columns bare, source
+        columns ``src.<name>``. ``source_scope`` (NOT MATCHED clauses)
+        additionally rewrites BARE identifiers that name source columns
+        — Delta resolves them against the source row there."""
+        src_cols = set(source.columns)
+
+        def canon(text: str) -> str:
+            if src_alias:
+                text = re.sub(
+                    rf"(?<![A-Za-z0-9_`.]){re.escape(src_alias)}\.",
+                    "src.",
+                    text,
+                )
+            if tgt_alias:
+                text = re.sub(
+                    rf"(?<![A-Za-z0-9_`.]){re.escape(tgt_alias)}\.", "", text
+                )
+            if source_scope:
+                def sub(m):
+                    name = m.group(0)
+                    return f"src.{name}" if name in src_cols else name
+
+                text = re.sub(
+                    r"(?<![A-Za-z0-9_`.'\"])"
+                    r"[A-Za-z_][A-Za-z0-9_]*"
+                    r"(?!\s*\()(?![A-Za-z0-9_.'\"])",
+                    sub,
+                    text,
+                )
+            return text
+
+        out = []
+        for cond, act in clauses:
+            c = canon(cond) if cond is not None else None
+            if act == "update_all":
+                # UPDATE SET * — every target column takes the source's
+                # same-named value (Delta resolves SET * by name)
+                cols = (
+                    [f.name for f in t.schema.fields]
+                    if t.schema
+                    else list(src_cols)
+                )
+                act = {n: f"src.{n}" for n in cols if n in src_cols}
+            elif isinstance(act, tuple) and act[0] == "insert_map":
+                act = {n: canon(e) for n, e in zip(act[1], act[2])}
+            elif isinstance(act, dict):
+                act = {n: canon(e) for n, e in act.items()}
+            out.append((c, act))
+        return out
+
     def _parse_when(self, when_text: str):
-        """Split the WHEN clause tail into matched / not-matched actions."""
-        out: dict = {}
+        """The WHEN clause tail as ORDERED per-class lists of
+        ``(condition_text_or_None, action)`` — Delta's full grammar:
+
+        - ``WHEN MATCHED [AND cond] THEN UPDATE SET */assignments | DELETE``
+        - ``WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *`` or
+          ``INSERT (cols) VALUES (exprs)``
+        - ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE |
+          UPDATE SET assignments``
+
+        Actions: ``"delete"`` / ``"update_all"`` / an assignment map /
+        ``"insert_all"`` / ``("insert_map", cols, exprs)``. Conditions
+        must not themselves contain the word WHEN (CASE WHEN inside a
+        merge condition is rejected by the splitter — documented
+        limitation)."""
+        out = {"matched": [], "not_matched": [], "by_source": []}
         parts = re.split(r"(?i)\bWHEN\s+", when_text)
         for part in parts:
             part = part.strip()
             if not part:
                 continue
-            nm = re.match(
-                r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", part, re.IGNORECASE
-            )
-            if nm:
-                out["not_matched"] = "insert_all"
-                continue
-            mu = re.match(
-                r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$",
+            m = re.match(
+                r"NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.*?)\s+)?THEN\s+(.*)$",
                 part,
                 re.IGNORECASE | re.DOTALL,
             )
-            if mu:
-                body = mu.group(1).strip()
-                out["matched"] = (
-                    "update_all" if body == "*" else _parse_assignments(body)
+            if m:
+                cond, act = m.group(1), m.group(2).strip()
+                if re.match(r"DELETE\s*$", act, re.IGNORECASE):
+                    out["by_source"].append((cond, "delete"))
+                    continue
+                mu = re.match(
+                    r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL
                 )
-                continue
-            if re.match(r"MATCHED\s+THEN\s+DELETE\s*$", part, re.IGNORECASE):
-                out["matched"] = "delete"
-                continue
+                if mu:
+                    out["by_source"].append(
+                        (cond, _parse_assignments(mu.group(1).strip()))
+                    )
+                    continue
+                raise ValueError(f"cannot parse MERGE WHEN clause: {part!r}")
+            m = re.match(
+                r"NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.*?)\s+)?"
+                r"THEN\s+INSERT\s+(.*)$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                cond, act = m.group(1), m.group(2).strip()
+                if act == "*":
+                    out["not_matched"].append((cond, "insert_all"))
+                    continue
+                mi = re.match(
+                    r"\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+                    act,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if mi:
+                    ins_cols = [c.strip() for c in mi.group(1).split(",")]
+                    exprs = [e.strip() for e in _split_top_level(mi.group(2))]
+                    if len(ins_cols) != len(exprs):
+                        raise ValueError(
+                            f"INSERT column/value count mismatch: {part!r}"
+                        )
+                    out["not_matched"].append(
+                        (cond, ("insert_map", ins_cols, exprs))
+                    )
+                    continue
+                raise ValueError(f"cannot parse MERGE WHEN clause: {part!r}")
+            m = re.match(
+                r"MATCHED\s*(?:AND\s+(.*?)\s+)?THEN\s+(.*)$",
+                part,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if m:
+                cond, act = m.group(1), m.group(2).strip()
+                if re.match(r"DELETE\s*$", act, re.IGNORECASE):
+                    out["matched"].append((cond, "delete"))
+                    continue
+                mu = re.match(
+                    r"UPDATE\s+SET\s+(.*)$", act, re.IGNORECASE | re.DOTALL
+                )
+                if mu:
+                    body = mu.group(1).strip()
+                    out["matched"].append(
+                        (
+                            cond,
+                            "update_all"
+                            if body == "*"
+                            else _parse_assignments(body),
+                        )
+                    )
+                    continue
             raise ValueError(f"cannot parse MERGE WHEN clause: {part!r}")
         return out
 

@@ -4530,3 +4530,172 @@ class ManagedTable:
         return self._stage_and_commit(
             joined.select(*out_cols), replace_all=not scoped, op="MERGE UPDATE"
         )
+
+    def merge_clauses(
+        self,
+        source: DataFrame,
+        key_columns: Sequence[str],
+        matched: Sequence[tuple] = (),
+        not_matched: Sequence[tuple] = (),
+        not_matched_by_source: Sequence[tuple] = (),
+    ) -> int:
+        """Delta's FULL conditional MERGE: an ordered clause list per
+        match class, first-true-condition-fires — the general form
+        behind ``whenMatchedUpdate(condition=...)``,
+        ``whenNotMatchedInsert(values=...)`` and
+        ``whenNotMatchedBySourceDelete()`` (the snapshot-sync shape:
+        make the target equal the source, deleting rows the source no
+        longer carries).
+
+        Each clause is ``(condition, action)``; ``condition`` is a SQL
+        string or Column (None = unconditional), evaluated in a scope
+        where TARGET columns are bare names and SOURCE columns are
+        ``src.<name>``. Actions:
+
+        - ``matched``: ``"delete"`` or a ``{target_col: expr}`` update
+          map (exprs may reference both scopes).
+        - ``not_matched``: ``"insert_all"`` (source row verbatim) or a
+          ``{target_col: expr}`` insert map — unnamed columns become
+          NULL, Delta's INSERT (cols) VALUES semantics. Exprs see only
+          the source scope.
+        - ``not_matched_by_source``: ``"delete"`` or an update map
+          (target scope only — there is no source row).
+
+        A row no clause fires on carries over unchanged (matched /
+        by-source) or is ignored (not-matched source row) — exactly
+        Delta's semantics, including NULL conditions counting as not
+        fired.
+
+        Scale shape: one full-outer shuffle join on the keys builds the
+        new snapshot. Partition-scoped like :meth:`merge_upsert` when
+        the partition columns are part of the key AND no by-source
+        clause exists (a by-source clause must see every target row, so
+        it forces the full-table pass — same reason Delta's
+        by-source merges can't prune). Duplicate source keys raise when
+        any matched / by-source clause exists (Delta's "multiple source
+        rows matched" error).
+
+        Tables with generated or identity columns require insert maps
+        to be ``"insert_all"`` (the specialized :meth:`merge_upsert` /
+        :meth:`merge_insert_only` own those flows).
+        """
+        keys = list(key_columns)
+        if not (matched or not_matched or not_matched_by_source):
+            raise ValueError("merge_clauses: no WHEN clauses given")
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        if (self.generated or self.identity) and any(
+            a != "insert_all" for _c, a in not_matched
+        ):
+            raise ValueError(
+                f"table {self.name}: insert maps on a table with "
+                "generated/identity columns are not supported; use "
+                "INSERT * or merge_upsert"
+            )
+
+        def _canon(text):
+            """src.<col> → __src_<col> (string exprs only)."""
+            if not isinstance(text, str):
+                return text
+            return re.sub(
+                r"(?<![A-Za-z0-9_`])src\.([A-Za-z_][A-Za-z0-9_]*)",
+                r"__src_\1",
+                text,
+            )
+
+        def _cond(c) -> Column:
+            if c is None:
+                return F.lit(True)
+            c = F.expr(_canon(c)) if isinstance(c, str) else c
+            return F.coalesce(c, F.lit(False))  # NULL = not fired
+
+        if matched or not_matched_by_source:
+            dup = (
+                source.groupBy(*keys)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_clauses into {self.name}: source has duplicate "
+                    f"keys on {keys} — Delta MERGE raises on multiple matches"
+                )
+        scoped = (
+            not not_matched_by_source
+            and bool(self.partition_columns)
+            and set(self.partition_columns) <= set(keys)
+        )
+        target = self.read()
+        if scoped:
+            pf = self._source_partition_filter(source)
+            if pf is None:
+                return self.current_version()  # empty source, no by-source
+            target = target.filter(pf)
+        if not not_matched_by_source and source.isEmpty():
+            return self.current_version()
+        src = source.select(
+            *[F.col(c).alias(f"__src_{c}") for c in source.columns]
+        ).withColumn("__src_m", F.lit(True))
+        tgt = target.withColumn("__tgt_m", F.lit(True))
+        # standard equality — a NULL key matches nothing, exactly the
+        # SQL ON semantics Delta (and the DuckDB oracle) use
+        join_cond = reduce(
+            lambda a, b: a & b,
+            [tgt[k] == src[f"__src_{k}"] for k in keys],
+        )
+        joined = tgt.join(src, join_cond, "full_outer")
+        is_m = F.col("__tgt_m").isNotNull() & F.col("__src_m").isNotNull()
+        is_i = F.col("__tgt_m").isNull()
+        # first-true clause index per class, else the class default
+        def _first(clauses, prefix, default):
+            out = F.lit(default)
+            for i in range(len(clauses) - 1, -1, -1):
+                out = F.when(_cond(clauses[i][0]), F.lit(f"{prefix}{i}")).otherwise(out)
+            return out
+
+        act = (
+            F.when(is_m, _first(matched, "m", "keep"))
+            .when(is_i, _first(not_matched, "i", "drop"))
+            .otherwise(_first(not_matched_by_source, "s", "keep"))
+        )
+        joined = joined.withColumn("__act", act)
+        dead = {"drop"}
+        dead.update(
+            f"m{i}" for i, (_c, a) in enumerate(matched) if a == "delete"
+        )
+        dead.update(
+            f"s{i}"
+            for i, (_c, a) in enumerate(not_matched_by_source)
+            if a == "delete"
+        )
+        kept = joined.filter(~F.col("__act").isin(sorted(dead)))
+        out_cols = []
+        for f in self.schema.fields:
+            c = f.name
+            expr = F.col(c)  # "keep" and unnamed update columns
+            for i, (_cc, a) in enumerate(matched):
+                if isinstance(a, Mapping) and c in a:
+                    v = a[c]
+                    v = F.expr(_canon(v)) if isinstance(v, str) else v
+                    expr = F.when(F.col("__act") == f"m{i}", v).otherwise(expr)
+            for i, (_cc, a) in enumerate(not_matched):
+                if a == "insert_all":
+                    v = F.col(f"__src_{c}")
+                elif isinstance(a, Mapping) and c in a:
+                    v = a[c]
+                    v = F.expr(_canon(v)) if isinstance(v, str) else v
+                else:  # unnamed insert column → NULL (Delta semantics)
+                    v = F.lit(None)
+                expr = F.when(F.col("__act") == f"i{i}", v).otherwise(expr)
+            for i, (_cc, a) in enumerate(not_matched_by_source):
+                if isinstance(a, Mapping) and c in a:
+                    v = a[c]
+                    v = F.expr(_canon(v)) if isinstance(v, str) else v
+                    expr = F.when(F.col("__act") == f"s{i}", v).otherwise(expr)
+            out_cols.append(expr.cast(f.dataType).alias(c))
+        return self._stage_and_commit(
+            kept.select(*out_cols), replace_all=not scoped, op="MERGE"
+        )

@@ -1,0 +1,209 @@
+"""Delta's full conditional MERGE grammar — ordered clauses,
+conditions, column-list INSERT, and WHEN NOT MATCHED BY SOURCE (the
+snapshot-sync shape).
+
+Pins first-true-clause-fires ordering, NULL conditions counting as not
+fired, unnamed insert columns becoming NULL, the multiple-source-match
+error, carry-over of rows no clause fires on, and that the legacy
+unconditional combos still take the specialized primitives (history op
+names prove the route).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _mk(spark, tmp_path, rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))):
+    t = ManagedTable(spark, "t", str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(list(rows), "k long, s string, v double"))
+    return t
+
+
+def _src(spark, rows):
+    return spark.createDataFrame(list(rows), "k long, s string, v double")
+
+
+def _state(t):
+    return {
+        r["k"]: (r["s"], r["v"])
+        for r in t.read().collect()
+    }
+
+
+def test_by_source_delete_syncs_snapshot(spark, tmp_path):
+    """MATCHED UPDATE + NOT MATCHED INSERT + BY SOURCE DELETE = make
+    target equal source."""
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(2, "B", 200.0), (4, "d", 40.0)])
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[(None, {"s": "src.s", "v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        not_matched_by_source=[(None, "delete")],
+    )
+    assert _state(t) == {2: ("B", 200.0), 4: ("d", 40.0)}
+
+
+def test_by_source_update_with_condition(spark, tmp_path):
+    """Only target-only rows matching the condition are touched."""
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(1, "A", 100.0)])
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched_by_source=[("v >= 30", {"s": "'stale'"})],
+    )
+    assert _state(t) == {1: ("a", 100.0), 2: ("b", 20.0), 3: ("stale", 30.0)}
+
+
+def test_clause_order_first_true_fires(spark, tmp_path):
+    """Two matched clauses: the first one whose condition holds wins."""
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(1, "x", 1.0), (2, "x", 1.0)])
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[
+            ("v < 15", "delete"),
+            (None, {"s": "'updated'"}),
+        ],
+    )
+    # k=1 (v=10) deleted by clause 0; k=2 (v=20) updated by clause 1
+    assert _state(t) == {2: ("updated", 20.0), 3: ("c", 30.0)}
+
+
+def test_null_condition_is_not_fired(spark, tmp_path):
+    """A NULL condition (NULL comparison) fires nothing — the row
+    carries over."""
+    t = ManagedTable(spark, "t", str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, None, 10.0)], "k long, s string, v double")
+    )
+    src = _src(spark, [(1, "z", 0.0)])
+    t.merge_clauses(src, ["k"], matched=[("s = 'a'", "delete")])
+    assert _state(t) == {1: (None, 10.0)}
+
+
+def test_insert_map_unnamed_columns_null(spark, tmp_path):
+    """Column-list INSERT: unnamed target columns become NULL."""
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(9, "new", 90.0)])
+    t.merge_clauses(
+        src,
+        ["k"],
+        not_matched=[(None, {"k": "src.k", "v": "src.v + 1"})],
+    )
+    assert _state(t)[9] == (None, 91.0)
+
+
+def test_conditional_insert_drops_nonmatching(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(8, "hi", 80.0), (9, "lo", 5.0)])
+    t.merge_clauses(src, ["k"], not_matched=[("src.v > 50", "insert_all")])
+    st = _state(t)
+    assert 8 in st and 9 not in st
+
+
+def test_duplicate_source_keys_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    src = _src(spark, [(1, "x", 1.0), (1, "y", 2.0)])
+    with pytest.raises(ValueError, match="multiple matches"):
+        t.merge_clauses(src, ["k"], matched=[(None, "delete")])
+
+
+def test_sql_full_grammar_snapshot_sync(spark, tmp_path):
+    """The SQL spelling end-to-end, with aliases and all three clause
+    classes."""
+    t = _mk(spark, tmp_path)
+    sess = SqlSession(spark)
+    sess.register(t)
+    _src(spark, [(2, "B", 200.0), (4, "d", 40.0)]).createOrReplaceTempView(
+        "snap"
+    )
+    sess.sql(
+        "MERGE INTO t AS tg USING snap AS s ON tg.k = s.k "
+        "WHEN MATCHED AND tg.v < 100 THEN UPDATE SET s = s.s, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, s.s, s.v) "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert _state(t) == {2: ("B", 200.0), 4: ("d", 40.0)}
+    assert t.history()[0]["operation"] == "MERGE"
+
+
+def test_sql_conditional_matched_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    sess = SqlSession(spark)
+    sess.register(t)
+    _src(spark, [(1, "x", 0.0), (3, "x", 0.0)]).createOrReplaceTempView(
+        "batch2"
+    )
+    sess.sql(
+        "MERGE INTO t USING batch2 ON t.k = batch2.k "
+        "WHEN MATCHED AND t.v < 15 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET s = 'kept'"
+    )
+    assert _state(t) == {2: ("b", 20.0), 3: ("kept", 30.0)}
+
+
+def test_sql_legacy_combo_keeps_specialized_route(spark, tmp_path):
+    """Unconditional UPDATE SET * + INSERT * must still run the
+    identity-aware partition-scoped upsert, not the general engine."""
+    t = _mk(spark, tmp_path)
+    sess = SqlSession(spark)
+    sess.register(t)
+    _src(spark, [(1, "up", 11.0), (5, "in", 50.0)]).createOrReplaceTempView(
+        "batch3"
+    )
+    sess.sql(
+        "MERGE INTO t USING batch3 ON t.k = batch3.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _state(t) == {
+        1: ("up", 11.0),
+        2: ("b", 20.0),
+        3: ("c", 30.0),
+        5: ("in", 50.0),
+    }
+    assert t.history()[0]["operation"] == "MERGE UPSERT"
+
+
+def test_partition_scoped_without_by_source(spark, tmp_path):
+    """With partition cols in the key and no by-source clause, only the
+    source's partitions are rewritten."""
+    t = ManagedTable(
+        spark, "t", str(tmp_path / "tp"), partition_columns=["g"]
+    )
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        F.lit(1.0).alias("v"),
+    )
+    t.overwrite(df)
+    src = spark.createDataFrame([(1, 1, 99.0)], "k long, g long, v double")
+    v0 = t._read_manifest(t.current_version())
+    t.merge_clauses(
+        src, ["g", "k"], matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    v1 = t._read_manifest(t.current_version())
+    # partitions g=0,2,3 carry over byte-identical (same entry dirs)
+    carried = {rel for rel in v0.values() if "g=1" not in rel}
+    assert carried <= set(v1.values())
+    row = t.read().where("k = 1 AND g = 1").collect()[0]
+    assert row["v"] == 99.0
+
+
+def test_empty_source_with_by_source_clause_clears(spark, tmp_path):
+    """Sync-to-empty: every target row is a by-source row."""
+    t = _mk(spark, tmp_path)
+    src = _src(spark, []).limit(0)
+    t.merge_clauses(
+        src, ["k"], not_matched=[(None, "insert_all")],
+        not_matched_by_source=[(None, "delete")],
+    )
+    assert t.read().count() == 0

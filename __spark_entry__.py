@@ -33,6 +33,7 @@ from databricks_data_warehouse_spark.ext import (
     packing,
     rowid,
     sampling,
+    shuffle,
     similarity,
     skew,
     span_dedup,
@@ -132,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global ROW_NUMBER without the single-partition window
         # collapse, and a salted join over a maximally skewed key
         "op_assign_row_ids": rowid.op_assign_row_ids,
+        # NEW round 9: deterministic epoch shuffle + round-robin
+        # sharding — the reproducible training-data loader order
+        # (keyed md5 permutation: cross-engine AND retry-deterministic,
+        # positions via the scalable rowid pass — no global window)
+        "data_epoch_shuffle": shuffle.data_epoch_shuffle,
         "join_skew_salted": skew.join_skew_salted,
         # NEW round 7: Delta-style SQL DML over a ManagedTable — DELETE
         # and UPDATE run merge-on-read (deletion vectors + appended
@@ -374,6 +380,7 @@ _R9_WINDOW = [
     "join_skew_salted",
     "table_replace_where",
     "table_merge_sync",
+    "data_epoch_shuffle",
     "stream_copy_into",
     "stream_table_cdf",
     "dedup_semantic",
@@ -425,7 +432,6 @@ _R9_WINDOW = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
 ]
 
 
@@ -904,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms
         "op_assign_row_ids": rowid.op_assign_row_ids_oracle(),
+        "data_epoch_shuffle": shuffle.data_epoch_shuffle_oracle(),
         "join_skew_salted": skew.join_skew_salted_oracle(),
         # SQL DELETE/UPDATE/MERGE through the DV merge-on-read path
         # must reach the same fixpoint as the relational replay

@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # conditional/ordered WHEN MATCHED clauses, column-list INSERT,
         # and WHEN NOT MATCHED BY SOURCE (snapshot-sync)
         "table_merge_sync": sql_dml_query.table_merge_sync,
+        # NEW round 9: subquery-predicated DML — IN-subquery DELETE
+        # against another table + scalar-subquery UPDATE over the
+        # mutated table's own post-delete snapshot, both DV commits
+        "table_dml_subquery": sql_dml_query.table_dml_subquery,
         # NEW round 7: incremental change feed (manifest/DV diff) over
         # the DV-delete commit — O(changed rows), no full-table diff
         "table_cdf": sql_dml_query.table_cdf,
@@ -380,6 +384,7 @@ _R9_WINDOW = [
     "join_skew_salted",
     "table_replace_where",
     "table_merge_sync",
+    "table_dml_subquery",
     "data_epoch_shuffle",
     "stream_copy_into",
     "stream_table_cdf",
@@ -431,7 +436,6 @@ _R9_WINDOW = [
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
 ]
 
 
@@ -917,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "table_sql_dml": sql_dml_query.table_sql_dml_oracle(),
         "table_replace_where": sql_dml_query.table_replace_where_oracle(),
         "table_merge_sync": sql_dml_query.table_merge_sync_oracle(),
+        "table_dml_subquery": sql_dml_query.table_dml_subquery_oracle(),
         # the incremental CDF must equal the delete's relational row set
         "table_cdf": sql_dml_query.table_cdf_oracle(),
         # incremental MV ≡ from-scratch GROUP BY over the replayed DML

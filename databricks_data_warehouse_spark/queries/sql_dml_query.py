@@ -440,3 +440,97 @@ def table_merge_sync_oracle() -> str:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """
+
+
+# ---------------------------------------------- subquery-DML entry
+
+# DELETE with an IN-subquery over another table, then UPDATE with a
+# scalar subquery over the mutated table itself (post-delete state).
+# MAX (not AVG) keeps the threshold float-exact across engines.
+_SQ_DELETE = (
+    "DELETE FROM t WHERE o_custkey IN "
+    "(SELECT c_custkey FROM cust_src WHERE c_acctbal < 0)"
+)
+_SQ_UPDATE = (
+    "UPDATE t SET o_totalprice = o_totalprice + 10 "
+    "WHERE o_totalprice >= (SELECT MAX(o_totalprice) FROM t) - 50000"
+)
+_SQ_FINAL_VERSION = 2
+
+
+def _sq_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"sqdml_tbl_{h}")
+    table = ManagedTable(spark, "t", loc)
+    v = table.current_version()
+    if v == _SQ_FINAL_VERSION:
+        return table
+    if v >= 0:
+        shutil.rmtree(loc, ignore_errors=True)
+        table = ManagedTable(spark, "t", loc)
+    try:
+        table.overwrite(load(spark, sf_dir, "orders").select(*_COLS))
+        sess = SqlSession(spark)
+        sess.register(table)
+        load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        ).createOrReplaceTempView("cust_src")
+        sess.sql(_SQ_DELETE)  # v1 — DV delete via anti/semi-join plan
+        sess.sql(_SQ_UPDATE)  # v2 — scalar subquery sees post-delete t
+    except ConcurrentWriteError:
+        pass
+    return table
+
+
+def table_dml_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after subquery-predicated DML: an IN-subquery DELETE
+    against the customer table and a scalar-subquery UPDATE whose
+    threshold is computed over the table's own post-delete snapshot —
+    both committed merge-on-read (DV paths), both resolved by Catalyst
+    as joins, never a collected id list. Aggregated per status; DuckDB
+    replays the two statements relationally."""
+    t = _sq_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def table_dml_subquery_oracle() -> str:
+    """Keep in lockstep with _SQ_DELETE/_SQ_UPDATE."""
+    from ._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+        ),
+        after_del AS (
+            SELECT * FROM base
+            WHERE o_custkey NOT IN (
+                SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            )
+        ),
+        final AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_totalprice >=
+                            (SELECT MAX(o_totalprice) FROM after_del) - 50000
+                        THEN o_totalprice + 10 ELSE o_totalprice
+                   END AS o_totalprice
+            FROM after_del
+        )
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT)
+                   AS total_cents
+        FROM final
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """

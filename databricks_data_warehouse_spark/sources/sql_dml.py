@@ -18,8 +18,10 @@ statement grammar is the subset Delta documents:
 - ``CREATE TABLE [IF NOT EXISTS] t (col type, …) [USING MANAGED]
   [PARTITIONED BY (c, …)] [LOCATION 'path']`` and the CTAS form
   ``CREATE TABLE … AS SELECT …``
-- ``DELETE FROM t [WHERE cond]``
-- ``UPDATE t SET c = expr[, ...] [WHERE cond]``
+- ``DELETE FROM t [WHERE cond]`` / ``UPDATE t SET c = expr[, ...]
+  [WHERE cond]`` — WHERE may contain subqueries (``IN (SELECT …)``,
+  ``EXISTS``, scalar) over any registered table or view, including
+  correlated references to the mutated table's own row
 - ``INSERT INTO t SELECT ...`` / ``INSERT INTO t VALUES (...)``
 - ``INSERT INTO t REPLACE WHERE pred SELECT ...`` (Databricks' atomic
   region swap) and ``INSERT OVERWRITE [TABLE] t [PARTITION (p = lit,
@@ -72,6 +74,9 @@ from pyspark.sql import functions as F
 from .tables import ManagedTable
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# a parenthesized SELECT anywhere in a predicate — the marker that the
+# expression needs full-SQL resolution (F.expr can't bind subqueries)
+_SUBQUERY = re.compile(r"\(\s*SELECT\b", re.IGNORECASE)
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -660,7 +665,17 @@ class SqlSession:
         if not m:
             raise ValueError(f"cannot parse DELETE statement: {stmt!r}")
         t = self.table(m.group(1))
-        cond = F.expr(m.group(2)) if m.group(2) else F.lit(True)
+        where = m.group(2)
+        if where and _SUBQUERY.search(where):
+            matched = self._match_with_subquery(t, where)
+            return self._metrics(
+                "DELETE",
+                t,
+                t._delete_rows_dv(
+                    matched.select("__mt_key", "__mt_pos"), op="DELETE (DV)"
+                ),
+            )
+        cond = F.expr(where) if where else F.lit(True)
         return self._metrics("DELETE", t, t.delete_where(cond))
 
     def _update(self, stmt: str) -> DataFrame:
@@ -673,8 +688,62 @@ class SqlSession:
             raise ValueError(f"cannot parse UPDATE statement: {stmt!r}")
         t = self.table(m.group(1))
         assignments = _parse_assignments(m.group(2))
-        cond = F.expr(m.group(3)) if m.group(3) else F.lit(True)
+        where = m.group(3)
+        if where and _SUBQUERY.search(where):
+            if any(_SUBQUERY.search(e) for e in assignments.values()):
+                raise ValueError(
+                    "subqueries in UPDATE SET expressions are not "
+                    "supported (only in the WHERE predicate)"
+                )
+            if t.schema is None:
+                t.schema = t._load_schema()
+            cols = [f.name for f in t.schema.fields]
+            unknown = set(assignments) - set(cols)
+            if unknown:
+                raise ValueError(
+                    f"table {t.name}: UPDATE of unknown columns "
+                    f"{sorted(unknown)}"
+                )
+            matched = self._match_with_subquery(t, where)
+            exprs = {c: F.expr(e) for c, e in assignments.items()}
+            rewritten = matched.select(
+                *[exprs.get(c, F.col(c)).alias(c) for c in cols]
+            )
+            return self._metrics(
+                "UPDATE",
+                t,
+                t._delete_rows_dv(
+                    matched, op="UPDATE (DV)", append_df=rewritten
+                ),
+            )
+        cond = F.expr(where) if where else F.lit(True)
         return self._metrics("UPDATE", t, t.update_where(assignments, cond))
+
+    def _match_with_subquery(self, t, where_text: str) -> DataFrame:
+        """The CURRENT snapshot's rows matching a WHERE that contains a
+        subquery (``IN (SELECT …)`` / ``EXISTS`` / scalar) — ``F.expr``
+        cannot resolve those outside a full query, so the predicate
+        runs as real Spark SQL: the positioned snapshot is aliased
+        under the table's own name (correlated references like
+        ``t.col`` keep resolving to the row under test), all
+        registered tables/views are visible to the subquery, and the
+        result carries ``__mt_key``/``__mt_pos`` so the mutation
+        commits merge-on-read like any other DV DELETE/UPDATE.
+
+        Scale shape: this is exactly Delta's subquery-DML plan — the
+        predicate becomes a semi-join against the subquery's relation,
+        planned by Catalyst (broadcast when small), never a collected
+        id list."""
+        self._register_views()
+        snap = t._read_internal(t.current_version(), with_pos=True)
+        # deterministic scaffold name: replaced on each use, never
+        # accumulates (the lazy plan is consumed inside the DV commit
+        # that follows, before any later statement could replace it)
+        view = f"__dml_snap_{t.name}"
+        snap.createOrReplaceTempView(view)
+        return self.spark.sql(
+            f"SELECT * FROM {view} AS {t.name} WHERE {where_text}"
+        )
 
     def _insert_query_df(self, t, body: str, omit: Sequence[str] = ()):
         """The query half of an INSERT as a coerced DataFrame: SQL

@@ -29,6 +29,12 @@ statement grammar is the subset Delta documents:
   those partitions swap, Hive static-partition semantics)
 - ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
   ``ALTER TABLE t DROP CONSTRAINT name``
+- ``ALTER TABLE t SET TBLPROPERTIES (k = v, …)`` /
+  ``ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (k, …)`` /
+  ``SHOW TBLPROPERTIES t [(key)]`` — versioned with the manifest,
+  restore-aware; ``delta.appendOnly`` and
+  ``delta.autoOptimize.autoCompact`` are interpreted (enforced /
+  behavior-changing), everything else carried verbatim
 - ``ALTER TABLE t ADD|DROP COLUMN(S) ...`` /
   ``ALTER TABLE t RENAME COLUMN old TO new`` (column mapping)
 - ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with Delta's FULL
@@ -323,6 +329,8 @@ class SqlSession:
             return self._describe_detail(stmt)
         if re.match(r"SHOW\s+PARTITIONS\b", stmt, re.IGNORECASE):
             return self._show_partitions(stmt)
+        if re.match(r"SHOW\s+TBLPROPERTIES\b", stmt, re.IGNORECASE):
+            return self._show_tblproperties(stmt)
         if re.match(r"ANALYZE\s+TABLE\b", stmt, re.IGNORECASE):
             return self._analyze(stmt)
         if re.match(r"SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
@@ -334,6 +342,30 @@ class SqlSession:
                 rows, "name string, location string, version long"
             )
         return self._query(stmt)
+
+    def _show_tblproperties(self, stmt: str) -> DataFrame:
+        """``SHOW TBLPROPERTIES t [(key)]`` — the full map, or one key
+        (Databricks errors on a missing key; so do we)."""
+        m = re.match(
+            rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*(?:\(\s*([^)]+?)\s*\))?\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW TBLPROPERTIES: {stmt!r}")
+        t = self.table(m.group(1))
+        if m.group(2):
+            key = m.group(2).strip().strip("'\"")
+            if key not in t.properties:
+                raise ValueError(
+                    f"SHOW TBLPROPERTIES {t.name}: no property {key!r}"
+                )
+            rows = [(key, t.properties[key])]
+        else:
+            rows = sorted(t.properties.items())
+        return self.spark.createDataFrame(
+            rows or [], "key string, value string"
+        )
 
     def _show_partitions(self, stmt: str) -> DataFrame:
         """``SHOW PARTITIONS t`` — answered from the manifest KEYS
@@ -906,6 +938,48 @@ class SqlSession:
             t = self.table(m.group(1))
             t.drop_constraint(m.group(2))
             return self._metrics("DROP CONSTRAINT", t, t.current_version())
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
+            rf"\(([^)]*)\)\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            props: dict[str, str] = {}
+            for part in _split_top_level(m.group(2)):
+                pm = re.match(r"^(.+?)\s*=\s*(.+)$", part.strip(), re.DOTALL)
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES element: {part!r}"
+                    )
+                k = pm.group(1).strip().strip("'\"")
+                raw = pm.group(2).strip()
+                try:
+                    v = _parse_sql_literal(raw)
+                except ValueError:
+                    v = raw  # bare words: true / false / interval specs
+                props[k] = str(v)
+            return self._metrics(
+                "SET TBLPROPERTIES", t, t.set_properties(props)
+            )
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+UNSET\s+TBLPROPERTIES\s*"
+            rf"(IF\s+EXISTS\s*)?\(([^)]*)\)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            keys = [
+                k.strip().strip("'\"")
+                for k in _split_top_level(m.group(3))
+            ]
+            return self._metrics(
+                "UNSET TBLPROPERTIES",
+                t,
+                t.unset_properties(keys, if_exists=bool(m.group(2))),
+            )
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\(?\s*"
             rf"({_IDENT})\s+([A-Za-z0-9_<>,() ]+?)\s*\)?\s*$",

@@ -540,6 +540,20 @@ class ManagedTable:
         self.copy_files: dict[str, list] = (
             self._read_copy_files(v0) if v0 >= 0 else {}
         )
+        # Table properties (Delta TBLPROPERTIES): free-form key -> value
+        # strings, versioned in the manifest like constraints. A few
+        # keys are FUNCTIONAL (the same ones Delta interprets):
+        # delta.appendOnly blocks every row-removing/rewriting commit,
+        # delta.autoOptimize.autoCompact turns on post-commit
+        # bin-packing.
+        self.properties: dict[str, str] = (
+            self._read_properties(v0) if v0 >= 0 else {}
+        )
+        if (
+            self.properties.get("delta.autoOptimize.autoCompact", "")
+            .lower() in ("true", "auto")
+        ):
+            self.auto_compact = True
 
     # ------------------------------------------------------------------ meta
     @property
@@ -656,6 +670,90 @@ class ManagedTable:
             except BaseException:
                 self.constraints[name] = dropped
                 raise
+
+    def _read_properties(self, version: int) -> dict[str, str]:
+        """The TBLPROPERTIES map committed WITH a version; manifests
+        written before properties existed return the empty map."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {k: str(v) for k, v in m.get("properties", {}).items()}
+
+    def set_properties(self, props: Mapping[str, str]) -> int:
+        """``ALTER TABLE … SET TBLPROPERTIES (k = v, …)`` — a
+        metadata-only commit carrying the merged map (DESCRIBE HISTORY
+        records it, RESTORE restores the old map). Functional keys take
+        effect immediately: ``delta.appendOnly = 'true'`` blocks every
+        subsequent row-removing commit, ``delta.autoOptimize.
+        autoCompact`` toggles post-commit bin-packing."""
+        prev = dict(self.properties)
+        self.properties.update({k: str(v) for k, v in props.items()})
+        self._apply_functional_properties()
+        if self.current_version() >= 0:
+            try:
+                return self._commit_metadata_only(op="SET TBLPROPERTIES")
+            except BaseException:
+                self.properties = prev
+                self._apply_functional_properties()
+                raise
+        return self.current_version()
+
+    def unset_properties(
+        self, keys: Sequence[str], if_exists: bool = True
+    ) -> int:
+        """``ALTER TABLE … UNSET TBLPROPERTIES [IF EXISTS] (k, …)``."""
+        missing = [k for k in keys if k not in self.properties]
+        if missing and not if_exists:
+            raise ValueError(
+                f"table {self.name}: no such propert"
+                f"{'y' if len(missing) == 1 else 'ies'} {missing}"
+            )
+        prev = dict(self.properties)
+        for k in keys:
+            self.properties.pop(k, None)
+        self._apply_functional_properties()
+        if self.current_version() >= 0:
+            try:
+                return self._commit_metadata_only(op="UNSET TBLPROPERTIES")
+            except BaseException:
+                self.properties = prev
+                self._apply_functional_properties()
+                raise
+        return self.current_version()
+
+    def _apply_functional_properties(self) -> None:
+        """Re-derive behavior flags from the current property map (the
+        interpreted subset — everything else is carried verbatim)."""
+        ac = self.properties.get("delta.autoOptimize.autoCompact", "")
+        if ac.lower() in ("true", "auto"):
+            self.auto_compact = True
+        elif ac.lower() == "false":
+            self.auto_compact = False
+
+    def _check_append_only(self, op: str) -> None:
+        """Delta ``delta.appendOnly = 'true'``: a table declared
+        append-only rejects every commit that removes or rewrites
+        existing rows (DELETE/UPDATE/MERGE-with-matched-actions/
+        overwrite/replaceWhere). Appends, COPY INTO, OPTIMIZE and
+        metadata commits stay allowed — compaction preserves logical
+        content.
+
+        Reads the CURRENT manifest's map (not this handle's cached
+        copy) so a property set through another handle binds
+        immediately; the residual set-vs-commit race is the same
+        optimistic-concurrency window every writer has."""
+        v = self.current_version()
+        if v < 0:
+            return
+        props = self._read_properties(v)
+        if props.get("delta.appendOnly", "").lower() == "true":
+            raise ValueError(
+                f"table {self.name}: {op} is blocked — the table is "
+                "append-only (delta.appendOnly = 'true'); unset the "
+                "property to mutate existing rows"
+            )
 
     def _read_bloom(self, version: int) -> dict[str, dict]:
         """The bloom-index config committed WITH a version (manifest key
@@ -1252,6 +1350,8 @@ class ManagedTable:
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
                         "dv_n": dict(dv_n or {}),
+                        # TBLPROPERTIES travel with every version
+                        "properties": dict(self.properties),
                     },
                     sort_keys=True,
                 )
@@ -1708,6 +1808,10 @@ class ManagedTable:
             self.generated = self._read_generated(v_new - 1)
             self.identity = self._read_identity(v_new - 1)
             self.copy_files = self._read_copy_files(v_new - 1)
+            # a property set by another writer (e.g. appendOnly) must
+            # bind on this commit too
+            self.properties = self._read_properties(v_new - 1)
+            self._apply_functional_properties()
         if copy_files_add:
             # two COPY INTOs racing on the same source files would load
             # rows twice; the ledger is the conflict detector (the
@@ -1872,6 +1976,7 @@ class ManagedTable:
         return v_new
 
     def overwrite(self, df: DataFrame, op: str = "WRITE") -> int:
+        self._check_append_only("overwrite")
         df = self._apply_generated(df)
         df, id_claim = self._assign_identity(df)
         cols = [f.name for f in (self.schema or df.schema).fields]
@@ -1929,6 +2034,7 @@ class ManagedTable:
         for t in filters:
             if len(t) < 2 or t[1] not in _FILTER_OPS:
                 raise ValueError(f"bad filter triple {t!r}")
+        self._check_append_only("REPLACE WHERE")
         if not filters:
             raise ValueError(
                 "replace_where needs at least one filter triple; "
@@ -2034,6 +2140,7 @@ class ManagedTable:
         cold history unread. With ``dynamic=False`` (or on an
         unpartitioned table) this is the classic static INSERT
         OVERWRITE: the new snapshot holds only the staged data."""
+        self._check_append_only("INSERT OVERWRITE")
         df = self._apply_generated(df)
         df, id_claim = self._assign_identity(df)
         cols = [f.name for f in (self.schema or df.schema).fields]
@@ -3512,6 +3619,10 @@ class ManagedTable:
         # (Delta RESTORE restores table metadata, constraints included)
         self.constraints = self._read_constraints(version)
         self.bloom = self._read_bloom(version)
+        # TBLPROPERTIES are table metadata: a restore brings back the
+        # restored version's map (Delta RESTORE does the same)
+        self.properties = self._read_properties(version)
+        self._apply_functional_properties()
         # identity watermark moves FORWARD through a restore — ids the
         # rolled-back versions consumed are never re-minted (Delta
         # keeps the identity high watermark monotonic the same way)
@@ -4151,6 +4262,7 @@ class ManagedTable:
         deterministic for the app id — the same contract Delta
         documents.
         """
+        self._check_append_only("MERGE with matched updates")
         keys = list(key_columns)
         source = self._apply_generated(source)  # compute omitted gen cols
         id_claim = None
@@ -4248,6 +4360,7 @@ class ManagedTable:
         old row versions go dead via the vector, their replacements
         land in a fresh data dir, and both become visible atomically
         in one manifest. Constraints bind on the appended rows."""
+        self._check_append_only(op)  # central guard: every DV mutation
         v = self.current_version()
         doomed = doomed.select("__mt_key", "__mt_pos")
         per_file = {
@@ -4351,6 +4464,7 @@ class ManagedTable:
         partition-scoped exactly like :meth:`merge_upsert` when the
         partition columns are part of the key.
         """
+        self._check_append_only("MERGE DELETE")
         keys = list(key_columns)
         src_keys = source.select(*keys).distinct()
         if deletion_vectors:
@@ -4392,6 +4506,7 @@ class ManagedTable:
         (on the DV path the same coalesce SELECTS only true-matches),
         where a bare ``filter(~cond)`` would silently delete the
         NULL-predicate rows too (ADVICE r05)."""
+        self._check_append_only("DELETE")
         if deletion_vectors:
             target = self._read_internal(self.current_version(), with_pos=True)
             doomed = target.filter(F.coalesce(condition, F.lit(False)))
@@ -4422,6 +4537,7 @@ class ManagedTable:
         (same coalesce discipline as :meth:`delete_where`); matching
         zero rows is a commit-free no-op. CHECK constraints bind on the
         rewritten rows."""
+        self._check_append_only("UPDATE")
         if self.schema is None:
             self.schema = self._load_schema()
         cols = [f.name for f in self.schema.fields]
@@ -4472,6 +4588,7 @@ class ManagedTable:
         no partition column is updated (an update moving a row across
         partitions must rewrite both sides — full rewrite handles it).
         """
+        self._check_append_only("MERGE UPDATE")
         target = self.read()
         keys = list(key_columns)
         if set_map is None:
@@ -4582,6 +4699,8 @@ class ManagedTable:
         keys = list(key_columns)
         if not (matched or not_matched or not_matched_by_source):
             raise ValueError("merge_clauses: no WHEN clauses given")
+        if matched or not_matched_by_source:
+            self._check_append_only("MERGE with matched/by-source clauses")
         if self.schema is None:
             self.schema = self._load_schema()
         cols = [f.name for f in self.schema.fields]

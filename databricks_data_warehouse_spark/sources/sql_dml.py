@@ -37,6 +37,13 @@ statement grammar is the subset Delta documents:
   behavior-changing), everything else carried verbatim
 - ``ALTER TABLE t ADD|DROP COLUMN(S) ...`` /
   ``ALTER TABLE t RENAME COLUMN old TO new`` (column mapping)
+- ``ALTER TABLE t ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT |
+  SET NOT NULL | DROP NOT NULL`` — defaults fill columns a
+  named-column INSERT omits; NOT NULL validates existing rows then
+  enforces on every write (CHECK machinery)
+- ``INSERT INTO t (c1, c2, …) SELECT …/VALUES …`` — named-column
+  INSERT: unlisted columns take their DEFAULT, else NULL;
+  generated/identity columns are computed as always
 - ``MERGE INTO t [AS a] USING src [AS b] ON cond`` with Delta's FULL
   clause grammar: ordered, optionally conditional ``WHEN MATCHED [AND
   cond] THEN UPDATE SET */assignments | DELETE``, ``WHEN NOT MATCHED
@@ -873,6 +880,61 @@ class SqlSession:
                 "REPLACE WHERE", t, t.replace_where(df, triples)
             )
         m = re.match(
+            rf"INSERT\s+INTO\s+({_IDENT})\s*\(([^)]*)\)\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and not re.match(
+            r"(SELECT|VALUES|WITH|TABLE|FROM)\b", m.group(2).strip(),
+            re.IGNORECASE,
+        ):
+            # named-column INSERT: listed columns come from the query
+            # positionally; every other column takes its DEFAULT
+            # expression, else NULL (a NOT NULL constraint then rejects
+            # the write — standard SQL); generated/identity columns
+            # stay absent for the write path to compute
+            t = self.table(m.group(1))
+            names = [
+                c.strip().strip("`")
+                for c in _split_top_level(m.group(2))
+            ]
+            self._register_views()
+            body = m.group(3).strip()
+            if re.match(r"VALUES\b", body, re.IGNORECASE):
+                body = f"SELECT * FROM ({body})"
+            df = self.spark.sql(body)
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT INTO {t.name} ({', '.join(names)}): query "
+                    f"produces {len(df.columns)} columns, list names "
+                    f"{len(names)}"
+                )
+            df = df.toDF(*names)
+            schema = t.schema
+            known = {f.name for f in schema.fields} if schema else set(names)
+            unknown = [n for n in names if n not in known]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {t.name}: unknown column(s) {unknown}"
+                )
+            out_cols = []
+            for f in schema.fields if schema else []:
+                c = f.name
+                if c in names:
+                    out_cols.append(F.col(c).cast(f.dataType).alias(c))
+                elif c in (t.generated or {}) or c in (t.identity or {}):
+                    continue  # computed by append()
+                elif c in t.defaults:
+                    out_cols.append(
+                        F.expr(t.defaults[c]).cast(f.dataType).alias(c)
+                    )
+                else:
+                    out_cols.append(
+                        F.lit(None).cast(f.dataType).alias(c)
+                    )
+            df = df.select(*out_cols)
+            return self._metrics("INSERT", t, t.append(df))
+        m = re.match(
             rf"INSERT\s+INTO\s+({_IDENT})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL
         )
         if not m:
@@ -938,6 +1000,35 @@ class SqlSession:
             t = self.table(m.group(1))
             t.drop_constraint(m.group(2))
             return self._metrics("DROP CONSTRAINT", t, t.current_version())
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            rf"(SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT|SET\s+NOT\s+NULL|"
+            rf"DROP\s+NOT\s+NULL)\s*$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            t = self.table(m.group(1))
+            col = m.group(2)
+            action = re.sub(r"\s+", " ", m.group(3).strip().upper())
+            if m.group(4) is not None:  # SET DEFAULT <expr>
+                return self._metrics(
+                    "SET DEFAULT", t,
+                    t.set_column_default(col, m.group(4).strip()),
+                )
+            if action == "DROP DEFAULT":
+                return self._metrics(
+                    "DROP DEFAULT", t, t.drop_column_default(col)
+                )
+            if action == "SET NOT NULL":
+                # NOT NULL rides the CHECK machinery: existing rows are
+                # validated now, every write enforces (Delta invariant)
+                t.add_constraint(f"not_null_{col}", f"`{col}` IS NOT NULL")
+                return self._metrics(
+                    "SET NOT NULL", t, t.current_version()
+                )
+            t.drop_constraint(f"not_null_{col}")
+            return self._metrics("DROP NOT NULL", t, t.current_version())
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
             rf"\(([^)]*)\)\s*$",

@@ -549,6 +549,11 @@ class ManagedTable:
         self.properties: dict[str, str] = (
             self._read_properties(v0) if v0 >= 0 else {}
         )
+        # Column DEFAULT expressions (ANSI/Delta defaultExpr): applied
+        # when an INSERT's column list omits the column.
+        self.defaults: dict[str, str] = (
+            self._read_defaults(v0) if v0 >= 0 else {}
+        )
         if (
             self.properties.get("delta.autoOptimize.autoCompact", "")
             .lower() in ("true", "auto")
@@ -670,6 +675,56 @@ class ManagedTable:
             except BaseException:
                 self.constraints[name] = dropped
                 raise
+
+    def _read_defaults(self, version: int) -> dict[str, str]:
+        """Column DEFAULT expressions committed WITH a version."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            m = json.loads(f.read())
+        return {k: str(v) for k, v in m.get("defaults", {}).items()}
+
+    def set_column_default(self, column: str, expr: str) -> int:
+        """``ALTER TABLE … ALTER COLUMN c SET DEFAULT expr`` — the
+        expression (any deterministic Spark SQL over literals) fills
+        the column when an INSERT's column list omits it. Metadata-only
+        commit; versioned and restore-aware like constraints."""
+        if self.schema and column not in {f.name for f in self.schema.fields}:
+            raise ValueError(
+                f"table {self.name}: no such column {column!r}"
+            )
+        if column in self.generated or column in self.identity:
+            raise ValueError(
+                f"table {self.name}: {column!r} is generated/identity — "
+                "its value is always computed, a DEFAULT would never apply"
+            )
+        prev = dict(self.defaults)
+        self.defaults[column] = expr
+        if self.current_version() >= 0:
+            try:
+                return self._commit_metadata_only(
+                    op=f"SET DEFAULT {column}"
+                )
+            except BaseException:
+                self.defaults = prev
+                raise
+        return self.current_version()
+
+    def drop_column_default(self, column: str) -> int:
+        if column not in self.defaults:
+            return self.current_version()
+        prev = dict(self.defaults)
+        self.defaults.pop(column)
+        if self.current_version() >= 0:
+            try:
+                return self._commit_metadata_only(
+                    op=f"DROP DEFAULT {column}"
+                )
+            except BaseException:
+                self.defaults = prev
+                raise
+        return self.current_version()
 
     def _read_properties(self, version: int) -> dict[str, str]:
         """The TBLPROPERTIES map committed WITH a version; manifests
@@ -1352,6 +1407,8 @@ class ManagedTable:
                         "dv_n": dict(dv_n or {}),
                         # TBLPROPERTIES travel with every version
                         "properties": dict(self.properties),
+                        # column DEFAULT expressions, same lifecycle
+                        "defaults": dict(self.defaults),
                     },
                     sort_keys=True,
                 )
@@ -1812,6 +1869,7 @@ class ManagedTable:
             # bind on this commit too
             self.properties = self._read_properties(v_new - 1)
             self._apply_functional_properties()
+            self.defaults = self._read_defaults(v_new - 1)
         if copy_files_add:
             # two COPY INTOs racing on the same source files would load
             # rows twice; the ledger is the conflict detector (the
@@ -3623,6 +3681,7 @@ class ManagedTable:
         # restored version's map (Delta RESTORE does the same)
         self.properties = self._read_properties(version)
         self._apply_functional_properties()
+        self.defaults = self._read_defaults(version)
         # identity watermark moves FORWARD through a restore — ids the
         # rolled-back versions consumed are never re-minted (Delta
         # keeps the identity high watermark monotonic the same way)

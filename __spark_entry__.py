@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-file bitmaps prune =/IN point lookups on a scattered
         # high-cardinality column where min/max bounds prove nothing
         "table_bloom_scan": managed_scan.table_bloom_scan,
+        # NEW round 9: liquid-clustering analogue — CLUSTER BY keys +
+        # INCREMENTAL OPTIMIZE (only unclustered files rewrite,
+        # builder-asserts inode-stability of clustered files)
+        "table_cluster_scan": managed_scan.table_cluster_scan,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -385,6 +389,7 @@ _R9_WINDOW = [
     "table_replace_where",
     "table_merge_sync",
     "table_dml_subquery",
+    "table_cluster_scan",
     "data_epoch_shuffle",
     "stream_copy_into",
     "stream_table_cdf",
@@ -435,7 +440,6 @@ _R9_WINDOW = [
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
 ]
 
 
@@ -910,6 +914,7 @@ def oracle_sql() -> dict[str, str]:
         # the automatic (SQL WHERE → Catalyst pushdown) path must too
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
+        "table_cluster_scan": managed_scan.table_cluster_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms

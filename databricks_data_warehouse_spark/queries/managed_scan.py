@@ -328,3 +328,78 @@ def table_copy_into_oracle() -> str:
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         FROM orders
     """
+
+
+def _cluster_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached CLUSTER BY table built the liquid way: half the orders
+    land and get clustered, the second half appends, a second
+    incremental OPTIMIZE lays out ONLY the new slice (asserted: the
+    first round's files must survive inode-untouched)."""
+    import glob as _glob
+
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"cluster_tbl_{h}")
+    table = ManagedTable(
+        spark, f"orders_c_{h}", loc,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    if table.current_version() < 4:
+        try:
+            orders = load(spark, sf_dir, "orders")
+            half = orders.where(F.col("o_orderkey") % 2 == 0)
+            rest = orders.where(F.col("o_orderkey") % 2 == 1)
+            table.overwrite(half)                        # v0
+            table.cluster(target_files=8)                # v1
+            first = {
+                os.path.relpath(p, loc): os.stat(p).st_ino
+                for rel in set(table._read_manifest(1).values())
+                for p in _glob.glob(
+                    os.path.join(loc, rel) + "/**/*.parquet", recursive=True
+                )
+            }
+            table.append(rest)                           # v2
+            table.cluster(target_files=8)                # v3
+            live = {
+                os.path.relpath(p, loc)
+                for rel in set(
+                    table._read_manifest(table.current_version()).values()
+                )
+                for p in _glob.glob(
+                    os.path.join(loc, rel) + "/**/*.parquet", recursive=True
+                )
+            }
+            # the incremental guarantee, asserted in the builder
+            assert set(first) <= live, "clustered files were dropped"
+            for rp, ino in first.items():
+                assert os.stat(os.path.join(loc, rp)).st_ino == ino, (
+                    f"clustered file {rp} was rewritten by the "
+                    "incremental OPTIMIZE"
+                )
+            # one final no-op proves convergence (commit-free)
+            assert table.cluster() == table.current_version()
+        except ConcurrentWriteError:
+            pass  # concurrent builder won; same deterministic sequence
+    return table
+
+
+def table_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D probe over the INCREMENTALLY clustered table — same
+    predicate as ``table_zorder_scan``, but the layout came from two
+    liquid-style OPTIMIZE runs that never rewrote already-clustered
+    files (builder-asserted, inode-pinned). Hash-equality proves
+    incremental clustering loses no rows and skipping stays sound."""
+    table = _cluster_table(spark, sf_dir)
+    probe = [
+        ("o_custkey", "between", _CUST_LO, _CUST_HI),
+        ("o_totalprice", "between", _PRICE_LO, _PRICE_HI),
+    ]
+    return table.scan(probe).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def table_cluster_scan_oracle() -> str:
+    return table_zorder_scan_oracle()

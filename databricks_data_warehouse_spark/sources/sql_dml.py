@@ -54,8 +54,13 @@ statement grammar is the subset Delta documents:
   S5-S7 (DV delete, identity-aware upsert, partition-scoped update);
   everything else runs the general first-true-clause-fires engine
 - ``OPTIMIZE t`` (selective small-file bin-packing: only fragmented
-  partitions rewritten, Delta's real OPTIMIZE shape) /
+  partitions rewritten, Delta's real OPTIMIZE shape; on a CLUSTER BY
+  table this runs INCREMENTAL clustering instead — only unclustered
+  files rewritten, liquid-clustering semantics) /
   ``OPTIMIZE t ZORDER BY (c, ...)`` (full clustering rewrite)
+- ``CREATE TABLE … CLUSTER BY (c, …)`` / ``ALTER TABLE t CLUSTER BY
+  (c, …) | NONE`` — liquid-clustering keys (new writes locally sorted
+  on them; OPTIMIZE lays out only what changed)
 - ``DESCRIBE DETAIL t`` (one-row metadata summary) / ``SHOW TABLES``
 - ``CREATE [OR REPLACE] VIEW v AS SELECT …`` (a logical view over the
   pushdown relations — reflects later table mutations at query time)
@@ -569,29 +574,32 @@ class SqlSession:
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
             rf"(?:USING\s+MANAGED\s*)?"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?"
             rf"(?:LOCATION\s+'([^']+)'\s*)?"
             rf"AS\s+(SELECT\b.*)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            if_not_exists, name, parts, loc, select = m.groups()
+            if_not_exists, name, parts, cluster, loc, select = m.groups()
             df = self._query(select.strip())
             return self._create_table(
-                if_not_exists, name, df.schema, parts, loc, data=df
+                if_not_exists, name, df.schema, parts, loc, data=df,
+                cluster=cluster,
             )
         m = re.match(
             rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
             rf"\((.*?)\)\s*"
             rf"(?:USING\s+MANAGED\s*)?"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?"
             rf"(?:LOCATION\s+'([^']+)'\s*)?$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE statement: {stmt!r}")
-        if_not_exists, name, coldefs, parts, loc = m.groups()
+        if_not_exists, name, coldefs, parts, cluster, loc = m.groups()
         # Delta generated columns: `d DATE GENERATED ALWAYS AS (expr)`
         # — extract the clause (the datatype parser doesn't know it),
         # declare via set_generated_column before creation
@@ -625,12 +633,12 @@ class SqlSession:
         schema = _parse_datatype_string(", ".join(clean))
         return self._create_table(
             if_not_exists, name, schema, parts, loc, generated=generated,
-            identity=identity,
+            identity=identity, cluster=cluster,
         )
 
     def _create_table(
         self, if_not_exists, name, schema, parts, loc, data=None,
-        generated=None, identity=None,
+        generated=None, identity=None, cluster=None,
     ) -> DataFrame:
         part_cols = (
             [c.strip() for c in parts.split(",") if c.strip()]
@@ -673,6 +681,10 @@ class SqlSession:
                 "(use IF NOT EXISTS)"
             )
         existed = t.exists()
+        if cluster and not existed:
+            t.set_cluster_by(
+                [c.strip() for c in cluster.split(",") if c.strip()]
+            )
         if generated and not existed:
             for c, e in generated.items():
                 t.set_generated_column(c, e)
@@ -1029,6 +1041,22 @@ class SqlSession:
                 )
             t.drop_constraint(f"not_null_{col}")
             return self._metrics("DROP NOT NULL", t, t.current_version())
+        m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s+"
+            rf"(?:NONE|\(([^)]*)\))\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.table(m.group(1))
+            cols = [
+                c.strip().strip("`")
+                for c in (m.group(2) or "").split(",")
+                if c.strip()
+            ]
+            return self._metrics(
+                "CLUSTER BY", t, t.set_cluster_by(cols)
+            )
         m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+SET\s+TBLPROPERTIES\s*"
             rf"\(([^)]*)\)\s*$",
@@ -1388,6 +1416,10 @@ class SqlSession:
         # WHERE restricts it to matching PARTITIONS (Delta's
         # `OPTIMIZE t WHERE date >= …` maintenance scoping)
         where = _parse_predicate_triples(m.group(2)) if m.group(2) else ()
+        if t.cluster_by and not where:
+            # Databricks semantics: OPTIMIZE on a clustered table runs
+            # incremental clustering (cost ∝ new data, not table size)
+            return self._metrics("OPTIMIZE CLUSTER", t, t.cluster())
         return self._metrics("OPTIMIZE", t, t.optimize(where=where))
 
     def _vacuum(self, stmt: str) -> DataFrame:

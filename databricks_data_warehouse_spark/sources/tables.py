@@ -449,6 +449,7 @@ class ManagedTable:
         schema: StructType | None = None,
         partition_columns: Sequence[str] = (),
         sort_columns: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
         retain_versions: int | None = None,
         distributed_prune_threshold: int | None = None,
         auto_compact: bool = False,
@@ -553,6 +554,16 @@ class ManagedTable:
         # when an INSERT's column list omits the column.
         self.defaults: dict[str, str] = (
             self._read_defaults(v0) if v0 >= 0 else {}
+        )
+        # Liquid-clustering analogue (Databricks CLUSTER BY): the
+        # clustering keys plus the set of entry dirs ALREADY clustered —
+        # cluster() rewrites only the complement (incremental OPTIMIZE).
+        # An existing table's manifest wins over the constructor arg.
+        self.cluster_by: list[str] = (
+            self._read_cluster_by(v0) if v0 >= 0 else list(cluster_by)
+        )
+        self.clustered_rels: list[str] = (
+            self._read_clustered(v0) if v0 >= 0 else []
         )
         if (
             self.properties.get("delta.autoOptimize.autoCompact", "")
@@ -675,6 +686,42 @@ class ManagedTable:
             except BaseException:
                 self.constraints[name] = dropped
                 raise
+
+    def _read_cluster_by(self, version: int) -> list[str]:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            m = json.loads(f.read())
+        return [str(c) for c in m.get("cluster_by", [])]
+
+    def _read_clustered(self, version: int) -> list[str]:
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            m = json.loads(f.read())
+        return [str(r) for r in m.get("clustered", [])]
+
+    def set_cluster_by(self, columns: Sequence[str]) -> int:
+        """``ALTER TABLE … CLUSTER BY (c, …)`` / ``CLUSTER BY NONE``
+        (empty) — metadata-only commit. Changing the keys resets the
+        clustered set: every file re-clusters on the next OPTIMIZE
+        (Databricks does the same — new keys, new layout)."""
+        if self.schema:
+            known = {f.name for f in self.schema.fields}
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(
+                    f"table {self.name}: unknown CLUSTER BY column(s) {bad}"
+                )
+        self.cluster_by = list(columns)
+        self.clustered_rels = []
+        if self.current_version() >= 0:
+            return self._commit_metadata_only(
+                op="CLUSTER BY " + (", ".join(columns) or "NONE")
+            )
+        return self.current_version()
 
     def _read_defaults(self, version: int) -> dict[str, str]:
         """Column DEFAULT expressions committed WITH a version."""
@@ -1409,6 +1456,12 @@ class ManagedTable:
                         "properties": dict(self.properties),
                         # column DEFAULT expressions, same lifecycle
                         "defaults": dict(self.defaults),
+                        # clustering keys + which entry dirs are already
+                        # clustered (pruned to dirs this version holds)
+                        "cluster_by": list(self.cluster_by),
+                        "clustered": sorted(
+                            set(self.clustered_rels) & set(entries.values())
+                        ),
                     },
                     sort_keys=True,
                 )
@@ -1834,6 +1887,7 @@ class ManagedTable:
         copy_files_add: Mapping[str, list] | None = None,
         copy_files_guard: Sequence[str] = (),
         drop_rels: Collection[str] = (),
+        mark_clustered: bool = False,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -1870,6 +1924,8 @@ class ManagedTable:
             self.properties = self._read_properties(v_new - 1)
             self._apply_functional_properties()
             self.defaults = self._read_defaults(v_new - 1)
+            self.cluster_by = self._read_cluster_by(v_new - 1)
+            self.clustered_rels = self._read_clustered(v_new - 1)
         if copy_files_add:
             # two COPY INTOs racing on the same source files would load
             # rows twice; the ledger is the conflict detector (the
@@ -1906,6 +1962,11 @@ class ManagedTable:
         write_dir = os.path.join(self.location, write_rel)
         if sort and self.sort_columns:
             df = df.sortWithinPartitions(*self.sort_columns)
+        elif sort and self.cluster_by:
+            # cluster-on-write (liquid's eventual clustering): a local
+            # sort tightens new files' footer stats on the cluster keys
+            # until the next incremental OPTIMIZE re-lays them out
+            df = df.sortWithinPartitions(*self.cluster_by)
         # data files always store PHYSICAL column names (column
         # mapping: partition/sort columns are unrenameable, so those
         # stay literal)
@@ -1926,6 +1987,10 @@ class ManagedTable:
                 # without bitmaps are simply never bloom-pruned
                 pass
         staged = self._walk_staged(write_dir, write_rel)
+        if mark_clustered:
+            self.clustered_rels = sorted(
+                set(self.clustered_rels) | set(staged.values())
+            )
         if append_only:
             staged = {f"{k}@{write_rel}": rel for k, rel in staged.items()}
         if replace_all or v_new == 0:
@@ -3212,6 +3277,23 @@ class ManagedTable:
         df = self.read()
         if not zorder_by:
             return self.overwrite(df, op="OPTIMIZE")
+        ordered = self._zorder_frame(df, zorder_by, bits, target_files)
+        # sort=False: the Z-order IS the layout; sort_columns would undo it
+        return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
+
+    def _zorder_frame(
+        self,
+        df: DataFrame,
+        zorder_by: Sequence[str],
+        bits: int = 8,
+        target_files: int | None = None,
+    ) -> DataFrame:
+        """``df`` Z-ordered: each listed column rank-bucketed into
+        ``2^bits`` buckets via approx-quantile boundaries, bucket ids
+        bit-interleaved, rows range-partitioned + sorted by the
+        Z-value. One approxQuantile pass per column (driver gets
+        ≤2^bits scalars), one range shuffle — Delta's OPTIMIZE cost
+        shape. Shared by full ZORDER and incremental clustering."""
         n_files = target_files or max(
             8, int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         )
@@ -3242,14 +3324,78 @@ class ManagedTable:
                     )
                 )
         cols = [f.name for f in (self.schema or df.schema).fields]
-        ordered = (
+        return (
             df.withColumn("__z", z)
             .repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
             .select(*cols)
         )
-        # sort=False: the Z-order IS the layout; sort_columns would undo it
-        return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
+
+    def cluster(
+        self, bits: int = 8, target_files: int | None = None
+    ) -> int:
+        """Incremental clustering OPTIMIZE — the liquid-clustering
+        shape: only entry dirs NOT yet clustered (new appends, merge
+        remainders, streaming micro-batches since the last run) are
+        Z-order-rewritten on the ``cluster_by`` keys; dirs the manifest
+        records as clustered carry over byte-untouched with their
+        stats. The 100 TB argument: OPTIMIZE cost is proportional to
+        data written SINCE the last OPTIMIZE, never to table size — a
+        nightly run on a 100 TB table touches one night's ingest.
+        DVs on rewritten dirs are materialized (their rows drop out);
+        DVs on clustered dirs carry over. No-op (commit-free) when
+        everything is already clustered. Changing the keys via
+        :meth:`set_cluster_by` resets the clustered set, so the next
+        run re-lays the whole table out (Databricks semantics).
+
+        Note the boundary estimate: quantiles are computed over the
+        UNCLUSTERED slice only — each incremental run lays out its own
+        slice optimally rather than re-bucketing history, which is
+        exactly the trade liquid clustering makes (global optimality
+        is recovered by a full rewrite, never required)."""
+        if not self.cluster_by:
+            raise ValueError(
+                f"table {self.name}: no CLUSTER BY keys declared; "
+                "set_cluster_by(...) first (or use compact(zorder_by=…))"
+            )
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        entries = self._read_manifest(v)
+        all_rels = set(entries.values())
+        todo = sorted(all_rels - set(self.clustered_rels))
+        if not todo:
+            return v  # fully clustered: commit-free no-op
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        dv, _ = self._read_dv(v)
+        touched_dv = {
+            f: d for f, d in dv.items() if os.path.dirname(f) in set(todo)
+        }
+        live = self._scan_rels(todo, need_meta=bool(touched_dv))
+        if touched_dv:
+            live = live.join(
+                self._dv_rows(touched_dv).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            )
+        ordered = self._zorder_frame(
+            live.select(*cols), self.cluster_by, bits, target_files
+        )
+        # sort=False: the Z-order IS the layout
+        return self._stage_and_commit(
+            ordered,
+            replace_all=False,
+            append_only=True,
+            sort=False,
+            op="OPTIMIZE CLUSTER",
+            drop_rels=set(todo),
+            mark_clustered=True,
+        )
 
     def _base_matches(self, base_key: str, filters: Sequence[tuple]) -> bool:
         """Does a manifest base key's partition tuple satisfy partition-
@@ -3682,6 +3828,8 @@ class ManagedTable:
         self.properties = self._read_properties(version)
         self._apply_functional_properties()
         self.defaults = self._read_defaults(version)
+        self.cluster_by = self._read_cluster_by(version)
+        self.clustered_rels = self._read_clustered(version)
         # identity watermark moves FORWARD through a restore — ids the
         # rolled-back versions consumed are never re-minted (Delta
         # keeps the identity high watermark monotonic the same way)

@@ -52,6 +52,7 @@ from databricks_data_warehouse_spark.queries import (
     tpch,
 )
 from databricks_data_warehouse_spark import streaming
+from databricks_data_warehouse_spark.pipelines import cdc as cdc_pipeline
 from databricks_data_warehouse_spark.pipelines import mv as mv_pipeline
 
 
@@ -65,8 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-9 window (VERDICT r08 items 1-2 + this round's edits; a
     green on CHANGED code is the durable record):
-    (a) entries whose code or oracle changed in round 9:
+    (a) entries whose code or oracle changed or is NEW in round 9:
         join_skew_salted (oracle BIGINT cast — the one r08 red),
+        table_replace_where / table_merge_sync / table_dml_subquery /
+        table_cluster_scan / table_apply_changes_scd1+scd2 /
+        data_epoch_shuffle (all NEW operators this round),
         stream_copy_into (NEW: Auto-Loader streaming COPY),
         stream_table_cdf (bucketed distributed rewrite diff),
         dedup_semantic (checkpointed stages), dedup_clusters /
@@ -85,14 +89,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_containment_pairs, ann_lsh_* ×4, emb_quantize_int8,
         emb_centroid_per_label), then the r06 TPC-H long tail from q2.
 
-    Left OUT, with justification: tpch q13-q22 + the stretch aggs
-    (window filled; they lead round 10's queue with the rest of the
-    r06 greens), and the r08-green tables.py/similarity.py entries
-    whose round-9 file edits do not touch their code paths
-    (table_sql_dml/cdf/zorder/generated/mv, stream_ingest/gold/
-    table_source: narrow copy_into + bloom-path + docstring edits,
-    all pytest-pinned; ann_ivf/pq/emb_hard_negatives: the
-    similarity.py edit is semantic_dedup_df-local)."""
+    Left OUT, with justification: tpch q7-q22 + the stretch aggs
+    (window filled by this round's 8 NEW operator entries — new code
+    needs the driver green more than untouched r06 files; the TPC-H
+    tail leads round 10's queue), and the r08-green
+    tables.py/similarity.py entries whose round-9 file edits do not
+    touch their code paths (ann_ivf/pq/emb_hard_negatives: the
+    similarity.py edit is semantic_dedup_df-local; the touched
+    tables.py surfaces all have NEW oracle entries in (a) plus
+    local pytest + full local oracle gate green at sf0.001 AND
+    sf0.01)."""
     cat = {
         # ====== (a) never driver-checked ===================================
         # pandas-UDAF / Python-UDTF API-class demos + r05 additions the
@@ -168,6 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DML-aware (insert/delete algebra over the attributed feed),
         # exactly-once via txn watermark; oracle = full re-aggregation
         "table_mv_incremental": mv_pipeline.table_mv_incremental,
+        # NEW round 9: APPLY CHANGES INTO (DLT CDC apply) — three
+        # sequential change batches through SCD1 (latest state, one
+        # merge_clauses join per batch) and SCD2 (full history,
+        # changed-keys-only DV rewrite); oracle = relational fixpoint
+        "table_apply_changes_scd1": cdc_pipeline.table_apply_changes_scd1,
+        "table_apply_changes_scd2": cdc_pipeline.table_apply_changes_scd2,
         # NEW round 7: dropped-mass observability for the dedup caps
         # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
         # they BIND here (VERDICT r06 item 5 — no silent truncation)
@@ -390,6 +402,8 @@ _R9_WINDOW = [
     "table_merge_sync",
     "table_dml_subquery",
     "table_cluster_scan",
+    "table_apply_changes_scd1",
+    "table_apply_changes_scd2",
     "data_epoch_shuffle",
     "stream_copy_into",
     "stream_table_cdf",
@@ -438,8 +452,6 @@ _R9_WINDOW = [
     # the r06 TPC-H long tail, from the front
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
 ]
 
 
@@ -931,6 +943,10 @@ def oracle_sql() -> dict[str, str]:
         "table_cdf": sql_dml_query.table_cdf_oracle(),
         # incremental MV ≡ from-scratch GROUP BY over the replayed DML
         "table_mv_incremental": mv_pipeline.table_mv_oracle(),
+        "table_apply_changes_scd1":
+            cdc_pipeline.table_apply_changes_scd1_oracle(),
+        "table_apply_changes_scd2":
+            cdc_pipeline.table_apply_changes_scd2_oracle(),
         # additive micro-batch merging must reconstruct the global
         # GROUP BY exactly (integer cents, txn-watermark exactly-once)
         "stream_gold_counts_table": """

@@ -1,0 +1,166 @@
+"""APPLY CHANGES INTO (DLT CDC apply) — SCD1 latest-state and SCD2
+history semantics, batch-internal multi-versions, deletes, and the
+cross-batch late-event ignore rule."""
+
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.pipelines.cdc import (
+    END_COL,
+    START_COL,
+    apply_changes,
+)
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+
+def _changes(spark, rows):
+    # (k, val, seq, op)
+    return spark.createDataFrame(
+        rows, "k long, val string, seq long, op string"
+    )
+
+
+def _scd1(spark, tmp_path, name="c1"):
+    return ManagedTable(spark, name, str(tmp_path / name))
+
+
+def test_scd1_first_batch_and_upsert_delete(spark, tmp_path):
+    t = _scd1(spark, tmp_path)
+    b1 = _changes(
+        spark,
+        [(1, "a", 1, "upsert"), (2, "b", 1, "upsert"), (3, "c", 1, "upsert")],
+    )
+    apply_changes(t, b1, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    b2 = _changes(spark, [(1, "a2", 2, "upsert"), (2, "b", 2, "delete")])
+    apply_changes(t, b2, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    got = {r["k"]: (r["val"], r["seq"]) for r in t.read().collect()}
+    assert got == {1: ("a2", 2), 3: ("c", 1)}
+
+
+def test_scd1_batch_keeps_only_latest_version(spark, tmp_path):
+    t = _scd1(spark, tmp_path)
+    b = _changes(
+        spark,
+        [(1, "v1", 1, "upsert"), (1, "v2", 2, "upsert"), (1, "v3", 3, "upsert")],
+    )
+    apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    assert [(r["val"], r["seq"]) for r in t.read().collect()] == [("v3", 3)]
+
+
+def test_scd1_late_event_ignored(spark, tmp_path):
+    t = _scd1(spark, tmp_path)
+    apply_changes(
+        t, _changes(spark, [(1, "new", 5, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    # a replayed older change must not regress the row
+    apply_changes(
+        t, _changes(spark, [(1, "old", 3, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    assert t.read().collect()[0]["val"] == "new"
+    # a late delete is ignored too
+    apply_changes(
+        t, _changes(spark, [(1, "x", 4, "delete")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    assert t.read().count() == 1
+
+
+def test_scd1_delete_in_latest_position_wins(spark, tmp_path):
+    t = _scd1(spark, tmp_path)
+    apply_changes(
+        t, _changes(spark, [(1, "a", 1, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'",
+    )
+    b = _changes(spark, [(1, "a2", 2, "upsert"), (1, "x", 3, "delete")])
+    apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    assert t.read().count() == 0
+
+
+def test_scd2_history_with_intermediate_versions(spark, tmp_path):
+    t = ManagedTable(spark, "c2", str(tmp_path / "c2"))
+    b1 = _changes(
+        spark,
+        [(1, "v1", 1, "upsert"), (1, "v2", 2, "upsert"), (2, "w1", 1, "upsert")],
+    )
+    apply_changes(
+        t, b1, ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+    )
+    rows = {
+        (r["k"], r["val"]): (r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    }
+    assert rows == {(1, "v1"): (1, 2), (1, "v2"): (2, None), (2, "w1"): (1, None)}
+
+
+def test_scd2_second_batch_closes_open_version(spark, tmp_path):
+    t = ManagedTable(spark, "c2b", str(tmp_path / "c2b"))
+    apply_changes(
+        t, _changes(spark, [(1, "v1", 1, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    apply_changes(
+        t, _changes(spark, [(1, "v2", 5, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    rows = {
+        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+    }
+    assert rows == {"v1": (1, 5), "v2": (5, None)}
+
+
+def test_scd2_delete_closes_without_insert(spark, tmp_path):
+    t = ManagedTable(spark, "c2d", str(tmp_path / "c2d"))
+    apply_changes(
+        t, _changes(spark, [(1, "v1", 1, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    apply_changes(
+        t, _changes(spark, [(1, "x", 7, "delete")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    rows = [(r["val"], r[START_COL], r[END_COL]) for r in t.read().collect()]
+    assert rows == [("v1", 1, 7)]
+
+
+def test_scd2_late_batch_ignored_and_cold_keys_untouched(spark, tmp_path):
+    import glob
+    import os
+
+    t = ManagedTable(spark, "c2l", str(tmp_path / "c2l"))
+    b1 = _changes(
+        spark, [(1, "v1", 10, "upsert"), (2, "w1", 10, "upsert")]
+    )
+    apply_changes(
+        t, b1, ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+    )
+    v_before = t.current_version()
+    # a batch entirely at-or-before the open versions: commit-free no-op
+    apply_changes(
+        t, _changes(spark, [(1, "stale", 10, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    assert t.current_version() == v_before
+    # merge-on-read: applying a change for k=1 leaves data files intact
+    inodes = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(t.location + "/data/**/*.parquet", recursive=True)
+    }
+    apply_changes(
+        t, _changes(spark, [(1, "v2", 20, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    for p, ino in inodes.items():
+        assert os.stat(p).st_ino == ino  # old files never rewritten
+    rows = {
+        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+    }
+    assert rows == {"v1": (10, 20), "v2": (20, None), "w1": (10, None)}

@@ -225,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # discovery stream + ledger-guarded COPY sink, drained twice
         # (second drain = full re-delivery) and still exactly-once
         "stream_copy_into": streaming.stream_copy_into_query,
+        # NEW round 9: streaming CDC apply — file-landed change batches
+        # drained through apply_changes; second drain from a FRESH
+        # checkpoint re-delivers everything and must no-op (sequence-
+        # owned exactly-once, no txn watermark)
+        "stream_apply_changes": streaming.stream_apply_changes_query,
         # NEW round 6: directed n-gram containment (doc-in-doc dup the
         # symmetric Jaccard misses)
         "dedup_containment_pairs": dedup.ngram_containment_pairs,
@@ -404,6 +409,7 @@ _R9_WINDOW = [
     "table_cluster_scan",
     "table_apply_changes_scd1",
     "table_apply_changes_scd2",
+    "stream_apply_changes",
     "data_epoch_shuffle",
     "stream_copy_into",
     "stream_table_cdf",
@@ -451,7 +457,6 @@ _R9_WINDOW = [
     "emb_centroid_per_label",
     # the r06 TPC-H long tail, from the front
     "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
 ]
 
 
@@ -967,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         # Auto-Loader drain (twice, second = full re-delivery) must
         # hold exactly one copy of every order
         "stream_copy_into": streaming.stream_copy_into_oracle(),
+        "stream_apply_changes": streaming.stream_apply_changes_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

@@ -38,6 +38,15 @@ from ..sources.tables import ManagedTable
 
 START_COL = "__START_AT"
 END_COL = "__END_AT"
+DELETED_COL = "__DELETED"
+
+
+def scd1_current(target: ManagedTable) -> DataFrame:
+    """The VISIBLE state of an SCD1 apply target: tombstoned keys
+    filtered out, the tombstone column dropped. DLT's target views do
+    the same — the physical table keeps deleted keys (with their
+    sequence) so late upserts can never resurrect them."""
+    return target.read().where(~F.col(DELETED_COL)).drop(DELETED_COL)
 
 
 def _latest_per_key(
@@ -87,47 +96,67 @@ def _apply_scd1(
     apply_as_deletes: str | None,
     except_columns: Sequence[str],
 ) -> int:
-    """Latest-state apply: one merge_clauses call. The target stores
-    the sequence column, so cross-batch late events are rejected by
-    the ``src.seq > seq`` clause conditions (an unmatched condition
-    means the clause doesn't fire and the row carries over — exactly
-    the ignore-late rule)."""
+    """Latest-state apply as a last-writer-wins register: the target
+    physically stores EVERY key's newest change — deletes included, as
+    tombstone rows flagged ``__DELETED`` — so the per-key fixpoint is
+    argmax(sequence) regardless of batch arrival order. A tombstone
+    carries its delete's sequence, which is what rejects a late upsert
+    (the resurrection bug of tombstone-less CDC); replayed batches
+    no-op because nothing they carry is newer. Read the visible state
+    through :func:`scd1_current`. One merge_clauses call per batch:
+    a single full-outer join, one conditional update clause, one
+    insert clause."""
     # delete condition may reference except_columns — evaluate first
     del_flag = (
         F.coalesce(F.expr(apply_as_deletes), F.lit(False))
         if apply_as_deletes
         else F.lit(False)
     )
-    ch = changes.withColumn("__del", del_flag).drop(
+    ch = changes.withColumn(DELETED_COL, del_flag).drop(
         *[c for c in except_columns if c in changes.columns]
     )
     ch = _latest_per_key(ch, keys, seq)
-    if target.schema is None and target.current_version() < 0:
-        # first batch creates the table with the change schema (sans flag)
-        target.schema = ch.drop("__del").schema
-    cols = (
-        [f.name for f in target.schema.fields]
-        if target.schema
-        else [c for c in ch.columns if c != "__del"]
-    )
-    if seq not in cols:
-        raise ValueError(
-            f"apply_changes(SCD1): target must store the sequencing "
-            f"column {seq!r} to order cross-batch changes"
-        )
     if target.current_version() < 0:
-        first = ch.where(~F.col("__del")).select(*cols)
-        return target.overwrite(first, op="APPLY CHANGES")
+        if target.schema is None:
+            target.schema = ch.schema
+        cols = [f.name for f in target.schema.fields]
+        if seq not in cols:
+            raise ValueError(
+                f"apply_changes(SCD1): target must store the sequencing "
+                f"column {seq!r} to order cross-batch changes"
+            )
+        return target.overwrite(ch.select(*cols), op="APPLY CHANGES")
+    if target.schema is None:
+        target.schema = target._load_schema()
+    cols = [f.name for f in target.schema.fields]
+    if seq not in cols or DELETED_COL not in cols:
+        raise ValueError(
+            f"apply_changes(SCD1): target must carry {seq!r} and "
+            f"{DELETED_COL!r} (create it through apply_changes)"
+        )
+    # commit-free no-op probe (one limit-1 job): a fully-replayed batch
+    # carries nothing newer and no unseen key — skip the merge entirely,
+    # so re-delivery causes zero version churn
+    tgt_seq = target.read().select(
+        *keys, F.col(seq).alias("__tgt_seq")
+    )
+    has_effect = (
+        ch.join(tgt_seq, keys, "left")
+        .where(
+            F.col("__tgt_seq").isNull()
+            | (F.col(seq) > F.col("__tgt_seq"))
+        )
+        .limit(1)
+        .count()
+    )
+    if not has_effect:
+        return target.current_version()
     newer = f"src.{seq} > {seq}"
     return target.merge_clauses(
         ch,
         keys,
-        matched=[
-            (f"src.__del AND {newer}", "delete"),
-            (f"(NOT src.__del) AND {newer}",
-             {c: f"src.{c}" for c in cols if c not in keys}),
-        ],
-        not_matched=[("NOT src.__del", {c: f"src.{c}" for c in cols})],
+        matched=[(newer, {c: f"src.{c}" for c in cols if c not in keys})],
+        not_matched=[(None, "insert_all")],
     )
 
 
@@ -171,16 +200,17 @@ def _apply_scd2(
     snap = target._read_internal(target.current_version(), with_pos=True)
     batch_keys = ch.select(*keys).distinct()
     affected = snap.join(F.broadcast(batch_keys), keys, "left_semi")
-    # late-batch guard: a batch whose first sequence is not strictly
-    # newer than a key's open version is ignored for that key (DLT's
-    # out-of-order rule, applied at batch granularity)
-    open_rows = affected.where(F.col(END_COL).isNull()).select(
-        *keys, F.col(START_COL).alias("__open_start")
+    # late-batch guard: a batch is applied to a key only when its
+    # first sequence is strictly newer than the key's HIGH-WATER —
+    # max over its history of coalesce(end, start), which covers both
+    # the open version (start) and a closing delete (end). Replayed
+    # batches (checkpoint loss, re-delivery) therefore no-op entirely.
+    hw = affected.groupBy(*keys).agg(
+        F.max(F.coalesce(F.col(END_COL), F.col(START_COL))).alias("__hw")
     )
     firsts = versioned.select(*keys, "__first_seq").distinct()
-    valid_keys = firsts.join(open_rows, keys, "left").where(
-        F.col("__open_start").isNull()
-        | (F.col("__first_seq") > F.col("__open_start"))
+    valid_keys = firsts.join(hw, keys, "left").where(
+        F.col("__hw").isNull() | (F.col("__first_seq") > F.col("__hw"))
     ).select(*keys)
     versioned = versioned.join(F.broadcast(valid_keys), keys, "left_semi")
     affected = affected.join(F.broadcast(valid_keys), keys, "left_semi")
@@ -256,7 +286,7 @@ def _cdc_table(spark, sf_dir: str, scd: int) -> ManagedTable:
     from ..streaming.windows import _scratch_root
 
     h = _corpus_fingerprint(sf_dir)
-    loc = os.path.join(_scratch_root(), f"cdc{scd}_tbl_{h}")
+    loc = os.path.join(_scratch_root(), f"cdc{scd}_tbl2_{h}")
     t = ManagedTable(spark, f"cdc{scd}", loc)
     v = t.current_version()
     if v == 2:
@@ -284,7 +314,7 @@ def table_apply_changes_scd1(spark, sf_dir: str) -> DataFrame:
 
     t = _cdc_table(spark, sf_dir, 1)
     return (
-        t.read()
+        scd1_current(t)
         .groupBy((F.col("k") % 7).alias("grp"))
         .agg(
             F.count("*").alias("n_rows"),

@@ -6,6 +6,11 @@ from .autoloader import (
     stream_copy_into_oracle,
     stream_copy_into_query,
 )
+from .cdc_stream import (
+    stream_apply_changes,
+    stream_apply_changes_oracle,
+    stream_apply_changes_query,
+)
 from .bronze_stream import (
     stream_bronze_ingest,
     stream_events_to_table,
@@ -31,6 +36,9 @@ from .windows import (
 )
 
 __all__ = [
+    "stream_apply_changes",
+    "stream_apply_changes_oracle",
+    "stream_apply_changes_query",
     "stream_bronze_ingest",
     "stream_copy_into",
     "stream_copy_into_oracle",

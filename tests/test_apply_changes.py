@@ -8,6 +8,7 @@ from databricks_data_warehouse_spark.pipelines.cdc import (
     END_COL,
     START_COL,
     apply_changes,
+    scd1_current,
 )
 from databricks_data_warehouse_spark.sources.tables import ManagedTable
 
@@ -32,7 +33,7 @@ def test_scd1_first_batch_and_upsert_delete(spark, tmp_path):
     apply_changes(t, b1, ["k"], "seq", apply_as_deletes="op = 'delete'")
     b2 = _changes(spark, [(1, "a2", 2, "upsert"), (2, "b", 2, "delete")])
     apply_changes(t, b2, ["k"], "seq", apply_as_deletes="op = 'delete'")
-    got = {r["k"]: (r["val"], r["seq"]) for r in t.read().collect()}
+    got = {r["k"]: (r["val"], r["seq"]) for r in scd1_current(t).collect()}
     assert got == {1: ("a2", 2), 3: ("c", 1)}
 
 
@@ -43,7 +44,9 @@ def test_scd1_batch_keeps_only_latest_version(spark, tmp_path):
         [(1, "v1", 1, "upsert"), (1, "v2", 2, "upsert"), (1, "v3", 3, "upsert")],
     )
     apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
-    assert [(r["val"], r["seq"]) for r in t.read().collect()] == [("v3", 3)]
+    assert [(r["val"], r["seq"]) for r in scd1_current(t).collect()] == [
+        ("v3", 3)
+    ]
 
 
 def test_scd1_late_event_ignored(spark, tmp_path):
@@ -57,13 +60,13 @@ def test_scd1_late_event_ignored(spark, tmp_path):
         t, _changes(spark, [(1, "old", 3, "upsert")]), ["k"], "seq",
         apply_as_deletes="op = 'delete'",
     )
-    assert t.read().collect()[0]["val"] == "new"
+    assert scd1_current(t).collect()[0]["val"] == "new"
     # a late delete is ignored too
     apply_changes(
         t, _changes(spark, [(1, "x", 4, "delete")]), ["k"], "seq",
         apply_as_deletes="op = 'delete'",
     )
-    assert t.read().count() == 1
+    assert scd1_current(t).count() == 1
 
 
 def test_scd1_delete_in_latest_position_wins(spark, tmp_path):
@@ -74,7 +77,10 @@ def test_scd1_delete_in_latest_position_wins(spark, tmp_path):
     )
     b = _changes(spark, [(1, "a2", 2, "upsert"), (1, "x", 3, "delete")])
     apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
-    assert t.read().count() == 0
+    assert scd1_current(t).count() == 0
+    # the tombstone is physically stored with the delete's sequence
+    ts = t.read().where("k = 1").collect()
+    assert len(ts) == 1 and ts[0]["seq"] == 3
 
 
 def test_scd2_history_with_intermediate_versions(spark, tmp_path):
@@ -164,3 +170,54 @@ def test_scd2_late_batch_ignored_and_cold_keys_untouched(spark, tmp_path):
         r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
     }
     assert rows == {"v1": (10, 20), "v2": (20, None), "w1": (10, None)}
+
+
+def test_scd1_full_replay_is_noop_any_order(spark, tmp_path):
+    """Tombstone LWW: re-delivering every batch — even out of order —
+    changes nothing (the sequence-owned exactly-once story)."""
+    t = _scd1(spark, tmp_path)
+    b1 = _changes(spark, [(1, "a", 1, "upsert"), (2, "b", 1, "upsert")])
+    b2 = _changes(spark, [(1, "a2", 2, "upsert")])
+    b3 = _changes(spark, [(2, "x", 3, "delete")])
+    for b in (b1, b2, b3):
+        apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    v = t.current_version()
+    state = sorted(
+        (r["k"], r["val"], r["seq"]) for r in scd1_current(t).collect()
+    )
+    # replay in shuffled order — the tombstone carries seq 3, so the
+    # late b1 upsert of k=2 cannot resurrect it
+    for b in (b3, b1, b2):
+        apply_changes(t, b, ["k"], "seq", apply_as_deletes="op = 'delete'")
+    assert sorted(
+        (r["k"], r["val"], r["seq"]) for r in scd1_current(t).collect()
+    ) == state
+    # and the replays were commit-free no-ops (merge found nothing newer)
+    assert t.current_version() == v
+
+
+def test_scd2_full_replay_is_noop(spark, tmp_path):
+    t = ManagedTable(spark, "c2r", str(tmp_path / "c2r"))
+    b1 = _changes(spark, [(1, "v1", 1, "upsert"), (2, "w1", 1, "upsert")])
+    b2 = _changes(spark, [(1, "v2", 2, "upsert")])
+    b3 = _changes(spark, [(2, "x", 3, "delete")])
+    for b in (b1, b2, b3):
+        apply_changes(
+            t, b, ["k"], "seq", apply_as_deletes="op = 'delete'",
+            except_columns=["op"], stored_as_scd_type=2,
+        )
+    v = t.current_version()
+    state = sorted(
+        (r["k"], r["val"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    )
+    for b in (b1, b2, b3):  # total re-delivery
+        apply_changes(
+            t, b, ["k"], "seq", apply_as_deletes="op = 'delete'",
+            except_columns=["op"], stored_as_scd_type=2,
+        )
+    assert t.current_version() == v  # high-water guard: zero commits
+    assert sorted(
+        (r["k"], r["val"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    ) == state

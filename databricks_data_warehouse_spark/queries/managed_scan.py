@@ -346,7 +346,10 @@ def _cluster_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
         spark, f"orders_c_{h}", loc,
         cluster_by=["o_custkey", "o_totalprice"],
     )
-    if table.current_version() < 4:
+    # final version after one build is 3 (overwrite, cluster, append,
+    # cluster); a cached build must NOT rebuild — the probe is the
+    # benchmark, the liquid layout is built once like a real deployment
+    if table.current_version() < 3:
         try:
             orders = load(spark, sf_dir, "orders")
             half = orders.where(F.col("o_orderkey") % 2 == 0)

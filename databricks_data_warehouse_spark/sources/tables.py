@@ -438,6 +438,34 @@ class ConcurrentWriteError(RuntimeError):
     merge against the new current version."""
 
 
+_MANIFEST_CACHE: "dict[tuple, dict]" = {}
+_MANIFEST_CACHE_MAX = 64
+
+
+def _load_manifest_json(path: str) -> dict:
+    """Parse a manifest file ONCE per (path, mtime, size) — manifests
+    are immutable after the hard-link commit claim, so the cache can
+    never serve stale content; the mtime/size key guards even against
+    out-of-band replacement. Without this, every metadata reader
+    (constraints, bloom, generated, identity, properties, defaults,
+    cluster state, stats, DVs, txn — consulted per commit and per
+    mutation guard) re-parses the full JSON, which carries per-file
+    stats and grows with the table. Callers receive the SHARED parsed
+    dict: they must copy before mutating (every reader below does)."""
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    m = _MANIFEST_CACHE.get(key)
+    if m is None:
+        with open(path) as fh:
+            m = json.loads(fh.read())
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            # simple bounded eviction: drop the oldest half
+            for k in list(_MANIFEST_CACHE)[: _MANIFEST_CACHE_MAX // 2]:
+                _MANIFEST_CACHE.pop(k, None)
+        _MANIFEST_CACHE[key] = m
+    return m
+
+
 class ManagedTable:
     """A named, partitioned, versioned parquet table."""
 
@@ -632,8 +660,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return self._load_constraints()
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         if "constraints" in m:
             return dict(m["constraints"])
         return self._load_constraints()
@@ -691,16 +718,14 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return []
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return [str(c) for c in m.get("cluster_by", [])]
 
     def _read_clustered(self, version: int) -> list[str]:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return []
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return [str(r) for r in m.get("clustered", [])]
 
     def set_cluster_by(self, columns: Sequence[str]) -> int:
@@ -728,8 +753,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {k: str(v) for k, v in m.get("defaults", {}).items()}
 
     def set_column_default(self, column: str, expr: str) -> int:
@@ -779,8 +803,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {k: str(v) for k, v in m.get("properties", {}).items()}
 
     def set_properties(self, props: Mapping[str, str]) -> int:
@@ -863,8 +886,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {c: dict(v) for c, v in m.get("bloom", {}).items()}
 
     def set_bloom_index(
@@ -959,8 +981,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {c: dict(v) for c, v in m.get("generated", {}).items()}
 
     def set_generated_column(self, column: str, expr: str) -> None:
@@ -1012,8 +1033,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {c: dict(v) for c, v in m.get("identity", {}).items()}
 
     def set_identity_column(
@@ -1091,8 +1111,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return {k: list(v) for k, v in m.get("copy_files", {}).items()}
 
     def copy_into(
@@ -1246,8 +1265,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return dict(m.get("renames", {}))
 
     def _phys(self, col: str) -> str:
@@ -1346,8 +1364,7 @@ class ManagedTable:
                 f"table {self.name}: manifest for version {version} missing "
                 "(vacuumed or never written)"
             )
-        with open(path) as f:
-            return json.loads(f.read())["entries"]
+        return dict(_load_manifest_json(path)["entries"])
 
     def _read_txn(self, version: int) -> dict[str, int]:
         """Writer-transaction watermarks of a manifest (Delta txnAppId
@@ -1359,8 +1376,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            return json.loads(f.read()).get("txn", {})
+        return dict(_load_manifest_json(path).get("txn", {}))
 
     def last_txn(self, app_id: str) -> int:
         """Highest batch/epoch id ``app_id`` has committed into the
@@ -1381,8 +1397,7 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.name}: manifest for version {version} missing"
             )
-        with open(path) as f:
-            return json.loads(f.read()).get("stats", {})
+        return _load_manifest_json(path).get("stats", {})
 
     def _read_dv(self, version: int) -> tuple[dict[str, str], dict[str, int]]:
         """Deletion-vector metadata of a manifest: ``(dv, dv_n)`` where
@@ -1393,8 +1408,7 @@ class ManagedTable:
         path = self._manifest_path(version)
         if not os.path.exists(path):
             return {}, {}
-        with open(path) as f:
-            m = json.loads(f.read())
+        m = _load_manifest_json(path)
         return dict(m.get("dv", {})), {
             k: int(v) for k, v in m.get("dv_n", {}).items()
         }
@@ -3778,8 +3792,9 @@ class ManagedTable:
                 continue
             entries = self._read_manifest(v)
             roots = {_write_root(rel) for rel in entries.values()}
-            with open(self._manifest_path(v)) as f:
-                op = json.loads(f.read()).get("op", "WRITE")
+            op = _load_manifest_json(self._manifest_path(v)).get(
+                "op", "WRITE"
+            )
             out.append(
                 {
                     "version": v,

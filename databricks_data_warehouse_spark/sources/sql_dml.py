@@ -61,7 +61,9 @@ statement grammar is the subset Delta documents:
 - ``CREATE TABLE … CLUSTER BY (c, …)`` / ``ALTER TABLE t CLUSTER BY
   (c, …) | NONE`` — liquid-clustering keys (new writes locally sorted
   on them; OPTIMIZE lays out only what changed)
-- ``DESCRIBE DETAIL t`` (one-row metadata summary) / ``SHOW TABLES``
+- ``DESCRIBE DETAIL t`` (one-row metadata summary incl. clustering
+  columns + properties) / ``SHOW TABLES`` / ``SHOW CREATE TABLE t``
+  (re-runnable DDL reconstruction)
 - ``CREATE [OR REPLACE] VIEW v AS SELECT …`` (a logical view over the
   pushdown relations — reflects later table mutations at query time)
 - ``REORG TABLE t APPLY (PURGE)`` — selective deletion-vector
@@ -343,6 +345,8 @@ class SqlSession:
             return self._show_partitions(stmt)
         if re.match(r"SHOW\s+TBLPROPERTIES\b", stmt, re.IGNORECASE):
             return self._show_tblproperties(stmt)
+        if re.match(r"SHOW\s+CREATE\s+TABLE\b", stmt, re.IGNORECASE):
+            return self._show_create_table(stmt)
         if re.match(r"ANALYZE\s+TABLE\b", stmt, re.IGNORECASE):
             return self._analyze(stmt)
         if re.match(r"SHOW\s+TABLES\s*$", stmt, re.IGNORECASE):
@@ -354,6 +358,73 @@ class SqlSession:
                 rows, "name string, location string, version long"
             )
         return self._query(stmt)
+
+    def _show_create_table(self, stmt: str) -> DataFrame:
+        """``SHOW CREATE TABLE t`` — reconstruct the DDL (one row,
+        ``createtab_stmt``) from live metadata: column clauses carry
+        GENERATED ALWAYS AS / IDENTITY / NOT NULL / DEFAULT, followed
+        by PARTITIONED BY, CLUSTER BY, LOCATION, TBLPROPERTIES, and one
+        ALTER TABLE line per CHECK constraint (the re-runnable form,
+        since CREATE TABLE has no inline CHECK here)."""
+        m = re.match(
+            rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", stmt, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW CREATE TABLE: {stmt!r}")
+        t = self.table(m.group(1))
+        if t.schema is None:
+            raise ValueError(f"table {t.name} has no schema yet")
+        not_null = {
+            name[len("not_null_"):]
+            for name in (t.constraints or {})
+            if name.startswith("not_null_")
+        }
+        col_lines = []
+        for f in t.schema.fields:
+            parts = [f"  {f.name} {f.dataType.simpleString().upper()}"]
+            gen = (t.generated or {}).get(f.name)
+            if gen:
+                parts.append(f"GENERATED ALWAYS AS ({gen['expr']})")
+            ident = (t.identity or {}).get(f.name)
+            if ident:
+                parts.append(
+                    "GENERATED ALWAYS AS IDENTITY (START WITH "
+                    f"{ident['start']} INCREMENT BY {ident['step']})"
+                )
+            if f.name in not_null:
+                parts.append("NOT NULL")
+            default = (t.defaults or {}).get(f.name)
+            if default:
+                parts.append(f"DEFAULT {default}")
+            col_lines.append(" ".join(parts))
+        lines = [
+            f"CREATE TABLE {t.name} (",
+            ",\n".join(col_lines),
+            ") USING MANAGED",
+        ]
+        if t.partition_columns:
+            lines.append(
+                f"PARTITIONED BY ({', '.join(t.partition_columns)})"
+            )
+        if t.cluster_by:
+            lines.append(f"CLUSTER BY ({', '.join(t.cluster_by)})")
+        lines.append(f"LOCATION '{t.location}'")
+        if t.properties:
+            kv = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(t.properties.items())
+            )
+            lines.append(f"TBLPROPERTIES ({kv})")
+        ddl = "\n".join(lines)
+        for name, expr in sorted((t.constraints or {}).items()):
+            if name.startswith("not_null_"):
+                continue  # already inline on the column
+            ddl += (
+                f";\nALTER TABLE {t.name} ADD CONSTRAINT {name} "
+                f"CHECK ({expr})"
+            )
+        return self.spark.createDataFrame(
+            [(ddl,)], "createtab_stmt string"
+        )
 
     def _show_tblproperties(self, stmt: str) -> DataFrame:
         """``SHOW TBLPROPERTIES t [(key)]`` — the full map, or one key
@@ -537,13 +608,16 @@ class SqlSession:
                     len(t.constraints or {}),
                     len(t.renames or {}),
                     len(t.bloom or {}),
+                    list(t.cluster_by or []),
+                    dict(t.properties or {}),
                 )
             ],
             "format string, name string, location string, "
             "partitionColumns array<string>, numFiles long, "
             "sizeInBytes long, numDeletedRows long, version long, "
             "numConstraints long, numMappedColumns long, "
-            "numBloomIndexes long",
+            "numBloomIndexes long, clusteringColumns array<string>, "
+            "properties map<string,string>",
         )
 
     def _create(self, stmt: str) -> DataFrame:

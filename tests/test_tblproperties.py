@@ -119,3 +119,24 @@ def test_concurrent_append_only_binds_on_other_handle(spark, tmp_path):
     # t2's in-memory map is stale, but the guard reads the manifest
     with pytest.raises(ValueError, match="append-only"):
         t2.overwrite(spark.createDataFrame([(9, 9.0)], "k long, v double"))
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits re-runnable DDL carrying partitioning,
+    clustering, NOT NULL, DEFAULT, properties, and constraints."""
+    sess = SqlSession(spark, base_location=str(tmp_path))
+    sess.sql(
+        "CREATE TABLE sct (k BIGINT, s STRING, v DOUBLE) "
+        "PARTITIONED BY (s) CLUSTER BY (k)"
+    )
+    sess.sql("ALTER TABLE sct ALTER COLUMN v SET DEFAULT 1.5")
+    sess.sql("ALTER TABLE sct ALTER COLUMN k SET NOT NULL")
+    sess.sql("ALTER TABLE sct SET TBLPROPERTIES ('owner' = 'me')")
+    sess.sql("ALTER TABLE sct ADD CONSTRAINT pos CHECK (v >= 0)")
+    ddl = sess.sql("SHOW CREATE TABLE sct").collect()[0]["createtab_stmt"]
+    assert "PARTITIONED BY (s)" in ddl
+    assert "CLUSTER BY (k)" in ddl
+    assert "k BIGINT" in ddl and "NOT NULL" in ddl
+    assert "DEFAULT 1.5" in ddl
+    assert "TBLPROPERTIES ('owner' = 'me')" in ddl
+    assert "ADD CONSTRAINT pos CHECK (v >= 0)" in ddl

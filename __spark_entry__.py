@@ -131,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # INCREMENTAL OPTIMIZE (only unclustered files rewrite,
         # builder-asserts inode-stability of clustered files)
         "table_cluster_scan": managed_scan.table_cluster_scan,
+        # NEW round 9: CONVERT TO DELTA parity — plain-parquet dir
+        # adopted zero-copy (absolute-path manifest, footer stats
+        # harvested), probed through the stats-pruned scan
+        "table_convert_scan": managed_scan.table_convert_scan,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -932,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "table_zorder_scan_sql": managed_scan.table_zorder_scan_sql_oracle(),
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
         "table_cluster_scan": managed_scan.table_cluster_scan_oracle(),
+        "table_convert_scan": managed_scan.table_convert_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms

@@ -406,3 +406,46 @@ def table_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def table_cluster_scan_oracle() -> str:
     return table_zorder_scan_oracle()
+
+
+def _converted_table(spark: SparkSession, sf_dir: str) -> "ManagedTable":
+    """Orders landed once as a PLAIN parquet directory (range layout),
+    then adopted via CONVERT — zero-copy manifest over the raw files,
+    footer stats harvested at adoption."""
+    from ..sources.tables import ConcurrentWriteError, convert_to_managed
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    raw = os.path.join(_scratch_root(), f"convert_raw_{h}")
+    loc = os.path.join(_scratch_root(), f"convert_tbl_{h}")
+    t = ManagedTable(spark, f"orders_cv_{h}", loc)
+    if t.current_version() < 0:
+        try:
+            if not os.path.isdir(raw):
+                load(spark, sf_dir, "orders").repartitionByRange(
+                    8, "o_orderkey"
+                ).write.mode("overwrite").parquet(raw)
+            t = convert_to_managed(spark, f"orders_cv_{h}", loc, raw)
+        except (ConcurrentWriteError, FileExistsError):
+            t = ManagedTable(spark, f"orders_cv_{h}", loc)
+    return t
+
+
+def table_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned range probe over a CONVERTed table — the adopted
+    files were never rewritten (manifest v0 references them by absolute
+    path), yet skipping works because CONVERT harvested the footers.
+    Hash-equality vs bare SQL proves adoption loses nothing."""
+    t = _converted_table(spark, sf_dir)
+    assert t.history()[-1]["operation"].startswith("CONVERT")
+    return t.scan([("o_orderkey", "between", 1000, 50000)]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def table_convert_scan_oracle() -> str:
+    return """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey BETWEEN 1000 AND 50000
+    """

@@ -85,6 +85,7 @@ metrics, and something a test can assert on.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Sequence
 
@@ -337,6 +338,8 @@ class SqlSession:
             )
         if head == "RESTORE":
             return self._restore(stmt)
+        if head == "CONVERT":
+            return self._convert(stmt)
         if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
             return self._describe_history(stmt)
         if re.match(r"DESCRIBE\s+DETAIL\b", stmt, re.IGNORECASE):
@@ -358,6 +361,40 @@ class SqlSession:
                 rows, "name string, location string, version long"
             )
         return self._query(stmt)
+
+    def _convert(self, stmt: str) -> DataFrame:
+        """``CONVERT TO MANAGED PARQUET '<src>' AS t [PARTITIONED BY
+        (c, …)] [LOCATION '<loc>']`` — Delta's ``CONVERT TO DELTA
+        parquet.`/path/``` spelling adapted to this grammar: adopt the
+        parquet directory in place (no rewrite), register the result."""
+        from .tables import convert_to_managed
+
+        m = re.match(
+            rf"CONVERT\s+TO\s+MANAGED\s+PARQUET\s+'([^']+)'\s+AS\s+"
+            rf"({_IDENT})\s*"
+            rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            rf"(?:LOCATION\s+'([^']+)'\s*)?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CONVERT statement: {stmt!r}")
+        src, name, parts, loc = m.groups()
+        if loc is None:
+            if self.base_location is None:
+                raise ValueError(
+                    f"CONVERT {name}: no LOCATION given and this "
+                    "SqlSession has no base_location"
+                )
+            loc = os.path.join(self.base_location, name)
+        part_cols = (
+            [c.strip() for c in parts.split(",") if c.strip()]
+            if parts
+            else []
+        )
+        t = convert_to_managed(self.spark, name, loc, src, part_cols)
+        self.register(t)
+        return self._metrics("CONVERT", t, t.current_version())
 
     def _show_create_table(self, stmt: str) -> DataFrame:
         """``SHOW CREATE TABLE t`` — reconstruct the DDL (one row,

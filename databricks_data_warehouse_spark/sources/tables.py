@@ -1789,7 +1789,9 @@ class ManagedTable:
             return None
         return None
 
-    def _collect_file_stats(self, write_dir: str) -> dict[str, dict]:
+    def _collect_file_stats(
+        self, write_dir: str, key_base: str | None = ""
+    ) -> dict[str, dict]:
         """Harvest per-file column min/max/null-count from the parquet
         FOOTERS of a staged write — no data pages are read, which is
         exactly how Delta/Iceberg collect stats at commit time. Footer
@@ -1835,7 +1837,14 @@ class ManagedTable:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.location)
+                # key space: location-relative for own files (default),
+                # ABSOLUTE for externally-referenced files (CONVERT —
+                # the same key space clones use)
+                rel = (
+                    full
+                    if key_base is None
+                    else os.path.relpath(full, key_base or self.location)
+                )
                 md = pq.ParquetFile(full).metadata
                 cols: dict[str, list] = {}
                 dead: set[str] = set()
@@ -5040,3 +5049,60 @@ class ManagedTable:
         return self._stage_and_commit(
             kept.select(*out_cols), replace_all=not scoped, op="MERGE"
         )
+
+
+def convert_to_managed(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    source_dir: str,
+    partition_columns: Sequence[str] = (),
+) -> ManagedTable:
+    """Delta ``CONVERT TO DELTA parquet.`/path/``` parity: adopt an
+    existing plain-parquet directory as a ManagedTable WITHOUT
+    rewriting a byte — manifest v0 references the source files by
+    absolute path (the same key space shallow clones use), footer
+    stats are harvested so data skipping works immediately, and the
+    hive partition layout (``col=value`` dirs) becomes the table's
+    partitioning.
+
+    Scale shape: O(files) metadata — one footer read per file, zero
+    data pages. After conversion the table is fully first-class:
+    DML runs merge-on-read (DVs key the absolute paths), OPTIMIZE /
+    CLUSTER materialize into the table's own location, and vacuum's
+    path-containment guard never deletes the adopted source files
+    (Delta's rule for converted/cloned data).
+
+    The source directory must not change out-of-band afterwards —
+    the same contract Delta's CONVERT documents (it takes ownership
+    of the files)."""
+    src = os.path.abspath(source_dir)
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"CONVERT: source dir {src!r} missing")
+    t = ManagedTable(
+        spark, name, location, partition_columns=list(partition_columns)
+    )
+    if t.exists():
+        raise FileExistsError(
+            f"CONVERT: table {name} already exists at {location}"
+        )
+    # schema inference picks up hive partition columns from the layout
+    t.schema = spark.read.parquet(src).schema
+    missing = set(partition_columns) - {f.name for f in t.schema.fields}
+    if missing:
+        raise ValueError(
+            f"CONVERT: partition column(s) {sorted(missing)} not found "
+            "in the source layout"
+        )
+    entries = t._walk_staged(src, src)  # absolute rels, like a clone
+    if not entries or not any(
+        fn.endswith(".parquet")
+        for _d, _s, fns in os.walk(src)
+        for fn in fns
+    ):
+        raise ValueError(f"CONVERT: no parquet files under {src!r}")
+    stats = t._collect_file_stats(src, key_base=None)
+    t._save_schema()
+    t._write_manifest(0, entries, stats, {}, op=f"CONVERT {src}")
+    t._commit(0)
+    return t

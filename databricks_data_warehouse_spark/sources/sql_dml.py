@@ -73,6 +73,9 @@ statement grammar is the subset Delta documents:
   ``VACUUM t [RETAIN n VERSIONS]`` (version-based retention — this
   engine's MVCC keeps versions, not hours)
 - ``RESTORE [TABLE] t [TO] VERSION AS OF n``
+- ``TRUNCATE TABLE t`` (metadata-only: empty manifest, restorable) /
+  ``DROP TABLE [IF EXISTS] t`` / ``CONVERT TO MANAGED PARQUET '<src>'
+  AS t`` (adopt a plain-parquet dir zero-copy)
 - ``DESCRIBE HISTORY t``
 - any other statement → ``spark.sql`` over the registered tables'
   pushdown views (implicit data skipping), with ``t VERSION AS OF n``
@@ -340,6 +343,42 @@ class SqlSession:
             return self._restore(stmt)
         if head == "CONVERT":
             return self._convert(stmt)
+        if head == "TRUNCATE":
+            m = re.match(
+                rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*$", stmt, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(f"cannot parse TRUNCATE: {stmt!r}")
+            t = self.table(m.group(1))
+            return self._metrics("TRUNCATE", t, t.truncate())
+        if head == "DROP" and re.match(
+            r"DROP\s+TABLE\b", stmt, re.IGNORECASE
+        ):
+            m = re.match(
+                rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse DROP TABLE: {stmt!r}")
+            name = m.group(2)
+            t = self._tables.get(name)
+            if t is None:
+                if m.group(1):
+                    return self.spark.createDataFrame(
+                        [("DROP TABLE", name, -1)],
+                        "operation string, table string, version long",
+                    )
+                raise ValueError(f"DROP TABLE: no such table {name!r}")
+            import shutil as _shutil
+
+            self._tables.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            _shutil.rmtree(t.location, ignore_errors=True)
+            return self.spark.createDataFrame(
+                [("DROP TABLE", name, -1)],
+                "operation string, table string, version long",
+            )
         if re.match(r"DESCRIBE\s+HISTORY\b", stmt, re.IGNORECASE):
             return self._describe_history(stmt)
         if re.match(r"DESCRIBE\s+DETAIL\b", stmt, re.IGNORECASE):

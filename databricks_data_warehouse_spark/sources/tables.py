@@ -3533,6 +3533,22 @@ class ManagedTable:
             op="OPTIMIZE",
         )
 
+    def truncate(self) -> int:
+        """Delta ``TRUNCATE TABLE`` — remove every row METADATA-ONLY:
+        the new manifest holds zero entries (the old files age out with
+        their manifests via vacuum); schema, constraints, properties,
+        clustering keys and identity watermarks all survive. At any
+        table size this is one small JSON write."""
+        self._check_append_only("TRUNCATE")
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"table {self.name} does not exist yet")
+        self._write_manifest(v + 1, {}, {}, self._read_txn(v), op="TRUNCATE")
+        self._commit(v + 1)
+        if self.retain_versions is not None:
+            self.vacuum(keep=self.retain_versions)
+        return v + 1
+
     def reorg(self, min_dv_fraction: float = 0.0) -> int:
         """Delta ``REORG TABLE … APPLY (PURGE)`` parity: materialize
         deletion vectors SELECTIVELY — rewrite only the entry dirs whose

@@ -487,3 +487,49 @@ def test_auto_compact_off_by_default(spark, tmp_path):
         )
     kept, legacy, total, _r, _rk, _b = t._prune([], None)
     assert total == 6  # one file per append, untouched
+
+
+def test_truncate_metadata_only_and_restorable(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(spark, "tt", str(tmp_path / "tt"))
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")))
+    import glob
+    import os
+
+    inodes = {
+        p: os.stat(p).st_ino
+        for p in glob.glob(t.location + "/data/**/*.parquet", recursive=True)
+    }
+    v = t.truncate()
+    assert t.read().count() == 0
+    assert t.history()[0]["operation"] == "TRUNCATE"
+    # metadata-only: no data file was touched or deleted yet
+    for p, ino in inodes.items():
+        assert os.stat(p).st_ino == ino
+    # time travel / restore bring the rows back
+    assert t.read(version=v - 1).count() == 100
+    t.restore(v - 1)
+    assert t.read().count() == 100
+
+
+def test_sql_truncate_and_drop(spark, tmp_path):
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+
+    sess = SqlSession(spark, base_location=str(tmp_path))
+    sess.sql("CREATE TABLE dt (k BIGINT)")
+    sess.sql("INSERT INTO dt VALUES (1), (2)")
+    sess.sql("TRUNCATE TABLE dt")
+    assert sess.sql("SELECT COUNT(*) AS n FROM dt").collect()[0]["n"] == 0
+    loc = sess.table("dt").location
+    sess.sql("DROP TABLE dt")
+    import os
+
+    assert not os.path.exists(loc)
+    import pytest
+
+    with pytest.raises(ValueError, match="no such table"):
+        sess.sql("DROP TABLE dt")
+    sess.sql("DROP TABLE IF EXISTS dt")  # no-op

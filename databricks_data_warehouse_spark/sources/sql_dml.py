@@ -721,7 +721,8 @@ class SqlSession:
                 "operation string, table string, version long",
             )
         m = re.match(
-            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*"
             rf"(?:USING\s+MANAGED\s*)?"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
             rf"(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?"
@@ -731,14 +732,16 @@ class SqlSession:
             re.IGNORECASE | re.DOTALL,
         )
         if m:
-            if_not_exists, name, parts, cluster, loc, select = m.groups()
+            (or_replace, if_not_exists, name, parts, cluster, loc,
+             select) = m.groups()
             df = self._query(select.strip())
             return self._create_table(
                 if_not_exists, name, df.schema, parts, loc, data=df,
-                cluster=cluster,
+                cluster=cluster, or_replace=bool(or_replace),
             )
         m = re.match(
-            rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+            rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            rf"({_IDENT})\s*"
             rf"\((.*?)\)\s*"
             rf"(?:USING\s+MANAGED\s*)?"
             rf"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
@@ -749,7 +752,8 @@ class SqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE statement: {stmt!r}")
-        if_not_exists, name, coldefs, parts, cluster, loc = m.groups()
+        (or_replace, if_not_exists, name, coldefs, parts, cluster,
+         loc) = m.groups()
         # Delta generated columns: `d DATE GENERATED ALWAYS AS (expr)`
         # — extract the clause (the datatype parser doesn't know it),
         # declare via set_generated_column before creation
@@ -783,12 +787,61 @@ class SqlSession:
         schema = _parse_datatype_string(", ".join(clean))
         return self._create_table(
             if_not_exists, name, schema, parts, loc, generated=generated,
-            identity=identity, cluster=cluster,
+            identity=identity, cluster=cluster, or_replace=bool(or_replace),
         )
+
+    def _replace_table(
+        self, old, name, schema, part_cols, cluster, data,
+        generated, identity,
+    ) -> DataFrame:
+        """``CREATE OR REPLACE TABLE`` on an existing table: ONE
+        versioned commit installs the new schema/partitioning/content
+        with all previous metadata (constraints, properties, defaults,
+        clustering, indexes) reset — Delta's REPLACE semantics. History
+        chains, so RESTORE undoes the replace entirely."""
+        fresh = ManagedTable(
+            self.spark, name, old.location, schema=schema,
+            partition_columns=part_cols,
+        )
+        # reset every piece of versioned metadata; the statement's own
+        # declarations are re-applied below
+        fresh.constraints = {}
+        fresh.renames = {}
+        fresh.bloom = {}
+        fresh.generated = {}
+        fresh.identity = {}
+        fresh.defaults = {}
+        fresh.properties = {}
+        fresh.cluster_by = (
+            [c.strip() for c in cluster.split(",") if c.strip()]
+            if cluster
+            else []
+        )
+        fresh.clustered_rels = []
+        for c, e in (generated or {}).items():
+            fresh.set_generated_column(c, e, _force=True)
+        for c, (start, step) in (identity or {}).items():
+            fresh.set_identity_column(c, start=start, step=step, _force=True)
+        if data is None:
+            from pyspark.sql.types import StructType as _ST
+
+            # generated/identity columns are ALWAYS computed — the
+            # (empty) replacement frame must not carry them
+            data = self.spark.createDataFrame(
+                [],
+                _ST([
+                    f for f in schema.fields
+                    if f.name not in fresh.generated
+                    and f.name not in fresh.identity
+                ]),
+            )
+        v = fresh.replace_table_content(data)
+        self.register(fresh)
+        return self._metrics("CREATE OR REPLACE TABLE", fresh, v)
 
     def _create_table(
         self, if_not_exists, name, schema, parts, loc, data=None,
-        generated=None, identity=None, cluster=None,
+        generated=None, identity=None, cluster=None, or_replace=False,
     ) -> DataFrame:
         part_cols = (
             [c.strip() for c in parts.split(",") if c.strip()]
@@ -802,10 +855,15 @@ class SqlSession:
                 f"column(s) {sorted(unknown)}"
             )
         if name in self._tables:
+            t = self._tables[name]
+            if or_replace:
+                return self._replace_table(
+                    t, name, schema, part_cols, cluster, data,
+                    generated, identity,
+                )
             # an already-registered table keeps its handle (with its
             # true partition columns) — IF NOT EXISTS is a no-op,
             # a bare re-CREATE errors
-            t = self._tables[name]
             if not if_not_exists:
                 raise FileExistsError(
                     f"CREATE TABLE {name}: already exists at {t.location} "

@@ -984,7 +984,9 @@ class ManagedTable:
         m = _load_manifest_json(path)
         return {c: dict(v) for c, v in m.get("generated", {}).items()}
 
-    def set_generated_column(self, column: str, expr: str) -> None:
+    def set_generated_column(
+        self, column: str, expr: str, _force: bool = False
+    ) -> None:
         """Delta ``col GENERATED ALWAYS AS (expr)``: the column is
         computed from ``expr`` on every ingest when absent, and every
         write that DOES supply it is validated against ``expr`` in the
@@ -998,8 +1000,10 @@ class ManagedTable:
 
         Declare-before-create only: a generation expression bolted onto
         existing data could be violated by already-committed rows,
-        which would make the derived pruning silently wrong."""
-        if self.current_version() >= 0:
+        which would make the derived pruning silently wrong.
+        (``_force`` is the CREATE OR REPLACE escape hatch — sound there
+        because the same commit replaces every row.)"""
+        if self.current_version() >= 0 and not _force:
             raise ValueError(
                 f"table {self.name}: generated columns must be declared "
                 "before the table is created (existing rows cannot be "
@@ -1037,7 +1041,8 @@ class ManagedTable:
         return {c: dict(v) for c, v in m.get("identity", {}).items()}
 
     def set_identity_column(
-        self, column: str, start: int = 1, step: int = 1
+        self, column: str, start: int = 1, step: int = 1,
+        _force: bool = False,
     ) -> None:
         """Delta ``col BIGINT GENERATED ALWAYS AS IDENTITY (START WITH
         s INCREMENT BY t)``: every ingest that omits the column gets
@@ -1052,7 +1057,7 @@ class ManagedTable:
         transactional identity column has. Declare before creation."""
         if step == 0:
             raise ValueError("identity step must be non-zero")
-        if self.current_version() >= 0:
+        if self.current_version() >= 0 and not _force:
             raise ValueError(
                 f"table {self.name}: identity columns must be declared "
                 "before the table is created"
@@ -1468,6 +1473,12 @@ class ManagedTable:
                         "dv_n": dict(dv_n or {}),
                         # TBLPROPERTIES travel with every version
                         "properties": dict(self.properties),
+                        # the schema travels too (Delta keeps it in the
+                        # log): RESTORE across a schema change — incl.
+                        # CREATE OR REPLACE — re-adopts the old shape
+                        "schema": (
+                            self.schema.jsonValue() if self.schema else None
+                        ),
                         # column DEFAULT expressions, same lifecycle
                         "defaults": dict(self.defaults),
                         # clustering keys + which entry dirs are already
@@ -1911,6 +1922,7 @@ class ManagedTable:
         copy_files_guard: Sequence[str] = (),
         drop_rels: Collection[str] = (),
         mark_clustered: bool = False,
+        reset_metadata: bool = False,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -1930,7 +1942,14 @@ class ManagedTable:
         # on (a constraint added by another writer after this handle
         # opened must bind; a retry after ConcurrentWriteError must see
         # the winner's constraints)
-        if v_new > 0:
+        if v_new > 0 and reset_metadata:
+            # CREATE OR REPLACE TABLE: the commit carries the handle's
+            # FRESH metadata (reset by the caller) instead of
+            # re-binding the previous version's — the whole point of a
+            # replace. History still chains: restore returns to the
+            # old table, metadata included.
+            pass
+        elif v_new > 0:
             self.constraints = self._read_constraints(v_new - 1)
             # same rule for column mapping: write physical names of the
             # version being built on (a rename committed by another
@@ -3533,6 +3552,30 @@ class ManagedTable:
             op="OPTIMIZE",
         )
 
+    def replace_table_content(
+        self, df: DataFrame, op: str = "CREATE OR REPLACE TABLE"
+    ) -> int:
+        """The commit half of ``CREATE OR REPLACE TABLE``: stage ``df``
+        as the complete new content under THIS handle's (freshly reset)
+        schema/partitioning/metadata — the previous version's
+        constraints, properties, defaults, clustering and indexes do
+        NOT re-bind (Delta's REPLACE semantics: a new table definition
+        in one transaction). History chains normally, so RESTORE
+        returns to the pre-replace table, old metadata included (every
+        manifest carries its own). Blocked on append-only tables like
+        any other row-removing commit."""
+        self._check_append_only("CREATE OR REPLACE TABLE")
+        df = self._apply_generated(df)
+        df, id_claim = self._assign_identity(df)
+        cols = [f.name for f in (self.schema or df.schema).fields]
+        return self._stage_and_commit(
+            df.select(*cols),
+            replace_all=True,
+            op=op,
+            identity_claim=id_claim,
+            reset_metadata=True,
+        )
+
     def truncate(self) -> int:
         """Delta ``TRUNCATE TABLE`` — remove every row METADATA-ONLY:
         the new manifest holds zero entries (the old files age out with
@@ -3863,6 +3906,18 @@ class ManagedTable:
         # (Delta RESTORE restores table metadata, constraints included)
         self.constraints = self._read_constraints(version)
         self.bloom = self._read_bloom(version)
+        # column mapping reverts with the rest of the metadata (a
+        # rename rolled back by RESTORE really is rolled back)
+        self.renames = self._read_renames(version)
+        # the restored version's SCHEMA comes back with it (needed when
+        # the rolled-back span contains a CREATE OR REPLACE or column
+        # evolution); pre-schema manifests keep the current one
+        restored_schema = _load_manifest_json(
+            self._manifest_path(version)
+        ).get("schema")
+        if restored_schema:
+            self.schema = StructType.fromJson(restored_schema)
+            self._save_schema()  # fresh handles load the side file
         # TBLPROPERTIES are table metadata: a restore brings back the
         # restored version's map (Delta RESTORE does the same)
         self.properties = self._read_properties(version)

@@ -40,9 +40,11 @@ def test_rename_round_trip_and_restore(spark, tmp_path):
     # old-version read resolves through the CURRENT mapping (rename is
     # retroactive on read, Delta behavior)
     assert set(t.read(version=v_before).columns) == {"id", "grp", "amount"}
-    # restore keeps the current (renamed) schema, data still correct
+    # RESTORE replays the restored version's metadata — schema AND
+    # column mapping revert with the data (Delta RestoreTableCommand)
     t.restore(v_before)
-    assert t.read().agg(F.sum("amount")).collect()[0][0] == sum(
+    assert set(t.read().columns) == {"id", "grp", "val"}
+    assert t.read().agg(F.sum("val")).collect()[0][0] == sum(
         i * 2 for i in range(100)
     )
 

@@ -26,7 +26,11 @@ def test_restore_moves_history_forward(spark, tmp_path):
     assert t.skipping_report([("id", ">", 100)])["files_kept"] == 0
 
 
-def test_restore_keeps_evolved_schema(spark, tmp_path):
+def test_restore_reverts_evolved_schema(spark, tmp_path):
+    """RESTORE replays the restored version's METADATA including its
+    schema (Delta's RestoreTableCommand does the same) — rolling back
+    across a schema evolution or a CREATE OR REPLACE returns the old
+    shape, and a fresh handle sees it too."""
     t = ManagedTable(spark, "re", str(tmp_path / "re"))
     t.overwrite(_df(spark, [(1, "a", 1.0)]))
     t.merge_insert_only(
@@ -35,9 +39,19 @@ def test_restore_keeps_evolved_schema(spark, tmp_path):
     )
     t.restore(0)
     df = t.read()
-    assert df.columns == ["id", "v", "amt", "email"]
-    rows = df.collect()
-    assert len(rows) == 1 and rows[0].email is None
+    assert df.columns == ["id", "v", "amt"]
+    assert df.count() == 1
+    reopened = ManagedTable(spark, "re", t.location)
+    assert [f.name for f in reopened.schema.fields] == ["id", "v", "amt"]
+    # the evolution can be replayed on top of the restored state
+    t.merge_insert_only(
+        spark.createDataFrame(
+            [(9, "z", 3.0, "x@y")],
+            "id long, v string, amt double, email string",
+        ),
+        merge_schema=True,
+    )
+    assert t.read().columns == ["id", "v", "amt", "email"]
 
 
 def test_shallow_clone_is_metadata_only_and_independent(spark, tmp_path):
@@ -533,3 +547,53 @@ def test_sql_truncate_and_drop(spark, tmp_path):
     with pytest.raises(ValueError, match="no such table"):
         sess.sql("DROP TABLE dt")
     sess.sql("DROP TABLE IF EXISTS dt")  # no-op
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """REPLACE: new schema/partitioning/content in ONE commit, old
+    metadata reset, history restorable."""
+    import pytest
+
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+
+    sess = SqlSession(spark, base_location=str(tmp_path))
+    sess.sql("CREATE TABLE rt (k BIGINT, v DOUBLE)")
+    sess.sql("INSERT INTO rt VALUES (1, 1.0), (2, 2.0)")
+    sess.sql("ALTER TABLE rt ADD CONSTRAINT pos CHECK (v >= 0)")
+    sess.sql("ALTER TABLE rt SET TBLPROPERTIES ('owner' = 'a')")
+    old = sess.table("rt")
+    v_before = old.current_version()
+    # replace with a different schema + CTAS content
+    sess.sql(
+        "CREATE OR REPLACE TABLE rt AS "
+        "SELECT CAST(id AS STRING) AS name, id * -1 AS v FROM RANGE(3)"
+    )
+    t = sess.table("rt")
+    assert sorted(r["name"] for r in t.read().collect()) == ["0", "1", "2"]
+    # metadata reset: the old CHECK (v >= 0) must NOT bind (v is
+    # negative in the new content) and properties are gone
+    assert t.constraints == {} and t.properties == {}
+    assert t.current_version() == v_before + 1  # history chains
+    # restore undoes the replace entirely, old metadata included
+    t.restore(v_before)
+    assert t.constraints == {"pos": "v >= 0"}
+    assert t.properties == {"owner": "a"}
+    assert sorted(r["k"] for r in t.read().select("k").collect()) == [1, 2]
+
+
+def test_create_or_replace_with_declarations(spark, tmp_path):
+    from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+
+    sess = SqlSession(spark, base_location=str(tmp_path))
+    sess.sql("CREATE TABLE rd (k BIGINT)")
+    sess.sql("INSERT INTO rd VALUES (1)")
+    sess.sql(
+        "CREATE OR REPLACE TABLE rd "
+        "(rid BIGINT GENERATED ALWAYS AS IDENTITY, s STRING) "
+        "CLUSTER BY (s)"
+    )
+    t = sess.table("rd")
+    assert t.cluster_by == ["s"]
+    sess.sql("INSERT INTO rd (s) VALUES ('x'), ('y')")
+    ids = sorted(r["rid"] for r in t.read().collect())
+    assert ids == [1, 2]  # identity minted fresh from the new spec

@@ -365,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_identify_duplicates": ops.op_identify_duplicates,
         "op_ingestion_status": ops.op_ingestion_status,
         "ann_cosine_topk": similarity.ann_cosine_topk,
+        # NEW round 9: the serving-quality measurement as a first-class
+        # hash-checked query — recall@k of PQ/ADC vs exact brute force
+        "ann_recall_report": similarity.ann_recall_report,
         "ann_pairs_per_label": similarity.pairwise_topk_per_label,
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
@@ -415,6 +418,7 @@ _R9_WINDOW = [
     "table_apply_changes_scd2",
     "stream_apply_changes",
     "data_epoch_shuffle",
+    "ann_recall_report",
     "stream_copy_into",
     "stream_table_cdf",
     "dedup_semantic",
@@ -460,7 +464,6 @@ _R9_WINDOW = [
     "emb_quantize_int8",
     "emb_centroid_per_label",
     # the r06 TPC-H long tail, from the front
-    "tpch_q2_min_cost_supplier",
 ]
 
 
@@ -856,7 +859,7 @@ def oracle_sql() -> dict[str, str]:
         f"len(list_intersect(toks, {arr})) AS score_{code}"
         for code, arr in _LANG_SQL_MARKERS.items()
     )
-    return {
+    d = {
         # ------------------------------------------- stats (round 6)
         # exact integer sufficient statistics (HUGEINT here,
         # decimal(38,0) on the Spark side) assembled into corr/covar/
@@ -3603,3 +3606,19 @@ def oracle_sql() -> dict[str, str]:
         # IVF) is twinned exactly in DuckDB so even the approximation
         # is hash-checked.
     }
+    # recall@k composes the two entries' own replays — the measurement
+    # itself is hash-checked, not just the underlying top-k sets
+    d["ann_recall_report"] = """
+        WITH exact AS ({d_exact}),
+             approx AS ({d_approx})
+        SELECT 10 AS k,
+               CAST((SELECT COUNT(*) FROM exact e
+                     JOIN approx a ON e.vec_id = a.vec_id) AS BIGINT)
+                   AS n_overlap,
+               CAST((100 * (SELECT COUNT(*) FROM exact e
+                            JOIN approx a ON e.vec_id = a.vec_id)) // 10
+                   AS BIGINT) AS recall_pct
+    """.replace("{d_exact}", d["ann_cosine_topk"]).replace(
+        "{d_approx}", d["ann_pq_topk"]
+    )
+    return d

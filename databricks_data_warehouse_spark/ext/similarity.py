@@ -1052,3 +1052,23 @@ def emb_hard_negatives(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the PQ/ADC index against the exact
+    brute-force ground truth at the SAME k — "measure, don't guess"
+    as a first-class query: the serving-layer quality metric computed
+    in-engine (one row: k, overlap count, floor-percent recall).
+    Both sides are deterministic for a fixed corpus, so the number is
+    hash-checked cross-engine (the oracle composes the two entries'
+    own SQL replays). tests/test_ann_recall.py additionally pins
+    recall@100 against a tolerance; this entry makes the measurement
+    itself part of the audited surface."""
+    k = 10
+    exact = ann_cosine_topk(spark, sf_dir, k=k).select("vec_id")
+    approx = ann_pq_topk(spark, sf_dir, k=k).select("vec_id")
+    n = exact.join(approx, "vec_id").count()
+    return spark.createDataFrame(
+        [(k, n, (100 * n) // k)],
+        "k int, n_overlap long, recall_pct long",
+    )

@@ -95,7 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail leads round 10's queue), and the r08-green
     tables.py/similarity.py entries whose round-9 file edits do not
     touch their code paths (ann_ivf/pq/emb_hard_negatives: the
-    similarity.py edit is semantic_dedup_df-local; the touched
+    similarity.py edits are semantic_dedup_df-local plus the APPENDED
+    ann_recall_report, whose window entry transitively re-verifies the
+    pq/cosine pipelines it composes; the touched
     tables.py surfaces all have NEW oracle entries in (a) plus
     local pytest + full local oracle gate green at sf0.001 AND
     sf0.01)."""

@@ -1,0 +1,192 @@
+"""Property-based verification of merge_clauses against a pure-Python
+reference model of Delta's conditional-MERGE semantics.
+
+The reference model evaluates the same ordered first-true-clause rules
+row by row in plain Python; hypothesis generates random target/source
+contents and clause sets. Any divergence — ordering, NULL-condition
+handling, carry-over, insert NULL-fill, by-source scoping — shows up
+as a state mismatch with a shrunken counterexample.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+# value domain is small so keys collide between target and source
+_KEYS = st.integers(min_value=0, max_value=5)
+_VALS = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+
+
+def _rows(draw, n_max):
+    n = draw(st.integers(min_value=0, max_value=n_max))
+    rows, seen = [], set()
+    for _ in range(n):
+        k = draw(_KEYS)
+        if k in seen:  # unique keys per side (Delta's multi-match rule)
+            continue
+        seen.add(k)
+        rows.append((k, draw(_VALS)))
+    return rows
+
+
+# conditions chosen from a closed set the Python model mirrors exactly.
+# Each is (sql_text_for_merge_clauses, python_predicate(tgt_v, src_v));
+# comparisons on NULL are "not fired" on both sides.
+def _mk_cond(kind):
+    if kind == 0:
+        return None, lambda tv, sv: True
+    if kind == 1:
+        return "v > 0", lambda tv, sv: tv is not None and tv > 0
+    if kind == 2:
+        return "src.v > 0", lambda tv, sv: sv is not None and sv > 0
+    return (
+        "src.v > v",
+        lambda tv, sv: tv is not None and sv is not None and sv > tv,
+    )
+
+
+_COND_KIND = st.integers(min_value=0, max_value=3)
+
+
+@st.composite
+def _scenario(draw):
+    target = _rows(draw, 6)
+    source = _rows(draw, 6)
+    # matched: up to 2 ordered clauses, each delete or update v=src.v+1
+    matched = []
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        cond = draw(_COND_KIND)
+        act = draw(st.sampled_from(["delete", "update"]))
+        matched.append((cond, act))
+    not_matched = []
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        not_matched.append((draw(_COND_KIND), "insert"))
+    by_source = []
+    for _ in range(draw(st.integers(min_value=0, max_value=2))):
+        by_source.append(
+            (draw(_COND_KIND), draw(st.sampled_from(["delete", "update0"])))
+        )
+    return target, source, matched, not_matched, by_source
+
+
+def _reference(target, source, matched, not_matched, by_source):
+    """Pure-Python model: first-true-clause-fires per match class."""
+    src = {k: v for k, v in source}
+    out = {}
+    for k, tv in target:
+        if k in src:
+            sv = src[k]
+            fired = None
+            for cond_kind, act in matched:
+                _txt, pred = _mk_cond(cond_kind)
+                if pred(tv, sv):
+                    fired = act
+                    break
+            if fired == "delete":
+                continue
+            if fired == "update":
+                out[k] = None if sv is None else sv + 1
+            else:
+                out[k] = tv  # carry
+        else:
+            fired = None
+            for cond_kind, act in by_source:
+                _txt, pred = _mk_cond(cond_kind)
+                if pred(tv, None):
+                    fired = act
+                    break
+            if fired == "delete":
+                continue
+            out[k] = 0 if fired == "update0" else tv
+    tgt_keys = {k for k, _ in target}
+    for k, sv in source:
+        if k in tgt_keys:
+            continue
+        for cond_kind, _act in not_matched:
+            _txt, pred = _mk_cond(cond_kind)
+            if pred(None, sv):
+                out[k] = sv
+                break
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_scenario())
+def test_merge_clauses_matches_reference_model(spark, tmp_path_factory, sc):
+    target, source, matched, not_matched, by_source = sc
+    if not (matched or not_matched or by_source):
+        return  # merge_clauses rejects empty clause sets (tested elsewhere)
+    tmp = tmp_path_factory.mktemp("mcprop")
+    t = ManagedTable(spark, "t", str(tmp / "t"))
+    t.overwrite(spark.createDataFrame(target, "k long, v long"))
+    src_df = spark.createDataFrame(source, "k long, v long")
+    m = [
+        (
+            _mk_cond(ck)[0],
+            "delete" if act == "delete" else {"v": "src.v + 1"},
+        )
+        for ck, act in matched
+    ]
+    nm = [(_mk_cond(ck)[0], "insert_all") for ck, _ in not_matched]
+    bs = [
+        (_mk_cond(ck)[0], "delete" if act == "delete" else {"v": "0"})
+        for ck, act in by_source
+    ]
+    t.merge_clauses(src_df, ["k"], matched=m, not_matched=nm,
+                    not_matched_by_source=bs)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    want = _reference(target, source, matched, not_matched, by_source)
+    assert got == want, (
+        f"target={target} source={source} m={matched} "
+        f"nm={not_matched} bs={by_source}"
+    )
+
+
+@st.composite
+def _rw_scenario(draw):
+    rows = _rows(draw, 8)
+    bound = draw(st.integers(min_value=-3, max_value=3))
+    n_repl = draw(st.integers(min_value=0, max_value=4))
+    # replacement rows must satisfy v < bound (Delta's contract);
+    # give them fresh keys so duplicates don't confuse the reference
+    repl = [
+        (100 + i, draw(st.integers(min_value=-10, max_value=bound - 1)))
+        for i in range(n_repl)
+    ]
+    return rows, bound, repl
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_rw_scenario())
+def test_replace_where_matches_delete_insert_reference(
+    spark, tmp_path_factory, sc
+):
+    """replaceWhere ≡ (delete region) ∪ replacement, including NULL
+    predicate rows KEPT — regardless of how the classifier split files
+    into drop/carry/rewrite."""
+    rows, bound, repl = sc
+    tmp = tmp_path_factory.mktemp("rwprop")
+    t = ManagedTable(spark, "t", str(tmp / "t"))
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, v long").repartition(3)
+    )
+    t.replace_where(
+        spark.createDataFrame(repl, "k long, v long"),
+        [("v", "<", bound)],
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in t.read().collect()
+    )
+    want = sorted(
+        [(k, v) for k, v in rows if v is None or v >= bound] + repl
+    )
+    assert got == want, f"rows={rows} bound={bound} repl={repl}"

@@ -190,3 +190,79 @@ def test_replace_where_matches_delete_insert_reference(
         [(k, v) for k, v in rows if v is None or v >= bound] + repl
     )
     assert got == want, f"rows={rows} bound={bound} repl={repl}"
+
+
+@st.composite
+def _cdc_scenario(draw):
+    # a set of changes: (key, val, seq unique-per-key, is_delete),
+    # partitioned into 1-3 batches, delivered in a random batch order
+    n = draw(st.integers(min_value=1, max_value=10))
+    changes = []
+    used = set()
+    for _ in range(n):
+        k = draw(_KEYS)
+        seq = draw(st.integers(min_value=1, max_value=6))
+        if (k, seq) in used:
+            continue
+        used.add((k, seq))
+        changes.append(
+            (k, draw(st.integers(min_value=0, max_value=9)), seq,
+             draw(st.booleans()))
+        )
+    n_batches = draw(st.integers(min_value=1, max_value=3))
+    batches = [[] for _ in range(n_batches)]
+    for ch in changes:
+        batches[draw(st.integers(min_value=0, max_value=n_batches - 1))].append(ch)
+    order = draw(st.permutations(list(range(n_batches))))
+    return batches, order
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cdc_scenario())
+def test_scd1_apply_converges_to_lww_in_any_batch_order(
+    spark, tmp_path_factory, sc
+):
+    """The tombstone design's core claim: the SCD1 fixpoint is the
+    per-key argmax(sequence) of ALL changes (deletes included as
+    tombstones), independent of how the changes were batched or in
+    which order the batches arrived."""
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        apply_changes,
+        scd1_current,
+    )
+
+    batches, order = sc
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    t = ManagedTable(spark, "t", str(tmp / "t"))
+    delivered = False
+    for i in order:
+        if not batches[i]:
+            continue
+        df = spark.createDataFrame(
+            [(k, v, s, "delete" if d else "upsert")
+             for k, v, s, d in batches[i]],
+            "k long, v long, seq long, op string",
+        )
+        apply_changes(
+            t, df, ["k"], "seq", apply_as_deletes="op = 'delete'",
+            except_columns=["op"],
+        )
+        delivered = True
+    if not delivered:
+        return
+    # reference: per-key argmax(seq) over ALL changes; visible if the
+    # winning change is not a delete
+    latest = {}
+    for b in batches:
+        for k, v, s, d in b:
+            if k not in latest or s > latest[k][0]:
+                latest[k] = (s, v, d)
+    want = {k: (v, s) for k, (s, v, d) in latest.items() if not d}
+    got = {
+        r["k"]: (r["v"], r["seq"]) for r in scd1_current(t).collect()
+    }
+    assert got == want, f"batches={batches} order={order}"

@@ -216,6 +216,11 @@ def _apply_scd2(
     affected = affected.join(F.broadcast(valid_keys), keys, "left_semi")
     if versioned.isEmpty():
         return target.current_version()
+    # the affected slice feeds FOUR consumers (doomed positions,
+    # closed_old, open_closed, and the batch-first join) — one eager
+    # materialization beats re-scanning the target's files per branch
+    # (plan-audited: each branch otherwise re-reads the slice)
+    affected = affected.localCheckpoint()
     # rebuilt history for the affected keys: closed old rows unchanged,
     # the open row closed at the batch's first sequence, new versions
     closed_old = affected.where(F.col(END_COL).isNotNull()).select(*tcols)

@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed-keys-only DV rewrite); oracle = relational fixpoint
         "table_apply_changes_scd1": cdc_pipeline.table_apply_changes_scd1,
         "table_apply_changes_scd2": cdc_pipeline.table_apply_changes_scd2,
+        # NEW round 10: DLT TRACK HISTORY ON column subset — untracked
+        # changes update the open SCD2 version in place (no new row),
+        # tracked changes open versions; oracle = relational history
+        "table_scd2_track_history": cdc_pipeline.table_scd2_track_history,
         # NEW round 7: dropped-mass observability for the dedup caps
         # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
         # they BIND here (VERDICT r06 item 5 — no silent truncation)
@@ -401,71 +405,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R9_WINDOW}
+    ordered = {k: cat[k] for k in _R10_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 8 — see the queries() docstring
-# for the selection rationale. Everything not listed keeps its catalog
-# (round-7 priority) order after these.
-_R9_WINDOW = [
-    # (a) round-9 changed code / oracle
-    "join_skew_salted",
-    "table_replace_where",
-    "table_merge_sync",
-    "table_dml_subquery",
-    "table_cluster_scan",
+# The 50-slot driver window for round 10 (VERDICT r09 item 1): slot 1
+# is table_convert_scan (the only entry with NO driver-issued record),
+# then the new round-10 entry, then every entry whose implementing
+# files round 10 touched (cdc/datasource/shuffle/autoloader/tables/
+# sql_dml), then the full staleness queue: the 26 r04-era greens,
+# op_validate_domain (r05), and the r06 TPC-H long tail. Everything
+# not listed keeps its catalog order after these.
+_R10_WINDOW = [
+    # (a) never driver-checked
+    "table_convert_scan",
+    # (b) new round-10 operator
+    "table_scd2_track_history",
+    # (c) round-10 changed code: SCD2 event splice, CDF per-group
+    # diff, epoch-shuffle NULL guard, autoloader reconcile sweep,
+    # merge_clauses partition guard, cast-on-write, sql_dml fixes
     "table_apply_changes_scd1",
     "table_apply_changes_scd2",
     "stream_apply_changes",
-    "data_epoch_shuffle",
-    "ann_recall_report",
-    "stream_copy_into",
     "stream_table_cdf",
-    "dedup_semantic",
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    "dedup_incremental",
-    "table_bloom_scan",
+    "data_epoch_shuffle",
+    "stream_copy_into",
+    "table_merge_sync",
+    "table_replace_where",
+    "table_dml_subquery",
+    "table_cdf",
     "table_copy_into",
-    "agg_distinct_counts_approx",
-    "agg_delay_percentiles_approx",
-    # (b) the r08 rotation queue, in order: 5 ceded oldest greens
-    "op_clean_string_address",
-    "gold_customer_breakdown",
-    "dash_customer_share_by_segment",
-    "dash_low_order_customers",
-    "tpch_q6_forecast_revenue",
-    # the r05 text_* family
-    "text_quality",
-    "text_token_counts",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_decontaminate",
-    "text_repetition",
-    "text_corpus_filter",
-    # the r05 events/ann/stretch block
-    "events_json_extract",
-    "events_json_agg",
-    "events_hourly_windows",
-    "ann_cosine_topk",
-    "ann_pairs_per_label",
-    "events_anomaly_zscore",
-    "text_quality_floor",
-    "agg_unpivot_status",
-    "agg_value_histogram",
-    # dedup/LSH entries sharing this round's touched files
-    "dedup_cap_report",
-    "dedup_containment_pairs",
-    "ann_lsh_buckets",
-    "ann_lsh_topk",
-    "ann_lsh_near_dup_pairs",
-    "ann_lsh_topk_multiprobe",
-    "emb_quantize_int8",
-    "emb_centroid_per_label",
-    # the r06 TPC-H long tail, from the front
+    # (d) staleness queue: newest green r04
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_sales_opportunity",
+    "agg_rollup_customers",
+    "agg_order_gaps",
+    "agg_rolling_revenue",
+    "agg_cube_orders",
+    "agg_grouping_sets",
+    "agg_delay_percentiles",
+    "set_ops_customers",
+    "agg_pivot_status_by_segment",
+    "agg_daily_revenue_gapfill",
+    "agg_customer_quartiles",
+    "agg_value_mad",
+    "mixture_weights",
+    "mixture_sample",
+    "tfidf_top_terms",
+    "text_boilerplate",
+    "text_bm25",
+    "events_sessionize",
+    "events_funnel",
+    "events_retention",
+    "events_scd2_status",
+    "stream_hourly_tumbling",
+    "stream_click_purchase_join",
+    "stream_user_running_counts",
+    # (e) newest green r05
+    "op_validate_domain",
+    # (f) newest green r06: the TPC-H long tail
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 
@@ -962,6 +972,8 @@ def oracle_sql() -> dict[str, str]:
             cdc_pipeline.table_apply_changes_scd1_oracle(),
         "table_apply_changes_scd2":
             cdc_pipeline.table_apply_changes_scd2_oracle(),
+        "table_scd2_track_history":
+            cdc_pipeline.table_scd2_track_history_oracle(),
         # additive micro-batch merging must reconstruct the global
         # GROUP BY exactly (integer cents, txn-watermark exactly-once)
         "stream_gold_counts_table": """

@@ -53,12 +53,25 @@ def epoch_shuffle(
     the epoch's deterministic pseudorandom permutation (and, when
     ``n_shards`` is set, a round-robin ``shard_col``). ``key_cols``
     must uniquely identify rows — the key doubles as the tie-break so
-    the permutation is a total order even under digest collisions."""
-    key = F.md5(
-        F.concat_ws(
-            ":", *[F.col(c).cast("string") for c in key_cols], F.lit(str(epoch))
+    the permutation is a total order even under digest collisions.
+    A NULL in any key column RAISES (VERDICT r09): concat_ws would
+    silently skip it, colliding distinct composite keys (["a", NULL,
+    "b"] vs ["a", "b", NULL]) onto one digest and weakening the
+    tie-break — a quiet violation of the uniqueness contract."""
+    parts = []
+    for c in key_cols:
+        parts.append(
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"epoch_shuffle: NULL in key column {c!r} — "
+                        "key_cols must uniquely identify every row"
+                    )
+                ).cast("string"),
+            ).otherwise(F.col(c).cast("string"))
         )
-    )
+    key = F.md5(F.concat_ws(":", *parts, F.lit(str(epoch))))
     out = assign_row_ids(
         df.withColumn(_KEY, key), [_KEY, *key_cols], id_col=pos_col
     ).drop(_KEY)

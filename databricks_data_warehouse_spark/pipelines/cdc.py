@@ -11,20 +11,36 @@ lands Debezium/Goldengate feeds through. Semantics implemented:
 - ``sequence_by`` orders changes; within one batch ALL versions of a
   key are considered — SCD1 keeps only the latest, SCD2 materializes
   every intermediate version with correct validity ranges.
-- Cross-batch out-of-order: a change with a sequence ≤ the one already
-  applied for its key is IGNORED (DLT's late-event rule), so replays
-  and shuffled batches converge to the same state.
+- Cross-batch out-of-order, SCD1: a change with a sequence ≤ the one
+  already applied for its key is IGNORED (DLT's SCD1 late-event rule);
+  delete tombstones carry their sequence, so replays and shuffled
+  batches converge to the same latest state.
+- Cross-batch out-of-order, SCD2: late events are SPLICED into the
+  key's history at their sequence position (DLT's SCD2 contract —
+  out-of-order records produce the correct ``__START_AT``/``__END_AT``
+  chain, they are not dropped). The apply reconstructs the affected
+  keys' change events from their stored history, unions the batch's
+  events, dedupes on (key, sequence) preferring the already-applied
+  event (so replays are exact no-ops), and rebuilds the validity
+  chain. Applying any set of batches in ANY order therefore converges
+  to the same history (property-tested).
 - ``apply_as_deletes`` is a SQL condition on the change row; a delete
   removes the key (SCD1) or closes its open version without inserting
   (SCD2).
+- ``track_history_column_list`` / ``track_history_except_column_list``
+  (SCD2 only, mutually exclusive — DLT's TRACK HISTORY ON flags):
+  only changes in the TRACKED columns open a new history version; an
+  event that changes only untracked columns updates the current
+  version in place (its ``__START_AT`` keeps the version's first
+  sequence). Default: every event opens a version.
 
 Scale shape: SCD1 is ONE ``merge_clauses`` call — a single full-outer
 shuffle join, conditions evaluated map-side; partition-scoped when the
 keys cover the partition columns. SCD2 touches only the CHANGED keys:
 the affected slice of the target is DV-deleted and its rebuilt history
 appended in one atomic commit (merge-on-read — cold keys' files are
-never rewritten); per-key history rebuild is a keyed window, no global
-shuffle beyond the keys'.
+never rewritten); event reconstruction and the history rebuild are
+keyed windows over that slice only — no global shuffle.
 """
 
 from __future__ import annotations
@@ -68,6 +84,8 @@ def apply_changes(
     apply_as_deletes: str | None = None,
     except_columns: Sequence[str] = (),
     stored_as_scd_type: int = 1,
+    track_history_column_list: Sequence[str] | None = None,
+    track_history_except_column_list: Sequence[str] | None = None,
 ) -> int:
     """Apply one batch of CDC rows to ``target``. The change frame
     must carry the key columns, ``sequence_by``, and the data columns;
@@ -76,6 +94,13 @@ def apply_changes(
     one when the batch is a no-op)."""
     keys = list(keys)
     if stored_as_scd_type == 1:
+        if (
+            track_history_column_list is not None
+            or track_history_except_column_list is not None
+        ):
+            raise ValueError(
+                "track_history_* applies to SCD type 2 only (DLT rule)"
+            )
         return _apply_scd1(
             target, changes, keys, sequence_by, apply_as_deletes,
             except_columns,
@@ -83,7 +108,8 @@ def apply_changes(
     if stored_as_scd_type == 2:
         return _apply_scd2(
             target, changes, keys, sequence_by, apply_as_deletes,
-            except_columns,
+            except_columns, track_history_column_list,
+            track_history_except_column_list,
         )
     raise ValueError(f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}")
 
@@ -160,6 +186,80 @@ def _apply_scd1(
     )
 
 
+def _resolve_tracked(
+    value_cols: list[str],
+    track_cols: Sequence[str] | None,
+    track_except: Sequence[str] | None,
+) -> list[str] | None:
+    """DLT's TRACK HISTORY flags: an explicit tracked list, an
+    except-list, or None (default: every event versions the row)."""
+    if track_cols is not None and track_except is not None:
+        raise ValueError(
+            "track_history_column_list and track_history_except_column_list "
+            "are mutually exclusive"
+        )
+    if track_cols is not None:
+        unknown = set(track_cols) - set(value_cols)
+        if unknown:
+            raise ValueError(f"track_history_column_list: unknown columns {sorted(unknown)}")
+        return [c for c in value_cols if c in set(track_cols)]
+    if track_except is not None:
+        unknown = set(track_except) - set(value_cols)
+        if unknown:
+            raise ValueError(
+                f"track_history_except_column_list: unknown columns {sorted(unknown)}"
+            )
+        return [c for c in value_cols if c not in set(track_except)]
+    return None
+
+
+def _rebuild_history(
+    events: DataFrame,
+    keys: list[str],
+    seq: str,
+    tracked: list[str] | None,
+    out_cols: list[str],
+) -> DataFrame:
+    """Collapse a deduped per-key event stream (``__del`` flags
+    deletes) into SCD2 rows. ``tracked is None`` → every event opens a
+    version (one row per upsert event). With a tracked subset, an
+    event whose tracked columns equal the previous event's merges into
+    the current version: the version keeps its first sequence as
+    ``__START_AT`` and takes the LATEST event's values (in-place
+    update of untracked columns — DLT's TRACK HISTORY ON semantics).
+    Deletes always break and emit no row; the preceding version's
+    ``__END_AT`` is the delete's sequence."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq))
+    if tracked is None:
+        brk = F.lit(True)
+    else:
+        same = F.lit(True)
+        for c in tracked:
+            same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
+        prev_del = F.lag("__del").over(w)
+        brk = (
+            F.col("__del")
+            | prev_del.isNull()          # first event of the key
+            | prev_del                   # re-insert after a delete
+            | ~same                      # a tracked column changed
+        )
+    ev = events.withColumn("__brk", brk.cast("int")).withColumn(
+        "__grp",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wg = Window.partitionBy(*keys, "__grp")
+    ev = ev.withColumn(START_COL, F.min(seq).over(wg))
+    # the version's values are its LATEST event's values
+    wlast = wg.orderBy(F.col(seq).desc())
+    ev = (
+        ev.withColumn("__rn", F.row_number().over(wlast))
+        .where(F.col("__rn") == 1)
+    )
+    wnext = Window.partitionBy(*keys).orderBy(F.col(START_COL))
+    ev = ev.withColumn(END_COL, F.lead(START_COL).over(wnext))
+    return ev.where(~F.col("__del")).select(*out_cols)
+
+
 def _apply_scd2(
     target: ManagedTable,
     changes: DataFrame,
@@ -167,11 +267,31 @@ def _apply_scd2(
     seq: str,
     apply_as_deletes: str | None,
     except_columns: Sequence[str],
+    track_cols: Sequence[str] | None = None,
+    track_except: Sequence[str] | None = None,
 ) -> int:
-    """History apply: every change version becomes a row valid
-    [``__START_AT``, ``__END_AT``); the open version has NULL end.
-    Only CHANGED keys' rows are touched: their current slice is
-    DV-deleted and the rebuilt history appended in ONE commit."""
+    """History apply by EVENT SPLICE: reconstruct the affected keys'
+    change events from their stored rows (each row's ``__START_AT`` is
+    an upsert event; a validity gap or a closed final row is a delete
+    event at its ``__END_AT``), union the batch's events, dedupe on
+    (key, sequence) preferring the already-applied event, and rebuild
+    the validity chain. Late events land at their correct history
+    position (DLT SCD2's out-of-order contract), replays are
+    commit-free no-ops, and any batch arrival order converges to the
+    same history. Only CHANGED keys' rows are touched: their current
+    slice is DV-deleted and the rebuilt history appended in ONE
+    commit (merge-on-read).
+
+    TRACK HISTORY caveat: a collapsed version is reconstructed as ONE
+    event at its ``__START_AT`` carrying its final values (the
+    collapsed events' individual sequences are not stored), so (a) a
+    replayed untracked-only event re-splices and commits an identical
+    slice (state-idempotent, not commit-free), and (b) a late event
+    splicing INTO an already-collapsed version resolves untracked
+    columns by order among reconstructed events, which for untracked
+    columns may differ from the true event order. Exact any-order
+    convergence (property-tested) holds in the default
+    every-event-versions mode."""
     # delete condition may reference except_columns — evaluate first
     del_flag = (
         F.coalesce(F.expr(apply_as_deletes), F.lit(False))
@@ -182,69 +302,82 @@ def _apply_scd2(
         *[c for c in except_columns if c in changes.columns]
     )
     data_cols = [c for c in ch.columns if c not in ("__del",)]
-    # every batch version, with its validity window inside the batch
-    w = Window.partitionBy(*keys).orderBy(F.col(seq))
-    versioned = (
-        ch.withColumn(START_COL, F.col(seq))
-        .withColumn(END_COL, F.lead(seq).over(w))
-        .withColumn("__first_seq", F.min(seq).over(Window.partitionBy(*keys)))
-    )
+    value_cols = [c for c in data_cols if c not in keys and c != seq]
+    tracked = _resolve_tracked(value_cols, track_cols, track_except)
     out_cols = [c for c in data_cols if c != seq] + [START_COL, END_COL]
+    ev_cols = [*keys, *value_cols, seq, "__del", "__src"]
+    batch_ev = ch.withColumn("__src", F.lit(1)).select(*ev_cols)
+
+    def dedupe(events: DataFrame) -> DataFrame:
+        # one (key, seq) survivor; already-applied events (src 0) win
+        # so replays no-op; ties inside a batch break deterministically
+        # on the values. lag over the keys partition — no extra shuffle
+        wd = Window.partitionBy(*keys).orderBy(
+            F.col(seq), F.col("__src"),
+            F.struct(*[F.col(c) for c in value_cols]), F.col("__del"),
+        )
+        return (
+            events.withColumn("__dup", F.lag(seq).over(wd) == F.col(seq))
+            .where(~F.coalesce(F.col("__dup"), F.lit(False)))
+            .drop("__dup")
+        )
+
     if target.current_version() < 0:
-        fresh = versioned.where(~F.col("__del")).select(*out_cols)
+        fresh = _rebuild_history(
+            dedupe(batch_ev), keys, seq, tracked, out_cols
+        )
         return target.overwrite(fresh, op="APPLY CHANGES (SCD2)")
     if target.schema is None:
         target.schema = target._load_schema()
     tcols = [f.name for f in target.schema.fields]
-    # the affected slice of the target (positioned, for the DV delete)
+    # the affected slice of the target (positioned, for the DV delete).
+    # It feeds THREE consumers (upsert events, delete events, doomed
+    # positions) — one eager materialization beats re-scanning the
+    # target's files per branch
     snap = target._read_internal(target.current_version(), with_pos=True)
     batch_keys = ch.select(*keys).distinct()
     affected = snap.join(F.broadcast(batch_keys), keys, "left_semi")
-    # late-batch guard: a batch is applied to a key only when its
-    # first sequence is strictly newer than the key's HIGH-WATER —
-    # max over its history of coalesce(end, start), which covers both
-    # the open version (start) and a closing delete (end). Replayed
-    # batches (checkpoint loss, re-delivery) therefore no-op entirely.
-    hw = affected.groupBy(*keys).agg(
-        F.max(F.coalesce(F.col(END_COL), F.col(START_COL))).alias("__hw")
-    )
-    firsts = versioned.select(*keys, "__first_seq").distinct()
-    valid_keys = firsts.join(hw, keys, "left").where(
-        F.col("__hw").isNull() | (F.col("__first_seq") > F.col("__hw"))
-    ).select(*keys)
-    versioned = versioned.join(F.broadcast(valid_keys), keys, "left_semi")
-    affected = affected.join(F.broadcast(valid_keys), keys, "left_semi")
-    if versioned.isEmpty():
-        return target.current_version()
-    # the affected slice feeds FOUR consumers (doomed positions,
-    # closed_old, open_closed, and the batch-first join) — one eager
-    # materialization beats re-scanning the target's files per branch
-    # (plan-audited: each branch otherwise re-reads the slice)
     affected = affected.localCheckpoint()
-    # rebuilt history for the affected keys: closed old rows unchanged,
-    # the open row closed at the batch's first sequence, new versions
-    closed_old = affected.where(F.col(END_COL).isNotNull()).select(*tcols)
-    batch_first = versioned.select(
-        *keys, F.col("__first_seq").alias("__bf")
-    ).distinct()
-    open_closed = (
-        affected.where(F.col(END_COL).isNull())
-        .join(batch_first, keys, "inner")
+    # reconstruct the slice's event stream: every stored row is an
+    # upsert event at its __START_AT; an __END_AT not covered by the
+    # next row's start (or with no next row) marks a delete event
+    row_ev = affected.select(
+        *keys, *value_cols,
+        F.col(START_COL).alias(seq),
+        F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+    )
+    wh = Window.partitionBy(*keys).orderBy(F.col(START_COL))
+    del_ev = (
+        affected.withColumn("__next_start", F.lead(START_COL).over(wh))
+        .where(
+            F.col(END_COL).isNotNull()
+            & (
+                F.col("__next_start").isNull()
+                | (F.col("__next_start") != F.col(END_COL))
+            )
+        )
         .select(
-            *[
-                F.col("__bf").alias(END_COL)
-                if c == END_COL
-                else F.col(c)
-                for c in tcols
-            ]
+            *keys, *value_cols,
+            F.col(END_COL).alias(seq),
+            F.lit(True).alias("__del"), F.lit(0).alias("__src"),
         )
     )
-    new_versions = versioned.where(~F.col("__del")).select(
-        *[F.col(c) for c in out_cols]
+    events = dedupe(
+        row_ev.unionByName(del_ev).unionByName(batch_ev)
     )
-    replacement = closed_old.unionByName(open_closed).unionByName(
-        new_versions.select(*tcols)
+    # only keys that gained at least one unseen event are rebuilt —
+    # a key whose batch events all deduped away stays cold
+    fresh_keys = (
+        events.where(F.col("__src") == 1).select(*keys).distinct()
     )
+    fresh_keys = fresh_keys.localCheckpoint()
+    if fresh_keys.limit(1).count() == 0:
+        return target.current_version()  # full replay: zero commits
+    events = events.join(F.broadcast(fresh_keys), keys, "left_semi")
+    affected = affected.join(F.broadcast(fresh_keys), keys, "left_semi")
+    replacement = _rebuild_history(
+        events, keys, seq, tracked, out_cols
+    ).select(*tcols)
     # one atomic commit: DV-delete the affected slice, append its
     # rebuilt history — cold keys' files untouched (merge-on-read)
     return target._delete_rows_dv(
@@ -405,5 +538,124 @@ def table_apply_changes_scd2_oracle() -> str:
                CAST(SUM(COALESCE(e, 0)) AS BIGINT) AS sum_end,
                CAST(COUNT(CASE WHEN e IS NULL THEN 1 END) AS BIGINT)
                    AS n_open
+        FROM hist GROUP BY grp ORDER BY grp
+    """
+
+
+def _cdc_track_batches(spark, sf_dir: str):
+    """Three batches exercising TRACK HISTORY ON (status): seq 1
+    inserts every key as status S0; seq 2 changes only the UNTRACKED
+    price (+5) for every 3rd key — must update in place, no new
+    version; seq 3 flips every 4th key's TRACKED status to S1 — must
+    open a new version (price pinned to -1.0 for a clean oracle)."""
+    from ..queries._util import load
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    b1 = base.select(
+        "k", F.lit("S0").alias("status"), "price",
+        F.lit(1).cast("long").alias("seq"), F.lit("upsert").alias("op"),
+    )
+    b2 = base.where(F.col("k") % 3 == 0).select(
+        "k", F.lit("S0").alias("status"),
+        (F.col("price") + 5).alias("price"),
+        F.lit(2).cast("long").alias("seq"), F.lit("upsert").alias("op"),
+    )
+    b3 = base.where(F.col("k") % 4 == 0).select(
+        "k", F.lit("S1").alias("status"), F.lit(-1.0).alias("price"),
+        F.lit(3).cast("long").alias("seq"), F.lit("upsert").alias("op"),
+    )
+    return b1, b2, b3
+
+
+def _cdc_track_table(spark, sf_dir: str) -> ManagedTable:
+    import os
+    import shutil
+
+    from ..queries.managed_scan import _corpus_fingerprint
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"cdc2th_tbl_{h}")
+    t = ManagedTable(spark, "cdc2th", loc)
+    v = t.current_version()
+    if v == 2:
+        return t
+    if v >= 0:  # partial build: restart (sequence is deterministic)
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, "cdc2th", loc)
+    try:
+        for b in _cdc_track_batches(spark, sf_dir):
+            apply_changes(
+                t, b, ["k"], "seq", apply_as_deletes="op = 'delete'",
+                except_columns=["op"], stored_as_scd_type=2,
+                track_history_column_list=["status"],
+            )
+    except ConcurrentWriteError:
+        pass
+    return t
+
+
+def table_scd2_track_history(spark, sf_dir: str) -> DataFrame:
+    """DLT's TRACK HISTORY ON column subset through the SCD2 apply: an
+    untracked-column change (price at seq 2) updates the open version
+    IN PLACE — __START_AT stays 1, no extra row — while a tracked
+    change (status at seq 3) opens a new version. The oracle builds
+    the expected history relationally; version counts, start/end sums,
+    and the updated-in-place prices make both behaviors observable."""
+    from ..queries._util import cents
+
+    t = _cdc_track_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 6).alias("grp"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+            F.sum(F.col(START_COL)).alias("sum_start"),
+            F.sum(F.coalesce(F.col(END_COL), F.lit(0))).alias("sum_end"),
+            F.count(
+                F.when(F.col(END_COL).isNull(), F.lit(1))
+            ).alias("n_open"),
+            F.count(
+                F.when(F.col("status") == "S1", F.lit(1))
+            ).alias("n_s1"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_scd2_track_history_oracle() -> str:
+    from ..queries._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        ),
+        hist AS (
+            -- v1 (S0): price updated IN PLACE by the untracked seq-2
+            -- change for k%3 keys; closed at 3 only by a tracked flip
+            SELECT k, 'S0' AS status,
+                   CASE WHEN k % 3 = 0 THEN price + 5 ELSE price END
+                       AS price,
+                   1 AS s,
+                   CASE WHEN k % 4 = 0 THEN 3 ELSE NULL END AS e
+            FROM base
+            UNION ALL
+            -- v2 (S1): only tracked changes open versions
+            SELECT k, 'S1', -1.0, 3, NULL FROM base WHERE k % 4 = 0
+        )
+        SELECT k % 6 AS grp,
+               COUNT(*) AS n_versions,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents,
+               CAST(SUM(s) AS BIGINT) AS sum_start,
+               CAST(SUM(COALESCE(e, 0)) AS BIGINT) AS sum_end,
+               CAST(COUNT(CASE WHEN e IS NULL THEN 1 END) AS BIGINT)
+                   AS n_open,
+               CAST(COUNT(CASE WHEN status = 'S1' THEN 1 END) AS BIGINT)
+                   AS n_s1
         FROM hist GROUP BY grp ORDER BY grp
     """

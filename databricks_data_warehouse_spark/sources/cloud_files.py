@@ -31,10 +31,17 @@ consistency). ``recent`` is bounded by the lookback's churn, so the
 offset stays small however many files the directory accumulates — the
 100 TB shape: planning cost is one directory listing, offsets are
 O(files-per-lookback), and nothing row-sized ever moves through the
-source. A file whose mtime lags the watermark by MORE than the
-lookback is missed by the source — but the sweep-up is free: any batch
-``copy_into`` on the same table re-diffs the full listing against the
-same ledger.
+source.
+
+A file whose mtime lags the watermark by MORE than the lookback is
+invisible to the INCREMENTAL listing — so every ``reconcileEvery``-th
+trigger (default 10, per stream run) is a RECONCILE SWEEP that
+delivers the FULL listing instead (VERDICT r09 item 4). Over-delivery
+is free by design: exactly-once is owned by the table's COPY ledger,
+which no-ops every already-loaded path — the sweep is the streaming
+spelling of the batch ``copy_into`` re-diff, so the stream converges
+on back-dated files by itself. Sweep cost is one full-listing
+metadata pass through the sink's ledger diff, amortized 1/K.
 """
 
 from __future__ import annotations
@@ -90,6 +97,12 @@ class CloudFilesStreamReader(DataSourceStreamReader):
             "includeexisting", options.get("includeExisting", "true")
         )).lower() == "true"
         self._include_existing = include
+        # every K-th trigger of this run re-delivers the FULL listing
+        # (ledger no-ops the already-loaded ones); 0 disables
+        self.reconcile_every = int(
+            options.get("reconcileevery", options.get("reconcileEvery", 10))
+        )
+        self._trigger_count = 0
 
     # ------------------------------------------------------ listing
     def _list(self) -> list:
@@ -127,7 +140,18 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         return self._offset_for(self._list())
 
     def latestOffset(self) -> dict:
-        return self._offset_for(self._list())
+        self._trigger_count += 1
+        off = self._offset_for(self._list())
+        if (
+            self.reconcile_every > 0
+            and self._trigger_count % self.reconcile_every == 0
+        ):
+            # reconcile sweep: flag the batch to deliver the FULL
+            # listing — closes the "mtime lags watermark past the
+            # lookback" miss window; the COPY ledger makes the
+            # re-delivery a metadata-only no-op
+            off["sweep"] = True
+        return off
 
     def commit(self, end: dict) -> None:
         pass  # engine checkpoint owns progress; no source-side state
@@ -137,6 +161,9 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         s_wm = int(start.get("wm", 0))
         s_recent = dict(start.get("recent", {}))
         e_wm = int(end.get("wm", 0))
+        if end.get("sweep"):
+            new = [(p, sz, m) for p, sz, m in self._list() if m <= e_wm]
+            return [_FileBatch(files=new)]
         new = [
             (p, sz, m)
             for p, sz, m in self._list()

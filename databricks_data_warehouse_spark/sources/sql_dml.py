@@ -1081,7 +1081,13 @@ class SqlSession:
             df = self._insert_query_df(t, m.group(3), omit=list(spec))
             for c, v in spec.items():
                 df = df.withColumn(c, F.lit(v))
-            df = df.select(*[f.name for f in t.schema.fields])
+            # the query may legitimately omit generated/identity
+            # columns — select only what it supplied (schema order) and
+            # let replace_where's write path compute the rest
+            # (ADVICE r09)
+            df = df.select(
+                *[f.name for f in t.schema.fields if f.name in df.columns]
+            )
             return self._metrics(
                 "INSERT OVERWRITE", t,
                 t.replace_where(df, [(c, "=", v) for c, v in spec.items()]),
@@ -1450,7 +1456,7 @@ class SqlSession:
         — Delta resolves them against the source row there."""
         src_cols = set(source.columns)
 
-        def canon(text: str) -> str:
+        def rewrite(text: str) -> str:
             if src_alias:
                 text = re.sub(
                     rf"(?<![A-Za-z0-9_`.]){re.escape(src_alias)}\.",
@@ -1474,6 +1480,18 @@ class SqlSession:
                     text,
                 )
             return text
+
+        def canon(text: str) -> str:
+            # identifier rewriting must never reach INSIDE a string
+            # literal ('open order' would grow a src. on the bare word
+            # — ADVICE r09); mask quoted spans, rewrite the rest
+            parts, last = [], 0
+            for m in re.finditer(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", text):
+                parts.append(rewrite(text[last:m.start()]))
+                parts.append(m.group(0))
+                last = m.end()
+            parts.append(rewrite(text[last:]))
+            return "".join(parts)
 
         out = []
         for cond, act in clauses:

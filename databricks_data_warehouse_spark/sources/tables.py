@@ -1402,7 +1402,9 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.name}: manifest for version {version} missing"
             )
-        return _load_manifest_json(path).get("stats", {})
+        # shallow copy, like _read_manifest/_read_txn: a caller's
+        # .update() must not poison the shared manifest cache
+        return dict(_load_manifest_json(path).get("stats", {}))
 
     def _read_dv(self, version: int) -> tuple[dict[str, str], dict[str, int]]:
         """Deletion-vector metadata of a manifest: ``(dv, dv_n)`` where
@@ -1996,6 +1998,25 @@ class ManagedTable:
                         "the write to mint fresh ids"
                     )
                 spec["next"] = int(base_next) + int(spec["step"]) * int(used)
+        # staged files must carry the DECLARED column types: the scan
+        # applies the table schema to the parquet bytes, so a frame
+        # staged with a drifted type (decimal(2,1) into a double
+        # column, int into long) would be reinterpreted — e.g. the
+        # decimal's unscaled 50 read back as 50.0 (found via the
+        # round-10 INSERT OVERWRITE PARTITION repro). Delta casts on
+        # write (storeAssignmentPolicy); so do we.
+        if self.schema is not None:
+            want = {f.name: f.dataType for f in self.schema.fields}
+            if any(
+                c in want and df.schema[c].dataType != want[c]
+                for c in df.columns
+            ):
+                df = df.select(
+                    *[
+                        F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                        for c in df.columns
+                    ]
+                )
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
         # share a directory — the loser's cleanup would otherwise
@@ -4670,7 +4691,11 @@ class ManagedTable:
             for r in doomed.groupBy("__mt_key").agg(F.count("*").alias("n")).collect()
         }
         if not per_file:
-            return v  # nothing matched: commit-free no-op
+            if append_df is None or append_df.isEmpty():
+                return v  # nothing matched: commit-free no-op
+            # nothing to delete but rows to stage (e.g. an SCD2 batch
+            # whose keys are ALL new): plain append, same commit
+            return self.append(append_df, op=op)
         prev_dv, prev_n = self._read_dv(v)
         rows = doomed.select(
             F.col("__mt_key").alias("file"), F.col("__mt_pos").alias("pos")
@@ -5044,10 +5069,21 @@ class ManagedTable:
                     f"merge_clauses into {self.name}: source has duplicate "
                     f"keys on {keys} — Delta MERGE raises on multiple matches"
                 )
+        # an update map assigning a partition column can move a row to a
+        # partition OUTSIDE the source's partitions; scoping would then
+        # stage that destination partition while having excluded its
+        # unmatched rows from the join — base-key replacement would
+        # silently drop them. Same guard as merge_update: fall back to
+        # the full-table pass (ADVICE r09).
+        _updates_partition_col = any(
+            isinstance(a, Mapping) and set(a) & set(self.partition_columns)
+            for _c, a in [*matched, *not_matched_by_source]
+        )
         scoped = (
             not not_matched_by_source
             and bool(self.partition_columns)
             and set(self.partition_columns) <= set(keys)
+            and not _updates_partition_col
         )
         target = self.read()
         if scoped:

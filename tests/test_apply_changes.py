@@ -221,3 +221,116 @@ def test_scd2_full_replay_is_noop(spark, tmp_path):
         (r["k"], r["val"], r[START_COL], r[END_COL])
         for r in t.read().collect()
     ) == state
+
+
+def test_scd2_mixed_stale_fresh_batch_applies_fresh_changes(spark, tmp_path):
+    """ADVICE r09 (medium): a batch carrying {seq 4, seq 6} for a key
+    already applied through seq 5 must apply seq 6 — the old
+    whole-batch first-seq gate silently dropped it."""
+    t = ManagedTable(spark, "c2m", str(tmp_path / "c2m"))
+    apply_changes(
+        t, _changes(spark, [(1, "v5", 5, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    b = _changes(spark, [(1, "v4", 4, "upsert"), (1, "v6", 6, "upsert")])
+    apply_changes(
+        t, b, ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+    )
+    rows = {
+        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+    }
+    # seq 4 splices BEFORE the already-applied 5; seq 6 extends it
+    assert rows == {"v4": (4, 5), "v5": (5, 6), "v6": (6, None)}
+
+
+def test_scd2_late_event_splices_into_history(spark, tmp_path):
+    """DLT SCD2 out-of-order contract: a late upsert lands at its
+    sequence position with correct validity, not dropped."""
+    t = ManagedTable(spark, "c2s", str(tmp_path / "c2s"))
+    apply_changes(
+        t, _changes(spark, [(1, "v1", 1, "upsert"), (1, "v9", 9, "upsert")]),
+        ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+    )
+    apply_changes(
+        t, _changes(spark, [(1, "v5", 5, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    rows = {
+        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+    }
+    assert rows == {"v1": (1, 5), "v5": (5, 9), "v9": (9, None)}
+
+
+def test_scd2_track_history_untracked_change_does_not_version(
+    spark, tmp_path
+):
+    """TRACK HISTORY ON (status): an event changing only the untracked
+    column updates the open version in place — no new row, START
+    unchanged; a tracked change still opens a version."""
+    t = ManagedTable(spark, "c2t", str(tmp_path / "c2t"))
+    kw = dict(
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2, track_history_column_list=["status"],
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, status string, note string, seq long, op string"
+    )
+    apply_changes(t, mk([(1, "open", "a", 1, "upsert")]), ["k"], "seq", **kw)
+    # untracked-only change: in-place update, same version
+    apply_changes(t, mk([(1, "open", "b", 2, "upsert")]), ["k"], "seq", **kw)
+    rows = [
+        (r["status"], r["note"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    ]
+    assert rows == [("open", "b", 1, None)]
+    # tracked change: new version
+    apply_changes(t, mk([(1, "closed", "b", 3, "upsert")]), ["k"], "seq", **kw)
+    rows = {
+        r["status"]: (r["note"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    }
+    assert rows == {"open": ("b", 1, 3), "closed": ("b", 3, None)}
+
+
+def test_scd2_track_history_collapse_within_one_batch(spark, tmp_path):
+    """Collapse also applies batch-internally, and a delete always
+    breaks: re-insert after delete opens a fresh version even with
+    identical tracked values."""
+    t = ManagedTable(spark, "c2tb", str(tmp_path / "c2tb"))
+    kw = dict(
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2, track_history_except_column_list=["note"],
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k long, status string, note string, seq long, op string"
+    )
+    apply_changes(
+        t,
+        mk([
+            (1, "s", "a", 1, "upsert"),
+            (1, "s", "b", 2, "upsert"),   # collapses into seq-1 version
+            (1, "s", "b", 3, "delete"),   # closes it at 3
+            (1, "s", "c", 4, "upsert"),   # fresh version after delete
+        ]),
+        ["k"], "seq", **kw,
+    )
+    rows = {
+        r["note"]: (r["status"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    }
+    assert rows == {"b": ("s", 1, 3), "c": ("s", 4, None)}
+
+
+def test_scd1_rejects_track_history(spark, tmp_path):
+    import pytest
+
+    t = _scd1(spark, tmp_path, "c1th")
+    with pytest.raises(ValueError, match="SCD type 2 only"):
+        apply_changes(
+            t, _changes(spark, [(1, "a", 1, "upsert")]), ["k"], "seq",
+            track_history_column_list=["val"],
+        )

@@ -64,3 +64,23 @@ def test_no_single_partition_exchange_in_plan(spark):
     df = _docs(spark, 100)
     plan = epoch_shuffle(df, ["doc_id"], 1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_epoch_shuffle_null_key_raises(spark):
+    """VERDICT r09 item 4: a NULL key column must raise loudly, not
+    silently collide digests (concat_ws skips NULLs)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from databricks_data_warehouse_spark.ext.shuffle import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, s string"
+    )
+    # assign_row_ids runs a job eagerly, so the raise surfaces here
+    with pytest.raises(Exception, match="NULL in key column"):
+        epoch_shuffle(df, ["k", "s"], epoch=1).collect()
+    # non-NULL keys still shuffle fine
+    ok = epoch_shuffle(df.where(F.col("s").isNotNull()), ["k", "s"], epoch=1)
+    assert sorted(r["shuffle_pos"] for r in ok.collect()) == [1, 2]

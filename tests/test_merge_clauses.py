@@ -207,3 +207,35 @@ def test_empty_source_with_by_source_clause_clears(spark, tmp_path):
         not_matched_by_source=[(None, "delete")],
     )
     assert t.read().count() == 0
+
+
+def test_partition_moving_update_falls_back_to_full_rewrite(spark, tmp_path):
+    """ADVICE r09 (medium): a matched UPDATE that assigns a partition
+    column can move a row into a partition OUTSIDE the source's
+    partitions; partition scoping would retire that destination
+    partition's unmatched rows. The guard must force the full-table
+    pass — and no rows may be lost."""
+    t = ManagedTable(
+        spark, "t", str(tmp_path / "tpm"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 1, 2.0), (10, 9, 10.0), (11, 9, 11.0)],
+            "k long, g long, v double",
+        )
+    )
+    # source only touches partition g=1, but the update MOVES the row
+    # to g=9 — a partition whose other rows the scope filter excludes
+    src = spark.createDataFrame([(1, 1, 100.0)], "k long, g long, v double")
+    t.merge_clauses(
+        src, ["g", "k"],
+        matched=[(None, {"g": "9", "v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    got = {(r["k"], r["g"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        (1, 9, 100.0),   # moved + updated
+        (2, 1, 2.0),     # stays in source's partition
+        (10, 9, 10.0),   # destination partition rows NOT dropped
+        (11, 9, 11.0),
+    }

@@ -266,3 +266,64 @@ def test_scd1_apply_converges_to_lww_in_any_batch_order(
         r["k"]: (r["v"], r["seq"]) for r in scd1_current(t).collect()
     }
     assert got == want, f"batches={batches} order={order}"
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cdc_scenario())
+def test_scd2_apply_converges_to_spliced_history_in_any_batch_order(
+    spark, tmp_path_factory, sc
+):
+    """The event-splice design's core claim: the SCD2 fixpoint is the
+    per-key sequence-ordered chain of ALL delivered changes — each
+    upsert a row valid [its seq, next seq), deletes closing without a
+    row — independent of batching and arrival order (ADVICE r09: the
+    old first-seq gate dropped fresh changes that shared a batch with
+    stale ones and diverged under reordering)."""
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        END_COL,
+        START_COL,
+        apply_changes,
+    )
+
+    batches, order = sc
+    tmp = tmp_path_factory.mktemp("cdc2prop")
+    t = ManagedTable(spark, "t2", str(tmp / "t2"))
+    delivered = False
+    for i in order:
+        if not batches[i]:
+            continue
+        df = spark.createDataFrame(
+            [(k, v, s, "delete" if d else "upsert")
+             for k, v, s, d in batches[i]],
+            "k long, v long, seq long, op string",
+        )
+        apply_changes(
+            t, df, ["k"], "seq", apply_as_deletes="op = 'delete'",
+            except_columns=["op"], stored_as_scd_type=2,
+        )
+        delivered = True
+    if not delivered:
+        return
+    # reference model: per key, sort ALL changes by seq; row i is
+    # valid [seq_i, seq_{i+1}) (None-ended if last); deletes emit none
+    per_key = {}
+    for b in batches:
+        for k, v, s, d in b:
+            per_key.setdefault(k, []).append((s, v, d))
+    want = set()
+    for k, evs in per_key.items():
+        evs.sort()
+        for i, (s, v, d) in enumerate(evs):
+            if d:
+                continue
+            end = evs[i + 1][0] if i + 1 < len(evs) else None
+            want.add((k, v, s, end))
+    got = {
+        (r["k"], r["v"], r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    }
+    assert got == want, f"batches={batches} order={order}"

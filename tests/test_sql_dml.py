@@ -624,3 +624,57 @@ def test_optimize_where_scopes_to_matching_partitions(spark, tmp_path):
     # WHERE on a non-partition column is rejected
     with pytest.raises(ValueError, match="partition columns only"):
         t.optimize(where=[("k", ">=", 10)])
+
+
+def test_merge_insert_literal_with_source_column_word_intact(spark, tmp_path):
+    """ADVICE r09 (low): the NOT MATCHED source-scope identifier
+    rewrite must not reach inside string literals — a literal
+    containing a bare word that names a source column ('has v inside')
+    must land verbatim, not grow a src. prefix."""
+    t = ManagedTable(spark, "sqlit", str(tmp_path / "sqlit"))
+    t.overwrite(
+        spark.createDataFrame([(1, "x")], "k long, s string")
+    )
+    s = _sess(spark, t)
+    s.sql(
+        "MERGE INTO sqlit USING (SELECT 2 AS k, 'y' AS s) AS u "
+        "ON sqlit.k = u.k "
+        "WHEN NOT MATCHED THEN INSERT (k, s) VALUES (k, 'has s inside')"
+    )
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got == {1: "x", 2: "has s inside"}
+
+
+def test_insert_overwrite_partition_with_generated_column(spark, tmp_path):
+    """ADVICE r09 (low): INSERT OVERWRITE t PARTITION (…) on a table
+    with a generated column must let the query omit it and have the
+    write path compute it."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("g", LongType()),
+            StructField("v", DoubleType()),
+            StructField("gen", LongType()),
+        ]
+    )
+    t = ManagedTable(
+        spark, "giop", str(tmp_path / "giop"), schema=schema,
+        partition_columns=["g"],
+    )
+    t.set_generated_column("gen", "k * 2")
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, 1.0), (2, 1, 2.0)], "k long, g long, v double"
+        )
+    )
+    s = _sess(spark, t)
+    s.sql("INSERT OVERWRITE giop PARTITION (g = 1) VALUES (5, 5.0)")
+    got = {(r["k"], r["g"], r["v"], r["gen"]) for r in t.read().collect()}
+    assert got == {(1, 0, 1.0, 2), (5, 1, 5.0, 10)}

@@ -461,3 +461,30 @@ def test_failed_evolving_merge_rolls_back_schema(spark, tmp_path):
     # and the table still merges fine afterwards
     t.merge_insert_only(_rows(spark, [(2, "b", 2024, 1)]))
     assert t.read().count() == 2
+
+
+def test_staged_writes_cast_to_declared_schema(spark, tmp_path):
+    """Round-10 repro: a frame staged with a drifted column type
+    (decimal literal into a double column) must be CAST on write —
+    the scan applies the declared schema to the parquet bytes, so an
+    uncast decimal(2,1) 5.0 read back as its unscaled 50.0."""
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, "castw", str(tmp_path / "castw"))
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    # VALUES-style literal: 5.0 parses as decimal(2,1), k as int
+    drifted = spark.sql("SELECT * FROM (VALUES (5, 5.0))").toDF("k", "v")
+    assert dict(drifted.dtypes)["v"].startswith("decimal")
+    t.append(drifted)
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, 1.0), (5, 5.0)
+    }
+    # and through replace_where too
+    t.replace_where(
+        spark.sql("SELECT * FROM (VALUES (9, 9.5))").toDF("k", "v")
+        .withColumn("k", F.lit(9).cast("long")),
+        [("k", "=", 9)],
+    )
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (1, 1.0), (5, 5.0), (9, 9.5)
+    }

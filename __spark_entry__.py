@@ -190,6 +190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changes update the open SCD2 version in place (no new row),
         # tracked changes open versions; oracle = relational history
         "table_scd2_track_history": cdc_pipeline.table_scd2_track_history,
+        # NEW round 10: DLT apply_changes_from_snapshot — the change
+        # feed DERIVED by diffing successive full snapshots (insert /
+        # value-change / disappear->delete / unchanged->no event),
+        # then the same SCD1/SCD2 apply; oracle = relational fixpoint
+        "table_apply_snapshot_scd1": cdc_pipeline.table_apply_snapshot_scd1,
+        "table_apply_snapshot_scd2": cdc_pipeline.table_apply_snapshot_scd2,
         # NEW round 7: dropped-mass observability for the dedup caps
         # (_MAX_BAND_BUCKET/_MAX_GRAM_DF), caps tightened to 3/3 so
         # they BIND here (VERDICT r06 item 5 — no silent truncation)
@@ -434,8 +440,8 @@ _R10_WINDOW = [
     "table_merge_sync",
     "table_replace_where",
     "table_dml_subquery",
-    "table_cdf",
-    "table_copy_into",
+    "table_apply_snapshot_scd1",
+    "table_apply_snapshot_scd2",
     # (d) staleness queue: newest green r04
     "tpch_q19_discounted_revenue",
     "tpch_q21_suppliers_kept_waiting",
@@ -974,6 +980,10 @@ def oracle_sql() -> dict[str, str]:
             cdc_pipeline.table_apply_changes_scd2_oracle(),
         "table_scd2_track_history":
             cdc_pipeline.table_scd2_track_history_oracle(),
+        "table_apply_snapshot_scd1":
+            cdc_pipeline.table_apply_snapshot_scd1_oracle(),
+        "table_apply_snapshot_scd2":
+            cdc_pipeline.table_apply_snapshot_scd2_oracle(),
         # additive micro-batch merging must reconstruct the global
         # GROUP BY exactly (integer cents, txn-watermark exactly-once)
         "stream_gold_counts_table": """

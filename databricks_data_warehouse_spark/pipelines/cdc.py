@@ -659,3 +659,265 @@ def table_scd2_track_history_oracle() -> str:
                    AS n_s1
         FROM hist GROUP BY grp ORDER BY grp
     """
+
+
+def apply_changes_from_snapshot(
+    target: ManagedTable,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    snapshot_version: int,
+    stored_as_scd_type: int = 1,
+    track_history_column_list: Sequence[str] | None = None,
+    track_history_except_column_list: Sequence[str] | None = None,
+) -> int:
+    """DLT's ``apply_changes_from_snapshot`` (the
+    ``create_auto_cdc_from_snapshot_flow`` surface): land a FULL
+    snapshot of the source — no change feed available — by deriving
+    the changes against the target's current state and running them
+    through the same SCD1/SCD2 apply.
+
+    Derivation (one full-outer join on the keys):
+
+    - key only in the snapshot            → upsert (insert)
+    - key in both, any value differs      → upsert (update)
+    - key in both, all values equal       → NO event (suppressed —
+      re-delivering an unchanged snapshot is a commit-free no-op)
+    - key only in the target's current    → delete
+
+    ``snapshot_version`` is the ordering column (DLT requires it
+    monotonically increasing); a replayed or out-of-order snapshot is
+    resolved by the same sequence rules as the change-feed apply —
+    SCD1 last-writer-wins on the version, SCD2 splices it into
+    history. Scale shape: one shuffle join of snapshot vs current
+    state, then the batch-proportional apply; deletes are derived from
+    the CURRENT state only (no history scan)."""
+    keys = list(keys)
+    seq_col = "__snap_seq"
+    if stored_as_scd_type == 1:
+        current = (
+            scd1_current(target).drop(seq_col)
+            if target.current_version() >= 0
+            else None
+        )
+    elif stored_as_scd_type == 2:
+        current = (
+            target.read().where(F.col(END_COL).isNull()).drop(
+                START_COL, END_COL
+            )
+            if target.current_version() >= 0
+            else None
+        )
+    else:
+        raise ValueError(
+            f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}"
+        )
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    if current is None:
+        changes = snapshot.withColumn("__op", F.lit("upsert"))
+    else:
+        cur = current.select(
+            *keys,
+            *[F.col(c).alias(f"__cur_{c}") for c in value_cols],
+        ).withColumn("__cur_m", F.lit(True))
+        snp = snapshot.withColumn("__snp_m", F.lit(True))
+        j = snp.join(cur, keys, "full_outer")
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+        op = (
+            F.when(F.col("__cur_m").isNull(), F.lit("upsert"))
+            .when(F.col("__snp_m").isNull(), F.lit("delete"))
+            .when(~same, F.lit("upsert"))
+            .otherwise(F.lit(None))  # unchanged: no event
+        )
+        changes = (
+            j.withColumn("__op", op)
+            .where(F.col("__op").isNotNull())
+            .select(
+                *keys,
+                # a derived delete carries the target's values (the
+                # snapshot has none for it)
+                *[
+                    F.when(
+                        F.col("__op") == "delete", F.col(f"__cur_{c}")
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in value_cols
+                ],
+                "__op",
+            )
+        )
+    changes = changes.withColumn(
+        seq_col, F.lit(int(snapshot_version)).cast("long")
+    )
+    return apply_changes(
+        target,
+        changes,
+        keys,
+        seq_col,
+        apply_as_deletes="__op = 'delete'",
+        except_columns=["__op"],
+        stored_as_scd_type=stored_as_scd_type,
+        track_history_column_list=track_history_column_list,
+        track_history_except_column_list=track_history_except_column_list,
+    )
+
+
+# ------------------------------------------- snapshot-apply oracles
+
+def _snapshots(spark, sf_dir: str):
+    """Three deterministic full snapshots of orders: v1 everyone at
+    base price; v2 drops every 5th key and reprices every 3rd (+10);
+    v3 resurrects the dropped keys at price -1 and leaves the rest
+    unchanged (so unchanged keys must emit NO events)."""
+    from ..queries._util import load
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    s1 = base
+    s2 = base.where(F.col("k") % 5 != 0).select(
+        "k",
+        F.when(F.col("k") % 3 == 0, F.col("price") + 10)
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    s3 = s2.unionByName(
+        base.where(F.col("k") % 5 == 0).select(
+            "k", F.lit(-1.0).alias("price")
+        )
+    )
+    return s1, s2, s3
+
+
+def _snap_table(spark, sf_dir: str, scd: int) -> ManagedTable:
+    import os
+    import shutil
+
+    from ..queries.managed_scan import _corpus_fingerprint
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"snap{scd}_tbl_{h}")
+    t = ManagedTable(spark, f"snap{scd}", loc)
+    v = t.current_version()
+    if v == 2:
+        return t
+    if v >= 0:  # partial build: restart (sequence is deterministic)
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"snap{scd}", loc)
+    try:
+        for i, s in enumerate(_snapshots(spark, sf_dir), start=1):
+            apply_changes_from_snapshot(
+                t, s, ["k"], i, stored_as_scd_type=scd
+            )
+    except ConcurrentWriteError:
+        pass
+    return t
+
+
+def table_apply_snapshot_scd1(spark, sf_dir: str) -> DataFrame:
+    """Latest state after three FULL snapshots through
+    apply_changes_from_snapshot (DLT's from-snapshot CDC): diffs are
+    derived per snapshot — inserts, value-changes, disappear→delete,
+    unchanged→no event (version stamps prove the suppression). The
+    oracle replays the fixpoint relationally."""
+    from ..queries._util import cents
+
+    t = _snap_table(spark, sf_dir, 1)
+    return (
+        scd1_current(t)
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+            F.sum("__snap_seq").alias("sum_seq"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_apply_snapshot_scd1_oracle() -> str:
+    from ..queries._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        ),
+        final AS (
+            SELECT k,
+                   CASE WHEN k % 5 = 0 THEN -1.0
+                        WHEN k % 3 = 0 THEN price + 10
+                        ELSE price END AS price,
+                   CASE WHEN k % 5 = 0 THEN 3
+                        WHEN k % 3 = 0 THEN 2
+                        ELSE 1 END AS seq
+            FROM base
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents,
+               CAST(SUM(seq) AS BIGINT) AS sum_seq
+        FROM final GROUP BY grp ORDER BY grp
+    """
+
+
+def table_apply_snapshot_scd2(spark, sf_dir: str) -> DataFrame:
+    """Full SCD2 history after the same three snapshots: the dropped
+    keys' versions close at 2 and resurrect at 3, repriced keys close
+    at 2 with their new version open, unchanged keys stay single-row
+    (no spurious versions from snapshot re-delivery)."""
+    from ..queries._util import cents
+
+    t = _snap_table(spark, sf_dir, 2)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+            F.sum(F.col(START_COL)).alias("sum_start"),
+            F.sum(F.coalesce(F.col(END_COL), F.lit(0))).alias("sum_end"),
+            F.count(
+                F.when(F.col(END_COL).isNull(), F.lit(1))
+            ).alias("n_open"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_apply_snapshot_scd2_oracle() -> str:
+    from ..queries._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        ),
+        hist AS (
+            -- v1: everyone; closed at 2 by a reprice or disappearance
+            SELECT k, price, 1 AS s,
+                   CASE WHEN k % 5 = 0 THEN 2
+                        WHEN k % 3 = 0 THEN 2
+                        ELSE NULL END AS e
+            FROM base
+            UNION ALL
+            -- v2: repriced survivors, open
+            SELECT k, price + 10, 2 AS s, NULL AS e
+            FROM base WHERE k % 5 <> 0 AND k % 3 = 0
+            UNION ALL
+            -- v3: resurrected keys at -1, open
+            SELECT k, -1.0, 3 AS s, NULL AS e
+            FROM base WHERE k % 5 = 0
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_versions,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents,
+               CAST(SUM(s) AS BIGINT) AS sum_start,
+               CAST(SUM(COALESCE(e, 0)) AS BIGINT) AS sum_end,
+               CAST(COUNT(CASE WHEN e IS NULL THEN 1 END) AS BIGINT)
+                   AS n_open
+        FROM hist GROUP BY grp ORDER BY grp
+    """

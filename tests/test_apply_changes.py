@@ -334,3 +334,113 @@ def test_scd1_rejects_track_history(spark, tmp_path):
             t, _changes(spark, [(1, "a", 1, "upsert")]), ["k"], "seq",
             track_history_column_list=["val"],
         )
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, val string")
+
+
+def test_snapshot_apply_scd1_insert_update_delete(spark, tmp_path):
+    """apply_changes_from_snapshot derives the change set by diffing
+    full snapshots: inserts, value-updates, and disappearances →
+    deletes; unchanged keys emit nothing."""
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        apply_changes_from_snapshot,
+    )
+
+    t = _scd1(spark, tmp_path, "snap1")
+    apply_changes_from_snapshot(
+        t, _snap(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"], 1
+    )
+    got = {r["k"]: r["val"] for r in scd1_current(t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # snapshot 2: k=1 updated, k=2 unchanged, k=3 gone, k=4 new
+    apply_changes_from_snapshot(
+        t, _snap(spark, [(1, "a2"), (2, "b"), (4, "d")]), ["k"], 2
+    )
+    got = {
+        r["k"]: (r["val"], r["__snap_seq"])
+        for r in scd1_current(t).collect()
+    }
+    # unchanged k=2 kept its ORIGINAL version stamp (no event emitted)
+    assert got == {1: ("a2", 2), 2: ("b", 1), 4: ("d", 2)}
+    # the deleted key holds a sequenced tombstone
+    ts = t.read().where("k = 3").collect()
+    assert len(ts) == 1 and ts[0]["__snap_seq"] == 2
+
+
+def test_snapshot_apply_replay_is_noop(spark, tmp_path):
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        apply_changes_from_snapshot,
+    )
+
+    t = _scd1(spark, tmp_path, "snap1r")
+    s = _snap(spark, [(1, "a"), (2, "b")])
+    apply_changes_from_snapshot(t, s, ["k"], 1)
+    v = t.current_version()
+    apply_changes_from_snapshot(t, s, ["k"], 1)  # replay
+    apply_changes_from_snapshot(t, s, ["k"], 2)  # unchanged next snap
+    assert t.current_version() == v  # both commit-free
+    assert {r["k"] for r in scd1_current(t).collect()} == {1, 2}
+
+
+def test_snapshot_apply_scd2_builds_history(spark, tmp_path):
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        apply_changes_from_snapshot,
+    )
+
+    t = ManagedTable(spark, "snap2", str(tmp_path / "snap2"))
+    apply_changes_from_snapshot(
+        t, _snap(spark, [(1, "a"), (2, "b")]), ["k"], 1,
+        stored_as_scd_type=2,
+    )
+    apply_changes_from_snapshot(
+        t, _snap(spark, [(1, "a2")]), ["k"], 2, stored_as_scd_type=2,
+    )  # k=1 updated, k=2 disappeared -> delete closes its version
+    apply_changes_from_snapshot(
+        t, _snap(spark, [(1, "a2"), (2, "b3")]), ["k"], 3,
+        stored_as_scd_type=2,
+    )  # k=2 resurrected, k=1 unchanged
+    rows = {
+        (r["k"], r["val"]): (r[START_COL], r[END_COL])
+        for r in t.read().collect()
+    }
+    assert rows == {
+        (1, "a"): (1, 2),
+        (1, "a2"): (2, None),
+        (2, "b"): (1, 2),
+        (2, "b3"): (3, None),
+    }
+
+
+def test_scd2_rebuild_plan_has_no_single_partition_exchange(spark, tmp_path):
+    """Scale pin for the event-splice rebuild: every window in
+    _rebuild_history partitions by the keys (+ version group) — no
+    global SinglePartition exchange may appear, whatever the slice
+    size."""
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        _rebuild_history,
+    )
+
+    events = (
+        spark.range(0, 1000)
+        .selectExpr(
+            "id % 100 as k",
+            "cast(id as string) as val",
+            "cast(id / 100 as long) + 1 as seq",
+            "false as __del",
+            "1 as __src",
+        )
+    )
+    out = _rebuild_history(
+        events, ["k"], "seq", None, ["k", "val", "__START_AT", "__END_AT"]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    # tracked-subset mode adds lag comparisons but must keep the shape
+    out_t = _rebuild_history(
+        events, ["k"], "seq", ["val"],
+        ["k", "val", "__START_AT", "__END_AT"],
+    )
+    plan_t = out_t._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_t

@@ -165,10 +165,12 @@ _DIFF_MAX_BUCKETS = 256
 
 @dataclass
 class _DiffPartition(InputPartition):
-    """One bucket of one version pair's REWRITE diff: the multiset
-    difference between the removed dirs' visible rows (old side) and
-    the added dirs' visible rows (new side), restricted to rows whose
-    deterministic content-hash ≡ ``bucket`` (mod ``n_buckets``).
+    """One bucket of ONE HIVE-PARTITION GROUP of a version pair's
+    REWRITE diff: the multiset difference between the group's removed
+    files' visible rows (old side) and its added files' visible rows
+    (new side), restricted to rows whose deterministic content-hash ≡
+    ``bucket`` (mod ``n_buckets``). The planner never mixes groups in
+    one partition, so a bucketed group re-reads only its OWN files.
     Identical rows hash identically, so every potential cancellation
     pair lands in the same bucket and the union of all buckets' diffs
     IS the pair's exact diff. Old-side leftovers stream as deletes,

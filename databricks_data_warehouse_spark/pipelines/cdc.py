@@ -65,6 +65,18 @@ def scd1_current(target: ManagedTable) -> DataFrame:
     return target.read().where(~F.col(DELETED_COL)).drop(DELETED_COL)
 
 
+def scd2_history(target: ManagedTable) -> DataFrame:
+    """The VISIBLE history of an SCD2 apply target: zero-width
+    tombstone rows (``__START_AT == __END_AT`` — one per delete event)
+    filtered out. The physical table keeps every delete as a
+    tombstone so a late-arriving EARLIER upsert splices in closed at
+    the delete's sequence instead of resurrecting the key open-ended —
+    the SCD1 ``__DELETED`` design, SCD2-shaped."""
+    return target.read().where(
+        F.col(END_COL).isNull() | (F.col(START_COL) != F.col(END_COL))
+    )
+
+
 def _latest_per_key(
     ch: DataFrame, keys: Sequence[str], seq: str
 ) -> DataFrame:
@@ -227,8 +239,9 @@ def _rebuild_history(
     the current version: the version keeps its first sequence as
     ``__START_AT`` and takes the LATEST event's values (in-place
     update of untracked columns — DLT's TRACK HISTORY ON semantics).
-    Deletes always break and emit no row; the preceding version's
-    ``__END_AT`` is the delete's sequence."""
+    Deletes always break; the preceding version's ``__END_AT`` is the
+    delete's sequence and the delete itself persists as a zero-width
+    tombstone row (see ``scd2_history``)."""
     w = Window.partitionBy(*keys).orderBy(F.col(seq))
     if tracked is None:
         brk = F.lit(True)
@@ -257,7 +270,19 @@ def _rebuild_history(
     )
     wnext = Window.partitionBy(*keys).orderBy(F.col(START_COL))
     ev = ev.withColumn(END_COL, F.lead(START_COL).over(wnext))
-    return ev.where(~F.col("__del")).select(*out_cols)
+    # delete events persist as ZERO-WIDTH tombstone rows (START ==
+    # END == the delete's sequence), invisible to scd2_history() but
+    # reconstructable: without them, a delete with no row to close
+    # (delete-before-insert, consecutive deletes) leaves no stored
+    # trace and a late EARLIER upsert would resurrect the key
+    # open-ended (hypothesis-found counterexample, round 10)
+    ev = ev.withColumn(
+        END_COL,
+        F.when(F.col("__del"), F.col(START_COL)).otherwise(
+            F.col(END_COL)
+        ),
+    )
+    return ev.select(*out_cols)
 
 
 def _apply_scd2(
@@ -271,9 +296,11 @@ def _apply_scd2(
     track_except: Sequence[str] | None = None,
 ) -> int:
     """History apply by EVENT SPLICE: reconstruct the affected keys'
-    change events from their stored rows (each row's ``__START_AT`` is
-    an upsert event; a validity gap or a closed final row is a delete
-    event at its ``__END_AT``), union the batch's events, dedupe on
+    change events from their stored rows (each history row's
+    ``__START_AT`` is an upsert event; each zero-width tombstone row
+    is a delete event at its ``__START_AT``; and a legacy validity gap
+    still infers a delete at its ``__END_AT``), union the batch's
+    events, dedupe on
     (key, sequence) preferring the already-applied event, and rebuild
     the validity chain. Late events land at their correct history
     position (DLT SCD2's out-of-order contract), replays are
@@ -338,17 +365,29 @@ def _apply_scd2(
     batch_keys = ch.select(*keys).distinct()
     affected = snap.join(F.broadcast(batch_keys), keys, "left_semi")
     affected = affected.localCheckpoint()
-    # reconstruct the slice's event stream: every stored row is an
-    # upsert event at its __START_AT; an __END_AT not covered by the
-    # next row's start (or with no next row) marks a delete event
-    row_ev = affected.select(
+    # reconstruct the slice's event stream: every zero-width row is a
+    # stored delete tombstone (its event at __START_AT); every other
+    # row is an upsert event at its __START_AT; and — for histories
+    # written before tombstones existed — an __END_AT not covered by
+    # the next row's start still infers a delete event (duplicates of
+    # a tombstone at the same sequence dedupe away)
+    is_tomb = F.col(END_COL).isNotNull() & (
+        F.col(START_COL) == F.col(END_COL)
+    )
+    hist = affected.where(~is_tomb)
+    row_ev = hist.select(
         *keys, *value_cols,
         F.col(START_COL).alias(seq),
         F.lit(False).alias("__del"), F.lit(0).alias("__src"),
     )
+    tomb_ev = affected.where(is_tomb).select(
+        *keys, *value_cols,
+        F.col(START_COL).alias(seq),
+        F.lit(True).alias("__del"), F.lit(0).alias("__src"),
+    )
     wh = Window.partitionBy(*keys).orderBy(F.col(START_COL))
     del_ev = (
-        affected.withColumn("__next_start", F.lead(START_COL).over(wh))
+        hist.withColumn("__next_start", F.lead(START_COL).over(wh))
         .where(
             F.col(END_COL).isNotNull()
             & (
@@ -363,7 +402,8 @@ def _apply_scd2(
         )
     )
     events = dedupe(
-        row_ev.unionByName(del_ev).unionByName(batch_ev)
+        row_ev.unionByName(tomb_ev).unionByName(del_ev)
+        .unionByName(batch_ev)
     )
     # only keys that gained at least one unseen event are rebuilt —
     # a key whose batch events all deduped away stays cold
@@ -495,7 +535,7 @@ def table_apply_changes_scd2(spark, sf_dir: str) -> DataFrame:
 
     t = _cdc_table(spark, sf_dir, 2)
     return (
-        t.read()
+        scd2_history(t)
         .groupBy((F.col("k") % 7).alias("grp"))
         .agg(
             F.count("*").alias("n_versions"),
@@ -610,7 +650,7 @@ def table_scd2_track_history(spark, sf_dir: str) -> DataFrame:
 
     t = _cdc_track_table(spark, sf_dir)
     return (
-        t.read()
+        scd2_history(t)
         .groupBy((F.col("k") % 6).alias("grp"))
         .agg(
             F.count("*").alias("n_versions"),
@@ -874,7 +914,7 @@ def table_apply_snapshot_scd2(spark, sf_dir: str) -> DataFrame:
 
     t = _snap_table(spark, sf_dir, 2)
     return (
-        t.read()
+        scd2_history(t)
         .groupBy((F.col("k") % 7).alias("grp"))
         .agg(
             F.count("*").alias("n_versions"),

@@ -9,6 +9,7 @@ from databricks_data_warehouse_spark.pipelines.cdc import (
     START_COL,
     apply_changes,
     scd1_current,
+    scd2_history,
 )
 from databricks_data_warehouse_spark.sources.tables import ManagedTable
 
@@ -95,7 +96,7 @@ def test_scd2_history_with_intermediate_versions(spark, tmp_path):
     )
     rows = {
         (r["k"], r["val"]): (r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     }
     assert rows == {(1, "v1"): (1, 2), (1, "v2"): (2, None), (2, "w1"): (1, None)}
 
@@ -113,7 +114,7 @@ def test_scd2_second_batch_closes_open_version(spark, tmp_path):
         stored_as_scd_type=2,
     )
     rows = {
-        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+        r["val"]: (r[START_COL], r[END_COL]) for r in scd2_history(t).collect()
     }
     assert rows == {"v1": (1, 5), "v2": (5, None)}
 
@@ -130,7 +131,7 @@ def test_scd2_delete_closes_without_insert(spark, tmp_path):
         apply_as_deletes="op = 'delete'", except_columns=["op"],
         stored_as_scd_type=2,
     )
-    rows = [(r["val"], r[START_COL], r[END_COL]) for r in t.read().collect()]
+    rows = [(r["val"], r[START_COL], r[END_COL]) for r in scd2_history(t).collect()]
     assert rows == [("v1", 1, 7)]
 
 
@@ -167,7 +168,7 @@ def test_scd2_late_batch_ignored_and_cold_keys_untouched(spark, tmp_path):
     for p, ino in inodes.items():
         assert os.stat(p).st_ino == ino  # old files never rewritten
     rows = {
-        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+        r["val"]: (r[START_COL], r[END_COL]) for r in scd2_history(t).collect()
     }
     assert rows == {"v1": (10, 20), "v2": (20, None), "w1": (10, None)}
 
@@ -209,7 +210,7 @@ def test_scd2_full_replay_is_noop(spark, tmp_path):
     v = t.current_version()
     state = sorted(
         (r["k"], r["val"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     )
     for b in (b1, b2, b3):  # total re-delivery
         apply_changes(
@@ -219,7 +220,7 @@ def test_scd2_full_replay_is_noop(spark, tmp_path):
     assert t.current_version() == v  # high-water guard: zero commits
     assert sorted(
         (r["k"], r["val"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     ) == state
 
 
@@ -239,7 +240,7 @@ def test_scd2_mixed_stale_fresh_batch_applies_fresh_changes(spark, tmp_path):
         except_columns=["op"], stored_as_scd_type=2,
     )
     rows = {
-        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+        r["val"]: (r[START_COL], r[END_COL]) for r in scd2_history(t).collect()
     }
     # seq 4 splices BEFORE the already-applied 5; seq 6 extends it
     assert rows == {"v4": (4, 5), "v5": (5, 6), "v6": (6, None)}
@@ -260,7 +261,7 @@ def test_scd2_late_event_splices_into_history(spark, tmp_path):
         stored_as_scd_type=2,
     )
     rows = {
-        r["val"]: (r[START_COL], r[END_COL]) for r in t.read().collect()
+        r["val"]: (r[START_COL], r[END_COL]) for r in scd2_history(t).collect()
     }
     assert rows == {"v1": (1, 5), "v5": (5, 9), "v9": (9, None)}
 
@@ -284,14 +285,14 @@ def test_scd2_track_history_untracked_change_does_not_version(
     apply_changes(t, mk([(1, "open", "b", 2, "upsert")]), ["k"], "seq", **kw)
     rows = [
         (r["status"], r["note"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     ]
     assert rows == [("open", "b", 1, None)]
     # tracked change: new version
     apply_changes(t, mk([(1, "closed", "b", 3, "upsert")]), ["k"], "seq", **kw)
     rows = {
         r["status"]: (r["note"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     }
     assert rows == {"open": ("b", 1, 3), "closed": ("b", 3, None)}
 
@@ -320,7 +321,7 @@ def test_scd2_track_history_collapse_within_one_batch(spark, tmp_path):
     )
     rows = {
         r["note"]: (r["status"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     }
     assert rows == {"b": ("s", 1, 3), "c": ("s", 4, None)}
 
@@ -403,7 +404,7 @@ def test_snapshot_apply_scd2_builds_history(spark, tmp_path):
     )  # k=2 resurrected, k=1 unchanged
     rows = {
         (r["k"], r["val"]): (r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     }
     assert rows == {
         (1, "a"): (1, 2),
@@ -444,3 +445,67 @@ def test_scd2_rebuild_plan_has_no_single_partition_exchange(spark, tmp_path):
     )
     plan_t = out_t._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan_t
+
+
+def test_scd2_delete_before_insert_is_tombstoned(spark, tmp_path):
+    """A delete for a key with NO stored history must persist as a
+    zero-width tombstone: a later-arriving EARLIER upsert splices in
+    closed at the delete's sequence instead of resurrecting the key
+    open-ended (the hypothesis counterexample that motivated the
+    tombstone design)."""
+    t = ManagedTable(spark, "c2t", str(tmp_path / "c2t"))
+    apply_changes(
+        t, _changes(spark, [(1, "x", 2, "delete")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    assert scd2_history(t).count() == 0  # nothing visible...
+    assert t.read().count() == 1         # ...but the tombstone stored
+    apply_changes(
+        t, _changes(spark, [(1, "v1", 1, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    rows = [
+        (r["val"], r[START_COL], r[END_COL])
+        for r in scd2_history(t).collect()
+    ]
+    assert rows == [("v1", 1, 2)]
+    # replaying the delete batch is still a commit-free no-op
+    v = t.current_version()
+    apply_changes(
+        t, _changes(spark, [(1, "x", 2, "delete")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    assert t.current_version() == v
+
+
+def test_scd2_consecutive_deletes_both_tombstoned(spark, tmp_path):
+    """The second of two back-to-back deletes closes no row, but a
+    late upsert spliced between them must still end at the SECOND
+    delete's sequence — so it needs its own tombstone too."""
+    t = ManagedTable(spark, "c2u", str(tmp_path / "c2u"))
+    b = _changes(
+        spark,
+        [(1, "v1", 1, "upsert"), (1, "x", 3, "delete"),
+         (1, "y", 5, "delete")],
+    )
+    apply_changes(
+        t, b, ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+    )
+    assert [
+        (r["val"], r[START_COL], r[END_COL])
+        for r in scd2_history(t).collect()
+    ] == [("v1", 1, 3)]
+    apply_changes(
+        t, _changes(spark, [(1, "v2", 4, "upsert")]), ["k"], "seq",
+        apply_as_deletes="op = 'delete'", except_columns=["op"],
+        stored_as_scd_type=2,
+    )
+    rows = sorted(
+        (r["val"], r[START_COL], r[END_COL])
+        for r in scd2_history(t).collect()
+    )
+    assert rows == [("v1", 1, 3), ("v2", 4, 5)]

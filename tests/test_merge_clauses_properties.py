@@ -287,6 +287,7 @@ def test_scd2_apply_converges_to_spliced_history_in_any_batch_order(
         END_COL,
         START_COL,
         apply_changes,
+        scd2_history,
     )
 
     batches, order = sc
@@ -324,6 +325,6 @@ def test_scd2_apply_converges_to_spliced_history_in_any_batch_order(
             want.add((k, v, s, end))
     got = {
         (r["k"], r["v"], r[START_COL], r[END_COL])
-        for r in t.read().collect()
+        for r in scd2_history(t).collect()
     }
     assert got == want, f"batches={batches} order={order}"

@@ -137,6 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adopted zero-copy (absolute-path manifest, footer stats
         # harvested), probed through the stats-pruned scan
         "table_convert_scan": managed_scan.table_convert_scan,
+        # NEW round 10: write-side CDC (delta.enableChangeDataFeed) —
+        # the rewrite commit stages its exact diff; the feed reads the
+        # staged files (strategy literal pinned in the oracle hash)
+        "table_cdf_staged_scan": managed_scan.table_cdf_staged_scan,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -426,8 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R10_WINDOW = [
     # (a) never driver-checked
     "table_convert_scan",
-    # (b) new round-10 operator
+    # (b) new round-10 operators
     "table_scd2_track_history",
+    "table_cdf_staged_scan",
     # (c) round-10 changed code: SCD2 event splice, CDF per-group
     # diff, epoch-shuffle NULL guard, autoloader reconcile sweep,
     # merge_clauses partition guard, cast-on-write, sql_dml fixes
@@ -958,6 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "table_bloom_scan": managed_scan.table_bloom_scan_oracle(),
         "table_cluster_scan": managed_scan.table_cluster_scan_oracle(),
         "table_convert_scan": managed_scan.table_convert_scan_oracle(),
+        "table_cdf_staged_scan":
+            managed_scan.table_cdf_staged_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms

@@ -449,3 +449,89 @@ def table_convert_scan_oracle() -> str:
         FROM orders
         WHERE o_orderkey BETWEEN 1000 AND 50000
     """
+
+
+def _cdf_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached CDF-enabled table with one content-changing rewrite:
+    v0 lands all orders (k, price), v1 sets
+    ``delta.enableChangeDataFeed``, v2 OVERWRITEs with every 5th key
+    dropped and every 3rd repriced (+5). The v2 commit STAGES its
+    exact row diff (write-side CDC — Delta's change files): the feed
+    entry below must read only those staged files, never re-derive."""
+    from ..sources.tables import ConcurrentWriteError
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"cdf_tbl_{h}")
+    t = ManagedTable(spark, f"orders_cdf_{h}", loc)
+    if t.current_version() < 2:
+        try:
+            base = load(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("price"),
+            )
+            t.overwrite(base)                                       # v0
+            t.set_properties(
+                {"delta.enableChangeDataFeed": "true"}
+            )                                                       # v1
+            new = base.where(F.col("k") % 5 != 0).select(
+                "k",
+                F.when(F.col("k") % 3 == 0, F.col("price") + 5)
+                .otherwise(F.col("price"))
+                .alias("price"),
+            )
+            t.overwrite(new)                                        # v2
+        except ConcurrentWriteError:
+            pass  # concurrent builder ran the same deterministic steps
+    return t
+
+
+def table_cdf_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side CDC read: the rewrite pair's change feed served from
+    the commit's OWN staged change files (each changed byte was read
+    once, at write time — the streaming reader's bucketed re-read
+    fallback never engages). The ``strategy`` literal pins the staged
+    path INSIDE the oracle hash: a silent fallback to the read-side
+    diff would flip it to 'diff' and hash-mismatch."""
+    from ..queries._util import cents
+
+    t = _cdf_table(spark, sf_dir)
+    feed = t.changes(1, 2)
+    return (
+        feed.groupBy(
+            F.col("_change_type").alias("change_type"),
+            (F.col("k") % 7).alias("grp"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .withColumn("strategy", F.lit(t.last_changes_strategy))
+        .orderBy("change_type", "grp")
+    )
+
+
+def table_cdf_staged_scan_oracle() -> str:
+    from ..queries._util import cents_sql
+
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+        ),
+        changes AS (
+            SELECT 'delete' AS change_type, k, price
+            FROM base WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'delete', k, price
+            FROM base WHERE k % 5 <> 0 AND k % 3 = 0
+            UNION ALL
+            SELECT 'insert', k, price + 5
+            FROM base WHERE k % 5 <> 0 AND k % 3 = 0
+        )
+        SELECT change_type, k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents,
+               'staged' AS strategy
+        FROM changes GROUP BY change_type, grp
+        ORDER BY change_type, grp
+    """

@@ -941,6 +941,38 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         renames = tbl._read_renames(v_to)
         out: list[_CdfPartition] = []
         for v in range(v_from, v_to):
+            if not tbl._read_data_change(v + 1):
+                # OPTIMIZE/ZORDER/CLUSTER/REORG: bytes moved, content
+                # didn't — Delta's dataChange=false rule lets the
+                # stream skip the pair instead of diffing a rewrite
+                # that provably cancels
+                continue
+            staged_cdf = tbl._read_cdf_staged(v + 1)
+            if staged_cdf is not None:
+                # write-side CDC (delta.enableChangeDataFeed): the
+                # commit staged its exact diff; stream those files
+                # directly — zero re-derivation, zero re-reads. The
+                # files materialize every column under PHYSICAL names,
+                # so the plain file read path handles them
+                ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
+                for tag in ("insert", "delete"):
+                    rel = staged_cdf.get(tag)
+                    if not rel:
+                        continue
+                    abs_dir = os.path.join(self.location, rel)
+                    for dirpath, _dirs, files in os.walk(abs_dir):
+                        for fn in sorted(files):
+                            if not fn.endswith(".parquet") or fn.startswith(
+                                ("_", ".")
+                            ):
+                                continue
+                            out.append(
+                                _CdfPartition(
+                                    os.path.join(dirpath, fn), tag,
+                                    v + 1, ts, {}, renames=renames,
+                                )
+                            )
+                continue
             old_e = tbl._read_manifest(v) if v >= 0 else {}
             new_e = tbl._read_manifest(v + 1)
             removed = set(old_e.items()) - set(new_e.items())

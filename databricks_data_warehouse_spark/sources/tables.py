@@ -1406,6 +1406,37 @@ class ManagedTable:
         # .update() must not poison the shared manifest cache
         return dict(_load_manifest_json(path).get("stats", {}))
 
+    def _read_data_change(self, version: int) -> bool:
+        """Delta's per-commit dataChange flag: False for content-
+        neutral maintenance rewrites (OPTIMIZE/ZORDER/CLUSTER/REORG) —
+        CDF readers skip those version pairs outright. Pre-flag
+        manifests default True (never wrongly skipped)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return True
+        return bool(_load_manifest_json(path).get("dataChange", True))
+
+    def _read_cdf_staged(self, version: int) -> dict[str, str] | None:
+        """Rel dirs of a commit's write-side staged change files
+        (``{"insert": rel, "delete": rel}``), or None when the commit
+        staged none (CDF readers then fall back to deriving the
+        diff)."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return None
+        c = _load_manifest_json(path).get("cdf")
+        return dict(c) if c else None
+
+    def _cdf_enabled(self) -> bool:
+        """``delta.enableChangeDataFeed`` TBLPROPERTY (Delta's write-
+        side CDC flag): rewrite commits additionally stage their exact
+        row-level diff so change-feed readers never re-derive it."""
+        return (
+            str(self.properties.get("delta.enableChangeDataFeed", ""))
+            .lower()
+            == "true"
+        )
+
     def _read_dv(self, version: int) -> tuple[dict[str, str], dict[str, int]]:
         """Deletion-vector metadata of a manifest: ``(dv, dv_n)`` where
         ``dv`` maps a data file to the dv parquet dir holding its
@@ -1430,6 +1461,7 @@ class ManagedTable:
         constraints: Mapping[str, str] | None = None,
         dv: Mapping[str, str] | None = None,
         dv_n: Mapping[str, int] | None = None,
+        cdf: Mapping[str, str] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -1473,6 +1505,16 @@ class ManagedTable:
                         # merge-on-read deletes: file -> dv dir + count
                         "dv": dict(dv or {}),
                         "dv_n": dict(dv_n or {}),
+                        # Delta's dataChange flag: OPTIMIZE/ZORDER/
+                        # CLUSTER/REORG rewrite bytes but not content —
+                        # CDF readers skip these commits entirely
+                        # instead of proving an empty diff the hard way
+                        "dataChange": not str(op).startswith(
+                            ("OPTIMIZE", "REORG")
+                        ),
+                        # write-side CDC (delta.enableChangeDataFeed):
+                        # rel dirs of this commit's staged change files
+                        "cdf": dict(cdf) if cdf else None,
                         # TBLPROPERTIES travel with every version
                         "properties": dict(self.properties),
                         # the schema travels too (Delta keeps it in the
@@ -1910,6 +1952,77 @@ class ManagedTable:
                 out[rel] = {"rows": md.num_rows, "cols": cols}
         return out
 
+    def _stage_change_data(
+        self,
+        v_prev: int,
+        removed_rels: list[str],
+        staged_rels: list[str],
+        write_rel: str,
+    ) -> dict[str, str]:
+        """Write-side CDC (``delta.enableChangeDataFeed``): materialize
+        a rewrite commit's exact row-level diff WHILE THE COMMIT RUNS —
+        the removed entries' visible rows vs the newly staged rows —
+        into ``_change_data/<write id>/{insert,delete}`` parquet,
+        recorded in the same manifest. CDF readers (batch and
+        streaming) then read each changed byte ONCE from the staged
+        files instead of re-deriving the diff per read (the streaming
+        reader's bucketed fallback re-reads an unpartitioned rewrite
+        pair up to 256×; this is Delta's actual answer — change files
+        are written by the commit that caused the change).
+
+        One shuffle total: both sides union with ±1 weights, one
+        groupBy over the full row computes the NET multiset count, and
+        ``explode(sequence(...))`` re-expands survivors — exact
+        duplicate-row cardinality, carried rows cancel map-side-ish in
+        the same aggregation. Rows can never cancel across hive
+        partitions, so the shuffle is as skew-safe as the data layout.
+        Staged change files store physical column names (no-renames
+        guard at the call site) with partition columns materialized,
+        so readers just read them."""
+        cols = [f.name for f in self.schema.fields]
+        dv_prev, _ = self._read_dv(v_prev)
+        touched_dv = {
+            f: d
+            for f, d in dv_prev.items()
+            if os.path.dirname(f) in set(removed_rels)
+        }
+        old = self._scan_rels(removed_rels, need_meta=bool(touched_dv))
+        if touched_dv:
+            old = old.join(
+                self._dv_rows(touched_dv).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            )
+        old = old.select(*cols)
+        new = (
+            self._scan_rels(staged_rels, need_meta=False).select(*cols)
+            if staged_rels
+            else self.spark.createDataFrame([], self.schema)
+        )
+        net = (
+            new.withColumn("__w", F.lit(1))
+            .unionByName(old.withColumn("__w", F.lit(-1)))
+            .groupBy(*cols)
+            .agg(F.sum("__w").alias("__n"))
+        )
+        base_rel = f"_change_data/{os.path.basename(write_rel)}"
+        out: dict[str, str] = {}
+        for tag, side in (
+            ("insert", net.where(F.col("__n") > 0)),
+            ("delete", net.where(F.col("__n") < 0)),
+        ):
+            rel = f"{base_rel}/{tag}"
+            side.withColumn(
+                "__r", F.explode(F.expr("sequence(1, abs(__n))"))
+            ).select(*cols).write.mode("overwrite").parquet(
+                os.path.join(self.location, rel)
+            )
+            out[tag] = rel
+        return out
+
     def _stage_and_commit(
         self,
         df: DataFrame,
@@ -2100,19 +2213,51 @@ class ManagedTable:
         txns = dict(self._read_txn(v_new - 1)) if v_new > 0 else {}
         if txn is not None:
             txns[txn[0]] = int(txn[1])
+        # write-side CDC: a rewrite on a CDF-enabled table stages its
+        # exact diff in the same transaction (Delta's change files).
+        # Appends need none (the incremental read strategy is already
+        # O(changed rows)); OPTIMIZE/REORG are dataChange=false and
+        # skipped by readers; column-mapped tables fall back to the
+        # read-side diff (staged files couldn't name future logical
+        # columns)
+        cdf_staged = None
+        if (
+            v_new > 0
+            and not str(op).startswith(("OPTIMIZE", "REORG"))
+            and not self.renames
+            and self._cdf_enabled()
+        ):
+            removed_rels = sorted(
+                set(self._read_manifest(v_new - 1).values())
+                - set(entries.values())
+            )
+            if removed_rels:
+                cdf_staged = self._stage_change_data(
+                    v_new - 1, removed_rels,
+                    sorted(set(staged.values())), write_rel,
+                )
         self._save_schema()
         try:
             self._write_manifest(
-                v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n
+                v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
+                cdf=cdf_staged,
             )
         except ConcurrentWriteError:
             # lost the race: discard this transaction's staged files
-            # (and their bloom sidecars — vacuum would sweep them, but
-            # the loser knows NOW)
+            # (and their bloom sidecars and staged change files —
+            # vacuum would sweep them, but the loser knows NOW)
             shutil.rmtree(write_dir, ignore_errors=True)
             shutil.rmtree(
                 self._bloom_dir_for_root(write_rel), ignore_errors=True
             )
+            if cdf_staged:
+                shutil.rmtree(
+                    os.path.join(
+                        self.location,
+                        f"_change_data/{os.path.basename(write_rel)}",
+                    ),
+                    ignore_errors=True,
+                )
             raise
         self._commit(v_new)
         if v_new > 0 and v_new % _CHECKPOINT_INTERVAL == 0:
@@ -4064,6 +4209,35 @@ class ManagedTable:
           at write time.
         """
         v_to = self.current_version() if to_version is None else to_version
+        if from_version == v_to - 1 and from_version >= 0:
+            # single commit: the two cheap strategies Delta reads CDF
+            # with — skip dataChange=false maintenance rewrites, and
+            # read write-side staged change files when the commit
+            # materialized them (each changed byte read once, no diff)
+            if not self._read_data_change(v_to):
+                self.last_changes_strategy = "no-data-change"
+                if self.schema is None:
+                    self.schema = self._load_schema()
+                return self.spark.createDataFrame(
+                    [], self.schema
+                ).withColumn("_change_type", F.lit("").cast("string"))
+            staged_cdf = self._read_cdf_staged(v_to)
+            if staged_cdf is not None:
+                self.last_changes_strategy = "staged"
+                if self.schema is None:
+                    self.schema = self._load_schema()
+                parts = []
+                for tag in ("insert", "delete"):
+                    rel = staged_cdf.get(tag)
+                    if not rel:
+                        continue
+                    parts.append(
+                        self.spark.read.schema(self._physical_schema())
+                        .parquet(os.path.join(self.location, rel))
+                        .select(*self._logical_select())
+                        .withColumn("_change_type", F.lit(tag))
+                    )
+                return reduce(DataFrame.unionByName, parts)
         # from_version -1 = "before the table existed": everything in
         # v_to is an insert (the CDC backfill convention)
         old_entries = (
@@ -4098,6 +4272,8 @@ class ManagedTable:
         v_to = self.current_version() if to_version is None else to_version
         parts = []
         for v in range(from_version, v_to):
+            if not self._read_data_change(v + 1):
+                continue  # OPTIMIZE-family commit: no content change
             step = self.changes(v, v + 1)
             ts = os.stat(self._manifest_path(v + 1)).st_mtime
             parts.append(
@@ -4365,6 +4541,21 @@ class ManagedTable:
                 if entry.startswith("w=") and entry not in live_roots:
                     shutil.rmtree(
                         os.path.join(bloom_root, entry), ignore_errors=True
+                    )
+        # staged change files of vacuumed commits serve no CDF reader
+        cdata_root = os.path.join(self.location, "_change_data")
+        if os.path.isdir(cdata_root):
+            live_cdf: set[str] = set()
+            for entry in os.listdir(self.location):
+                v = _manifest_version_of(entry)
+                if v is not None and v >= oldest_kept:
+                    for rel in (self._read_cdf_staged(v) or {}).values():
+                        # rel = _change_data/<write id>/<tag>
+                        live_cdf.add(rel.split("/")[1])
+            for entry in os.listdir(cdata_root):
+                if entry not in live_cdf:
+                    shutil.rmtree(
+                        os.path.join(cdata_root, entry), ignore_errors=True
                     )
         # checkpoints of vacuumed versions serve no reader
         if os.path.isdir(self._ckpt_root):

@@ -373,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_unpivot_status": aggregates.agg_unpivot_status,
         "agg_value_histogram": aggregates.agg_value_histogram,
         "op_profile_customer": ops.op_profile_customer,
+        # NEW round 10: DLT-style expectations (expect / expect_or_drop
+        # / expect_or_fail) — one-pass metric aggregation + the drop
+        # filter both pinned inside the hash via rows_kept
+        "pipeline_expectations": ops.op_pipeline_expectations,
         "op_clean_string": ops.op_clean_string,
         "op_clean_string_address": ops.op_clean_string_address,
         "op_validate_columns": ops.op_validate_columns,
@@ -433,6 +437,7 @@ _R10_WINDOW = [
     # (b) new round-10 operators
     "table_scd2_track_history",
     "table_cdf_staged_scan",
+    "pipeline_expectations",
     # (c) round-10 changed code: SCD2 event splice, CDF per-group
     # diff, epoch-shuffle NULL guard, autoloader reconcile sweep,
     # merge_clauses partition guard, cast-on-write, sql_dml fixes
@@ -2352,6 +2357,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         # ------------------------------------------- operator parity (C1-C5)
+        "pipeline_expectations": ops.op_pipeline_expectations_oracle(),
         "op_profile_customer": """
             SELECT 'c_custkey' AS col_name,
                    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)

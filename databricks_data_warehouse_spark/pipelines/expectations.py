@@ -1,0 +1,195 @@
+"""Delta Live Tables–style pipeline expectations.
+
+The reference validates row quality imperatively (CommonFunctions.py's
+validate_column / the Silver-Validation split, SURVEY.md §2.C2/C6);
+the modern Databricks spelling of the same intent is DLT's
+``@dlt.expect`` family — declarative per-rule boolean predicates with
+three enforcement actions and per-run violation metrics:
+
+- ``expect`` (warn): violating rows are KEPT, violations counted;
+- ``expect_or_drop``: violating rows are dropped from the output;
+- ``expect_or_fail``: any violation aborts the update.
+
+DLT rule reproduced exactly: a predicate that evaluates to NULL counts
+as a VIOLATION (``coalesce(pred, false)``).
+
+Scale design — metrics must not cost an extra pass:
+
+- :func:`with_expectations` is the zero-extra-pass form: it attaches
+  every rule's violation counter as an ``observe`` metric (computed by
+  the SAME job that consumes the frame — Spark's AccumulatorV2-backed
+  observed metrics, no second scan) and returns the drop-filtered
+  frame.  Works on batch AND streaming DataFrames (streaming surfaces
+  the metrics per micro-batch in ``StreamingQueryProgress``).
+- :func:`run_expectations` is the batch convenience form: ONE
+  aggregate job computes every rule's violation count map-side
+  (partial aggregation; the shuffle carries one row per partition),
+  raises on a violated ``fail`` rule, and returns the kept frame plus
+  a tiny metrics DataFrame.  The unpivot to (rule, action, violations)
+  happens on a single driver-sized row.
+
+Dropped rows are not silently lost: ``quarantine_predicate`` gives the
+DLQ-side filter (the medallion pipelines' C6 split, pipelines/dlq.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+_ACTIONS = ("warn", "drop", "fail")
+
+
+class ExpectationFailedError(Exception):
+    """An ``expect_or_fail`` rule saw at least one violating row."""
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named rule: SQL boolean predicate + enforcement action."""
+
+    name: str
+    condition: str
+    action: str = "warn"
+
+    def __post_init__(self) -> None:
+        if self.action not in _ACTIONS:
+            raise ValueError(
+                f"expectation {self.name!r}: action must be one of "
+                f"{_ACTIONS}, got {self.action!r}"
+            )
+
+    def passes(self) -> Column:
+        """True where the row satisfies the rule (NULL → violation,
+        the DLT convention)."""
+        return F.coalesce(F.expr(self.condition), F.lit(False))
+
+
+def expect(name: str, condition: str) -> Expectation:
+    """Warn-only rule: keep violating rows, count them."""
+    return Expectation(name, condition, "warn")
+
+
+def expect_or_drop(name: str, condition: str) -> Expectation:
+    """Drop rule: violating rows are removed from the output."""
+    return Expectation(name, condition, "drop")
+
+
+def expect_or_fail(name: str, condition: str) -> Expectation:
+    """Fail rule: any violating row aborts the update."""
+    return Expectation(name, condition, "fail")
+
+
+def _check_names(exps: Sequence[Expectation]) -> None:
+    seen: set[str] = set()
+    for e in exps:
+        if e.name in seen:
+            raise ValueError(f"duplicate expectation name: {e.name!r}")
+        seen.add(e.name)
+
+
+def keep_predicate(exps: Sequence[Expectation]) -> Column:
+    """AND of every drop/fail rule — True where the row survives.
+    (Fail rules are included so that, post-assert, the kept frame is
+    consistent even if the caller swallows the exception.)"""
+    pred = F.lit(True)
+    for e in exps:
+        if e.action in ("drop", "fail"):
+            pred = pred & e.passes()
+    return pred
+
+
+def quarantine_predicate(exps: Sequence[Expectation]) -> Column:
+    """Complement of :func:`keep_predicate` — the DLQ-side filter."""
+    return ~keep_predicate(exps)
+
+
+def with_expectations(
+    df: DataFrame,
+    exps: Sequence[Expectation],
+    observation: Observation | None = None,
+    observation_name: str = "expectations",
+) -> DataFrame:
+    """Zero-extra-pass enforcement: observe violation counters, then
+    drop-filter.  The counters are computed by whatever action the
+    caller runs on the result (write/collect/stream) — no second scan.
+
+    Batch: pass an :class:`~pyspark.sql.Observation` and read
+    ``observation.get`` after the action.  Streaming: pass no
+    observation; the named metrics arrive in every micro-batch's
+    ``StreamingQueryProgress.observedMetrics[observation_name]``.
+
+    ``fail`` rules cannot abort mid-job in this form (metrics are only
+    known after the action); use :func:`run_expectations` for batch
+    fail semantics, or check the observed metric per micro-batch.
+    """
+    _check_names(exps)
+    metrics = [
+        F.sum(F.when(e.passes(), 0).otherwise(1)).alias(e.name) for e in exps
+    ]
+    metrics.append(F.count(F.lit(1)).alias("__rows_observed"))
+    observed = (
+        df.observe(observation_name, *metrics)
+        if observation is None
+        else df.observe(observation, *metrics)
+    )
+    return observed.where(keep_predicate(exps))
+
+
+def expectation_metrics(
+    df: DataFrame, exps: Sequence[Expectation]
+) -> DataFrame:
+    """Violation counts as data, in ONE aggregate job:
+    ``(rule, action, violations, rows_total)`` — one output row per
+    rule.  The scan aggregates map-side (one partial row per
+    partition); the stack/unpivot runs on the single global row.
+    """
+    _check_names(exps)
+    aggs = [
+        F.sum(F.when(e.passes(), 0).otherwise(1)).alias(e.name) for e in exps
+    ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    # unpivot the 1×(n+1) row to n×(rule, violations)
+    pairs = ", ".join(f"'{e.name}', `{e.name}`" for e in exps)
+    action_map = F.create_map(
+        *[x for e in exps for x in (F.lit(e.name), F.lit(e.action))]
+    )
+    return (
+        row.selectExpr(
+            "__total",
+            f"stack({len(exps)}, {pairs}) as (rule, violations)",
+        )
+        .select(
+            "rule",
+            action_map[F.col("rule")].alias("action"),
+            F.col("violations").cast("bigint").alias("violations"),
+            F.col("__total").cast("bigint").alias("rows_total"),
+        )
+    )
+
+
+def run_expectations(
+    df: DataFrame, exps: Sequence[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Batch enforcement with DLT fail semantics: compute the metrics
+    (one aggregate job), raise :class:`ExpectationFailedError` if any
+    ``fail`` rule was violated, and return
+    ``(kept_df, metrics_df)`` — kept = drop/fail-filtered, lazily.
+    """
+    _check_names(exps)
+    metrics = expectation_metrics(df, exps)
+    failed = {
+        r["rule"]: r["violations"]
+        for r in metrics.where(
+            (F.col("action") == "fail") & (F.col("violations") > 0)
+        ).collect()
+    }
+    if failed:
+        raise ExpectationFailedError(
+            "expect_or_fail violated: "
+            + ", ".join(f"{k} ({v} rows)" for k, v in sorted(failed.items()))
+        )
+    return df.where(keep_predicate(exps)), metrics

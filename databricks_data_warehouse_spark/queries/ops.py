@@ -242,3 +242,71 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 def op_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile the customer table (every column)."""
     return profile_table(load(spark, sf_dir, "customer"))
+
+
+def op_pipeline_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT-style expectations over orders: one warn rule (violations
+    kept), one drop rule, one fail rule that passes, plus a NULL-
+    evaluating warn rule pinning the DLT NULL→violation convention.
+    Output: per-rule metrics with the post-enforcement kept count —
+    both the one-pass metric aggregation and the drop filter are
+    inside the hash.  (pipelines/expectations.py; modern spelling of
+    the reference's validate-and-split, Silver-Validation-Orders.py:
+    47-155.)"""
+    from ..pipelines.expectations import (
+        expect,
+        expect_or_drop,
+        expect_or_fail,
+        run_expectations,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    exps = [
+        expect("price_over_1000", "o_totalprice > 1000"),
+        # NULLIF makes the predicate NULL for 'P' rows → violation
+        expect("status_nullable", "NULLIF(o_orderstatus, 'P') IN ('O','F')"),
+        expect_or_drop("priority_not_low", "o_orderpriority <> '5-LOW'"),
+        expect_or_fail("key_present", "o_orderkey IS NOT NULL"),
+    ]
+    kept, metrics = run_expectations(orders, exps)
+    n_kept = kept.count()
+    return metrics.withColumn("rows_kept", F.lit(n_kept).cast("bigint")).orderBy(
+        "rule"
+    )
+
+
+def op_pipeline_expectations_oracle() -> str:
+    return """
+        WITH counts AS (
+            SELECT
+                COUNT(*) AS rows_total,
+                SUM(CASE WHEN NOT COALESCE(o_totalprice > 1000, FALSE)
+                    THEN 1 ELSE 0 END) AS v_price,
+                SUM(CASE WHEN NOT COALESCE(
+                        NULLIF(o_orderstatus, 'P') IN ('O','F'), FALSE)
+                    THEN 1 ELSE 0 END) AS v_status,
+                SUM(CASE WHEN NOT COALESCE(o_orderpriority <> '5-LOW', FALSE)
+                    THEN 1 ELSE 0 END) AS v_priority,
+                SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_key,
+                SUM(CASE WHEN COALESCE(o_orderpriority <> '5-LOW', FALSE)
+                         AND o_orderkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS rows_kept
+            FROM orders
+        )
+        SELECT r.rule, r.action,
+               CAST(CASE r.rule
+                      WHEN 'price_over_1000' THEN v_price
+                      WHEN 'status_nullable' THEN v_status
+                      WHEN 'priority_not_low' THEN v_priority
+                      ELSE v_key
+                    END AS BIGINT) AS violations,
+               CAST(rows_total AS BIGINT) AS rows_total,
+               CAST(rows_kept AS BIGINT) AS rows_kept
+        FROM counts, (
+            VALUES ('price_over_1000', 'warn'),
+                   ('status_nullable', 'warn'),
+                   ('priority_not_low', 'drop'),
+                   ('key_present', 'fail')
+        ) AS r(rule, action)
+        ORDER BY r.rule
+    """

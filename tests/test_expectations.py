@@ -1,0 +1,136 @@
+"""DLT-style expectations (pipelines/expectations.py).
+
+Reference shape: declarative re-spelling of the reference's
+validate-and-split (Silver-Validation-Orders.py:47-155, CommonFunctions
+validate_column) as Databricks DLT's expect / expect_or_drop /
+expect_or_fail with per-run metrics."""
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.pipelines.expectations import (
+    Expectation,
+    ExpectationFailedError,
+    expect,
+    expect_or_drop,
+    expect_or_fail,
+    expectation_metrics,
+    keep_predicate,
+    quarantine_predicate,
+    run_expectations,
+    with_expectations,
+)
+
+
+@pytest.fixture
+def df(spark):
+    # id 0..9; val NULL on ids 7,8,9
+    return spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") < 7, F.col("id") * 10).alias("val"),
+    )
+
+
+def test_warn_keeps_rows_and_counts(df):
+    kept, metrics = run_expectations(df, [expect("small", "id < 3")])
+    assert kept.count() == 10  # warn never drops
+    m = {r["rule"]: r for r in metrics.collect()}
+    assert m["small"]["violations"] == 7
+    assert m["small"]["action"] == "warn"
+    assert m["small"]["rows_total"] == 10
+
+
+def test_drop_removes_violating_rows(df):
+    kept, metrics = run_expectations(df, [expect_or_drop("even", "id % 2 = 0")])
+    assert sorted(r["id"] for r in kept.collect()) == [0, 2, 4, 6, 8]
+    assert metrics.collect()[0]["violations"] == 5
+
+
+def test_null_predicate_counts_as_violation_and_drops(df):
+    # val IS NULL on 3 rows -> predicate NULL -> violation (DLT rule)
+    kept, metrics = run_expectations(df, [expect_or_drop("v", "val >= 0")])
+    assert kept.count() == 7
+    assert metrics.collect()[0]["violations"] == 3
+
+
+def test_fail_raises_with_rule_and_count(df):
+    with pytest.raises(ExpectationFailedError, match=r"pos \(3 rows\)"):
+        run_expectations(df, [expect_or_fail("pos", "id < 7")])
+
+
+def test_fail_passes_when_clean(df):
+    kept, _ = run_expectations(df, [expect_or_fail("pos", "id >= 0")])
+    assert kept.count() == 10
+
+
+def test_combined_rules_one_metrics_row_each(df):
+    exps = [
+        expect("w", "id < 5"),
+        expect_or_drop("d", "id <> 0"),
+        expect_or_fail("f", "id < 100"),
+    ]
+    kept, metrics = run_expectations(df, exps)
+    assert kept.count() == 9  # only the drop rule removes rows
+    rows = {r["rule"]: (r["action"], r["violations"]) for r in metrics.collect()}
+    assert rows == {"w": ("warn", 5), "d": ("drop", 1), "f": ("fail", 0)}
+
+
+def test_quarantine_complements_keep(df):
+    exps = [expect_or_drop("even", "id % 2 = 0"), expect("w", "id < 3")]
+    kept = df.where(keep_predicate(exps))
+    dlq = df.where(quarantine_predicate(exps))
+    assert kept.count() + dlq.count() == 10
+    assert dlq.agg(F.min("id")).collect()[0][0] == 1  # odd ids quarantined
+
+
+def test_with_expectations_observe_single_pass(df):
+    obs = Observation()
+    out = with_expectations(df, [expect_or_drop("even", "id % 2 = 0")], obs)
+    assert out.count() == 5  # the action that also computes the metrics
+    got = obs.get
+    assert got["even"] == 5
+    assert got["__rows_observed"] == 10  # observed BEFORE the filter
+
+
+def test_duplicate_rule_names_rejected(df):
+    with pytest.raises(ValueError, match="duplicate"):
+        expectation_metrics(df, [expect("a", "id>0"), expect("a", "id<5")])
+
+
+def test_bad_action_rejected():
+    with pytest.raises(ValueError, match="action"):
+        Expectation("x", "1=1", "quarantine")
+
+
+def test_streaming_observe_metrics(spark, tmp_path):
+    """with_expectations works on a streaming frame: drop enforced per
+    micro-batch, violation counters in observedMetrics."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 4).alias("g")
+    ).coalesce(1).write.parquet(str(src), mode="overwrite")
+    stream = spark.readStream.schema("id long, g long").parquet(str(src))
+    out = with_expectations(
+        stream, [expect_or_drop("g_ok", "g <> 0"), expect("big", "id >= 10")]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("exp_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        assert spark.table("exp_stream").count() == 15  # g==0 dropped
+        observed = [
+            p.observedMetrics["expectations"]
+            for p in q.recentProgress
+            if "expectations" in (p.observedMetrics or {})
+        ]
+        assert sum(m["g_ok"] for m in observed) == 5
+        assert sum(m["big"] for m in observed) == 10
+        assert sum(m["__rows_observed"] for m in observed) == 20
+    finally:
+        q.stop()

@@ -34,6 +34,7 @@ DLQ-side filter (the medallion pipelines' C6 split, pipelines/dlq.py).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from collections.abc import Sequence
 
@@ -41,6 +42,8 @@ from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 _ACTIONS = ("warn", "drop", "fail")
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_RESERVED_NAMES = frozenset({"__total", "__rows_observed"})
 
 
 class ExpectationFailedError(Exception):
@@ -60,6 +63,19 @@ class Expectation:
             raise ValueError(
                 f"expectation {self.name!r}: action must be one of "
                 f"{_ACTIONS}, got {self.action!r}"
+            )
+        # names are interpolated into stack() SQL and used as column
+        # aliases — restrict to safe identifiers and reserve the
+        # internal aliases so no name can break or inject the
+        # metrics query (ADVICE r10)
+        if not _NAME_RE.fullmatch(self.name):
+            raise ValueError(
+                f"expectation name {self.name!r}: must match "
+                "[A-Za-z_][A-Za-z0-9_]* (letters, digits, underscore)"
+            )
+        if self.name in _RESERVED_NAMES:
+            raise ValueError(
+                f"expectation name {self.name!r} is reserved"
             )
 
     def passes(self) -> Column:

@@ -34,14 +34,19 @@ O(files-per-lookback), and nothing row-sized ever moves through the
 source.
 
 A file whose mtime lags the watermark by MORE than the lookback is
-invisible to the INCREMENTAL listing — so every ``reconcileEvery``-th
-trigger (default 10, per stream run) is a RECONCILE SWEEP that
-delivers the FULL listing instead (VERDICT r09 item 4). Over-delivery
-is free by design: exactly-once is owned by the table's COPY ledger,
-which no-ops every already-loaded path — the sweep is the streaming
-spelling of the batch ``copy_into`` re-diff, so the stream converges
-on back-dated files by itself. Sweep cost is one full-listing
-metadata pass through the sink's ledger diff, amortized 1/K.
+invisible to the INCREMENTAL listing — so with ``reconcileEvery=K``
+(OPT-IN, default 0: only a deduplicating sink like the COPY ledger
+can absorb re-delivery) the first trigger of each run and every K-th
+thereafter is a RECONCILE SWEEP that delivers the FULL listing
+instead (VERDICT r09 item 4; first-trigger so availableNow drains
+sweep too, ADVICE r10). Over-delivery is free for the intended sink:
+exactly-once is owned by the table's COPY ledger, which no-ops every
+already-loaded path — the sweep is the streaming spelling of the
+batch ``copy_into`` re-diff, so the stream converges on back-dated
+files by itself. Sweep cost is one full-listing metadata pass through
+the sink's ledger diff, amortized 1/K. With ``includeExisting=false``
+the sweep respects the initial watermark (the ``floor`` offset
+field): files the stream opted out of never re-enter via a sweep.
 """
 
 from __future__ import annotations
@@ -97,12 +102,22 @@ class CloudFilesStreamReader(DataSourceStreamReader):
             "includeexisting", options.get("includeExisting", "true")
         )).lower() == "true"
         self._include_existing = include
-        # every K-th trigger of this run re-delivers the FULL listing
-        # (ledger no-ops the already-loaded ones); 0 disables
+        # every K-th trigger of this run re-delivers the FULL listing.
+        # OPT-IN (default 0 = off, ADVICE r10): re-delivery is only
+        # free for a sink that dedups (the COPY ledger — autoloader
+        # passes reconcileEvery explicitly); any other consumer of the
+        # generic source would see every file duplicated each sweep.
         self.reconcile_every = int(
-            options.get("reconcileevery", options.get("reconcileEvery", 10))
+            options.get("reconcileevery", options.get("reconcileEvery", 0))
         )
         self._trigger_count = 0
+        # includeExisting=false floor: files at-or-below the initial
+        # watermark stay excluded even from reconcile sweeps (the
+        # stream opted out of pre-existing files). Carried in every
+        # offset so it survives restarts; the instance attr bridges
+        # the one latestOffset() call that precedes the first
+        # partitions() of a restarted run.
+        self._floor = 0
 
     # ------------------------------------------------------ listing
     def _list(self) -> list:
@@ -136,20 +151,27 @@ class CloudFilesStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------ offsets
     def initialOffset(self) -> dict:
         if self._include_existing:
-            return {"wm": 0, "recent": {}}
-        return self._offset_for(self._list())
+            return {"wm": 0, "recent": {}, "floor": 0}
+        off = self._offset_for(self._list())
+        self._floor = off["wm"]
+        off["floor"] = self._floor
+        return off
 
     def latestOffset(self) -> dict:
         self._trigger_count += 1
         off = self._offset_for(self._list())
-        if (
-            self.reconcile_every > 0
-            and self._trigger_count % self.reconcile_every == 0
+        off["floor"] = self._floor
+        if self.reconcile_every > 0 and (
+            self._trigger_count == 1
+            or self._trigger_count % self.reconcile_every == 0
         ):
             # reconcile sweep: flag the batch to deliver the FULL
             # listing — closes the "mtime lags watermark past the
             # lookback" miss window; the COPY ledger makes the
-            # re-delivery a metadata-only no-op
+            # re-delivery a metadata-only no-op. The FIRST trigger of
+            # every run sweeps too (ADVICE r10): an availableNow drain
+            # runs 1-2 triggers, so a %K-only schedule would never
+            # fire for the primary stream_copy_into usage.
             off["sweep"] = True
         return off
 
@@ -161,8 +183,15 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         s_wm = int(start.get("wm", 0))
         s_recent = dict(start.get("recent", {}))
         e_wm = int(end.get("wm", 0))
+        # floor rides the start offset (checkpoint-durable); keep the
+        # instance attr in sync for the next latestOffset()
+        self._floor = max(self._floor, int(start.get("floor", 0)))
         if end.get("sweep"):
-            new = [(p, sz, m) for p, sz, m in self._list() if m <= e_wm]
+            new = [
+                (p, sz, m)
+                for p, sz, m in self._list()
+                if self._floor < m <= e_wm
+            ]
             return [_FileBatch(files=new)]
         new = [
             (p, sz, m)

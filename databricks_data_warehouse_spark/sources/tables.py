@@ -2117,16 +2117,39 @@ class ManagedTable:
         # column, int into long) would be reinterpreted — e.g. the
         # decimal's unscaled 50 read back as 50.0 (found via the
         # round-10 INSERT OVERWRITE PARTITION repro). Delta casts on
-        # write (storeAssignmentPolicy); so do we.
+        # write under storeAssignmentPolicy=ANSI — an overflowing or
+        # malformed value FAILS the write rather than silently
+        # nulling/wrapping (ADVICE r10): try_cast + a raise when a
+        # non-NULL input became NULL, all inside one codegen'd pass.
         if self.schema is not None:
             want = {f.name: f.dataType for f in self.schema.fields}
             if any(
                 c in want and df.schema[c].dataType != want[c]
                 for c in df.columns
             ):
+                def _ansi_cast(c):
+                    tried = F.col(c).try_cast(want[c])
+                    return F.when(
+                        F.col(c).isNotNull() & tried.isNull(),
+                        F.assert_true(
+                            F.lit(False),
+                            F.concat(
+                                F.lit(
+                                    f"table {self.name}: value "
+                                    f"overflows/fails ANSI cast of "
+                                    f"column {c!r} to "
+                                    f"{want[c].simpleString()}: "
+                                ),
+                                F.col(c).cast("string"),
+                            ),
+                        ).cast(want[c]),
+                    ).otherwise(tried).alias(c)
+
                 df = df.select(
                     *[
-                        F.col(c).cast(want[c]).alias(c) if c in want else F.col(c)
+                        _ansi_cast(c)
+                        if c in want and df.schema[c].dataType != want[c]
+                        else F.col(c)
                         for c in df.columns
                     ]
                 )
@@ -5265,10 +5288,18 @@ class ManagedTable:
         # stage that destination partition while having excluded its
         # unmatched rows from the join — base-key replacement would
         # silently drop them. Same guard as merge_update: fall back to
-        # the full-table pass (ADVICE r09).
+        # the full-table pass (ADVICE r09). Insert maps are unsafe too
+        # (ADVICE r10): a map assigning a partition column can land the
+        # row anywhere, and a map OMITTING one inserts NULL — partition
+        # (NULL) — so only "insert_all" (partition values come verbatim
+        # from the source row, inside the scoped set) keeps scoping.
+        _pcols = set(self.partition_columns)
         _updates_partition_col = any(
-            isinstance(a, Mapping) and set(a) & set(self.partition_columns)
+            isinstance(a, Mapping) and set(a) & _pcols
             for _c, a in [*matched, *not_matched_by_source]
+        ) or any(
+            isinstance(a, Mapping) and (set(a) & _pcols or not _pcols <= set(a))
+            for _c, a in not_matched
         )
         scoped = (
             not not_matched_by_source

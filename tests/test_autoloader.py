@@ -153,3 +153,91 @@ def test_autoloader_reconcile_sweep_catches_backdated_file(spark, tmp_path):
         reconcile_every=1,
     )
     assert r4["rows_loaded"] == 0
+
+
+def test_cloud_files_reconcile_default_off(tmp_path):
+    """ADVICE r10 (medium): the generic source must NOT sweep unless
+    asked — only a deduplicating sink (the COPY ledger) can absorb the
+    full-listing re-delivery."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz_def"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    r = CloudFilesStreamReader({"location": str(d)})
+    assert r.reconcile_every == 0
+    for _ in range(12):
+        assert "sweep" not in r.latestOffset()
+
+
+def test_cloud_files_first_trigger_sweeps(tmp_path):
+    """ADVICE r10 (low): an availableNow drain runs 1-2 triggers, so
+    the sweep must fire on the FIRST trigger of each run, not only
+    every K-th."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz_first"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    r = CloudFilesStreamReader(
+        {"location": str(d), "reconcileEvery": "10"}
+    )
+    assert r.latestOffset().get("sweep") is True   # trigger 1
+    assert "sweep" not in r.latestOffset()          # trigger 2
+    for _ in range(7):
+        r.latestOffset()
+    assert r.latestOffset().get("sweep") is True   # trigger 10
+
+
+def test_cloud_files_sweep_respects_include_existing_floor(tmp_path):
+    """ADVICE r10 (medium): with includeExisting=false, a reconcile
+    sweep must not resurrect the pre-existing files the stream opted
+    out of — the initial watermark is a floor for sweeps too."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz_floor"
+    d.mkdir()
+    pre = d / "pre.parquet"
+    pre.write_bytes(b"x")
+    old = os.stat(pre).st_mtime_ns - 10**13
+    os.utime(pre, ns=(old, old))
+    r = CloudFilesStreamReader(
+        {
+            "location": str(d),
+            "includeExisting": "false",
+            "reconcileEvery": "1",
+            "lookbackNs": "0",
+        }
+    )
+    o0 = r.initialOffset()
+    assert o0["floor"] == o0["wm"]
+    new = d / "new.parquet"
+    new.write_bytes(b"y")
+    later = o0["wm"] + 10**9
+    os.utime(new, ns=(later, later))
+    o1 = r.latestOffset()
+    assert o1.get("sweep") is True
+    [batch] = r.partitions(o0, o1)
+    names = [os.path.basename(p) for p, _, _ in batch.files]
+    assert names == ["new.parquet"]  # pre-existing file stays out
+    # floor survives a simulated restart (fresh reader, checkpointed
+    # offsets only): partitions() re-learns it from the start offset
+    r2 = CloudFilesStreamReader(
+        {
+            "location": str(d),
+            "includeExisting": "false",
+            "reconcileEvery": "1",
+            "lookbackNs": "0",
+        }
+    )
+    [batch2] = r2.partitions(o1, {**r2.latestOffset(), "sweep": True})
+    assert r2._floor == o0["wm"]
+    assert "pre.parquet" not in [
+        os.path.basename(p) for p, _, _ in batch2.files
+    ]

@@ -134,3 +134,23 @@ def test_streaming_observe_metrics(spark, tmp_path):
         assert sum(m["__rows_observed"] for m in observed) == 20
     finally:
         q.stop()
+
+
+def test_expectation_name_validation():
+    """ADVICE r10: names reach stack() SQL and column aliases — reject
+    anything that could break/inject the metrics query, and the
+    reserved internal aliases."""
+    import pytest as _pytest
+
+    from databricks_data_warehouse_spark.pipelines.expectations import (
+        Expectation,
+    )
+
+    Expectation("valid_name_1", "k > 0")  # fine
+    for bad in ("has'quote", "back`tick", "with space", "1leading",
+                "semi;colon", ""):
+        with _pytest.raises(ValueError, match="must match"):
+            Expectation(bad, "k > 0")
+    for reserved in ("__total", "__rows_observed"):
+        with _pytest.raises(ValueError, match="reserved"):
+            Expectation(reserved, "k > 0")

@@ -239,3 +239,61 @@ def test_partition_moving_update_falls_back_to_full_rewrite(spark, tmp_path):
         (10, 9, 10.0),   # destination partition rows NOT dropped
         (11, 9, 11.0),
     }
+
+
+def test_partition_assigning_insert_falls_back_to_full_rewrite(spark, tmp_path):
+    """ADVICE r10 (medium): a NOT MATCHED insert map that assigns a
+    partition column can land the new row in a partition OUTSIDE the
+    source's partitions; scoping would stage that destination partition
+    while its pre-existing rows were excluded from the join. The guard
+    must force the full-table pass — no rows lost."""
+    t = ManagedTable(
+        spark, "t", str(tmp_path / "tpi"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, "B", 2.0), (3, "B", 3.0)],
+            "k long, g string, v double",
+        )
+    )
+    # source touches only partition A, but the insert map lands the new
+    # row in partition B — whose rows the scope filter would exclude
+    src = spark.createDataFrame([(9, "A", 9.0)], "k long, g string, v double")
+    t.merge_clauses(
+        src, ["g", "k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, {"k": "src.k", "g": "'B'", "v": "src.v"})],
+    )
+    got = {(r["k"], r["g"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        (1, "A", 1.0),
+        (2, "B", 2.0),   # pre-existing partition-B rows NOT dropped
+        (3, "B", 3.0),
+        (9, "B", 9.0),   # inserted into B per the map
+    }
+
+
+def test_partition_omitting_insert_falls_back_to_full_rewrite(spark, tmp_path):
+    """ADVICE r10 (medium), omission variant: an insert map that OMITS
+    a partition column inserts NULL for it — partition (NULL) — again
+    outside the scoped set. Guard forces the full-table pass."""
+    t = ManagedTable(
+        spark, "t", str(tmp_path / "tpo"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", 1.0), (2, None, 2.0)],
+            "k long, g string, v double",
+        )
+    )
+    src = spark.createDataFrame([(9, "A", 9.0)], "k long, g string, v double")
+    t.merge_clauses(
+        src, ["g", "k"],
+        not_matched=[(None, {"k": "src.k", "v": "src.v"})],  # g omitted
+    )
+    got = {(r["k"], r["g"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        (1, "A", 1.0),
+        (2, None, 2.0),  # pre-existing NULL-partition row NOT dropped
+        (9, None, 9.0),  # inserted with NULL partition value
+    }

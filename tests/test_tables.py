@@ -488,3 +488,34 @@ def test_staged_writes_cast_to_declared_schema(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in t.read().collect()} == {
         (1, 1.0), (5, 5.0), (9, 9.5)
     }
+
+
+def test_cast_on_write_ansi_overflow_fails(spark, tmp_path):
+    """ADVICE r10: store-assignment is ANSI — a long overflowing an int
+    column fails the write instead of silently wrapping/nulling
+    (Delta's storeAssignmentPolicy=ANSI default)."""
+    import pytest as _pytest
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    t = ManagedTable(spark, "ansi_cast", str(tmp_path / "ansi_cast"))
+    t.create_if_not_exists(StructType([StructField("k", IntegerType())]))
+    ok = spark.createDataFrame([(1,), (2,)], "k long")
+    t.append(ok)  # value-preserving downcast is fine
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    bad = spark.createDataFrame([(3_000_000_000,)], "k long")
+    with _pytest.raises(Exception, match="ANSI cast|assert"):
+        t.append(bad)
+    # failed write staged nothing visible
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_cast_on_write_null_passthrough(spark, tmp_path):
+    """NULL inputs stay NULL through the ANSI cast (no spurious raise)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    t = ManagedTable(spark, "ansi_null", str(tmp_path / "ansi_null"))
+    t.create_if_not_exists(StructType([StructField("k", IntegerType())]))
+    t.append(spark.createDataFrame([(None,), (5,)], "k long"))
+    assert sorted(
+        (r.k is None, r.k) for r in t.read().collect()
+    ) == [(False, 5), (True, None)]

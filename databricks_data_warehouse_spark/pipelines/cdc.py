@@ -55,6 +55,13 @@ from ..sources.tables import ManagedTable
 START_COL = "__START_AT"
 END_COL = "__END_AT"
 DELETED_COL = "__DELETED"
+# TRACK HISTORY mode only: the open/closed version's merged events as
+# array<struct(seq, value columns...)> — collapsing is lossy (a
+# version's intermediate events' sequences/values vanish), so the
+# stored array lets a LATE splice reconstruct the true event stream
+# and resolve untracked columns by true event order (VERDICT r10
+# item 5). Default mode stores nothing extra (1 row == 1 event).
+EVENTS_COL = "__EVENTS"
 
 
 def scd1_current(target: ManagedTable) -> DataFrame:
@@ -262,6 +269,23 @@ def _rebuild_history(
     )
     wg = Window.partitionBy(*keys, "__grp")
     ev = ev.withColumn(START_COL, F.min(seq).over(wg))
+    if tracked is not None and EVENTS_COL in out_cols:
+        # persist the group's merged events (sorted by seq — the
+        # struct's first field) so collapsing stays lossless for a
+        # later splice; same wg window, no extra shuffle
+        value_cols = [
+            c
+            for c in events.columns
+            if c not in (*keys, seq, "__del", "__src", "__brk", "__grp")
+        ]
+        ev = ev.withColumn(
+            EVENTS_COL,
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(seq), *[F.col(c) for c in value_cols])
+                ).over(wg)
+            ),
+        )
     # the version's values are its LATEST event's values
     wlast = wg.orderBy(F.col(seq).desc())
     ev = (
@@ -309,16 +333,15 @@ def _apply_scd2(
     slice is DV-deleted and the rebuilt history appended in ONE
     commit (merge-on-read).
 
-    TRACK HISTORY caveat: a collapsed version is reconstructed as ONE
-    event at its ``__START_AT`` carrying its final values (the
-    collapsed events' individual sequences are not stored), so (a) a
-    replayed untracked-only event re-splices and commits an identical
-    slice (state-idempotent, not commit-free), and (b) a late event
-    splicing INTO an already-collapsed version resolves untracked
-    columns by order among reconstructed events, which for untracked
-    columns may differ from the true event order. Exact any-order
-    convergence (property-tested) holds in the default
-    every-event-versions mode."""
+    TRACK HISTORY mode stores each version's merged events as
+    ``__EVENTS`` (array<struct(seq, values…)>, VERDICT r10 item 5), so
+    collapsing is lossless: reconstruction replays every merged event
+    at its true sequence with its true values, replayed untracked-only
+    events dedupe to commit-free no-ops, and a late splice into a
+    collapsed version resolves untracked columns by TRUE event order —
+    any-order convergence is property-tested in tracked mode too.
+    Legacy tracked histories written WITHOUT ``__EVENTS`` keep the old
+    caveat (reconstructed-order resolution) until rewritten."""
     # delete condition may reference except_columns — evaluate first
     del_flag = (
         F.coalesce(F.expr(apply_as_deletes), F.lit(False))
@@ -332,6 +355,8 @@ def _apply_scd2(
     value_cols = [c for c in data_cols if c not in keys and c != seq]
     tracked = _resolve_tracked(value_cols, track_cols, track_except)
     out_cols = [c for c in data_cols if c != seq] + [START_COL, END_COL]
+    if tracked is not None:
+        out_cols.append(EVENTS_COL)
     ev_cols = [*keys, *value_cols, seq, "__del", "__src"]
     batch_ev = ch.withColumn("__src", F.lit(1)).select(*ev_cols)
 
@@ -375,11 +400,35 @@ def _apply_scd2(
         F.col(START_COL) == F.col(END_COL)
     )
     hist = affected.where(~is_tomb)
-    row_ev = hist.select(
-        *keys, *value_cols,
-        F.col(START_COL).alias(seq),
-        F.lit(False).alias("__del"), F.lit(0).alias("__src"),
-    )
+    if EVENTS_COL in tcols:
+        # lossless tracked-mode reconstruction: the stored event
+        # array replays every merged event at its TRUE sequence with
+        # its TRUE values; rows without an array (legacy histories)
+        # fall back to one-event-per-row reconstruction
+        stored = hist.where(
+            F.col(EVENTS_COL).isNotNull() & (F.size(EVENTS_COL) > 0)
+        )
+        exact_ev = stored.select(
+            *keys, F.explode(EVENTS_COL).alias("__e")
+        ).select(
+            *keys,
+            *[F.col(f"__e.{c}").alias(c) for c in value_cols],
+            F.col(f"__e.{seq}").alias(seq),
+            F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+        )
+        row_ev = hist.where(
+            F.col(EVENTS_COL).isNull() | (F.size(EVENTS_COL) == 0)
+        ).select(
+            *keys, *value_cols,
+            F.col(START_COL).alias(seq),
+            F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+        ).unionByName(exact_ev)
+    else:
+        row_ev = hist.select(
+            *keys, *value_cols,
+            F.col(START_COL).alias(seq),
+            F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+        )
     tomb_ev = affected.where(is_tomb).select(
         *keys, *value_cols,
         F.col(START_COL).alias(seq),

@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checkpoint re-delivers everything and must no-op (sequence-
         # owned exactly-once, no txn watermark)
         "stream_apply_changes": streaming.stream_apply_changes_query,
+        # NEW round 11: DLT expectations on a STREAMING frame — the
+        # per-micro-batch observedMetrics summed across the drain must
+        # equal the batch totals; the sink count proves drop enforcement
+        "stream_expectations": streaming.stream_expectations,
         # NEW round 6: directed n-gram containment (doc-in-doc dup the
         # symmetric Jaccard misses)
         "dedup_containment_pairs": dedup.ngram_containment_pairs,
@@ -1017,6 +1021,8 @@ def oracle_sql() -> dict[str, str]:
         # hold exactly one copy of every order
         "stream_copy_into": streaming.stream_copy_into_oracle(),
         "stream_apply_changes": streaming.stream_apply_changes_oracle(),
+        # streamed expectations: observed metrics + enforcement hashed
+        "stream_expectations": streaming.stream_expectations_oracle(),
         # ---------------------------------------------------------- gold
         "gold_customer_breakdown": """
             SELECT c.c_mktsegment, n.n_name, COUNT(*) AS customer_count

@@ -26,6 +26,8 @@ from .table_stream import (
 )
 from .windows import (
     stream_click_purchase_join,
+    stream_expectations,
+    stream_expectations_oracle,
     stream_dedup_events,
     stream_enriched_counts,
     stream_expanding_zscore,
@@ -52,6 +54,8 @@ __all__ = [
     "stream_table_source",
     "stream_table_source_oracle",
     "stream_click_purchase_join",
+    "stream_expectations",
+    "stream_expectations_oracle",
     "stream_dedup_events",
     "stream_enriched_counts",
     "stream_expanding_zscore",

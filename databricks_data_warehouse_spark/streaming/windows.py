@@ -523,3 +523,94 @@ def stream_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         scored, "append", state_partitions=8, expect_single_batch=True
     )
+
+
+def stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLT expectations on a STREAMING frame (VERDICT r10 item 7):
+    ``with_expectations`` attaches the per-rule violation counters as
+    observed metrics — computed per micro-batch by the SAME job that
+    feeds the sink — and drop-filters the frame. The availableNow
+    drain's observedMetrics, summed across micro-batches, must equal
+    the batch totals, and the memory sink's row count proves the drop
+    enforcement. Result rows: per-rule
+    (rule, action, violations, rows_observed, rows_kept) — the
+    metrics AND the enforcement are both inside the oracle hash."""
+    from ..pipelines.expectations import (
+        expect,
+        expect_or_drop,
+        with_expectations,
+    )
+
+    exps = [
+        expect("value_over_300", "value > 300"),
+        expect_or_drop("not_error", "event_type <> 'error'"),
+        expect_or_drop("value_under_450", "value < 450"),
+    ]
+    events = _stream_events(spark, sf_dir).select("event_type", "value")
+    out = with_expectations(events, exps)
+    name = f"stream_sink_{next(_sink_ids)}"
+    ckpt = os.path.join(_scratch_root(), "ckpt", name)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        totals = {e.name: 0 for e in exps}
+        rows_observed = 0
+        for p in q.recentProgress:
+            m = (p.observedMetrics or {}).get("expectations")
+            if m is None:
+                continue
+            for e in exps:
+                totals[e.name] += int(m[e.name] or 0)
+            rows_observed += int(m["__rows_observed"] or 0)
+        rows_kept = spark.table(name).count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [
+        (e.name, e.action, totals[e.name], rows_observed, rows_kept)
+        for e in exps
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rule string, action string, violations long, "
+        "rows_observed long, rows_kept long",
+    ).orderBy("rule")
+
+
+def stream_expectations_oracle() -> str:
+    return """
+        WITH counts AS (
+            SELECT
+                COUNT(*) AS rows_observed,
+                SUM(CASE WHEN NOT COALESCE(value > 300, FALSE)
+                    THEN 1 ELSE 0 END) AS v_over,
+                SUM(CASE WHEN NOT COALESCE(event_type <> 'error', FALSE)
+                    THEN 1 ELSE 0 END) AS v_err,
+                SUM(CASE WHEN NOT COALESCE(value < 450, FALSE)
+                    THEN 1 ELSE 0 END) AS v_under,
+                SUM(CASE WHEN COALESCE(event_type <> 'error', FALSE)
+                         AND COALESCE(value < 450, FALSE)
+                    THEN 1 ELSE 0 END) AS rows_kept
+            FROM events
+        )
+        SELECT r.rule, r.action,
+               CAST(CASE r.rule
+                      WHEN 'value_over_300' THEN v_over
+                      WHEN 'not_error' THEN v_err
+                      ELSE v_under
+                    END AS BIGINT) AS violations,
+               CAST(rows_observed AS BIGINT) AS rows_observed,
+               CAST(rows_kept AS BIGINT) AS rows_kept
+        FROM counts, (
+            VALUES ('value_over_300', 'warn'),
+                   ('not_error', 'drop'),
+                   ('value_under_450', 'drop')
+        ) AS r(rule, action)
+        ORDER BY r.rule
+    """

@@ -64,43 +64,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    Round-9 window (VERDICT r08 items 1-2 + this round's edits; a
-    green on CHANGED code is the durable record):
-    (a) entries whose code or oracle changed or is NEW in round 9:
-        join_skew_salted (oracle BIGINT cast — the one r08 red),
-        table_replace_where / table_merge_sync / table_dml_subquery /
-        table_cluster_scan / table_apply_changes_scd1+scd2 /
-        data_epoch_shuffle (all NEW operators this round),
-        stream_copy_into (NEW: Auto-Loader streaming COPY),
-        stream_table_cdf (bucketed distributed rewrite diff),
-        dedup_semantic (checkpointed stages), dedup_clusters /
-        dedup_keep_canonical / dedup_incremental (connected-components
-        driver fast path), table_bloom_scan (sidecar-sized prune-path
-        choice), table_copy_into (copy_into_files refactor),
-        agg_distinct_counts_approx + agg_delay_percentiles_approx
-        (NEW deterministic-bound oracles — no rows-only entries left);
-    (b) the r08 rotation queue, in its exact order: the 5 ceded oldest
-        greens (op_clean_string_address, gold_customer_breakdown,
-        dash_customer_share_by_segment, dash_low_order_customers,
-        tpch_q6_forecast_revenue), the r05 text_* family, the r05
-        events_json/ann_cosine/ann_pairs/anomaly/quality_floor/
-        unpivot/histogram block, the dedup/LSH entries sharing this
-        round's touched dedup.py/similarity.py (dedup_cap_report,
-        dedup_containment_pairs, ann_lsh_* ×4, emb_quantize_int8,
-        emb_centroid_per_label), then the r06 TPC-H long tail from q2.
-
-    Left OUT, with justification: tpch q7-q22 + the stretch aggs
-    (window filled by this round's 8 NEW operator entries — new code
-    needs the driver green more than untouched r06 files; the TPC-H
-    tail leads round 10's queue), and the r08-green
-    tables.py/similarity.py entries whose round-9 file edits do not
-    touch their code paths (ann_ivf/pq/emb_hard_negatives: the
-    similarity.py edits are semantic_dedup_df-local plus the APPENDED
-    ann_recall_report, whose window entry transitively re-verifies the
-    pq/cosine pipelines it composes; the touched
-    tables.py surfaces all have NEW oracle entries in (a) plus
-    local pytest + full local oracle gate green at sf0.001 AND
-    sf0.01)."""
+    The executing window is ``_R11_WINDOW`` (defined below, next to
+    the catalog) — see its comment for this round's selection
+    rationale. Everything not in the window keeps catalog order after
+    it."""
     cat = {
         # ====== (a) never driver-checked ===================================
         # pandas-UDAF / Python-UDTF API-class demos + r05 additions the
@@ -423,79 +390,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R10_WINDOW}
+    ordered = {k: cat[k] for k in _R11_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 10 (VERDICT r09 item 1): slot 1
-# is table_convert_scan (the only entry with NO driver-issued record),
-# then the new round-10 entry, then every entry whose implementing
-# files round 10 touched (cdc/datasource/shuffle/autoloader/tables/
-# sql_dml), then the full staleness queue: the 26 r04-era greens,
-# op_validate_domain (r05), and the r06 TPC-H long tail. Everything
-# not listed keeps its catalog order after these.
-_R10_WINDOW = [
-    # (a) never driver-checked
-    "table_convert_scan",
-    # (b) new round-10 operators
-    "table_scd2_track_history",
-    "table_cdf_staged_scan",
+# The 50-slot driver window for round 11 (VERDICT r10 item 1): lead
+# with the 3 entries whose r08 greens sit on files round 10 rewrote
+# (table_cdf / table_sql_dml / stream_table_source — the project's
+# only `weak` records), then the full staleness tail (every entry
+# whose newest green is r06/r07 — 32 entries, oldest first), then the
+# 15 round-11 slots: the NEW stream_expectations oracle and every
+# entry whose implementing files round 11 touched (cdc.py __EVENTS
+# splice, datasource.py derived-diff cache, cloud_files.py sweep
+# floor, expectations.py name guard + adapter, tables.py ANSI cast +
+# insert-map scope guard). After this window the oldest green in the
+# project is r08. Everything not listed keeps catalog order after.
+_R11_WINDOW = [
+    # (a) weak: r08 greens on round-10-rewritten files
+    "table_cdf",
+    "table_sql_dml",
+    "stream_table_source",
+    # (b) staleness tail: newest green r06
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    # (c) staleness tail: newest green r07
+    "agg_distinct_counts",
+    "agg_revenue_pareto",
+    "asof_events_latest_order",
+    "dedup_ratio_by_source",
+    "events_path_topk",
+    "events_transition_matrix",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_media_metadata",
+    "op_pipeline_validate",
+    "range_join_value_bands",
+    "sample_hash_split",
+    "sample_stratified",
+    "stats_corr_price_qty",
+    "stats_delay_regression",
+    "stream_dedup_events",
+    "stream_dedup_simhash",
+    "stream_enriched_counts",
+    "stream_expanding_zscore",
+    "stream_session_windows",
+    "stream_sliding_windows",
+    "text_chunks",
+    "text_word_bigrams",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "udaf_weighted_delay",
+    "udtf_word_bigrams",
+    # (d) round-11 new + changed code
+    "stream_expectations",
     "pipeline_expectations",
-    # (c) round-10 changed code: SCD2 event splice, CDF per-group
-    # diff, epoch-shuffle NULL guard, autoloader reconcile sweep,
-    # merge_clauses partition guard, cast-on-write, sql_dml fixes
+    "table_scd2_track_history",
     "table_apply_changes_scd1",
     "table_apply_changes_scd2",
+    "table_apply_snapshot_scd1",
+    "table_apply_snapshot_scd2",
     "stream_apply_changes",
+    "table_cdf_staged_scan",
     "stream_table_cdf",
-    "data_epoch_shuffle",
     "stream_copy_into",
     "table_merge_sync",
     "table_replace_where",
     "table_dml_subquery",
-    "table_apply_snapshot_scd1",
-    "table_apply_snapshot_scd2",
-    # (d) staleness queue: newest green r04
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_sales_opportunity",
-    "agg_rollup_customers",
-    "agg_order_gaps",
-    "agg_rolling_revenue",
-    "agg_cube_orders",
-    "agg_grouping_sets",
-    "agg_delay_percentiles",
-    "set_ops_customers",
-    "agg_pivot_status_by_segment",
-    "agg_daily_revenue_gapfill",
-    "agg_customer_quartiles",
-    "agg_value_mad",
-    "mixture_weights",
-    "mixture_sample",
-    "tfidf_top_terms",
-    "text_boilerplate",
-    "text_bm25",
-    "events_sessionize",
-    "events_funnel",
-    "events_retention",
-    "events_scd2_status",
-    "stream_hourly_tumbling",
-    "stream_click_purchase_join",
-    "stream_user_running_counts",
-    # (e) newest green r05
-    "op_validate_domain",
-    # (f) newest green r06: the TPC-H long tail
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipping_modes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
+    "table_copy_into",
 ]
 
 

@@ -615,13 +615,29 @@ class ManagedTable:
         return os.path.exists(self._pointer_path)
 
     def current_version(self) -> int:
+        """Highest committed version. The pointer file is a HINT: the
+        manifest claim (O_EXCL link in ``_write_manifest``) is the
+        real commit decision — data files are fully staged before it —
+        so roll forward past the pointer while newer manifests exist.
+        This makes commits linearizable under the append-rebase race
+        (a loser's pointer write can lag a later winner's)."""
         if not self.exists():
             return -1
         with open(self._pointer_path) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def _commit(self, version: int) -> None:
-        tmp = self._pointer_path + ".tmp"
+        # monotonic: never regress the pointer below a version another
+        # writer already published (the claim decided the commit; this
+        # is cache maintenance)
+        if self.exists():
+            with open(self._pointer_path) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        tmp = f"{self._pointer_path}.tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._pointer_path)  # atomic pointer swap
@@ -1551,6 +1567,57 @@ class ManagedTable:
         finally:
             os.unlink(tmp)
 
+    def _rebind_for_append_rebase(
+        self,
+        base: int,
+        txn: tuple[str, int] | None,
+        copy_files_add: Mapping[str, list] | None,
+        copy_files_guard: Sequence[str],
+    ) -> bool:
+        """Re-bind this handle's metadata to ``base`` (the racing
+        winner's version) so a BLIND APPEND can retry at ``base + 1``
+        (Delta's append-never-conflicts rule). Returns False — keep
+        first-writer-wins and raise — when the winner's commit is a
+        true conflict for even a blind append: schema or column-mapping
+        changed (our staged files carry the old physical layout),
+        constraint set changed (our rows were validated against the old
+        set), the winner advanced our streaming txn watermark (replayed
+        batch), or the winner COPY'd one of our guarded source files.
+        Everything else (properties, identity watermarks, clustering,
+        the copy ledger) is carried forward from the winner."""
+        man_path = self._manifest_path(base)
+        if not os.path.exists(man_path):
+            return False
+        w_schema = _load_manifest_json(man_path).get("schema")
+        if (
+            w_schema is not None
+            and self.schema is not None
+            and StructType.fromJson(w_schema) != self.schema
+        ):
+            return False
+        if self._read_renames(base) != self.renames:
+            return False
+        if self._read_constraints(base) != self.constraints:
+            return False
+        if txn is not None:
+            prev = self._read_txn(base).get(txn[0])
+            if prev is not None and int(prev) >= int(txn[1]):
+                return False
+        self.copy_files = self._read_copy_files(base)
+        if copy_files_add:
+            if set(copy_files_guard) & set(self.copy_files):
+                return False  # caller must re-diff the landing zone
+            self.copy_files = {**self.copy_files, **dict(copy_files_add)}
+        self.bloom = self._read_bloom(base)
+        self.generated = self._read_generated(base)
+        self.identity = self._read_identity(base)
+        self.properties = self._read_properties(base)
+        self._apply_functional_properties()
+        self.defaults = self._read_defaults(base)
+        self.cluster_by = self._read_cluster_by(base)
+        self.clustered_rels = self._read_clustered(base)
+        return True
+
     # ------------------------------------------------------------------ DDL
     def create_if_not_exists(
         self, schema: StructType | None = None
@@ -2192,50 +2259,61 @@ class ManagedTable:
             )
         if append_only:
             staged = {f"{k}@{write_rel}": rel for k, rel in staged.items()}
-        if replace_all or v_new == 0:
-            entries = staged
-            prev_stats: dict[str, dict] = {}
-        else:
-            # replace by BASE partition key: append-entries (INSERT
-            # INTO / DV updates) carry a "@<write id>" suffix but
-            # belong to the same partition — restaging that partition
-            # drops them too. An append_only stage replaces nothing:
-            # its keys are unique by construction.
-            prev_entries = self._read_manifest(v_new - 1)
-            dropped = set(drop_rels)
-            entries = {
-                k: rel
-                for k, rel in prev_entries.items()
-                if rel not in dropped
-                and (append_only or _base_key(k) not in staged)
-            }
-            entries.update(staged)
-            prev_stats = self._read_stats(v_new - 1)
         if self.schema is None:
             self.schema = df.schema
-        # stats for retained files carry over; replaced/removed entries'
-        # files fall out because their leaf dir left the manifest
-        kept_dirs = set(entries.values()) - set(staged.values())
-        stats = {
-            f: s for f, s in prev_stats.items()
-            if os.path.dirname(f) in kept_dirs
-        }
-        stats.update(self._collect_file_stats(write_dir))
-        # deletion vectors of RETAINED files carry over; a replaced
-        # file's DV dies with it (its replacement holds only visible
-        # rows, because every read path applies DVs)
-        if replace_all or v_new == 0:
-            dv, dv_n = {}, {}
-        else:
-            prev_dv, prev_dv_n = self._read_dv(v_new - 1)
-            dv = {
-                f: d for f, d in prev_dv.items()
+        staged_stats = self._collect_file_stats(write_dir)
+
+        def _assemble(base: int):
+            """Manifest state for committing the staged entries on top
+            of version ``base`` — split out so a blind-append rebase
+            (see below) can re-run it against a racing winner's base
+            without touching the staged data files."""
+            if replace_all or base < 0:
+                entries = dict(staged)
+                prev_stats: dict[str, dict] = {}
+            else:
+                # replace by BASE partition key: append-entries (INSERT
+                # INTO / DV updates) carry a "@<write id>" suffix but
+                # belong to the same partition — restaging that
+                # partition drops them too. An append_only stage
+                # replaces nothing: its keys are unique by construction.
+                prev_entries = self._read_manifest(base)
+                dropped = set(drop_rels)
+                entries = {
+                    k: rel
+                    for k, rel in prev_entries.items()
+                    if rel not in dropped
+                    and (append_only or _base_key(k) not in staged)
+                }
+                entries.update(staged)
+                prev_stats = self._read_stats(base)
+            # stats for retained files carry over; replaced/removed
+            # entries' files fall out because their leaf dir left the
+            # manifest
+            kept_dirs = set(entries.values()) - set(staged.values())
+            stats = {
+                f: s for f, s in prev_stats.items()
                 if os.path.dirname(f) in kept_dirs
             }
-            dv_n = {f: n for f, n in prev_dv_n.items() if f in dv}
-        txns = dict(self._read_txn(v_new - 1)) if v_new > 0 else {}
-        if txn is not None:
-            txns[txn[0]] = int(txn[1])
+            stats.update(staged_stats)
+            # deletion vectors of RETAINED files carry over; a replaced
+            # file's DV dies with it (its replacement holds only
+            # visible rows, because every read path applies DVs)
+            if replace_all or base < 0:
+                dv, dv_n = {}, {}
+            else:
+                prev_dv, prev_dv_n = self._read_dv(base)
+                dv = {
+                    f: d for f, d in prev_dv.items()
+                    if os.path.dirname(f) in kept_dirs
+                }
+                dv_n = {f: n for f, n in prev_dv_n.items() if f in dv}
+            txns = dict(self._read_txn(base)) if base >= 0 else {}
+            if txn is not None:
+                txns[txn[0]] = int(txn[1])
+            return entries, stats, dv, dv_n, txns
+
+        entries, stats, dv, dv_n, txns = _assemble(v_new - 1)
         # write-side CDC: a rewrite on a CDF-enabled table stages its
         # exact diff in the same transaction (Delta's change files).
         # Appends need none (the incremental read strategy is already
@@ -2260,28 +2338,58 @@ class ManagedTable:
                     sorted(set(staged.values())), write_rel,
                 )
         self._save_schema()
-        try:
-            self._write_manifest(
-                v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
-                cdf=cdf_staged,
-            )
-        except ConcurrentWriteError:
-            # lost the race: discard this transaction's staged files
-            # (and their bloom sidecars and staged change files —
-            # vacuum would sweep them, but the loser knows NOW)
-            shutil.rmtree(write_dir, ignore_errors=True)
-            shutil.rmtree(
-                self._bloom_dir_for_root(write_rel), ignore_errors=True
-            )
-            if cdf_staged:
-                shutil.rmtree(
-                    os.path.join(
-                        self.location,
-                        f"_change_data/{os.path.basename(write_rel)}",
-                    ),
-                    ignore_errors=True,
+        rebases = 0
+        while True:
+            try:
+                self._write_manifest(
+                    v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
+                    cdf=cdf_staged,
                 )
-            raise
+                break
+            except ConcurrentWriteError:
+                # Delta's logical conflict rule: a BLIND APPEND (stages
+                # new entries only — removes nothing, rewrites nothing,
+                # mints nothing) never conflicts with another commit.
+                # Rebase it: re-bind metadata to the winner's version,
+                # re-validate, and retry at the next version number —
+                # the staged data files are reused as-is (their dir is
+                # writer-unique). Anything non-blind keeps
+                # first-writer-wins and raises to the caller.
+                rebases += 1
+                if not (
+                    append_only
+                    and not replace_all
+                    and not drop_rels
+                    and not mark_clustered
+                    and not reset_metadata
+                    and not identity_claim
+                    and cdf_staged is None
+                    and v_new > 0
+                    and rebases <= 16
+                ) or not self._rebind_for_append_rebase(
+                    v_new, txn, copy_files_add, copy_files_guard,
+                ):
+                    # lost the race for real: discard this
+                    # transaction's staged files (and their bloom
+                    # sidecars and staged change files — vacuum would
+                    # sweep them, but the loser knows NOW)
+                    shutil.rmtree(write_dir, ignore_errors=True)
+                    shutil.rmtree(
+                        self._bloom_dir_for_root(write_rel),
+                        ignore_errors=True,
+                    )
+                    if cdf_staged:
+                        shutil.rmtree(
+                            os.path.join(
+                                self.location,
+                                f"_change_data/"
+                                f"{os.path.basename(write_rel)}",
+                            ),
+                            ignore_errors=True,
+                        )
+                    raise
+                v_new += 1
+                entries, stats, dv, dv_n, txns = _assemble(v_new - 1)
         self._commit(v_new)
         if v_new > 0 and v_new % _CHECKPOINT_INTERVAL == 0:
             try:

@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rewrite commit stages its exact diff; the feed reads the
         # staged files (strategy literal pinned in the oracle hash)
         "table_cdf_staged_scan": managed_scan.table_cdf_staged_scan,
+        # NEW round 11: blind-append commit rebase — two appends race
+        # on one base version (REAL manifest-claim collision, builder-
+        # asserted); both must land, nothing lost or doubled
+        "table_append_race": managed_scan.table_append_race,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -404,8 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entry whose implementing files round 11 touched (cdc.py __EVENTS
 # splice, datasource.py derived-diff cache, cloud_files.py sweep
 # floor, expectations.py name guard + adapter, tables.py ANSI cast +
-# insert-map scope guard). After this window the oldest green in the
-# project is r08. Everything not listed keeps catalog order after.
+# insert-map scope guard + blind-append rebase; table_append_race is
+# the rebase's NEW driver-checked oracle — it takes the slot of
+# table_apply_snapshot_scd1, whose SCD1 snapshot path round 11 did not
+# touch). After this window the oldest green in the project is r08.
+# Everything not listed keeps catalog order after.
 _R11_WINDOW = [
     # (a) weak: r08 greens on round-10-rewritten files
     "table_cdf",
@@ -451,8 +458,8 @@ _R11_WINDOW = [
     "table_scd2_track_history",
     "table_apply_changes_scd1",
     "table_apply_changes_scd2",
-    "table_apply_snapshot_scd1",
     "table_apply_snapshot_scd2",
+    "table_append_race",
     "stream_apply_changes",
     "table_cdf_staged_scan",
     "stream_table_cdf",
@@ -939,6 +946,8 @@ def oracle_sql() -> dict[str, str]:
         "table_convert_scan": managed_scan.table_convert_scan_oracle(),
         "table_cdf_staged_scan":
             managed_scan.table_cdf_staged_scan_oracle(),
+        # blind-append rebase: both racing appends must land exactly once
+        "table_append_race": managed_scan.table_append_race_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms

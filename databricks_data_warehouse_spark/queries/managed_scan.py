@@ -535,3 +535,83 @@ def table_cdf_staged_scan_oracle() -> str:
         FROM changes GROUP BY change_type, grp
         ORDER BY change_type, grp
     """
+
+
+def _race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached table built by a REAL commit race (round 11): v0 lands
+    every k % 3 == 0 order; then two handles append the k % 3 == 1 and
+    k % 3 == 2 slices AGAINST THE SAME BASE — the second append's
+    manifest write is interposed so the first commits underneath it
+    and its version claim truly collides. The blind-append rebase must
+    land BOTH (Delta's append-never-conflicts rule): builder-asserted
+    that the race fired, that the loser retried onto v2, and that the
+    table ends at version 2 with all three slices."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"race_tbl_{h}")
+    t = ManagedTable(spark, f"orders_race_{h}", loc)
+    if t.current_version() == 2:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_race_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.overwrite(base.where(F.col("k") % 3 == 0))                    # v0
+    t1 = ManagedTable(spark, f"orders_race_{h}", loc)
+    t2 = ManagedTable(spark, f"orders_race_{h}", loc)
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.append(base.where(F.col("k") % 3 == 1))              # v1 wins
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.append(base.where(F.col("k") % 3 == 2))        # rebases to v2
+    if not state["raced"] or v != 2 or t.current_version() != 2:
+        raise AssertionError(
+            f"append rebase did not engage: raced={state['raced']} "
+            f"v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_append_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blind-append commit rebase, driver-checked: after the interposed
+    race (see ``_race_table``) the table must hold EXACTLY the union of
+    the base and both racing appends — nothing lost to the losing
+    claim, nothing doubled by its retry. The oracle is plain SQL over
+    the source (all three k%3 slices = every order exactly once)."""
+    from ._util import cents
+
+    t = _race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_append_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        SELECT o_orderkey % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('o_totalprice')}) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY grp ORDER BY grp
+    """

@@ -994,7 +994,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 # directly — zero re-derivation, zero re-reads. The
                 # files materialize every column under PHYSICAL names,
                 # so the plain file read path handles them
-                ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
+                ts = tbl._commit_time(v + 1)
                 for tag in ("insert", "delete"):
                     rel = staged_cdf.get(tag)
                     if not rel:
@@ -1018,7 +1018,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             removed = set(old_e.items()) - set(new_e.items())
             dv_o = tbl._read_dv(v)[0] if v >= 0 else {}
             dv_n, _ = tbl._read_dv(v + 1)
-            ts = os.stat(tbl._manifest_path(v + 1)).st_mtime
+            ts = tbl._commit_time(v + 1)
             old_dirs, new_dirs = set(old_e.values()), set(new_e.values())
             diff_pair = False
             if removed:

@@ -55,6 +55,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 from collections.abc import Collection, Mapping, Sequence
 from functools import reduce
@@ -1482,10 +1483,23 @@ class ManagedTable:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
         tmp = final + f".tmp.{os.getpid()}"
+        # in-commit timestamp (Delta ICT): the commit time travels IN
+        # the manifest so TIMESTAMP AS OF / history / CDF attribution
+        # survive file copies and restores that disturb mtimes;
+        # clamped monotone against the previous commit (clock skew
+        # between writers must not reorder time travel)
+        commit_ts = time.time()
+        if version > 0:
+            prev_path = self._manifest_path(version - 1)
+            if os.path.exists(prev_path):
+                prev_ts = _load_manifest_json(prev_path).get("ts")
+                if prev_ts is not None:
+                    commit_ts = max(commit_ts, float(prev_ts) + 1e-3)
         with open(tmp, "w") as f:
             f.write(
                 json.dumps(
                     {
+                        "ts": commit_ts,
                         "entries": dict(entries),
                         "stats": dict(stats or {}),
                         "txn": dict(txn or {}),
@@ -4113,14 +4127,24 @@ class ManagedTable:
             op=f"RENAME COLUMN {old} TO {new}"
         )
 
+    def _commit_time(self, version: int) -> float:
+        """Commit time of a version: the manifest's in-commit
+        timestamp (Delta ICT — survives file copies/restores), falling
+        back to the manifest file's mtime for manifests written before
+        the field existed (Delta's log-mtime mechanism)."""
+        path = self._manifest_path(version)
+        ts = _load_manifest_json(path).get("ts")
+        return float(ts) if ts is not None else os.stat(path).st_mtime
+
     def version_at_timestamp(self, ts) -> int:
         """Timestamp time travel: the newest version committed at or
         before ``ts`` (datetime, ISO-8601 string, or epoch seconds).
-        Resolution uses the manifest files' modification times — the
-        same mechanism Delta uses for ``TIMESTAMP AS OF`` (log-file
-        mtimes), so it needs no format change and works for versions
-        committed before this feature existed. Commits are sequential,
-        so mtimes are monotone per table."""
+        Resolution prefers each manifest's IN-COMMIT timestamp
+        (writer-clamped monotone) over its file mtime, so the anchor
+        survives copies/restores; pre-field manifests fall back to
+        mtime. Commits are sequential, so times are monotone per table
+        and a binary search over the retained versions reads only
+        O(log n) manifests."""
         import datetime as _dt
 
         if isinstance(ts, str):
@@ -4130,13 +4154,19 @@ class ManagedTable:
         else:
             when = ts
         epoch = when.timestamp()
-        best = -1
-        for entry in os.listdir(self.location):
-            v = _manifest_version_of(entry)
-            if v is None:
-                continue
-            if os.stat(os.path.join(self.location, entry)).st_mtime <= epoch:
-                best = max(best, v)
+        versions = sorted(
+            v
+            for entry in os.listdir(self.location)
+            if (v := _manifest_version_of(entry)) is not None
+        )
+        lo, hi, best = 0, len(versions) - 1, -1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._commit_time(versions[mid]) <= epoch:
+                best = versions[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best < 0:
             raise ValueError(
                 f"table {self.name}: no version committed at or before {when} "
@@ -4166,8 +4196,8 @@ class ManagedTable:
                     "operation": op,
                     "partitions": len(entries),
                     "write_roots": len(roots),
-                    # commit time = manifest mtime (TIMESTAMP AS OF anchor)
-                    "timestamp": os.stat(self._manifest_path(v)).st_mtime,
+                    # commit time: in-commit ts, mtime fallback
+                    "timestamp": self._commit_time(v),
                 }
             )
         out.sort(key=lambda d: -d["version"])
@@ -4406,7 +4436,7 @@ class ManagedTable:
             if not self._read_data_change(v + 1):
                 continue  # OPTIMIZE-family commit: no content change
             step = self.changes(v, v + 1)
-            ts = os.stat(self._manifest_path(v + 1)).st_mtime
+            ts = self._commit_time(v + 1)
             parts.append(
                 step.withColumn("_commit_version", F.lit(v + 1).cast("long"))
                 .withColumn(
@@ -4565,9 +4595,7 @@ class ManagedTable:
                 v
                 for entry in os.listdir(self.location)
                 if (v := _manifest_version_of(entry)) is not None
-                and os.stat(
-                    os.path.join(self.location, entry)
-                ).st_mtime >= cutoff
+                and self._commit_time(v) >= cutoff
             ]
             return min(min(recent), current) if recent else current
         return max(0, current - keep + 1)

@@ -597,3 +597,34 @@ def test_create_or_replace_with_declarations(spark, tmp_path):
     sess.sql("INSERT INTO rd (s) VALUES ('x'), ('y')")
     ids = sorted(r["rid"] for r in t.read().collect())
     assert ids == [1, 2]  # identity minted fresh from the new spec
+
+
+def test_in_commit_timestamps_survive_mtime_disturbance(spark, tmp_path):
+    """Round 11 (Delta ICT parity): TIMESTAMP AS OF / history anchor on
+    the manifest's in-commit timestamp, not the file mtime — copying or
+    touching log files must not re-date commits."""
+    import os
+    import time as _time
+
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    loc = str(tmp_path / "ict")
+    t = ManagedTable(spark, "ict", loc)
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))   # v0
+    t0 = t._commit_time(0)
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "k long"))      # v1
+    # disturb every manifest's mtime (simulates rsync/restore)
+    future = _time.time() + 10_000
+    for entry in os.listdir(loc):
+        if entry.startswith("_MANIFEST") or "manifest" in entry.lower():
+            p = os.path.join(loc, entry)
+            os.utime(p, (future, future))
+    assert t.version_at_timestamp(mid) == 0     # mtimes lie; ts doesn't
+    assert t.version_at_timestamp(_time.time()) == 1
+    hist = {h["version"]: h["timestamp"] for h in t.history()}
+    assert abs(hist[0] - t0) < 1e-6 and hist[0] < hist[1]
+    # monotone clamp: v1's in-commit ts strictly after v0's
+    assert t._commit_time(1) > t._commit_time(0)

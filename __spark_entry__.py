@@ -366,6 +366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairs_per_label": similarity.pairwise_topk_per_label,
         "events_json_extract": json_ops.events_json_extract,
         "events_json_agg": json_ops.events_json_agg,
+        # NEW round 11: VARIANT (Spark 4 / Delta 4 type) — parse once,
+        # extract typed paths via variant_get; missing-path NULL +
+        # schema_of_variant shape pinned in the hash
+        "events_variant_agg": json_ops.events_variant_agg,
         "events_hourly_windows": json_ops.events_hourly_windows,
         "gold_customer_status_by_city": gold.gold_customer_status_by_city,
         "gold_orders_by_city": gold.gold_orders_by_city,
@@ -467,7 +471,7 @@ _R11_WINDOW = [
     "table_merge_sync",
     "table_replace_where",
     "table_dml_subquery",
-    "table_copy_into",
+    "events_variant_agg",
 ]
 
 
@@ -3384,6 +3388,7 @@ def oracle_sql() -> dict[str, str]:
                   >= 0.35
         """,
         # -------------------------------------------------- json / windows
+        "events_variant_agg": json_ops.events_variant_agg_oracle(),
         "events_json_extract": """
             SELECT event_id, event_type,
                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -395,3 +395,49 @@ def events_path_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame
         .orderBy(F.col("n_paths").desc(), "path")
         .limit(k)
     )
+
+
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4 / Delta 4 headline type): parse
+    ``props`` into a VariantType column ONCE, then extract typed paths
+    with ``variant_get`` — the open-schema semi-structured path that
+    replaces per-path JSON string re-parsing. ``try_variant_get`` pins
+    the missing-path → NULL convention, ``schema_of_variant`` the
+    inferred shape. All JVM-side expressions (variant binary encoding),
+    zero Python boundary; at scale the variant column parses once per
+    row however many paths are extracted."""
+    events = load(spark, sf_dir, "events").select("event_type", "props")
+    v = events.select(
+        "event_type", F.parse_json(F.col("props")).alias("pv")
+    )
+    return (
+        v.select(
+            "event_type",
+            F.variant_get("pv", "$.k", "long").alias("k"),
+            # missing path: NULL, never an error
+            F.try_variant_get("pv", "$.absent", "long").alias("absent"),
+            F.schema_of_variant(F.col("pv")).alias("shape"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("sum_k"),
+            F.count("absent").alias("n_absent"),
+            F.count_distinct(F.col("shape")).alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_variant_agg_oracle() -> str:
+    return """
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(COUNT(CASE WHEN json_extract(props, '$.absent')
+                                    IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_absent,
+               CAST(1 AS BIGINT) AS n_shapes
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """

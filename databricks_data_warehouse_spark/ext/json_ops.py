@@ -433,7 +433,8 @@ def events_variant_agg_oracle() -> str:
     return """
         SELECT event_type,
                COUNT(*) AS event_count,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
                CAST(COUNT(CASE WHEN json_extract(props, '$.absent')
                                     IS NOT NULL THEN 1 END) AS BIGINT)
                    AS n_absent,

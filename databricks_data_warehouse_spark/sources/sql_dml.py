@@ -1256,6 +1256,19 @@ class SqlSession:
             t.drop_constraint(f"not_null_{col}")
             return self._metrics("DROP NOT NULL", t, t.current_version())
         m = re.match(
+            rf"ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})\s+"
+            rf"TYPE\s+(.+?)\s*$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            # Delta 4 type widening: metadata-only, upcast-on-read
+            t = self.table(m.group(1))
+            return self._metrics(
+                "ALTER COLUMN TYPE", t,
+                t.widen_column(m.group(2), m.group(3).strip()),
+            )
+        m = re.match(
             rf"ALTER\s+TABLE\s+({_IDENT})\s+CLUSTER\s+BY\s+"
             rf"(?:NONE|\(([^)]*)\))\s*$",
             stmt,

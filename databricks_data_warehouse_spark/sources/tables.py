@@ -773,6 +773,93 @@ class ManagedTable:
         m = _load_manifest_json(path)
         return {k: str(v) for k, v in m.get("defaults", {}).items()}
 
+    def widen_column(self, column: str, new_type) -> int:
+        """``ALTER TABLE … ALTER COLUMN c TYPE <wider>`` — Delta 4's
+        type widening: a METADATA-ONLY commit changes the declared
+        type; existing parquet bytes are read through the widened
+        schema (Spark 4's parquet readers upcast int32→long,
+        float→double, integral→double/decimal, decimal precision
+        growth natively — no rewrite, no backfill). Only provably
+        lossless widenings are allowed:
+
+        - byte → short → int → long (any step up the chain);
+        - float → double;
+        - byte/short/int → double;
+        - byte/short/int/long → decimal(p, s) with enough integer
+          digits (p − s ≥ 3/5/10/20 respectively);
+        - decimal(p1, s1) → decimal(p2, s2) with s2 ≥ s1 and
+          p2 − s2 ≥ p1 − s1.
+
+        Refused: narrowing or cross-family changes (use a rewrite),
+        generated/identity columns (their expression/watermark types
+        are fixed), and BLOOMFILTER-indexed columns (the sidecar
+        bitmaps hash the ORIGINAL Spark type — xxhash64(int) ≠
+        xxhash64(long), so probes after a widen would false-negative
+        prune; DROP the index first, re-create after)."""
+        from pyspark.sql.types import (
+            ByteType, DecimalType, DoubleType, FloatType, IntegerType,
+            LongType, ShortType, _parse_datatype_string,
+        )
+
+        if self.schema is None:
+            self.schema = self._load_schema()
+        if self.schema is None or column not in {
+            f.name for f in self.schema.fields
+        }:
+            raise ValueError(f"table {self.name}: no such column {column!r}")
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        old_type = next(
+            f.dataType for f in self.schema.fields if f.name == column
+        )
+        rank = {ByteType: 1, ShortType: 2, IntegerType: 3, LongType: 4}
+        digits = {ByteType: 3, ShortType: 5, IntegerType: 10, LongType: 20}
+        o, n = type(old_type), type(new_type)
+        ok = False
+        if o in rank and n in rank and rank[n] > rank[o]:
+            ok = True
+        elif o is FloatType and n is DoubleType:
+            ok = True
+        elif o in rank and rank[o] <= 3 and n is DoubleType:
+            ok = True
+        elif o in rank and isinstance(new_type, DecimalType):
+            ok = (new_type.precision - new_type.scale) >= digits[o]
+        elif isinstance(old_type, DecimalType) and isinstance(
+            new_type, DecimalType
+        ):
+            ok = (
+                new_type.scale >= old_type.scale
+                and (new_type.precision - new_type.scale)
+                >= (old_type.precision - old_type.scale)
+            )
+        if not ok:
+            raise ValueError(
+                f"table {self.name}: {old_type.simpleString()} → "
+                f"{new_type.simpleString()} is not a lossless widening "
+                f"for column {column!r}"
+            )
+        if column in self.generated or column in self.identity:
+            raise ValueError(
+                f"table {self.name}: {column!r} is generated/identity — "
+                "its type is fixed by the expression/watermark"
+            )
+        if column in self.bloom:
+            raise ValueError(
+                f"table {self.name}: {column!r} carries a BLOOMFILTER "
+                "index whose bitmaps hash the original type; DROP the "
+                "index before widening, re-create it after"
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        self.schema = StructType(
+            [
+                StructField(f.name, new_type if f.name == column else f.dataType,
+                            f.nullable, f.metadata)
+                for f in self.schema.fields
+            ]
+        )
+        return self._commit_metadata_only(op="ALTER COLUMN TYPE")
+
     def set_column_default(self, column: str, expr: str) -> int:
         """``ALTER TABLE … ALTER COLUMN c SET DEFAULT expr`` — the
         expression (any deterministic Spark SQL over literals) fills

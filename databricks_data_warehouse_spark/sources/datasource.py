@@ -1100,44 +1100,44 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                     )
                     if not bucket_cols:
                         n_buckets = 1  # no hashable column
-                    cache_paths = [""] * n_buckets
-                    if n_buckets > 1:
-                        # bucketed fallback = the one N×-amplified
-                        # path (each of the group's bytes read once
-                        # per bucket). Persist each bucket's finished
-                        # diff on first read and serve the staged
-                        # files from then on — the amplification is
-                        # paid ONCE per pair (VERDICT r10 item 4).
-                        # Key = everything the diff's content depends
-                        # on; a plan under different renames/buckets
-                        # simply misses and re-derives.
-                        import hashlib
+                    # persist each bucket's finished diff on first
+                    # read and serve the staged files from then on.
+                    # For bucketed groups (n_buckets > 1, the one
+                    # N×-amplified path) this caps the amplification
+                    # at ONCE per pair (VERDICT r10 item 4); for
+                    # single-bucket groups it spares repeat readers of
+                    # the same change window (N downstream consumers =
+                    # Delta's whole reason for staged change files)
+                    # the re-derivation. Key = everything the diff's
+                    # content depends on; a plan under different
+                    # renames/buckets simply misses and re-derives.
+                    import hashlib
 
-                        digest = hashlib.sha1(
-                            repr(
-                                (
-                                    gkey,
-                                    n_buckets,
-                                    bucket_cols,
-                                    sorted(renames.items()),
-                                )
-                            ).encode()
-                        ).hexdigest()[:12]
-                        cache_dir = os.path.join(
-                            self.location,
-                            "_change_data",
-                            "derived",
-                            f"v{v + 1}-{digest}",
-                        )
-                        cache_paths = [
-                            os.path.join(cache_dir, f"b{b}.parquet")
-                            for b in range(n_buckets)
-                        ]
-                        if all(os.path.exists(x) for x in cache_paths):
-                            out.extend(
-                                _CachedDiffPartition(x) for x in cache_paths
+                    digest = hashlib.sha1(
+                        repr(
+                            (
+                                gkey,
+                                n_buckets,
+                                bucket_cols,
+                                sorted(renames.items()),
                             )
-                            continue
+                        ).encode()
+                    ).hexdigest()[:12]
+                    cache_dir = os.path.join(
+                        self.location,
+                        "_change_data",
+                        "derived",
+                        f"v{v + 1}-{digest}",
+                    )
+                    cache_paths = [
+                        os.path.join(cache_dir, f"b{b}.parquet")
+                        for b in range(n_buckets)
+                    ]
+                    if all(os.path.exists(x) for x in cache_paths):
+                        out.extend(
+                            _CachedDiffPartition(x) for x in cache_paths
+                        )
+                        continue
                     for b in range(n_buckets):
                         out.append(
                             _DiffPartition(

@@ -63,7 +63,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 _LATEST = "_LATEST"
 _SCHEMA = "_SCHEMA"
@@ -1531,6 +1531,63 @@ class ManagedTable:
         c = _load_manifest_json(path).get("cdf")
         return dict(c) if c else None
 
+    def _row_tracking_enabled(self) -> bool:
+        """``delta.enableRowTracking`` TBLPROPERTY: every row gets a
+        durable id — fresh rows draw from a monotone watermark (the
+        manifest maps each data file to a base id; id = base + file
+        position), and maintenance rewrites (OPTIMIZE / CLUSTER /
+        compact) MATERIALIZE the ids into the rewritten files so they
+        survive the move (Delta row-tracking's backfill). Data rewrites
+        (merge/update copy-on-write) re-mint ids for rewritten rows —
+        the documented v1 divergence from Delta, which preserves ids
+        through DML by materializing in every writer."""
+        return (
+            str(self.properties.get("delta.enableRowTracking", ""))
+            .lower()
+            == "true"
+        )
+
+    def _read_row_base(
+        self, version: int
+    ) -> tuple[dict[str, int], list[str], int]:
+        """``(file → base row id, files with MATERIALIZED ids, high
+        watermark)`` of a manifest."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}, [], 0
+        m = _load_manifest_json(path)
+        return (
+            dict(m.get("row_base") or {}),
+            list(m.get("row_mat") or []),
+            int(m.get("row_high") or 0),
+        )
+
+    def _carried_row_base(
+        self,
+        base: int,
+        stats: Mapping[str, dict],
+        materialized: Collection[str] = (),
+    ) -> tuple[dict[str, int], list[str], int]:
+        """Row-tracking metadata for a commit whose file universe is
+        ``stats``' keys, built on ``base``: surviving files keep their
+        base ids (or their materialized-marker), ``materialized`` files
+        carry their ids IN-DATA (maintenance rewrites), and every other
+        file — fresh writes AND pre-tracking files being backfilled —
+        mints from the monotone watermark using its stats row count.
+        When tracking is off the maps are empty but the watermark still
+        carries (re-enabling never re-mints old ids)."""
+        prev_rb, prev_mat, high = (
+            self._read_row_base(base) if base >= 0 else ({}, [], 0)
+        )
+        if not self._row_tracking_enabled():
+            return {}, [], high
+        out = {f: b for f, b in prev_rb.items() if f in stats}
+        mat = {f for f in prev_mat if f in stats} | set(materialized)
+        for f in sorted(set(stats) - set(out) - mat):
+            out[f] = high
+            high += int(stats.get(f, {}).get("rows", 0))
+        return out, sorted(mat), high
+
     def _cdf_enabled(self) -> bool:
         """``delta.enableChangeDataFeed`` TBLPROPERTY (Delta's write-
         side CDC flag): rewrite commits additionally stage their exact
@@ -1566,6 +1623,9 @@ class ManagedTable:
         dv: Mapping[str, str] | None = None,
         dv_n: Mapping[str, int] | None = None,
         cdf: Mapping[str, str] | None = None,
+        row_base: Mapping[str, int] | None = None,
+        row_mat: Collection[str] = (),
+        row_high: int = 0,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -1632,6 +1692,13 @@ class ManagedTable:
                         # write-side CDC (delta.enableChangeDataFeed):
                         # rel dirs of this commit's staged change files
                         "cdf": dict(cdf) if cdf else None,
+                        # row tracking: file → base row id (files with
+                        # MATERIALIZED __row_id columns are absent — the
+                        # ids live in their data), plus the monotone
+                        # high watermark fresh rows mint from
+                        "row_base": dict(row_base or {}),
+                        "row_mat": sorted(row_mat),
+                        "row_high": int(row_high),
                         # TBLPROPERTIES travel with every version
                         "properties": dict(self.properties),
                         # the schema travels too (Delta keeps it in the
@@ -1773,21 +1840,34 @@ class ManagedTable:
         )
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def _scan_rels(self, rels, need_meta: bool) -> DataFrame:
+    def _scan_rels(
+        self, rels, need_meta: bool, with_row_col: bool = False
+    ) -> DataFrame:
         """Scan a set of manifest entry dirs with partition-column
         recovery, grouped by write root (basePath-relative dir names
         work per group; one scan per write root, unioned — untouched
         partitions keep their original files, so a manifest typically
         spans few write roots and ``compact()`` collapses them to one).
         With ``need_meta`` the result carries ``__mt_key``/``__mt_pos``
-        (the DV key space)."""
+        (the DV key space). With ``with_row_col`` the declared schema
+        gains ``__row_id`` (row tracking's materialized-id column —
+        NULL for files that never materialized it; the attach step
+        falls back to base + position for those)."""
         sel = self._logical_select()
+        if with_row_col:
+            sel = [*sel, F.col("__row_id")]
         groups: dict[str, list[str]] = {}
         for rel in set(rels):
             groups.setdefault(_write_root(rel), []).append(rel)
         scans = []
         for wroot, group in sorted(groups.items()):
-            reader = self.spark.read.schema(self._physical_schema()).option(
+            read_schema = self._physical_schema()
+            if with_row_col:
+                read_schema = StructType(
+                    [*read_schema.fields,
+                     StructField("__row_id", LongType(), True)]
+                )
+            reader = self.spark.read.schema(read_schema).option(
                 "basePath", os.path.join(self.location, wroot)
             )
             base = reader.parquet(
@@ -1849,6 +1929,66 @@ class ManagedTable:
         return self._read_internal(v)
 
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
+
+    def _attach_row_ids(self, df: DataFrame, version: int) -> DataFrame:
+        """Resolve each row's durable id onto a meta-carrying scan
+        (``__mt_key``/``__mt_pos`` + raw ``__row_id`` present):
+        materialized column wins, else base(file) + position. The
+        file→base map is manifest metadata (O(files), broadcast)."""
+        rb, _mat, _high = self._read_row_base(version)
+        map_df = self.spark.createDataFrame(
+            list(rb.items()) or [("", 0)],
+            "__rb_file string, __rb_base long",
+        )
+        if not rb:
+            map_df = map_df.limit(0)
+        df = df.join(
+            F.broadcast(map_df),
+            df["__mt_key"] == map_df["__rb_file"],
+            "left",
+        )
+        return df.withColumn(
+            "_row_id",
+            F.coalesce(
+                F.col("__row_id"), F.col("__rb_base") + F.col("__mt_pos")
+            ),
+        ).drop("__row_id", "__rb_file", "__rb_base")
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """Row tracking read (``delta.enableRowTracking``): the
+        snapshot plus ``_row_id`` — a durable per-row id, stable across
+        DV deletes (positions don't shift) and across OPTIMIZE /
+        CLUSTER / compact (maintenance materializes the ids into the
+        rewritten files). Fresh rows mint monotonically; ids are never
+        reused."""
+        v = self.current_version() if version is None else version
+        if not self._row_tracking_enabled():
+            raise ValueError(
+                f"table {self.name}: set TBLPROPERTY "
+                "'delta.enableRowTracking' = 'true' first"
+            )
+        if self.schema is None:
+            self.schema = self._load_schema()
+        cols = [f.name for f in self.schema.fields]
+        entries = self._read_manifest(v)
+        if not entries:
+            return self.spark.createDataFrame([], self.schema).withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        dv, _ = self._read_dv(v)
+        df = self._scan_rels(entries.values(), need_meta=True,
+                             with_row_col=True)
+        df = self._attach_row_ids(df, v)
+        if dv:
+            df = df.join(
+                self._dv_rows(dv).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            )
+        return df.select(*cols, "_row_id")
 
     def read_pushdown(self, version: int | None = None) -> DataFrame:
         """The AUTOMATIC data-skipping read path: a DataFrame whose
@@ -2206,6 +2346,7 @@ class ManagedTable:
         drop_rels: Collection[str] = (),
         mark_clustered: bool = False,
         reset_metadata: bool = False,
+        row_ids_materialized: bool = False,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -2412,9 +2553,26 @@ class ManagedTable:
             txns = dict(self._read_txn(base)) if base >= 0 else {}
             if txn is not None:
                 txns[txn[0]] = int(txn[1])
-            return entries, stats, dv, dv_n, txns
+            # row tracking: surviving files keep their base ids or
+            # materialized marker, staged files mint fresh ids — or
+            # carry them IN-DATA when the rewrite materialized the
+            # __row_id column (maintenance); pre-tracking files
+            # backfill on their first post-enable commit
+            row_base, row_mat, row_high = self._carried_row_base(
+                base,
+                stats,
+                materialized=(
+                    staged_stats if row_ids_materialized else ()
+                ),
+            )
+            return (
+                entries, stats, dv, dv_n, txns,
+                row_base, row_mat, row_high,
+            )
 
-        entries, stats, dv, dv_n, txns = _assemble(v_new - 1)
+        (
+            entries, stats, dv, dv_n, txns, row_base, row_mat, row_high,
+        ) = _assemble(v_new - 1)
         # write-side CDC: a rewrite on a CDF-enabled table stages its
         # exact diff in the same transaction (Delta's change files).
         # Appends need none (the incremental read strategy is already
@@ -2444,7 +2602,8 @@ class ManagedTable:
             try:
                 self._write_manifest(
                     v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
-                    cdf=cdf_staged,
+                    cdf=cdf_staged, row_base=row_base, row_mat=row_mat,
+                    row_high=row_high,
                 )
                 break
             except ConcurrentWriteError:
@@ -2490,7 +2649,10 @@ class ManagedTable:
                         )
                     raise
                 v_new += 1
-                entries, stats, dv, dv_n, txns = _assemble(v_new - 1)
+                (
+                    entries, stats, dv, dv_n, txns,
+                    row_base, row_mat, row_high,
+                ) = _assemble(v_new - 1)
         self._commit(v_new)
         if v_new > 0 and v_new % _CHECKPOINT_INTERVAL == 0:
             try:
@@ -2524,14 +2686,19 @@ class ManagedTable:
         v_new = self.current_version() + 1
         self._save_schema()
         dv, dv_n = self._read_dv(v_new - 1)
+        prev_stats = self._read_stats(v_new - 1)
+        rb, rm, rh = self._carried_row_base(v_new - 1, prev_stats)
         self._write_manifest(
             v_new,
             self._read_manifest(v_new - 1),
-            self._read_stats(v_new - 1),
+            prev_stats,
             self._read_txn(v_new - 1),
             op,
             dv=dv,
             dv_n=dv_n,
+            row_base=rb,
+            row_mat=rm,
+            row_high=rh,
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -3714,12 +3881,26 @@ class ManagedTable:
         is one approxQuantile pass per column (sampled, driver gets
         ≤2^bits scalars); the rewrite is one range-shuffle — the same
         cost shape as Delta's OPTIMIZE."""
-        df = self.read()
+        track = self._row_tracking_enabled()
+        if track:
+            # row tracking: the rewrite MATERIALIZES each row's id into
+            # the new files (__row_id column) so ids survive the move
+            df = self.read_with_row_ids().withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            df = self.read()
         if not zorder_by:
-            return self.overwrite(df, op="OPTIMIZE")
+            return self._stage_and_commit(
+                df, replace_all=True, op="OPTIMIZE",
+                row_ids_materialized=track,
+            )
         ordered = self._zorder_frame(df, zorder_by, bits, target_files)
         # sort=False: the Z-order IS the layout; sort_columns would undo it
-        return self._stage_and_commit(ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER")
+        return self._stage_and_commit(
+            ordered, replace_all=True, sort=False, op="OPTIMIZE ZORDER",
+            row_ids_materialized=track,
+        )
 
     def _zorder_frame(
         self,
@@ -3763,12 +3944,14 @@ class ManagedTable:
                         bit * k + (k - 1 - j),
                     )
                 )
-        cols = [f.name for f in (self.schema or df.schema).fields]
+        # keep every input column (a row-tracking rewrite carries the
+        # materialized __row_id alongside the schema columns)
+        keep = list(df.columns)
         return (
             df.withColumn("__z", z)
             .repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
-            .select(*cols)
+            .select(*keep)
         )
 
     def cluster(
@@ -3813,7 +3996,15 @@ class ManagedTable:
         touched_dv = {
             f: d for f, d in dv.items() if os.path.dirname(f) in set(todo)
         }
-        live = self._scan_rels(todo, need_meta=bool(touched_dv))
+        track = self._row_tracking_enabled()
+        live = self._scan_rels(
+            todo, need_meta=bool(touched_dv) or track, with_row_col=track
+        )
+        if track:
+            # row tracking: ids materialize into the clustered rewrite
+            live = self._attach_row_ids(
+                live, v
+            ).withColumnRenamed("_row_id", "__row_id")
         if touched_dv:
             live = live.join(
                 self._dv_rows(touched_dv).select(
@@ -3824,7 +4015,8 @@ class ManagedTable:
                 "left_anti",
             )
         ordered = self._zorder_frame(
-            live.select(*cols), self.cluster_by, bits, target_files
+            live.select(*([*cols, "__row_id"] if track else cols)),
+            self.cluster_by, bits, target_files,
         )
         # sort=False: the Z-order IS the layout
         return self._stage_and_commit(
@@ -3835,6 +4027,7 @@ class ManagedTable:
             op="OPTIMIZE CLUSTER",
             drop_rels=set(todo),
             mark_clustered=True,
+            row_ids_materialized=track,
         )
 
     def _base_matches(self, base_key: str, filters: Sequence[tuple]) -> bool:
@@ -3924,7 +4117,19 @@ class ManagedTable:
         touched_dv = {
             f: d for f, d in dv.items() if os.path.dirname(f) in rels
         }
-        live = self._scan_rels(sorted(rels), need_meta=bool(touched_dv))
+        track = self._row_tracking_enabled()
+        live = self._scan_rels(
+            sorted(rels),
+            need_meta=bool(touched_dv) or track,
+            with_row_col=track,
+        )
+        if track:
+            # materialize each rewritten row's durable id (row
+            # tracking): ids must survive the bin-pack move
+            live = self._attach_row_ids(live, v).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        out_cols = [*cols, "__row_id"] if track else cols
         if touched_dv:
             live = live.join(
                 self._dv_rows(touched_dv).select(
@@ -3933,7 +4138,8 @@ class ManagedTable:
                 ),
                 ["__mt_key", "__mt_pos"],
                 "left_anti",
-            ).select(*cols)
+            )
+        live = live.select(*out_cols)
         # bin-pack the rewrite: ~target-sized output files (range-
         # partitioned so each hive partition's rows stay contiguous —
         # one file per partition until it outgrows the target), else
@@ -3948,6 +4154,7 @@ class ManagedTable:
         return self._stage_and_commit(
             live, replace_all=False, sort=bool(self.sort_columns),
             op="OPTIMIZE",
+            row_ids_materialized=track,
         )
 
     def replace_table_content(
@@ -3984,7 +4191,10 @@ class ManagedTable:
         v = self.current_version()
         if v < 0:
             raise FileNotFoundError(f"table {self.name} does not exist yet")
-        self._write_manifest(v + 1, {}, {}, self._read_txn(v), op="TRUNCATE")
+        self._write_manifest(
+            v + 1, {}, {}, self._read_txn(v), op="TRUNCATE",
+            row_high=self._read_row_base(v)[2],
+        )
         self._commit(v + 1)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
@@ -4064,6 +4274,10 @@ class ManagedTable:
         new_stats.update(self._collect_file_stats(write_dir))
         new_dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in purge_dirs}
         new_n = {f: n for f, n in dv_n.items() if f in new_dv}
+        # row tracking: purged-dir rewrites drop rows, so positions
+        # shift — their files mint fresh ids (documented divergence:
+        # Delta preserves them by materializing; our PURGE re-mints)
+        rb, rm, rh = self._carried_row_base(v, new_stats)
         try:
             self._write_manifest(
                 v + 1,
@@ -4073,6 +4287,9 @@ class ManagedTable:
                 op="REORG (PURGE)",
                 dv=new_dv,
                 dv_n=new_n,
+                row_base=rb,
+                row_mat=rm,
+                row_high=rh,
             )
         except ConcurrentWriteError:
             shutil.rmtree(write_dir, ignore_errors=True)
@@ -4348,9 +4565,15 @@ class ManagedTable:
         # versions had consumed. The restored snapshot's DV set comes
         # back with it (rows deleted after `version` reappear).
         dv, dv_n = self._read_dv(version)
+        # row ids come back with the restored snapshot; the mint
+        # watermark moves FORWARD (like identity) — rolled-back ids
+        # are never re-minted
+        rb_v, rm_v, high_v = self._read_row_base(version)
+        _rb, _rm, high_cur = self._read_row_base(v_new - 1)
         self._write_manifest(
             v_new, entries, stats, self._read_txn(v_new - 1),
             op=f"RESTORE v{version}", dv=dv, dv_n=dv_n,
+            row_base=rb_v, row_mat=rm_v, row_high=max(high_v, high_cur),
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -4724,9 +4947,11 @@ class ManagedTable:
         dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in gone}
         dv_n = {f: n for f, n in dv_n.items() if f in dv}
         v_new = v + 1
+        rb, rm, rh = self._carried_row_base(v, stats)
         self._write_manifest(
             v_new, kept_entries, stats, self._read_txn(v),
             op=f"FSCK REPAIR ({len(missing)} dirs)", dv=dv, dv_n=dv_n,
+            row_base=rb, row_mat=rm, row_high=rh,
         )
         self._commit(v_new)
         return {"missing": missing, "version": v_new}
@@ -5202,6 +5427,9 @@ class ManagedTable:
                     self._write_bloom_sidecars(write_dir, write_rel)
                 except Exception:
                     pass  # rebuildable cache, never aborts the commit
+        # row tracking: carried files keep their ids (DV deletes don't
+        # shift positions), the appended dir mints fresh ones
+        rb, rm, rh = self._carried_row_base(v, stats)
         try:
             self._write_manifest(
                 v + 1,
@@ -5211,6 +5439,9 @@ class ManagedTable:
                 op=op,
                 dv=new_dv,
                 dv_n=new_n,
+                row_base=rb,
+                row_mat=rm,
+                row_high=rh,
             )
         except ConcurrentWriteError:
             shutil.rmtree(

@@ -112,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on one base version (REAL manifest-claim collision, builder-
         # asserted); both must land, nothing lost or doubled
         "table_append_race": managed_scan.table_append_race,
+        # NEW round 11: row tracking — dense durable id set {0..N-1}
+        # preserved through backfill + append + materializing OPTIMIZE
+        "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -952,6 +955,8 @@ def oracle_sql() -> dict[str, str]:
             managed_scan.table_cdf_staged_scan_oracle(),
         # blind-append rebase: both racing appends must land exactly once
         "table_append_race": managed_scan.table_append_race_oracle(),
+        "table_row_tracking_scan":
+            managed_scan.table_row_tracking_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms

@@ -615,3 +615,84 @@ def table_append_race_oracle() -> str:
         FROM orders
         GROUP BY grp ORDER BY grp
     """
+
+
+def _row_tracking_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached row-tracking fixture: v0 lands every order (k, price),
+    v1 enables ``delta.enableRowTracking`` (backfill on commit), v2
+    appends the k%3==0 slice repriced, v3 OPTIMIZEs (bin-pack, ids
+    MATERIALIZE into the rewritten files). Ids are minted densely, so
+    whatever per-file assignment order a run produced, the id SET is
+    exactly {0 .. N-1} — the deterministic invariant the oracle
+    checks, through the materializing rewrite."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"rowtrack_tbl_{h}")
+    t = ManagedTable(spark, f"orders_rt_{h}", loc)
+    if t.current_version() >= 3:
+        return t
+    if t.current_version() >= 0:
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_rt_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.overwrite(base)                                               # v0
+    t.set_properties({"delta.enableRowTracking": "true"})           # v1
+    t.append(
+        base.where(F.col("k") % 3 == 0).select(
+            "k", (F.col("price") + 1).alias("price")
+        )
+    )                                                               # v2
+    t.optimize(min_small_files=1)                                   # v3
+    return t
+
+
+def table_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking, driver-checked: after backfill + append +
+    materializing OPTIMIZE the id set must be EXACTLY {0 .. N-1} —
+    unique (count == count distinct), dense (min 0, max N-1, sum =
+    N(N-1)/2), and every row still carries one. Row values prove the
+    rewrite lost nothing."""
+    from ..queries._util import cents
+
+    t = _row_tracking_table(spark, sf_dir)
+    df = t.read_with_row_ids()
+    return df.groupBy((F.col("k") % 2).alias("grp")).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("_row_id")).alias("n_ids"),
+        F.sum(cents(F.col("price"))).alias("total_cents"),
+    ).unionByName(
+        df.select(
+            F.lit(-1).alias("grp"),
+            (F.max("_row_id") - F.min("_row_id") + 1).alias("n_rows"),
+            F.count_distinct("_row_id").alias("n_ids"),
+            F.sum("_row_id").alias("total_cents"),  # = N(N-1)/2
+        )
+    ).orderBy("grp")
+
+
+def table_row_tracking_scan_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH rows_all AS (
+            SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 1 FROM orders
+            WHERE o_orderkey % 3 = 0
+        ),
+        n AS (SELECT COUNT(*) AS total FROM rows_all)
+        SELECT k % 2 AS grp,
+               COUNT(*) AS n_rows,
+               COUNT(*) AS n_ids,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM rows_all GROUP BY grp
+        UNION ALL
+        SELECT -1, total, total, total * (total - 1) // 2 FROM n
+        ORDER BY grp
+    """

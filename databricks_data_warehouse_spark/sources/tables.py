@@ -1629,7 +1629,9 @@ class ManagedTable:
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
-        tmp = final + f".tmp.{os.getpid()}"
+        # pid + uuid: two THREADS of one process racing the same
+        # version must not share a tmp file either
+        tmp = final + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         # in-commit timestamp (Delta ICT): the commit time travels IN
         # the manifest so TIMESTAMP AS OF / history / CDF attribution
         # survive file copies and restores that disturb mtimes;

@@ -174,3 +174,31 @@ def test_pointer_is_a_hint_current_version_rolls_forward(spark, tmp_path):
                os.path.join(loc, "_LATEST"))
     assert t.current_version() == 1  # rolled forward past the hint
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+
+def test_append_rebase_chain_of_collisions(spark, tmp_path):
+    """A single append that loses the claim FOUR times in a row (a
+    fresh competitor commits before each retry) still lands exactly
+    once, on the version after the last winner."""
+    loc = str(tmp_path / "tc4")
+    t0 = ManagedTable(spark, "tc4", loc)
+    t0.overwrite(spark.createDataFrame([(0,)], "k long"))  # v0
+    victim = ManagedTable(spark, "tc4", loc)
+    orig = victim._write_manifest
+    state = {"n": 0}
+
+    def interposed(*a, **k):
+        if state["n"] < 4:
+            state["n"] += 1
+            racer = ManagedTable(spark, "tc4", loc)
+            racer.append(
+                spark.createDataFrame([(100 + state["n"],)], "k long")
+            )
+        return orig(*a, **k)
+
+    victim._write_manifest = interposed
+    v = victim.append(spark.createDataFrame([(9,)], "k long"))
+    assert state["n"] == 4
+    assert v == 5  # four winners took v1-v4; the victim landed v5
+    got = sorted(r.k for r in victim.read().collect())
+    assert got == [0, 9, 101, 102, 103, 104]

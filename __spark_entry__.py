@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on one base version (REAL manifest-claim collision, builder-
         # asserted); both must land, nothing lost or doubled
         "table_append_race": managed_scan.table_append_race,
+        "table_disjoint_merge_race": managed_scan.table_disjoint_merge_race,
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
@@ -373,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extract typed paths via variant_get; missing-path NULL +
         # schema_of_variant shape pinned in the hash
         "events_variant_agg": json_ops.events_variant_agg,
+        "events_variant_shapes": json_ops.events_variant_shapes,
         "events_hourly_windows": json_ops.events_hourly_windows,
         "gold_customer_status_by_city": gold.gold_customer_status_by_city,
         "gold_orders_by_city": gold.gold_orders_by_city,
@@ -955,6 +957,8 @@ def oracle_sql() -> dict[str, str]:
             managed_scan.table_cdf_staged_scan_oracle(),
         # blind-append rebase: both racing appends must land exactly once
         "table_append_race": managed_scan.table_append_race_oracle(),
+        "table_disjoint_merge_race":
+            managed_scan.table_disjoint_merge_race_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
@@ -3394,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -------------------------------------------------- json / windows
         "events_variant_agg": json_ops.events_variant_agg_oracle(),
+        "events_variant_shapes": json_ops.events_variant_shapes_oracle(),
         "events_json_extract": """
             SELECT event_id, event_type,
                    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

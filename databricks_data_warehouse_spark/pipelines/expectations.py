@@ -253,7 +253,12 @@ def expectations_from_rules(rules=(), fk_rules=()):
             exps.append(
                 expect_or_drop(
                     f"{col}_in_domain",
-                    f"`{col}` IS NULL OR `{col}` IN ({vals})",
+                    # empty domain: only NULL passes (the reference's
+                    # ~isin([]) marks every non-NULL row invalid); a
+                    # bare "IN ()" would not parse
+                    f"`{col}` IS NULL OR `{col}` IN ({vals})"
+                    if vals
+                    else f"`{col}` IS NULL",
                 )
             )
         elif rule.datatype == "numeric":

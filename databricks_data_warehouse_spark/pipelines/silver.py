@@ -30,10 +30,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from ..functions.validation import (
+    _mark_invalid,
     check_ingestion_status,
     identify_duplicates,
-    validate_column,
-    validate_relationship,
 )
 from ..sources.tables import ManagedTable
 
@@ -84,25 +83,53 @@ def validate_batch(
     rules: Sequence[TypeRule | DomainRule] = (),
     fk_rules: Sequence[FkRule] = (),
 ) -> DataFrame:
-    """Steps 2-8: the labeled (not yet split) validation DataFrame."""
+    """Steps 2-8: the labeled (not yet split) validation DataFrame.
+
+    The C2 (type/domain) and C3 (FK) row-routing predicates are the
+    DLT expectations built by
+    :func:`..pipelines.expectations.expectations_from_rules` — ONE
+    implementation serves both the medallion spelling and the DLT
+    spelling (VERDICT r11 item 6; the r11 adapter proved the two
+    dialects route identically, this makes that equivalence an
+    identity). This module keeps only what expectations don't model:
+    the reference's audit-column formatting (the 1-element
+    "col, <previous>" quirk arrays) and the C4/C5 ingestion-status /
+    duplicate marking."""
+    from .expectations import expectations_from_rules
+
+    rules = list(rules)
+    fk_rules = list(fk_rules)
     df = batch_df
     for old, new in (rename_map or {}).items():
         df = df.withColumnRenamed(old, new)
     df = init_audit_columns(df)
     df = check_ingestion_status(df, ingested_df, id_columns)
     df = identify_duplicates(df, id_columns, ingestion_timestamp)
-    for rule in rules:
-        if isinstance(rule, TypeRule):
-            df = validate_column(df, rule.column, rule.datatype)
-        else:
-            df = validate_column(
-                df, rule.column, "string", accepted_values=list(rule.accepted_values)
+    prepare, exps = expectations_from_rules(rules, fk_rules)
+    before_cols = df.columns
+    df = prepare(df)  # adds one __fk_ok_<col> flag per FK rule (join)
+    flags = [c for c in df.columns if c not in before_cols]
+    # prepare's join moves its key column first; restore the order
+    # (the reference keeps input order; positional consumers rely on it)
+    df = df.select(*before_cols, *flags)
+    for rule, exp in zip(rules, exps[: len(rules)]):
+        # quirk-parity audit: 1-element array of
+        # "col, <previous contents joined>"
+        audit_value = F.array(
+            F.concat_ws(
+                ", ", F.lit(rule.column), F.col("invalid_columns")
             )
-    for fk in fk_rules:
-        parent = fk.parent_df.select(
-            F.col(fk.parent_column).alias(fk.column)
         )
-        df = validate_relationship(df, fk.column, parent, fk.column)
+        df = _mark_invalid(
+            df, ~exp.passes(), "invalid_columns", audit_value
+        )
+    for fk, exp in zip(fk_rules, exps[len(rules):]):
+        audit_value = F.array(F.concat_ws(", ", F.lit(fk.column)))
+        df = _mark_invalid(
+            df, ~exp.passes(), "invalid_relationship", audit_value
+        )
+    if flags:
+        df = df.drop(*flags)
     return df.withColumn(
         "validation_status",
         F.when(F.col("validation_status") == "", F.lit("valid")).otherwise(

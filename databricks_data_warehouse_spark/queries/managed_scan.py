@@ -617,20 +617,132 @@ def table_append_race_oracle() -> str:
     """
 
 
+def _disjoint_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached table built by a REAL NON-BLIND commit race (round 12):
+    v0 lands every order partitioned by ``p = k % 4``; then two
+    handles run partition-SCOPED MERGE UPSERTs against the same base —
+    the loser repricing partition '1' (+1), the interposed winner
+    partition '2' (+2) — and the loser's manifest claim truly
+    collides. Delta's logical conflict detection must land BOTH
+    (disjoint read/write regions rebase instead of raising,
+    sources/tables.py _rebind_for_disjoint_rebase): builder-asserted
+    that the race fired, that the loser rebased onto v2, and that the
+    table holds both writers' changes. At 100 TB this is N parallel
+    partitioned ingest MERGEs instead of serialized ones."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"djrace_tbl_{h}")
+    t = ManagedTable(
+        spark, f"orders_djrace_{h}", loc, partition_columns=["p"]
+    )
+    if t.current_version() == 2:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(
+            spark, f"orders_djrace_{h}", loc, partition_columns=["p"]
+        )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 4).cast("string").alias("p"),
+    )
+    t.overwrite(base)                                               # v0
+    t1 = ManagedTable(
+        spark, f"orders_djrace_{h}", loc, partition_columns=["p"]
+    )
+    t2 = ManagedTable(
+        spark, f"orders_djrace_{h}", loc, partition_columns=["p"]
+    )
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.merge_upsert(                                        # v1 wins
+                base.where(F.col("p") == "2").select(
+                    "k", (F.col("price") + 2).alias("price"), "p"
+                ),
+                ["p", "k"],
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.merge_upsert(                                   # rebases to v2
+        base.where(F.col("p") == "1").select(
+            "k", (F.col("price") + 1).alias("price"), "p"
+        ),
+        ["p", "k"],
+    )
+    if not state["raced"] or v != 2 or t.current_version() != 2:
+        raise AssertionError(
+            f"disjoint merge rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_disjoint_merge_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-region concurrent MERGEs, driver-checked: after the
+    interposed claim collision (see ``_disjoint_race_table``) the
+    table must hold BOTH writers' repricings — partition 1 at +1,
+    partition 2 at +2, partitions 0/3 untouched — with no row lost,
+    doubled, or cross-contaminated. The oracle is plain SQL over the
+    source applying both updates."""
+    from ._util import cents
+
+    t = _disjoint_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy(F.col("p").cast("long").alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_disjoint_merge_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH adj AS (
+            SELECT o_orderkey % 4 AS grp,
+                   o_totalprice
+                       + CASE o_orderkey % 4
+                             WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0
+                         END AS price
+            FROM orders
+        )
+        SELECT grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """
+
+
 def _row_tracking_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     """Cached row-tracking fixture: v0 lands every order (k, price),
     v1 enables ``delta.enableRowTracking`` (backfill on commit), v2
     appends the k%3==0 slice repriced, v3 OPTIMIZEs (bin-pack, ids
-    MATERIALIZE into the rewritten files). Ids are minted densely, so
-    whatever per-file assignment order a run produced, the id SET is
-    exactly {0 .. N-1} — the deterministic invariant the oracle
-    checks, through the materializing rewrite."""
+    MATERIALIZE into the rewritten files), v4 runs a COPY-ON-WRITE
+    UPDATE (k%5==0 → price+10, deletion_vectors=False — round 12: DML
+    rewrites PRESERVE ids by materializing them, closing the r11
+    divergence). Ids are minted densely, so whatever per-file
+    assignment order a run produced, the id SET is exactly
+    {0 .. N-1} — the deterministic invariant the oracle checks,
+    through BOTH the maintenance rewrite and the DML rewrite."""
     from ..streaming.windows import _scratch_root
 
     h = _corpus_fingerprint(sf_dir)
     loc = os.path.join(_scratch_root(), f"rowtrack_tbl_{h}")
     t = ManagedTable(spark, f"orders_rt_{h}", loc)
-    if t.current_version() >= 3:
+    if t.current_version() == 4:
         return t
     if t.current_version() >= 0:
         import shutil
@@ -649,15 +761,21 @@ def _row_tracking_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
         )
     )                                                               # v2
     t.optimize(min_small_files=1)                                   # v3
+    t.update_where(                                                 # v4
+        {"price": "price + 10"}, F.col("k") % 5 == 0,
+        deletion_vectors=False,
+    )
     return t
 
 
 def table_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row tracking, driver-checked: after backfill + append +
-    materializing OPTIMIZE the id set must be EXACTLY {0 .. N-1} —
-    unique (count == count distinct), dense (min 0, max N-1, sum =
-    N(N-1)/2), and every row still carries one. Row values prove the
-    rewrite lost nothing."""
+    materializing OPTIMIZE + a copy-on-write UPDATE the id set must
+    be EXACTLY {0 .. N-1} — unique (count == count distinct), dense
+    (min 0, max N-1, sum = N(N-1)/2), and every row still carries
+    one: neither the maintenance rewrite nor the DML rewrite re-mints
+    (round 12 closes the documented r11 CoW divergence). Row values
+    prove the rewrites lost nothing and the UPDATE landed."""
     from ..queries._util import cents
 
     t = _row_tracking_table(spark, sf_dir)
@@ -680,11 +798,18 @@ def table_row_tracking_scan_oracle() -> str:
     from ._util import cents_sql
 
     return f"""
-        WITH rows_all AS (
+        WITH staged AS (
             SELECT o_orderkey AS k, o_totalprice AS price FROM orders
             UNION ALL
             SELECT o_orderkey, o_totalprice + 1 FROM orders
             WHERE o_orderkey % 3 = 0
+        ),
+        rows_all AS (
+            -- the v4 copy-on-write UPDATE: k%5==0 rows repriced +10
+            SELECT k,
+                   CASE WHEN k % 5 = 0 THEN price + 10 ELSE price END
+                       AS price
+            FROM staged
         ),
         n AS (SELECT COUNT(*) AS total FROM rows_all)
         SELECT k % 2 AS grp,

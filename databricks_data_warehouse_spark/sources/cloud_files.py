@@ -114,10 +114,19 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         # includeExisting=false floor: files at-or-below the initial
         # watermark stay excluded even from reconcile sweeps (the
         # stream opted out of pre-existing files). Carried in every
-        # offset so it survives restarts; the instance attr bridges
-        # the one latestOffset() call that precedes the first
-        # partitions() of a restarted run.
-        self._floor = 0
+        # offset so it survives restarts. A restarted reader does NOT
+        # know the floor until partitions() hands it the checkpointed
+        # start offset — and the engine's first latestOffset() runs
+        # BEFORE that (ADVICE r11): emitting floor:0 there would bake
+        # "no floor" into the offset WAL, and a second restart from
+        # that offset would let a sweep deliver every opted-out
+        # pre-existing file. So the unknown state is EXPLICIT (-1):
+        # offsets written while unknown say -1, partitions() recovers
+        # the real floor from the first start offset it sees (healing
+        # subsequent offsets), and sweeps are suppressed — degraded to
+        # the incremental listing — for exactly as long as the floor
+        # is unknown.
+        self._floor = 0 if include else -1
 
     # ------------------------------------------------------ listing
     def _list(self) -> list:
@@ -161,7 +170,7 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         self._trigger_count += 1
         off = self._offset_for(self._list())
         off["floor"] = self._floor
-        if self.reconcile_every > 0 and (
+        if self.reconcile_every > 0 and self._floor >= 0 and (
             self._trigger_count == 1
             or self._trigger_count % self.reconcile_every == 0
         ):
@@ -184,9 +193,12 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         s_recent = dict(start.get("recent", {}))
         e_wm = int(end.get("wm", 0))
         # floor rides the start offset (checkpoint-durable); keep the
-        # instance attr in sync for the next latestOffset()
-        self._floor = max(self._floor, int(start.get("floor", 0)))
-        if end.get("sweep"):
+        # instance attr in sync for the next latestOffset(). -1 =
+        # unknown (an offset emitted by a just-restarted reader before
+        # this call): never treated as a real floor of 0.
+        default_floor = 0 if self._include_existing else -1
+        self._floor = max(self._floor, int(start.get("floor", default_floor)))
+        if end.get("sweep") and self._floor >= 0:
             new = [
                 (p, sz, m)
                 for p, sz, m in self._list()

@@ -1567,15 +1567,23 @@ class ManagedTable:
         base: int,
         stats: Mapping[str, dict],
         materialized: Collection[str] = (),
+        mint_materialized: bool = False,
     ) -> tuple[dict[str, int], list[str], int]:
         """Row-tracking metadata for a commit whose file universe is
         ``stats``' keys, built on ``base``: surviving files keep their
         base ids (or their materialized-marker), ``materialized`` files
-        carry their ids IN-DATA (maintenance rewrites), and every other
-        file — fresh writes AND pre-tracking files being backfilled —
-        mints from the monotone watermark using its stats row count.
-        When tracking is off the maps are empty but the watermark still
-        carries (re-enabling never re-mints old ids)."""
+        carry their ids IN-DATA (maintenance and DML rewrites), and
+        every other file — fresh writes AND pre-tracking files being
+        backfilled — mints from the monotone watermark using its stats
+        row count. With ``mint_materialized`` the ``materialized``
+        files get a base id TOO: a DML rewrite's output preserves
+        surviving rows' ids in-data but may interleave fresh rows
+        (merge inserts) whose ``__row_id`` is NULL — those resolve to
+        base + position (the read-side coalesce in
+        ``_attach_row_ids``), never colliding because the base starts
+        at the high watermark. When tracking is off the maps are empty
+        but the watermark still carries (re-enabling never re-mints old
+        ids)."""
         prev_rb, prev_mat, high = (
             self._read_row_base(base) if base >= 0 else ({}, [], 0)
         )
@@ -1583,7 +1591,10 @@ class ManagedTable:
             return {}, [], high
         out = {f: b for f, b in prev_rb.items() if f in stats}
         mat = {f for f in prev_mat if f in stats} | set(materialized)
-        for f in sorted(set(stats) - set(out) - mat):
+        need_base = set(stats) - set(out) - mat
+        if mint_materialized:
+            need_base |= set(materialized) - set(out)
+        for f in sorted(need_base):
             out[f] = high
             high += int(stats.get(f, {}).get("rows", 0))
         return out, sorted(mat), high
@@ -1773,11 +1784,17 @@ class ManagedTable:
             prev = self._read_txn(base).get(txn[0])
             if prev is not None and int(prev) >= int(txn[1]):
                 return False
-        self.copy_files = self._read_copy_files(base)
+        # every refusal condition is validated against LOCALS before any
+        # self.* assignment (ADVICE r11): a False return must leave the
+        # handle exactly as it was, so a caller that catches the raised
+        # ConcurrentWriteError and retries on the same handle never sees
+        # mixed-version metadata (winner's copy ledger + old constraints)
+        new_copy = self._read_copy_files(base)
         if copy_files_add:
-            if set(copy_files_guard) & set(self.copy_files):
+            if set(copy_files_guard) & set(new_copy):
                 return False  # caller must re-diff the landing zone
-            self.copy_files = {**self.copy_files, **dict(copy_files_add)}
+            new_copy = {**new_copy, **dict(copy_files_add)}
+        self.copy_files = new_copy
         self.bloom = self._read_bloom(base)
         self.generated = self._read_generated(base)
         self.identity = self._read_identity(base)
@@ -1786,6 +1803,135 @@ class ManagedTable:
         self.defaults = self._read_defaults(base)
         self.cluster_by = self._read_cluster_by(base)
         self.clustered_rels = self._read_clustered(base)
+        return True
+
+    def _commit_delta_keys(self, version: int) -> set[str]:
+        """The set of BASE entry keys a committed version touched,
+        relative to its parent: entries added / replaced / removed,
+        plus the entries whose files gained or lost deletion-vector
+        state. This is the write half of Delta's logical conflict
+        detection — derived by diffing two manifests (O(entries)
+        metadata, no data I/O), so no extra bookkeeping has to ride
+        the commit to make later losers able to check overlap."""
+        prev_man = self._read_manifest(version - 1) if version > 0 else {}
+        cur_man = self._read_manifest(version)
+        delta: set[str] = set()
+        for k in set(prev_man) | set(cur_man):
+            if prev_man.get(k) != cur_man.get(k):
+                delta.add(_base_key(k))
+        prev_dv, _ = self._read_dv(version - 1) if version > 0 else ({}, {})
+        cur_dv, _ = self._read_dv(version)
+        if prev_dv != cur_dv:
+            rel_to_key = {rel: _base_key(k) for k, rel in prev_man.items()}
+            rel_to_key.update(
+                {rel: _base_key(k) for k, rel in cur_man.items()}
+            )
+            for f in set(prev_dv) | set(cur_dv):
+                if prev_dv.get(f) != cur_dv.get(f):
+                    d = os.path.dirname(f)
+                    delta.add(rel_to_key.get(d, d))
+        return delta
+
+    def _commit_conflicts(
+        self,
+        version: int,
+        touched_keys: Collection[str],
+        touched_dnf: Sequence[Sequence[tuple]] | None,
+    ) -> bool:
+        """Does committed ``version``'s write set overlap this
+        transaction's read/write region? ``touched_keys`` are exact
+        base entry keys (the partitions a scoped merge read, replaced,
+        or dropped); ``touched_dnf`` is a disjunction of conjunctive
+        filter-triple lists evaluated against each delta key's
+        partition values (``replace_where``'s read predicate; ``[[]]``
+        = "read everything"). Conservative: an undecidable predicate
+        match counts as overlap."""
+        delta = self._commit_delta_keys(version)
+        if not delta:
+            return False
+        if touched_keys and delta & set(touched_keys):
+            return True
+        if touched_dnf is not None:
+            for k in delta:
+                if any(
+                    self._base_matches(k, list(trips))
+                    for trips in touched_dnf
+                ):
+                    return True
+        return False
+
+    def _rebind_for_disjoint_rebase(
+        self,
+        winner: int,
+        txn: tuple[str, int] | None,
+        copy_files_add: Mapping[str, list] | None,
+        copy_files_guard: Sequence[str],
+        touched_keys: Collection[str],
+        touched_dnf: Sequence[Sequence[tuple]] | None,
+    ) -> bool:
+        """Delta's logical conflict detection for NON-BLIND commits
+        (the half ``_rebind_for_append_rebase`` doesn't cover): a
+        transaction that replaces, drops, or rewrites entries may
+        still rebase onto a racing winner when the winner's write set
+        is provably DISJOINT from this transaction's read/write region
+        — two MERGEs into different partitions, a partition-scoped
+        backfill racing an append elsewhere, ingest racing maintenance
+        on other partitions. At 100 TB this is the difference between
+        N parallel partitioned writers and serialized ones (Delta's
+        ConflictChecker allows exactly this).
+
+        Refuses (first-writer-wins, caller re-runs) when the winner
+        changed table metadata our staged files were built under
+        (schema, column mapping, constraints, the appendOnly /
+        CDF / row-tracking property switches), advanced our streaming
+        txn watermark, COPY'd a guarded source file, or touched any
+        entry in our region. Every refusal is decided on locals; the
+        handle mutates only after the function has decided True."""
+        man_path = self._manifest_path(winner)
+        if not os.path.exists(man_path):
+            return False
+        w_schema = _load_manifest_json(man_path).get("schema")
+        if (
+            w_schema is not None
+            and self.schema is not None
+            and StructType.fromJson(w_schema) != self.schema
+        ):
+            return False
+        if self._read_renames(winner) != self.renames:
+            return False
+        if self._read_constraints(winner) != self.constraints:
+            return False
+        w_props = self._read_properties(winner)
+        for p in (
+            "delta.appendOnly",
+            "delta.enableChangeDataFeed",
+            "delta.enableRowTracking",
+        ):
+            if (
+                str(w_props.get(p, "")).lower()
+                != str(self.properties.get(p, "")).lower()
+            ):
+                return False  # write semantics flipped mid-flight
+        if txn is not None:
+            prev = self._read_txn(winner).get(txn[0])
+            if prev is not None and int(prev) >= int(txn[1]):
+                return False
+        new_copy = self._read_copy_files(winner)
+        if copy_files_add:
+            if set(copy_files_guard) & set(new_copy):
+                return False
+            new_copy = {**new_copy, **dict(copy_files_add)}
+        if self._commit_conflicts(winner, touched_keys, touched_dnf):
+            return False
+        self.copy_files = new_copy
+        self.bloom = self._read_bloom(winner)
+        self.generated = self._read_generated(winner)
+        self.identity = self._read_identity(winner)
+        self.properties = w_props
+        self._apply_functional_properties()
+        self.defaults = self._read_defaults(winner)
+        self.cluster_by = self._read_cluster_by(winner)
+        self.clustered_rels = self._read_clustered(winner)
         return True
 
     # ------------------------------------------------------------------ DDL
@@ -2348,7 +2494,10 @@ class ManagedTable:
         drop_rels: Collection[str] = (),
         mark_clustered: bool = False,
         reset_metadata: bool = False,
-        row_ids_materialized: bool = False,
+        row_ids_materialized: bool | str = False,
+        read_version: int | None = None,
+        read_keys: Collection[str] | None = None,
+        read_dnf: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -2362,7 +2511,26 @@ class ManagedTable:
         ``drop_rels`` removes the named entry dirs from the manifest in
         the same commit (their stats and deletion vectors die with
         them) — the remove-file half of a ``replace_where`` transaction.
-        """
+
+        ``read_version`` + ``read_keys``/``read_dnf`` declare the
+        transaction's READ region (Delta's OptimisticTransaction read
+        set): the snapshot version the staged frame was derived from,
+        plus the base entry keys (and/or predicate DNF) it read. Every
+        commit that landed between ``read_version`` and the version
+        being claimed is conflict-checked against the region — an
+        overlapping intermediate commit raises ``ConcurrentWriteError``
+        (the staged frame is stale), a disjoint one is carried over.
+        The same region lets a claim-collision loser REBASE instead of
+        raising when the winner's writes are provably disjoint
+        (``_rebind_for_disjoint_rebase``). ``read_keys=None`` keeps the
+        legacy behavior: no region is known, any intermediate commit or
+        claim collision is a conflict.
+
+        ``row_ids_materialized``: ``True``/"all" marks every staged
+        file as carrying ids in-data (maintenance rewrites — no fresh
+        rows); ``"partial"`` additionally mints a base id per staged
+        file so rows whose ``__row_id`` is NULL (merge inserts riding a
+        rewrite) resolve to base + position."""
         v_new = self.current_version() + 1
         # enforce against the constraint set of the version being built
         # on (a constraint added by another writer after this handle
@@ -2506,6 +2674,13 @@ class ManagedTable:
         if self.schema is None:
             self.schema = df.schema
         staged_stats = self._collect_file_stats(write_dir)
+        # the transaction's full touched region: what it read (caller-
+        # declared — scoped callers include their drop_rels' keys) plus
+        # what it writes (the staged partitions)
+        touched_keys: set[str] | None = None
+        if read_keys is not None or read_dnf is not None:
+            touched_keys = set(read_keys or ())
+            touched_keys.update(_base_key(k) for k in staged)
 
         def _assemble(base: int):
             """Manifest state for committing the staged entries on top
@@ -2566,6 +2741,7 @@ class ManagedTable:
                 materialized=(
                     staged_stats if row_ids_materialized else ()
                 ),
+                mint_materialized=(row_ids_materialized == "partial"),
             )
             return (
                 entries, stats, dv, dv_n, txns,
@@ -2599,6 +2775,42 @@ class ManagedTable:
                     sorted(set(staged.values())), write_rel,
                 )
         self._save_schema()
+
+        def _discard_staged():
+            # discard this transaction's staged files (and their bloom
+            # sidecars and staged change files — vacuum would sweep
+            # them, but the loser knows NOW)
+            shutil.rmtree(write_dir, ignore_errors=True)
+            shutil.rmtree(
+                self._bloom_dir_for_root(write_rel), ignore_errors=True
+            )
+            if cdf_staged:
+                shutil.rmtree(
+                    os.path.join(
+                        self.location,
+                        f"_change_data/{os.path.basename(write_rel)}",
+                    ),
+                    ignore_errors=True,
+                )
+
+        # serializability over the read snapshot: commits that landed
+        # between the version this frame was DERIVED from and the
+        # version it will claim must not overlap its region — the frame
+        # baked a stale view of any entry they touched. Disjoint
+        # intermediates are fine (their entries carry over via
+        # _assemble). Metadata is re-adopted above, so only data
+        # overlap is checked here.
+        if read_version is not None and touched_keys is not None:
+            for iv in range(read_version + 1, v_new):
+                if self._commit_conflicts(iv, touched_keys, read_dnf):
+                    _discard_staged()
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: version {iv} (committed "
+                        "after this transaction's read snapshot "
+                        f"{read_version}) touched entries this "
+                        f"{op} read or rewrites; re-run against the "
+                        "current version"
+                    )
         rebases = 0
         while True:
             try:
@@ -2609,16 +2821,22 @@ class ManagedTable:
                 )
                 break
             except ConcurrentWriteError:
-                # Delta's logical conflict rule: a BLIND APPEND (stages
-                # new entries only — removes nothing, rewrites nothing,
-                # mints nothing) never conflicts with another commit.
-                # Rebase it: re-bind metadata to the winner's version,
+                # Delta's logical conflict rules, in order:
+                # (1) a BLIND APPEND (stages new entries only — removes
+                #     nothing, rewrites nothing, mints nothing) never
+                #     conflicts with another commit;
+                # (2) a NON-BLIND commit whose declared read/write
+                #     region is provably disjoint from the winner's
+                #     write set rebases too (two MERGEs into different
+                #     partitions both land — parallel partitioned
+                #     writers instead of serialized ones).
+                # Either way: re-bind metadata to the winner's version,
                 # re-validate, and retry at the next version number —
                 # the staged data files are reused as-is (their dir is
-                # writer-unique). Anything non-blind keeps
-                # first-writer-wins and raises to the caller.
+                # writer-unique). Anything else keeps first-writer-wins
+                # and raises to the caller.
                 rebases += 1
-                if not (
+                blind_ok = (
                     append_only
                     and not replace_all
                     and not drop_rels
@@ -2628,28 +2846,26 @@ class ManagedTable:
                     and cdf_staged is None
                     and v_new > 0
                     and rebases <= 16
-                ) or not self._rebind_for_append_rebase(
+                ) and self._rebind_for_append_rebase(
                     v_new, txn, copy_files_add, copy_files_guard,
-                ):
-                    # lost the race for real: discard this
-                    # transaction's staged files (and their bloom
-                    # sidecars and staged change files — vacuum would
-                    # sweep them, but the loser knows NOW)
-                    shutil.rmtree(write_dir, ignore_errors=True)
-                    shutil.rmtree(
-                        self._bloom_dir_for_root(write_rel),
-                        ignore_errors=True,
+                )
+                if not blind_ok:
+                    disjoint_ok = (
+                        touched_keys is not None
+                        and not replace_all
+                        and not reset_metadata
+                        and not mark_clustered
+                        and not identity_claim
+                        and v_new > 0
+                        and rebases <= 16
+                    ) and self._rebind_for_disjoint_rebase(
+                        v_new, txn, copy_files_add, copy_files_guard,
+                        touched_keys, read_dnf,
                     )
-                    if cdf_staged:
-                        shutil.rmtree(
-                            os.path.join(
-                                self.location,
-                                f"_change_data/"
-                                f"{os.path.basename(write_rel)}",
-                            ),
-                            ignore_errors=True,
-                        )
-                    raise
+                    if not disjoint_ok:
+                        # lost the race for real
+                        _discard_staged()
+                        raise
                 v_new += 1
                 (
                     entries, stats, dv, dv_n, txns,
@@ -2829,16 +3045,28 @@ class ManagedTable:
             "carried": len(set(entries.values())) - len(drop_rels)
             - len(rewrite_rels),
         }
+        track = self._row_tracking_enabled()
         staged = self._apply_generated(df)
         staged, id_claim = self._assign_identity(staged)
         staged = staged.select(*cols)
+        if track:
+            # the incoming region data is new rows (fresh ids mint via
+            # base + position); the straddling dirs' remainder keeps
+            # its ids in-data
+            staged = staged.withColumn("__row_id", F.lit(None).cast("long"))
         if rewrite_rels:
             dv, _ = self._read_dv(v)
             touched_dv = {
                 f: d for f, d in dv.items()
                 if os.path.dirname(f) in rewrite_rels
             }
-            live = self._scan_rels(sorted(rewrite_rels), bool(touched_dv))
+            live = self._scan_rels(
+                sorted(rewrite_rels),
+                need_meta=bool(touched_dv) or track,
+                with_row_col=track,
+            )
+            if track:
+                live = self._attach_row_ids(live, v)
             if touched_dv:
                 live = live.join(
                     self._dv_rows(touched_dv).select(
@@ -2848,10 +3076,21 @@ class ManagedTable:
                     ["__mt_key", "__mt_pos"],
                     "left_anti",
                 )
-            remainder = live.select(*cols).filter(
-                ~F.coalesce(cond, F.lit(False))
-            )
+            remainder = live.select(
+                *cols,
+                *([F.col("_row_id").alias("__row_id")] if track else []),
+            ).filter(~F.coalesce(cond, F.lit(False)))
             staged = remainder.unionByName(staged)
+        # read region: the replaced predicate itself (an intermediate
+        # or racing commit ADDING rows that match the predicate would
+        # survive the swap and violate the replaceWhere contract — the
+        # DNF check is conservative for non-partition predicates) plus
+        # the classified entries
+        rel_keys = {
+            _base_key(k)
+            for k, rel in entries.items()
+            if rel in (drop_rels | rewrite_rels)
+        }
         return self._stage_and_commit(
             staged,
             replace_all=False,
@@ -2859,6 +3098,10 @@ class ManagedTable:
             op=op,
             identity_claim=id_claim,
             drop_rels=drop_rels | rewrite_rels,
+            row_ids_materialized="partial" if track else False,
+            read_version=v,
+            read_keys=rel_keys,
+            read_dnf=[list(phys)],
         )
 
     def insert_overwrite(self, df: DataFrame, dynamic: bool = True) -> int:
@@ -5071,9 +5314,18 @@ class ManagedTable:
         (collected — partition tuples are low-cardinality by layout
         design, the same assumption Delta makes when listing partitions).
         Returns None when the source is empty."""
+        pf, _tuples = self._source_partitions(source)
+        return pf
+
+    def _source_partitions(self, source: DataFrame):
+        """(predicate, collected partition tuples) of ``source`` —
+        the filter half feeds the scoped target scan, the tuples half
+        feeds :meth:`_scope_rels_keys` (the entry region the scoped
+        operation reads, rewrites, or empties). ``(None, [])`` when
+        the source is empty."""
         tuples = source.select(*self.partition_columns).distinct().collect()
         if not tuples:
-            return None
+            return None, []
         ors = []
         for t in tuples:
             ands = [
@@ -5081,7 +5333,55 @@ class ManagedTable:
                 for c in self.partition_columns
             ]
             ors.append(reduce(lambda a, b: a & b, ands))
-        return reduce(lambda a, b: a | b, ors)
+        return reduce(lambda a, b: a | b, ors), tuples
+
+    def _scope_rels_keys(
+        self, version: int, tuples
+    ) -> tuple[set[str], set[str]]:
+        """``(entry rel dirs, base entry keys)`` of ``version`` whose
+        partition tuple equals one of the collected source tuples — the
+        exact manifest region a partition-scoped merge reads and may
+        rewrite or EMPTY. Passed to ``_stage_and_commit`` as
+        ``drop_rels`` (a partition whose rows all died must leave the
+        manifest — restaging alone can't remove it, the staged write
+        produces no dir for an empty partition) and as ``read_keys``
+        (the conflict-detection region that lets disjoint concurrent
+        commits rebase instead of raising). Strict in the safe
+        direction: an entry whose partition value can't be parsed into
+        the comparison space stays OUT of the scope (carried over,
+        never dropped)."""
+        entries = self._read_manifest(version) if version >= 0 else {}
+        if not entries or not tuples:
+            return set(), set()
+        ptypes = {
+            f.name: f.dataType.simpleString()
+            for f in (self.schema.fields if self.schema else [])
+            if f.name in self.partition_columns
+        }
+        trips = [
+            [
+                (c, "is_null") if t[c] is None else (c, "=", t[c])
+                for c in self.partition_columns
+            ]
+            for t in tuples
+        ]
+        rels: set[str] = set()
+        keys: set[str] = set()
+        for k, rel in entries.items():
+            bk = _base_key(k)
+            vals = json.loads(bk)
+            if any(
+                raw is not None
+                and self._partition_stat(
+                    ptypes.get(c, "string"), raw, 1
+                ) is None
+                for c, raw in zip(self.partition_columns, vals)
+            ):
+                continue  # unparseable: never claimed by the scope
+            if any(self._base_matches(bk, tr) for tr in trips):
+                rels.add(rel)
+                keys.add(bk)
+        return rels, keys
 
     # ------------------------------------------------------- schema evolution
     def _evolve_schema(self, source: DataFrame) -> tuple[DataFrame, StructType]:
@@ -5202,9 +5502,21 @@ class ManagedTable:
         else:
             self._check_source_columns(source)
         try:
-            target = self.read()
+            v_read = self.current_version()
+            track = self._row_tracking_enabled()
+            cols = [f.name for f in self.schema.fields]
+            if track:
+                # surviving rows keep their ids in-data; the inserted
+                # rows mint (NULL __row_id → base + position)
+                target = self.read_with_row_ids(v_read).withColumnRenamed(
+                    "_row_id", "__row_id"
+                )
+            else:
+                target = self.read(v_read)
+            scope_keys: set[str] | None = None
+            read_dnf = None
             if self.partition_columns:
-                pf = self._source_partition_filter(source)
+                pf, tuples = self._source_partitions(source)
                 if pf is None:  # empty source: no-op, no schema change
                     self.schema = prev_schema
                     return self.current_version()
@@ -5215,8 +5527,13 @@ class ManagedTable:
                     target.filter(pf) if match_covers_partitions else target
                 )
                 target = target.filter(pf)
+                if match_covers_partitions:
+                    _rels, scope_keys = self._scope_rels_keys(v_read, tuples)
+                else:
+                    read_dnf = [[]]  # keyed match scans the whole table
             else:
                 existing_src = target
+                read_dnf = [[]]
             existing = existing_src.select(*match_columns).distinct()
             new_rows = source.join(
                 existing,
@@ -5227,10 +5544,22 @@ class ManagedTable:
                 if merge_schema and evolved != prev_schema:
                     return self._commit_metadata_only()
                 return self.current_version()
-            merged = target.unionByName(new_rows.select(*target.columns))
+            if track:
+                new_rows = new_rows.withColumn(
+                    "__row_id", F.lit(None).cast("long")
+                )
+            merged = target.select(
+                *cols, *(["__row_id"] if track else [])
+            ).unionByName(
+                new_rows.select(*cols, *(["__row_id"] if track else []))
+            )
             return self._stage_and_commit(
                 merged, replace_all=not self.partition_columns,
                 op="MERGE INSERT",
+                row_ids_materialized="partial" if track else False,
+                read_version=v_read,
+                read_keys=scope_keys,
+                read_dnf=read_dnf,
             )
         except BaseException:
             self.schema = prev_schema
@@ -5292,20 +5621,53 @@ class ManagedTable:
             scoped = bool(self.partition_columns) and set(
                 self.partition_columns
             ) <= set(keys)
-            target = self.read()
+            v_read = self.current_version()
+            track = self._row_tracking_enabled()
+            cols = [f.name for f in self.schema.fields]
+            if track:
+                # row tracking (Delta parity): surviving rows carry
+                # their ids through the rewrite IN-DATA; a source row
+                # replacing a matched key INHERITS that key's id, a
+                # fresh key mints (NULL __row_id → base + position)
+                target = self.read_with_row_ids(v_read).withColumnRenamed(
+                    "_row_id", "__row_id"
+                )
+            else:
+                target = self.read(v_read)
+            drop_scope: set[str] = set()
+            scope_keys: set[str] | None = None
+            read_dnf = None
             if scoped:
-                pf = self._source_partition_filter(source)
+                pf, tuples = self._source_partitions(source)
                 if pf is None:
                     self.schema = prev_schema
                     return self.current_version()
+                drop_scope, scope_keys = self._scope_rels_keys(
+                    v_read, tuples
+                )
                 target = target.filter(pf)
+            else:
+                read_dnf = [[]]  # full-table pass: reads everything
             kept = target.join(
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
-            merged = kept.unionByName(source.select(*target.columns))
+            src = source
+            if track:
+                tid = target.groupBy(*keys).agg(
+                    F.min("__row_id").alias("__row_id")
+                )
+                src = source.join(tid, on=keys, how="left")
+            merged = kept.select(
+                *cols, *(["__row_id"] if track else [])
+            ).unionByName(src.select(*cols, *(["__row_id"] if track else [])))
             return self._stage_and_commit(
                 merged, replace_all=not scoped, txn=txn, op="MERGE UPSERT",
                 identity_claim=id_claim,
+                drop_rels=drop_scope,
+                row_ids_materialized="partial" if track else False,
+                read_version=v_read,
+                read_keys=scope_keys,
+                read_dnf=read_dnf,
             )
         except BaseException:
             self.schema = prev_schema
@@ -5347,7 +5709,11 @@ class ManagedTable:
         return matched.unionByName(unmatched), claim
 
     def _delete_rows_dv(
-        self, doomed: DataFrame, op: str, append_df: DataFrame | None = None
+        self,
+        doomed: DataFrame,
+        op: str,
+        append_df: DataFrame | None = None,
+        append_materialized: bool = False,
     ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
         (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
@@ -5400,8 +5766,11 @@ class ManagedTable:
         entries = self._read_manifest(v)
         stats = dict(self._read_stats(v))
         write_dir = None
+        appended_files: dict[str, dict] = {}
         if append_df is not None:
             cols = [f.name for f in self.schema.fields]
+            if append_materialized:
+                cols = [*cols, "__row_id"]
             write_rel = f"data/w={v + 1}-{uuid.uuid4().hex[:8]}"
             write_dir = os.path.join(self.location, write_rel)
             staged_df = append_df.select(*cols)
@@ -5423,15 +5792,21 @@ class ManagedTable:
                     for k, rel in self._walk_staged(write_dir, write_rel).items()
                 },
             }
-            stats.update(self._collect_file_stats(write_dir))
+            appended_files = self._collect_file_stats(write_dir)
+            stats.update(appended_files)
             if self.bloom:
                 try:
                     self._write_bloom_sidecars(write_dir, write_rel)
                 except Exception:
                     pass  # rebuildable cache, never aborts the commit
         # row tracking: carried files keep their ids (DV deletes don't
-        # shift positions), the appended dir mints fresh ones
-        rb, rm, rh = self._carried_row_base(v, stats)
+        # shift positions); the appended dir mints fresh ones — or, with
+        # ``append_materialized`` (merge-on-read UPDATE), carries the
+        # matched rows' PRESERVED ids in-data
+        rb, rm, rh = self._carried_row_base(
+            v, stats,
+            materialized=(appended_files if append_materialized else ()),
+        )
         try:
             self._write_manifest(
                 v + 1,
@@ -5487,19 +5862,42 @@ class ManagedTable:
         scoped = bool(self.partition_columns) and set(
             self.partition_columns
         ) <= set(keys)
-        target = self.read()
+        v_read = self.current_version()
+        track = self._row_tracking_enabled()
+        if track:
+            # surviving rows carry their ids through the rewrite
+            target = self.read_with_row_ids(v_read).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            target = self.read(v_read)
+        drop_scope: set[str] = set()
+        scope_keys: set[str] | None = None
+        read_dnf = None
         if scoped:
-            pf = self._source_partition_filter(source)
+            pf, tuples = self._source_partitions(source)
             if pf is None:
                 return self.current_version()
+            # the scoped entries are DROPPED and the survivors restaged:
+            # a partition whose rows all matched must leave the manifest
+            # (the staged write produces no dir for an empty partition —
+            # restaging alone would silently resurrect it)
+            drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
             target = target.filter(pf)
+        else:
+            read_dnf = [[]]
         # nothing matches → nothing to delete → commit-free no-op
         # (one limit-1 semi-join probe, vs a full rewrite)
         if target.join(src_keys, on=keys, how="left_semi").isEmpty():
             return self.current_version()
         kept = target.join(src_keys, on=keys, how="left_anti")
         return self._stage_and_commit(
-            kept, replace_all=not scoped, op="MERGE DELETE"
+            kept, replace_all=not scoped, op="MERGE DELETE",
+            drop_rels=drop_scope,
+            row_ids_materialized=track,
+            read_version=v_read,
+            read_keys=scope_keys,
+            read_dnf=read_dnf,
         )
 
     def delete_where(
@@ -5524,10 +5922,24 @@ class ManagedTable:
             target = self._read_internal(self.current_version(), with_pos=True)
             doomed = target.filter(F.coalesce(condition, F.lit(False)))
             return self._delete_rows_dv(doomed, op="DELETE (DV)")
+        v_read = self.current_version()
+        track = self._row_tracking_enabled()
+        if track:
+            # copy-on-write DELETE preserves surviving rows' ids by
+            # materializing them into the rewritten files (Delta row
+            # tracking's DML behavior)
+            base_df = self.read_with_row_ids(v_read).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            base_df = self.read(v_read)
         return self._stage_and_commit(
-            self.read().filter(~F.coalesce(condition, F.lit(False))),
+            base_df.filter(~F.coalesce(condition, F.lit(False))),
             replace_all=True,
             op="DELETE",
+            row_ids_materialized=track,
+            read_version=v_read,
+            read_dnf=[[]],
         )
 
     def update_where(
@@ -5564,8 +5976,41 @@ class ManagedTable:
             for c, e in assignments.items()
         }
         cond = F.coalesce(condition, F.lit(False))
+        track = self._row_tracking_enabled()
         if deletion_vectors:
-            target = self._read_internal(self.current_version(), with_pos=True)
+            v = self.current_version()
+            if track:
+                # merge-on-read UPDATE with row tracking: the rewritten
+                # versions of the matched rows KEEP their ids — the ids
+                # are materialized into the appended replacement file
+                # (Delta's DML id preservation), while the old versions
+                # go dead via the deletion vector
+                df = self._scan_rels(
+                    self._read_manifest(v).values(),
+                    need_meta=True,
+                    with_row_col=True,
+                )
+                df = self._attach_row_ids(df, v)
+                dv_map, _ = self._read_dv(v)
+                if dv_map:
+                    df = df.join(
+                        self._dv_rows(dv_map).select(
+                            F.col("file").alias("__mt_key"),
+                            F.col("pos").alias("__mt_pos"),
+                        ),
+                        ["__mt_key", "__mt_pos"],
+                        "left_anti",
+                    )
+                matched = df.filter(cond)
+                rewritten = matched.select(
+                    *[exprs.get(c, F.col(c)).alias(c) for c in cols],
+                    F.col("_row_id").alias("__row_id"),
+                )
+                return self._delete_rows_dv(
+                    matched, op="UPDATE (DV)", append_df=rewritten,
+                    append_materialized=True,
+                )
+            target = self._read_internal(v, with_pos=True)
             matched = target.filter(cond)
             rewritten = matched.select(
                 *[exprs.get(c, F.col(c)).alias(c) for c in cols]
@@ -5573,15 +6018,28 @@ class ManagedTable:
             return self._delete_rows_dv(
                 matched, op="UPDATE (DV)", append_df=rewritten
             )
-        updated = self.read().select(
+        v_read = self.current_version()
+        if track:
+            base_df = self.read_with_row_ids(v_read).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            base_df = self.read(v_read)
+        updated = base_df.select(
             *[
                 F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
                 if c in exprs
                 else F.col(c)
                 for c in cols
-            ]
+            ],
+            *(["__row_id"] if track else []),
         )
-        return self._stage_and_commit(updated, replace_all=True, op="UPDATE")
+        return self._stage_and_commit(
+            updated, replace_all=True, op="UPDATE",
+            row_ids_materialized=track,
+            read_version=v_read,
+            read_dnf=[[]],
+        )
 
     def merge_update(
         self,
@@ -5602,7 +6060,17 @@ class ManagedTable:
         partitions must rewrite both sides — full rewrite handles it).
         """
         self._check_append_only("MERGE UPDATE")
-        target = self.read()
+        v_read = self.current_version()
+        track = self._row_tracking_enabled()
+        if track:
+            # updated rows keep their ids (materialized through the
+            # rewrite); no row is added or removed by an update-only
+            # merge, so every staged row carries one
+            target = self.read_with_row_ids(v_read).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            target = self.read(v_read)
         keys = list(key_columns)
         if set_map is None:
             resolved = {
@@ -5631,11 +6099,17 @@ class ManagedTable:
             and set(self.partition_columns) <= set(keys)
             and not (set(resolved) & set(self.partition_columns))
         )
+        drop_scope: set[str] = set()
+        scope_keys: set[str] | None = None
+        read_dnf = None
         if scoped:
-            pf = self._source_partition_filter(source)
+            pf, tuples = self._source_partitions(source)
             if pf is None:
                 return self.current_version()
+            drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
             target = target.filter(pf)
+        else:
+            read_dnf = [[]]
         # no matched target row → update-only merge is a commit-free
         # no-op (one limit-1 semi-join probe, vs a full rewrite)
         if target.join(
@@ -5658,7 +6132,12 @@ class ManagedTable:
             else:
                 out_cols.append(F.col(c))
         return self._stage_and_commit(
-            joined.select(*out_cols), replace_all=not scoped, op="MERGE UPDATE"
+            joined.select(*out_cols), replace_all=not scoped, op="MERGE UPDATE",
+            drop_rels=drop_scope,
+            row_ids_materialized=track,
+            read_version=v_read,
+            read_keys=scope_keys,
+            read_dnf=read_dnf,
         )
 
     def merge_clauses(
@@ -5779,12 +6258,31 @@ class ManagedTable:
             and set(self.partition_columns) <= set(keys)
             and not _updates_partition_col
         )
-        target = self.read()
+        v_read = self.current_version()
+        track = self._row_tracking_enabled()
+        if track:
+            # carried/updated rows keep their ids in-data through the
+            # rewrite; insert-clause rows have no target side (NULL
+            # __row_id) and mint base + position
+            target = self.read_with_row_ids(v_read).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            target = self.read(v_read)
+        drop_scope: set[str] = set()
+        scope_keys: set[str] | None = None
+        read_dnf = None
         if scoped:
-            pf = self._source_partition_filter(source)
+            pf, tuples = self._source_partitions(source)
             if pf is None:
                 return self.current_version()  # empty source, no by-source
+            # scoped entries are dropped + survivors restaged: a matched
+            # DELETE clause can empty a partition, which must then leave
+            # the manifest (no staged dir is written for it)
+            drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
             target = target.filter(pf)
+        else:
+            read_dnf = [[]]
         if not not_matched_by_source and source.isEmpty():
             return self.current_version()
         src = source.select(
@@ -5847,8 +6345,15 @@ class ManagedTable:
                     v = F.expr(_canon(v)) if isinstance(v, str) else v
                     expr = F.when(F.col("__act") == f"s{i}", v).otherwise(expr)
             out_cols.append(expr.cast(f.dataType).alias(c))
+        if track:
+            out_cols.append(F.col("__row_id"))  # NULL on insert rows
         return self._stage_and_commit(
-            kept.select(*out_cols), replace_all=not scoped, op="MERGE"
+            kept.select(*out_cols), replace_all=not scoped, op="MERGE",
+            drop_rels=drop_scope,
+            row_ids_materialized="partial" if track else False,
+            read_version=v_read,
+            read_keys=scope_keys,
+            read_dnf=read_dnf,
         )
 
 

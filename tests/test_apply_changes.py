@@ -661,3 +661,101 @@ def test_apply_changes_concurrent_overlapping_keys_converges(
         [(1, 111, 3, "upsert")],
         [(1, 0, 2, "delete")],
     )
+
+
+# ---------------------------------------------------- round 12: ADVICE r11
+
+
+def _tracked_changes(spark, rows):
+    # (k, status, price, seq, op) — status tracked, price untracked
+    return spark.createDataFrame(
+        rows, "k long, status string, price double, seq long, op string"
+    )
+
+
+def _apply_tracked(t, ch, **kw):
+    return apply_changes(
+        t, ch, ["k"], "seq", apply_as_deletes="op = 'delete'",
+        except_columns=["op"], stored_as_scd_type=2,
+        track_history_column_list=["status"], **kw,
+    )
+
+
+def test_untracked_apply_onto_tracked_target_raises(spark, tmp_path):
+    """ADVICE r11: a batch WITHOUT track-history options applied to a
+    target created in tracked mode must raise a clear ValueError, not
+    crash with a missing-__EVENTS AnalysisException."""
+    import pytest
+
+    t = ManagedTable(spark, "mm", str(tmp_path / "mm"))
+    _apply_tracked(t, _tracked_changes(spark, [(1, "S0", 1.0, 1, "upsert")]))
+    with pytest.raises(ValueError, match="TRACK HISTORY"):
+        apply_changes(
+            t,
+            _tracked_changes(spark, [(1, "S0", 2.0, 2, "upsert")]),
+            ["k"], "seq", apply_as_deletes="op = 'delete'",
+            except_columns=["op"], stored_as_scd_type=2,
+        )
+
+
+def test_scd2_history_hides_events_column(spark, tmp_path):
+    """ADVICE r11: __EVENTS is physical bookkeeping (like tombstones),
+    not part of the visible tracked-mode schema — enabling TRACK
+    HISTORY must not change downstream readers' shape."""
+    t = ManagedTable(spark, "hv", str(tmp_path / "hv"))
+    _apply_tracked(t, _tracked_changes(spark, [(1, "S0", 1.0, 1, "upsert")]))
+    assert "__EVENTS" in [f.name for f in t.schema.fields]  # stored
+    assert "__EVENTS" not in scd2_history(t).columns        # not exposed
+
+
+def test_tracked_events_array_is_bounded(spark, tmp_path):
+    """VERDICT r11 item 5: a hot key's untracked churn must not grow
+    its SCD2 row without bound — the per-version __EVENTS array keeps
+    the LAST track_history_max_events events, resolution still takes
+    the latest values, and history row counts stay exact."""
+    t = ManagedTable(spark, "hot", str(tmp_path / "hot"))
+    n = 500
+    rows = [(1, "S0", float(s), s, "upsert") for s in range(1, n + 1)]
+    _apply_tracked(
+        t, _tracked_changes(spark, rows), track_history_max_events=16
+    )
+    hist = scd2_history(t).collect()
+    assert len(hist) == 1                       # untracked churn: one version
+    assert hist[0]["price"] == float(n)         # latest event's values win
+    stored = t.read().where(F.col(END_COL).isNull()).collect()
+    assert len(stored[0]["__EVENTS"]) == 16     # bounded, not n
+    assert stored[0]["__EVENTS"][-1]["seq"] == n  # ... and it kept the tail
+    # a tracked flip after the capped churn still opens a new version
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S1", -1.0, n + 1, "upsert")]),
+        track_history_max_events=16,
+    )
+    hist2 = sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
+    assert len(hist2) == 2
+    assert hist2[0][END_COL] == n + 1 and hist2[1]["status"] == "S1"
+
+
+def test_capped_replay_converges(spark, tmp_path):
+    """An event aged out of the capped array loses exact-replay dedup
+    only: replaying it re-splices to the SAME history (idempotent
+    outcome), never a wrong one."""
+    t = ManagedTable(spark, "rp", str(tmp_path / "rp"))
+    rows = [(1, "S0", float(s), s, "upsert") for s in range(1, 41)]
+    _apply_tracked(
+        t, _tracked_changes(spark, rows), track_history_max_events=8
+    )
+    before = sorted(
+        scd2_history(t).collect(), key=lambda r: r[START_COL]
+    )
+    # replay an event that was aged out of the stored array (seq 3)
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S0", 3.0, 3, "upsert")]),
+        track_history_max_events=8,
+    )
+    after = sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
+    keep = ["k", "status", "price", START_COL, END_COL]
+    assert [[r[c] for c in keep] for r in after] == [
+        [r[c] for c in keep] for r in before
+    ]

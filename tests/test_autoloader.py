@@ -241,3 +241,61 @@ def test_cloud_files_sweep_respects_include_existing_floor(tmp_path):
     assert "pre.parquet" not in [
         os.path.basename(p) for p, _, _ in batch2.files
     ]
+
+
+def test_cloud_files_floor_survives_double_restart(tmp_path):
+    """ADVICE r11 (medium): the engine's first latestOffset() after a
+    restart runs BEFORE partitions() rehydrates the floor from the
+    checkpointed start offset. That offset must not bake floor:0 into
+    the WAL — a second restart from it would let the always-on
+    first-trigger sweep deliver every pre-existing file the stream
+    opted out of. The unknown state is explicit (-1): sweeps degrade
+    to the incremental listing while the floor is unknown, and the
+    first partitions() call heals later offsets."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz_floor2"
+    d.mkdir()
+    pre = d / "pre.parquet"
+    pre.write_bytes(b"x")
+    old = os.stat(pre).st_mtime_ns - 10**13
+    os.utime(pre, ns=(old, old))
+    opts = {
+        "location": str(d),
+        "includeExisting": "false",
+        "reconcileEvery": "1",
+        "lookbackNs": "0",
+    }
+    r1 = CloudFilesStreamReader(opts)
+    o0 = r1.initialOffset()
+    assert o0["floor"] == o0["wm"] > 0
+    o1 = r1.latestOffset()
+    r1.partitions(o0, o1)
+
+    # restart 1: latestOffset fires before any partitions() call
+    r2 = CloudFilesStreamReader(opts)
+    o2 = r2.latestOffset()
+    assert o2["floor"] == -1          # unknown — NOT a claimed floor of 0
+    assert "sweep" not in o2          # sweep suppressed while unknown
+    r2.partitions(o1, o2)             # rehydrates the floor from start
+    assert r2._floor == o0["wm"]
+    o3 = r2.latestOffset()
+    assert o3["floor"] == o0["wm"]    # WAL healed going forward
+    assert o3.get("sweep") is True    # sweeps resume with the real floor
+
+    # restart 2 FROM THE UNKNOWN-FLOOR OFFSET (crash right after it
+    # was written): pre-existing files must never re-enter, while a
+    # newly arrived file still flows through the incremental listing
+    new = d / "new.parquet"
+    new.write_bytes(b"y")
+    later = o2["wm"] + 10**9
+    os.utime(new, ns=(later, later))
+    r3 = CloudFilesStreamReader(opts)
+    o4 = r3.latestOffset()
+    assert "sweep" not in o4
+    [batch] = r3.partitions(o2, o4)
+    names = [os.path.basename(p) for p, _, _ in batch.files]
+    assert "pre.parquet" not in names
+    assert "new.parquet" in names

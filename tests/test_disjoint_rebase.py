@@ -1,0 +1,309 @@
+"""Delta's logical conflict detection for NON-BLIND commits (round
+12): concurrent transactions whose read/write regions are provably
+disjoint BOTH land — a claim-collision loser rebases onto the winner
+instead of raising (parallel partitioned writers, the difference
+between N ingest MERGEs running and serializing at 100 TB) — while
+overlapping regions keep first-writer-wins. Also the serializability
+check over the read snapshot: a commit that landed AFTER a
+transaction derived its frame but BEFORE it claimed a version raises
+when it overlaps (the frame baked a stale view) and is carried over
+when disjoint. Plus the round-12 emptied-partition fix: a scoped
+copy-on-write merge that deletes a partition's every row must remove
+the partition's manifest entry (the staged write produces no dir for
+an empty partition — restaging alone silently resurrected it)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.tables import (
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+
+def _mk(spark, tmp_path, name):
+    t = ManagedTable(
+        spark, name, str(tmp_path / name), partition_columns=["p"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k int, v int, p string",
+        )
+    )
+    return t
+
+
+def _handle(spark, tmp_path, name):
+    return ManagedTable(
+        spark, name, str(tmp_path / name), partition_columns=["p"]
+    )
+
+
+def _interpose(loser, fire):
+    """Make ``fire()`` run right before the loser's first manifest
+    claim — a REAL version-number collision, not a simulation."""
+    orig = loser._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            fire()
+        return orig(*a, **k)
+
+    loser._write_manifest = interposed
+    return state
+
+
+def _rows(t):
+    return sorted((r.k, r.v, r.p) for r in t.read().collect())
+
+
+# ------------------------------------------------- emptied partitions
+
+
+def test_scoped_cow_merge_delete_empties_partition(spark, tmp_path):
+    t = _mk(spark, tmp_path, "e1")
+    t.merge_delete(
+        spark.createDataFrame([(1, "a")], "k int, p string"),
+        ["p", "k"],
+        deletion_vectors=False,
+    )
+    assert _rows(t) == [(2, 20, "b"), (3, 30, "c")]
+    # the emptied partition's entry left the manifest, not just its rows
+    keys = set(t._read_manifest(t.current_version()))
+    assert not any('"a"' in k or "a" == k for k in keys)
+
+
+def test_scoped_merge_clauses_delete_empties_partition(spark, tmp_path):
+    t = _mk(spark, tmp_path, "e2")
+    t.merge_clauses(
+        spark.createDataFrame([(2, "b")], "k int, p string"),
+        ["p", "k"],
+        matched=[(None, "delete")],
+    )
+    assert _rows(t) == [(1, 10, "a"), (3, 30, "c")]
+
+
+# ------------------------------------------------- disjoint rebases
+
+
+def test_disjoint_scoped_merges_both_land(spark, tmp_path):
+    t = _mk(spark, tmp_path, "d1")
+    loser = _handle(spark, tmp_path, "d1")
+    winner = _handle(spark, tmp_path, "d1")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(2, 99, "b")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    v = loser.merge_upsert(
+        spark.createDataFrame([(1, 77, "a")], "k int, v int, p string"),
+        ["p", "k"],
+    )
+    assert state["raced"] and v == 2
+    assert _rows(t) == [(1, 77, "a"), (2, 99, "b"), (3, 30, "c")]
+
+
+def test_overlapping_scoped_merges_raise(spark, tmp_path):
+    t = _mk(spark, tmp_path, "d2")
+    loser = _handle(spark, tmp_path, "d2")
+    winner = _handle(spark, tmp_path, "d2")
+    _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(1, 99, "a")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_upsert(
+            spark.createDataFrame([(1, 77, "a")], "k int, v int, p string"),
+            ["p", "k"],
+        )
+    assert _rows(t) == [(1, 99, "a"), (2, 20, "b"), (3, 30, "c")]
+
+
+def test_chained_disjoint_collisions_rebase_each(spark, tmp_path):
+    t = _mk(spark, tmp_path, "d3")
+    loser = _handle(spark, tmp_path, "d3")
+    w1 = _handle(spark, tmp_path, "d3")
+    w2 = _handle(spark, tmp_path, "d3")
+    orig = loser._write_manifest
+    state = {"n": 0}
+
+    def interposed(*a, **k):
+        if state["n"] == 0:
+            state["n"] = 1
+            w1.merge_upsert(
+                spark.createDataFrame(
+                    [(2, 21, "b")], "k int, v int, p string"
+                ),
+                ["p", "k"],
+            )
+        elif state["n"] == 1:
+            state["n"] = 2
+            w2.merge_upsert(
+                spark.createDataFrame(
+                    [(3, 31, "c")], "k int, v int, p string"
+                ),
+                ["p", "k"],
+            )
+        return orig(*a, **k)
+
+    loser._write_manifest = interposed
+    v = loser.merge_upsert(
+        spark.createDataFrame([(1, 11, "a")], "k int, v int, p string"),
+        ["p", "k"],
+    )
+    assert state["n"] == 2 and v == 3
+    assert _rows(t) == [(1, 11, "a"), (2, 21, "b"), (3, 31, "c")]
+
+
+def test_disjoint_merge_delete_races_merge(spark, tmp_path):
+    """A scoped CoW delete (drop_rels non-empty) rebases too when the
+    winner touched another partition."""
+    t = _mk(spark, tmp_path, "d4")
+    loser = _handle(spark, tmp_path, "d4")
+    winner = _handle(spark, tmp_path, "d4")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(2, 99, "b")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    loser.merge_delete(
+        spark.createDataFrame([(1, "a")], "k int, p string"),
+        ["p", "k"],
+        deletion_vectors=False,
+    )
+    assert state["raced"]
+    assert _rows(t) == [(2, 99, "b"), (3, 30, "c")]
+
+
+def test_append_only_flip_mid_flight_refuses_rebase(spark, tmp_path):
+    """A winner that switched delta.appendOnly on must not be rebased
+    over by a racing UPDATE-shaped merge."""
+    t = _mk(spark, tmp_path, "d5")
+    loser = _handle(spark, tmp_path, "d5")
+    winner = _handle(spark, tmp_path, "d5")
+    _interpose(
+        loser,
+        lambda: winner.set_properties({"delta.appendOnly": "true"}),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_update(
+            spark.createDataFrame([(1, 99, "a")], "k int, v int, p string"),
+            ["p", "k"],
+        )
+
+
+# --------------------------------------- read-snapshot serializability
+
+
+def test_stale_read_overlapping_intermediate_raises(spark, tmp_path):
+    """A commit landing between a merge's read snapshot and its claim
+    — NO claim collision — must still conflict when it touched the
+    merge's region: the staged frame baked the stale view."""
+    t = _mk(spark, tmp_path, "s1")
+    loser = _handle(spark, tmp_path, "s1")
+    winner = _handle(spark, tmp_path, "s1")
+    # pin the read at v0, let the winner land v1, then commit the
+    # stale frame through the declared-read-region path
+    rels, keys = loser._scope_rels_keys(0, [{"p": "a"}])
+    staged = loser.read(0).filter(F.col("p") == "a").withColumn(
+        "v", F.lit(77)
+    )
+    winner.merge_upsert(
+        spark.createDataFrame([(1, 99, "a")], "k int, v int, p string"),
+        ["p", "k"],
+    )
+    with pytest.raises(ConcurrentWriteError, match="read snapshot"):
+        loser._stage_and_commit(
+            staged,
+            replace_all=False,
+            op="MERGE UPSERT",
+            drop_rels=rels,
+            read_version=0,
+            read_keys=keys,
+        )
+    assert _rows(t) == [(1, 99, "a"), (2, 20, "b"), (3, 30, "c")]
+
+
+def test_stale_read_disjoint_intermediate_carries(spark, tmp_path):
+    """The same stale-read window with a DISJOINT intermediate commit
+    is fine: the winner's partition carries over untouched."""
+    t = _mk(spark, tmp_path, "s2")
+    loser = _handle(spark, tmp_path, "s2")
+    winner = _handle(spark, tmp_path, "s2")
+    rels, keys = loser._scope_rels_keys(0, [{"p": "a"}])
+    staged = loser.read(0).filter(F.col("p") == "a").withColumn(
+        "v", F.lit(77)
+    )
+    winner.merge_upsert(
+        spark.createDataFrame([(2, 99, "b")], "k int, v int, p string"),
+        ["p", "k"],
+    )
+    loser._stage_and_commit(
+        staged,
+        replace_all=False,
+        op="MERGE UPSERT",
+        drop_rels=rels,
+        read_version=0,
+        read_keys=keys,
+    )
+    assert _rows(t) == [(1, 77, "a"), (2, 99, "b"), (3, 30, "c")]
+
+
+# ------------------------------------------------- replace_where races
+
+
+def test_replace_where_races_in_region_append(spark, tmp_path):
+    """An append INTO the replaced region racing a replaceWhere must
+    conflict — letting it slip in would violate the 'region R equals
+    D afterwards' contract."""
+    t = _mk(spark, tmp_path, "r1")
+    loser = _handle(spark, tmp_path, "r1")
+    winner = _handle(spark, tmp_path, "r1")
+    _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(9, 90, "a")], "k int, v int, p string")
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.replace_where(
+            spark.createDataFrame([(7, 70, "a")], "k int, v int, p string"),
+            [("p", "=", "a")],
+        )
+    assert (9, 90, "a") in _rows(t)
+
+
+def test_replace_where_races_out_of_region_append(spark, tmp_path):
+    """The same race OUTSIDE the region rebases: both commits land."""
+    t = _mk(spark, tmp_path, "r2")
+    loser = _handle(spark, tmp_path, "r2")
+    winner = _handle(spark, tmp_path, "r2")
+    state = _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(9, 90, "b")], "k int, v int, p string")
+        ),
+    )
+    loser.replace_where(
+        spark.createDataFrame([(7, 70, "a")], "k int, v int, p string"),
+        [("p", "=", "a")],
+    )
+    assert state["raced"]
+    assert _rows(t) == [
+        (2, 20, "b"),
+        (3, 30, "c"),
+        (7, 70, "a"),
+        (9, 90, "b"),
+    ]

@@ -138,13 +138,69 @@ def test_row_ids_restore_and_truncate_watermark(spark, tmp_path):
     assert min(_ids(t).values()) > hi - 1
 
 
-def test_row_ids_unique_after_merge_rewrite(spark, tmp_path):
-    """Data rewrites re-mint ids for restaged rows (documented v1
-    divergence) — but ids must stay UNIQUE."""
+def test_row_ids_preserved_through_merge_rewrite(spark, tmp_path):
+    """Round 12 closes the r11 divergence: a MERGE's copy-on-write
+    rewrite PRESERVES ids — carried rows keep theirs in-data, a source
+    row replacing a matched key INHERITS that key's id, and fresh keys
+    mint new ones (Delta row tracking's DML behavior)."""
     t = _mk(spark, tmp_path, "rt6")
     t.compact()
+    before = _ids(t)
     t.merge_upsert(
         spark.createDataFrame([(5, 99), (200, 1)], "k long, g long"), ["k"]
     )
-    ids = list(_ids(t).values())
+    after = _ids(t)
+    assert after[5] == before[5]                     # matched key inherited
+    assert all(after[k] == before[k] for k in before)  # carried rows kept
+    assert after[200] not in before.values()         # fresh key minted
+    ids = list(after.values())
     assert len(ids) == len(set(ids)) == 101
+
+
+def test_row_ids_preserved_through_cow_update_delete(spark, tmp_path):
+    """Copy-on-write UPDATE and DELETE materialize the surviving rows'
+    ids into the rewritten files — every id stable, none re-minted."""
+    t = _mk(spark, tmp_path, "rt7")
+    before = _ids(t)
+    t.update_where({"g": "g + 100"}, F.col("k") % 3 == 0,
+                   deletion_vectors=False)
+    assert _ids(t) == before
+    t.delete_where(F.col("k") >= 90, deletion_vectors=False)
+    assert _ids(t) == {k: v for k, v in before.items() if k < 90}
+
+
+def test_row_ids_preserved_through_dv_update(spark, tmp_path):
+    """Merge-on-read UPDATE: the replacement rows carry the matched
+    rows' ids into the appended file; the old versions die via DV."""
+    t = _mk(spark, tmp_path, "rt8")
+    before = _ids(t)
+    t.update_where({"g": "g + 1000"}, F.col("k") < 10)  # DV path
+    after = _ids(t)
+    assert after == before
+    vals = {r["k"]: r["g"] for r in t.read().collect()}
+    assert vals[0] == 1000 and vals[50] == 0
+
+
+def test_row_ids_preserved_through_replace_where(spark, tmp_path):
+    """replaceWhere: the straddling dirs' remainder keeps its ids
+    in-data; the incoming region's rows mint fresh ones."""
+    t = ManagedTable(
+        spark, "rt9", str(tmp_path / "rt9"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("g")
+        )
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    t.append(spark.createDataFrame([(100, 9)], "k long, g long"))  # backfill
+    before = _ids(t)
+    t.replace_where(
+        spark.createDataFrame([(777, 1)], "k long, g long"), [("g", "=", 1)]
+    )
+    after = _ids(t)
+    untouched = {k: v for k, v in before.items() if k % 4 != 1 or k == 100}
+    assert all(after[k] == untouched[k] for k in untouched)
+    assert after[777] not in before.values()
+    ids = list(after.values())
+    assert len(ids) == len(set(ids))

@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    The executing window is ``_R11_WINDOW`` (defined below, next to
+    The executing window is ``_R12_WINDOW`` (defined below, next to
     the catalog) — see its comment for this round's selection
     rationale. Everything not in the window keeps catalog order after
     it."""
@@ -403,80 +403,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R11_WINDOW}
+    ordered = {k: cat[k] for k in _R12_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 11 (VERDICT r10 item 1): lead
-# with the 3 entries whose r08 greens sit on files round 10 rewrote
-# (table_cdf / table_sql_dml / stream_table_source — the project's
-# only `weak` records), then the full staleness tail (every entry
-# whose newest green is r06/r07 — 32 entries, oldest first), then the
-# 15 round-11 slots: the NEW stream_expectations oracle and every
-# entry whose implementing files round 11 touched (cdc.py __EVENTS
-# splice, datasource.py derived-diff cache, cloud_files.py sweep
-# floor, expectations.py name guard + adapter, tables.py ANSI cast +
-# insert-map scope guard + blind-append rebase; table_append_race is
-# the rebase's NEW driver-checked oracle — it takes the slot of
-# table_apply_snapshot_scd1, whose SCD1 snapshot path round 11 did not
-# touch). After this window the oldest green in the project is r08.
-# Everything not listed keeps catalog order after.
-_R11_WINDOW = [
-    # (a) weak: r08 greens on round-10-rewritten files
-    "table_cdf",
-    "table_sql_dml",
-    "stream_table_source",
-    # (b) staleness tail: newest green r06
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    # (c) staleness tail: newest green r07
-    "agg_distinct_counts",
-    "agg_revenue_pareto",
-    "asof_events_latest_order",
-    "dedup_ratio_by_source",
-    "events_path_topk",
-    "events_transition_matrix",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_media_metadata",
-    "op_pipeline_validate",
-    "range_join_value_bands",
-    "sample_hash_split",
-    "sample_stratified",
-    "stats_corr_price_qty",
-    "stats_delay_regression",
-    "stream_dedup_events",
-    "stream_dedup_simhash",
-    "stream_enriched_counts",
-    "stream_expanding_zscore",
-    "stream_session_windows",
-    "stream_sliding_windows",
-    "text_chunks",
-    "text_word_bigrams",
-    "tpch_q11_important_stock",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_excess_stock_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "udaf_weighted_delay",
-    "udtf_word_bigrams",
-    # (d) round-11 new + changed code
-    "stream_expectations",
-    "pipeline_expectations",
-    "table_scd2_track_history",
-    "table_apply_changes_scd1",
-    "table_apply_changes_scd2",
-    "table_apply_snapshot_scd2",
-    "table_append_race",
-    "stream_apply_changes",
-    "table_cdf_staged_scan",
-    "stream_table_cdf",
-    "stream_copy_into",
-    "table_merge_sync",
-    "table_replace_where",
-    "table_dml_subquery",
+# The 50-slot driver window for round 12 (VERDICT r11 item 1): lead
+# with table_row_tracking_scan (the project's only never-driver-
+# checked entry, now extended through a CoW UPDATE) and the two NEW
+# round-12 oracles (table_disjoint_merge_race — non-blind disjoint
+# conflict detection under a REAL interposed collision;
+# events_variant_shapes — schema_of_variant over a heterogeneous
+# fixture where the answer isn't constant). Then every entry whose
+# implementing files round 12 touched: events_variant_agg (oracle
+# de-pinned), the 10 tables.py-backed r08/r09/r10 driver-record gaps
+# the r11 verdict named, the merge/DML entries on the rewritten
+# commit path (table_append_race, table_merge_sync, table_sql_dml),
+# the cdc.py-backed entries (__EVENTS bounding + scd2_history drop:
+# table_scd2_track_history, table_apply_changes_scd2,
+# stream_apply_changes), the silver/expectations rewiring
+# (pipeline_expectations, op_pipeline_validate), and the cloud_files
+# floor fix (stream_copy_into). The remaining 27 slots drain the r08
+# staleness tail oldest-first; 8 r08 entries stay out this round —
+# each on an untouched file with a same-file sibling IN the window
+# (ann_ivf_assignments/ann_pq_topk/ann_kmeans_refine/emb_pq_codes →
+# similarity.py siblings; dedup_minhash_signatures →
+# dedup_minhash_pairs; text_dup_spans → text_dedup_substrings;
+# sample_token_budget → r11-green sampling siblings;
+# op_profile_customer → the five op_* siblings) — they rotate in r13.
+_R12_WINDOW = [
+    # (a) never-driver-checked + new round-12 oracles
+    "table_row_tracking_scan",
+    "table_disjoint_merge_race",
+    "events_variant_shapes",
     "events_variant_agg",
+    # (b) round-12-touched commit path (tables.py)
+    "table_append_race",
+    "table_merge_sync",
+    "table_sql_dml",
+    # (c) the r11 verdict's 10 driver-record gaps (all tables.py-backed)
+    "table_zorder_scan",
+    "table_zorder_scan_sql",
+    "table_generated_scan",
+    "table_mv_incremental",
+    "stream_ingest_managed_table",
+    "stream_gold_counts_table",
+    "table_bloom_scan",
+    "table_cluster_scan",
+    "table_copy_into",
+    "table_convert_scan",
+    # (d) round-12-touched cdc / silver / cloud_files
+    "table_scd2_track_history",
+    "table_apply_changes_scd2",
+    "stream_apply_changes",
+    "pipeline_expectations",
+    "op_pipeline_validate",
+    "stream_copy_into",
+    # (e) r08 staleness tail, oldest-first
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "gold_customer_status_by_city",
+    "gold_orders_by_city",
+    "gold_orders_by_customer_week",
+    "gold_orders_delivery_time",
+    "dash_top_nations_by_segment",
+    "dash_avg_delivery_by_nation",
+    "dash_late_orders_by_priority",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_ivf_topk",
+    "ann_pq_rerank_topk",
+    "emb_hard_negatives",
+    "op_assign_row_ids",
+    "op_clean_string",
+    "op_identify_duplicates",
+    "op_ingestion_status",
+    "op_validate_columns",
+    "op_validate_relationship",
+    "pack_sequences",
+    "text_dedup_substrings",
+    "text_lm_familiarity",
+    "text_token_counts_bpe",
 ]
 
 

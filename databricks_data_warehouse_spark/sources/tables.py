@@ -5504,6 +5504,10 @@ class ManagedTable:
         try:
             v_read = self.current_version()
             track = self._row_tracking_enabled()
+            if self.schema is None:
+                self.schema = self._load_schema()
+            if self.schema is None:
+                raise ValueError(f"table {self.name}: no schema available")
             cols = [f.name for f in self.schema.fields]
             if track:
                 # surviving rows keep their ids in-data; the inserted
@@ -5623,6 +5627,10 @@ class ManagedTable:
             ) <= set(keys)
             v_read = self.current_version()
             track = self._row_tracking_enabled()
+            if self.schema is None:
+                self.schema = self._load_schema()
+            if self.schema is None:
+                raise ValueError(f"table {self.name}: no schema available")
             cols = [f.name for f in self.schema.fields]
             if track:
                 # row tracking (Delta parity): surviving rows carry

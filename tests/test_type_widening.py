@@ -80,3 +80,105 @@ def test_widen_sql_spelling_and_dml_after(spark, tmp_path):
     sql.sql("DELETE FROM w5 WHERE k = 2")
     got = {(r["k"], r["v"]) for r in t.read().collect()}
     assert got == {(1, 11.0)}
+
+
+# ------------------------------------------- round 12 (VERDICT r11 item 7):
+# widening through the CDF and streaming readers
+
+
+def test_widen_through_cdf_changes(spark, tmp_path):
+    """changes() spanning a widen commit: pre-widen files are read
+    through the widened schema, the metadata-only commit itself diffs
+    empty, and post-widen rows carry the wide values."""
+    t = ManagedTable(spark, "wc", str(tmp_path / "wc"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    wv = t.widen_column("v", "bigint")
+    t.append(spark.createDataFrame([(3, 5_000_000_000)], "k int, v long"))
+    ch = t.changes(0)
+    assert dict(ch.dtypes)["v"] == "bigint"
+    ins = {
+        (r["k"], r["v"])
+        for r in ch.where("_change_type = 'insert'").collect()
+    }
+    assert ins == {(3, 5_000_000_000)}
+    assert ch.where("_change_type = 'delete'").count() == 0
+    # the widen commit alone is a zero-row diff
+    assert t.changes(wv - 1, wv).count() == 0
+
+
+def test_widen_through_cdf_rewrite_attribution(spark, tmp_path):
+    """A copy-on-write UPDATE after a widen: the delete preimages come
+    from PRE-widen files and must surface upcast, next to insert
+    postimages holding values only the widened type can carry."""
+    t = ManagedTable(spark, "wr", str(tmp_path / "wr"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.widen_column("v", "bigint")
+    v_upd = t.update_where(
+        {"v": "v + 5000000000"}, F.col("k") == 1, deletion_vectors=False
+    )
+    ch = t.changes(v_upd - 1, v_upd)
+    assert dict(ch.dtypes)["v"] == "bigint"
+    got = {
+        (r["_change_type"], r["k"], r["v"]) for r in ch.collect()
+    }
+    assert got == {("delete", 1, 10), ("insert", 1, 5_000_000_010)}
+
+
+def test_stream_across_widen_commit(spark, tmp_path):
+    """A single availableNow drain whose offsets straddle the widen
+    commit: the backfill's pre-widen files and the post-widen append
+    deliver under ONE widened schema."""
+    t = ManagedTable(spark, "ws", str(tmp_path / "ws"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    t.widen_column("v", "bigint")
+    t.append(spark.createDataFrame([(3, 5_000_000_000)], "k int, v long"))
+    q = (
+        t.read_stream()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_ws"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.schema("k int, v long").parquet(
+        str(tmp_path / "out_ws")
+    )
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert {(r["k"], r["v"]) for r in got.collect()} == {
+        (1, 10), (2, 20), (3, 5_000_000_000),
+    }
+
+
+def test_stream_resumes_over_widen_commit(spark, tmp_path):
+    """A checkpointed stream drained BEFORE the widen resumes AFTER
+    it: the widen commit itself is a zero-row metadata version (no
+    ignoreChanges needed — nothing was rewritten) and the next append
+    flows with the wide values."""
+    t = ManagedTable(spark, "wres", str(tmp_path / "wres"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "k int, v int"))
+
+    def drain():
+        q = (
+            t.read_stream()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out_wres"))
+            .option("checkpointLocation", str(tmp_path / "ckpt_wres"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    t.widen_column("v", "bigint")
+    t.append(spark.createDataFrame([(2, 6_000_000_000)], "k int, v long"))
+    drain()
+    # the sink dir holds one int-typed file (pre-widen run) and one
+    # long-typed file; the explicit schema reads both upcast — the
+    # same read path the table itself uses after a widen
+    got = spark.read.schema("k int, v long").parquet(
+        str(tmp_path / "out_wres")
+    )
+    assert {(r["k"], r["v"]) for r in got.collect()} == {
+        (1, 10), (2, 6_000_000_000),
+    }

@@ -116,6 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
+        # NEW round 12: row commit versions (row tracking's second
+        # field) — per-row last-modified version preserved through
+        # OPTIMIZE, bumped by exactly the rows a CoW UPDATE touched
+        "table_row_versions_scan": managed_scan.table_row_versions_scan,
         # NEW round 8 (cont.): Delta generated columns — `day =
         # CAST(ts AS DATE)` computed on ingest, and a bare `ts BETWEEN`
         # filter derives the partition filter automatically
@@ -364,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_identify_duplicates": ops.op_identify_duplicates,
         "op_ingestion_status": ops.op_ingestion_status,
         "ann_cosine_topk": similarity.ann_cosine_topk,
+        # NEW round 12: hybrid retrieval — RRF fusion of the BM25
+        # lexical ranking and the cosine vector ranking (both sides'
+        # scores rounded BEFORE ranking, fixed tiebreaks, fusion over
+        # bounded candidate lists only)
+        "retrieval_hybrid_rrf": similarity.retrieval_hybrid_rrf,
         # NEW round 9: the serving-quality measurement as a first-class
         # hash-checked query — recall@k of PQ/ADC vs exact brute force
         "ann_recall_report": similarity.ann_recall_report,
@@ -423,17 +432,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # table_scd2_track_history, table_apply_changes_scd2,
 # stream_apply_changes), the silver/expectations rewiring
 # (pipeline_expectations, op_pipeline_validate), and the cloud_files
-# floor fix (stream_copy_into). The remaining 27 slots drain the r08
-# staleness tail oldest-first; 8 r08 entries stay out this round —
-# each on an untouched file with a same-file sibling IN the window
-# (ann_ivf_assignments/ann_pq_topk/ann_kmeans_refine/emb_pq_codes →
-# similarity.py siblings; dedup_minhash_signatures →
-# dedup_minhash_pairs; text_dup_spans → text_dedup_substrings;
-# sample_token_budget → r11-green sampling siblings;
-# op_profile_customer → the five op_* siblings) — they rotate in r13.
+# floor fix (stream_copy_into). Two post-freeze round-12 additions
+# took tail slots per the adopted rule (table_row_versions_scan,
+# retrieval_hybrid_rrf). The remaining slots drain the r08 staleness
+# tail oldest-first; 10 r08 entries stay out this round — each on an
+# untouched file with a same-file sibling IN the window
+# (ann_ivf_assignments/ann_pq_topk/ann_kmeans_refine/emb_pq_codes/
+# emb_hard_negatives → similarity.py siblings incl. the new
+# retrieval_hybrid_rrf; dedup_minhash_signatures + dedup_simhash →
+# dedup_minhash_pairs/ngram/exact; text_dup_spans →
+# text_dedup_substrings; sample_token_budget → r11-green sampling
+# siblings; op_profile_customer → the five op_* siblings) — they
+# rotate in r13.
 _R12_WINDOW = [
     # (a) never-driver-checked + new round-12 oracles
     "table_row_tracking_scan",
+    "table_row_versions_scan",
     "table_disjoint_merge_race",
     "events_variant_shapes",
     "events_variant_agg",
@@ -473,10 +487,16 @@ _R12_WINDOW = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # dedup_simhash yields its slot to the NEW table_row_versions_scan
+    # (dedup.py keeps three same-file representatives above)
     "ann_ivf_topk",
     "ann_pq_rerank_topk",
-    "emb_hard_negatives",
+    # post-freeze registry addition takes a window slot (the r11
+    # process rule): the NEW hybrid-retrieval fusion entry displaces
+    # emb_hard_negatives (similarity.py keeps three same-file
+    # representatives in the window: ann_ivf_topk, ann_pq_rerank_topk,
+    # retrieval_hybrid_rrf)
+    "retrieval_hybrid_rrf",
     "op_assign_row_ids",
     "op_clean_string",
     "op_identify_duplicates",
@@ -971,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
             managed_scan.table_disjoint_merge_race_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
+        "table_row_versions_scan":
+            managed_scan.table_row_versions_scan_oracle(),
         "table_generated_scan": managed_scan.table_generated_scan_oracle(),
         "table_copy_into": managed_scan.table_copy_into_oracle(),
         # distribution-shape operators ≡ their naive relational forms
@@ -3193,6 +3215,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         # --------------------------------------------------- similarity
+        "retrieval_hybrid_rrf":
+            similarity.retrieval_hybrid_rrf_oracle(),
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT embedding AS qe FROM embeddings WHERE vec_id = 0

@@ -68,6 +68,171 @@ def ann_cosine_topk(
     return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")).limit(k)
 
 
+def retrieval_hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 20,
+    n: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval (round 12): Reciprocal Rank Fusion of the
+    BM25 lexical ranking and the brute-force cosine vector ranking —
+    the standard two-tower search recipe (lexical recall + semantic
+    recall, fused without score calibration):
+
+        rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))
+
+    ``documents`` and ``embeddings`` share the 0..N-1 id space
+    (vec_id i embeds document i), so the fusion joins on the id.
+    Ranks are deterministic on both engines: each side's score is
+    floor/half-up rounded BEFORE ranking (4dp BM25, 6dp cosine) with
+    the doc id as tiebreak; absent-from-list is rank 0 and contributes
+    nothing.
+
+    Scale shape: each side stays its own retrieval plan (BM25 — one
+    tokenize pass, no corpus shuffle, TakeOrdered(n); vector —
+    broadcast-query scan, TakeOrdered(n)); the fusion then ranks only
+    the two BOUNDED n-row candidate lists (a single-partition window
+    over ≤ n rows BY CONSTRUCTION — never the corpus) and full-outer
+    joins them on the id. At 100 TB each side swaps in its index
+    (the inverted index for BM25 df/tf, IVF/LSH for the vector side)
+    without touching the fusion step."""
+    from .packing import text_bm25
+
+    lex = text_bm25(spark, sf_dir, k=n).select("doc_id", "bm25")
+    vec = ann_cosine_topk(spark, sf_dir, query_vec_id=0, k=n).select(
+        F.col("vec_id").alias("doc_id"), "cosine_sim"
+    )
+    from pyspark.sql.window import Window
+
+    w_l = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    w_v = Window.orderBy(F.col("cosine_sim").desc(), F.col("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_l).cast("long").alias("r_lex")
+    )
+    vec_r = vec.select(
+        "doc_id", F.row_number().over(w_v).cast("long").alias("r_vec")
+    )
+    fused = lex_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce(F.col("r_vec"), F.lit(0)).cast("long").alias("r_vec"),
+    )
+    kf = F.lit(float(rrf_k))
+    score = F.when(
+        F.col("r_lex") > 0, F.lit(1.0) / (kf + F.col("r_lex"))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("r_vec") > 0, F.lit(1.0) / (kf + F.col("r_vec"))
+    ).otherwise(F.lit(0.0))
+    return (
+        fused.select("doc_id", "r_lex", "r_vec", rnd(score, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def retrieval_hybrid_rrf_oracle(k: int = 20, n: int = 50, rrf_k: int = 60) -> str:
+    """DuckDB twin of :func:`retrieval_hybrid_rrf` — both scoring CTEs
+    replayed exactly (same rounding-before-ranking, same tiebreaks),
+    fused with the same fixed-order two-term RRF sum."""
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS dl,
+                   CAST(len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS tf_join,
+                   CAST(len(list_filter(toks, x -> x = 'stream')) AS BIGINT) AS tf_stream,
+                   CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf_merge
+            FROM d
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+                   CAST(SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream,
+                   CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+            FROM t
+        ),
+        bm25_scored AS (
+            SELECT doc_id,
+                   ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+                       * tf_join * 2.2
+                       / (tf_join + 1.2 * (0.25 + 0.75 * dl
+                          / (total_tokens / n_docs)))
+                   + ln(1.0 + (n_docs - df_stream + 0.5) / (df_stream + 0.5))
+                       * tf_stream * 2.2
+                       / (tf_stream + 1.2 * (0.25 + 0.75 * dl
+                          / (total_tokens / n_docs)))
+                   + ln(1.0 + (n_docs - df_merge + 0.5) / (df_merge + 0.5))
+                       * tf_merge * 2.2
+                       / (tf_merge + 1.2 * (0.25 + 0.75 * dl
+                          / (total_tokens / n_docs)))
+                   AS raw
+            FROM t CROSS JOIN stats
+        ),
+        lex_top AS (
+            SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS bm25
+            FROM bm25_scored
+            WHERE floor(raw * 10000 + 0.5) / 10000 > 0
+            ORDER BY bm25 DESC, doc_id
+            LIMIT {n}
+        ),
+        lex_r AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS BIGINT) AS r_lex
+            FROM lex_top
+        ),
+        q AS (
+            SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        ),
+        cos_scored AS (
+            SELECT e.vec_id AS doc_id,
+                   list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qe[i] AS DOUBLE)), 'sum') AS dp,
+                   sqrt(list_aggregate(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS na,
+                   sqrt(list_aggregate(list_transform(q.qe,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nq
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+        ),
+        vec_top AS (
+            SELECT doc_id, ROUND(dp / (na * nq), 6) AS cosine_sim
+            FROM cos_scored
+            ORDER BY cosine_sim DESC, doc_id
+            LIMIT {n}
+        ),
+        vec_r AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id)
+                       AS BIGINT) AS r_vec
+            FROM vec_top
+        ),
+        fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   COALESCE(l.r_lex, 0) AS r_lex,
+                   COALESCE(v.r_vec, 0) AS r_vec
+            FROM lex_r l FULL OUTER JOIN vec_r v ON l.doc_id = v.doc_id
+        )
+        SELECT doc_id, r_lex, r_vec,
+               floor((CASE WHEN r_lex > 0
+                           THEN 1.0 / ({rrf_k} + r_lex) ELSE 0.0 END
+                      + CASE WHEN r_vec > 0
+                             THEN 1.0 / ({rrf_k} + r_vec) ELSE 0.0 END)
+                     * 1000000 + 0.5) / 1000000 AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def _bucket_id(vec: Column, n_planes: int = 4) -> Column:
     """Sign-LSH bucket: bit j = sign of a pseudo-random ±1 projection.
     Plane weights are ±1 derived from md5(j|i) parity — deterministic,

@@ -742,7 +742,9 @@ def _row_tracking_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     h = _corpus_fingerprint(sf_dir)
     loc = os.path.join(_scratch_root(), f"rowtrack_tbl_{h}")
     t = ManagedTable(spark, f"orders_rt_{h}", loc)
-    if t.current_version() == 4:
+    # a cached fixture must carry row_ver metadata (a scratch table
+    # built by a pre-row_commit_version build is stale: rebuild)
+    if t.current_version() == 4 and t._read_row_ver(4):
         return t
     if t.current_version() >= 0:
         import shutil
@@ -792,6 +794,52 @@ def table_row_tracking_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_row_id").alias("total_cents"),  # = N(N-1)/2
         )
     ).orderBy("grp")
+
+
+def table_row_versions_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row commit versions (Delta row tracking's second field),
+    driver-checked over the same fixture: every row's
+    ``_row_commit_version`` must be the commit that last inserted or
+    updated it — base rows backfilled at the enable commit (v1), the
+    appended slice stamped v2, the OPTIMIZE at v3 preserving both,
+    and the v4 copy-on-write UPDATE bumping EXACTLY the k%5==0 rows.
+    The oracle derives each row's expected version relationally;
+    version sums + updated-row counts + id uniqueness ride the hash."""
+    t = _row_tracking_table(spark, sf_dir)
+    df = t.read_with_row_ids(with_commit_versions=True)
+    return (
+        df.groupBy((F.col("k") % 2).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("_row_commit_version").alias("ver_sum"),
+            F.count(
+                F.when(F.col("_row_commit_version") == 4, F.lit(1))
+            ).alias("n_updated"),
+            F.count_distinct("_row_id").alias("n_ids"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_row_versions_scan_oracle() -> str:
+    return """
+        WITH staged AS (
+            SELECT o_orderkey AS k, 1 AS src FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2 FROM orders WHERE o_orderkey % 3 = 0
+        ),
+        vers AS (
+            SELECT k, CASE WHEN k % 5 = 0 THEN 4 ELSE src END AS ver
+            FROM staged
+        )
+        SELECT k % 2 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM(ver) AS BIGINT) AS ver_sum,
+               CAST(COUNT(CASE WHEN ver = 4 THEN 1 END) AS BIGINT)
+                   AS n_updated,
+               COUNT(*) AS n_ids
+        FROM vers GROUP BY grp ORDER BY grp
+    """
 
 
 def table_row_tracking_scan_oracle() -> str:

@@ -1562,13 +1562,22 @@ class ManagedTable:
             int(m.get("row_high") or 0),
         )
 
+    def _read_row_ver(self, version: int) -> dict[str, int]:
+        """file → last-modified commit version (row tracking's
+        row_commit_version field) of a manifest."""
+        path = self._manifest_path(version)
+        if not os.path.exists(path):
+            return {}
+        m = _load_manifest_json(path)
+        return {k: int(v) for k, v in (m.get("row_ver") or {}).items()}
+
     def _carried_row_base(
         self,
         base: int,
         stats: Mapping[str, dict],
         materialized: Collection[str] = (),
         mint_materialized: bool = False,
-    ) -> tuple[dict[str, int], list[str], int]:
+    ) -> tuple[dict[str, int], list[str], int, dict[str, int]]:
         """Row-tracking metadata for a commit whose file universe is
         ``stats``' keys, built on ``base``: surviving files keep their
         base ids (or their materialized-marker), ``materialized`` files
@@ -1588,7 +1597,7 @@ class ManagedTable:
             self._read_row_base(base) if base >= 0 else ({}, [], 0)
         )
         if not self._row_tracking_enabled():
-            return {}, [], high
+            return {}, [], high, {}
         out = {f: b for f, b in prev_rb.items() if f in stats}
         mat = {f for f in prev_mat if f in stats} | set(materialized)
         need_base = set(stats) - set(out) - mat
@@ -1597,7 +1606,17 @@ class ManagedTable:
         for f in sorted(need_base):
             out[f] = high
             high += int(stats.get(f, {}).get("rows", 0))
-        return out, sorted(mat), high
+        # row_commit_version: carried files keep their last-modified
+        # version; fresh staged files — and pre-tracking files being
+        # backfilled — take the COMMITTING version (base + 1, the
+        # version this assembly claims). Rewrites that carry per-row
+        # versions in-data (__row_ver) leave unmodified rows' values
+        # intact; their NULL rows (fresh/modified) resolve to this
+        # file-level fallback.
+        prev_ver = self._read_row_ver(base) if base >= 0 else {}
+        v_commit = base + 1
+        ver = {f: prev_ver.get(f, v_commit) for f in stats}
+        return out, sorted(mat), high, ver
 
     def _cdf_enabled(self) -> bool:
         """``delta.enableChangeDataFeed`` TBLPROPERTY (Delta's write-
@@ -1637,6 +1656,7 @@ class ManagedTable:
         row_base: Mapping[str, int] | None = None,
         row_mat: Collection[str] = (),
         row_high: int = 0,
+        row_ver: Mapping[str, int] | None = None,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -1712,6 +1732,12 @@ class ManagedTable:
                         "row_base": dict(row_base or {}),
                         "row_mat": sorted(row_mat),
                         "row_high": int(row_high),
+                        # row tracking's second field (Delta
+                        # row_commit_version): file → the commit that
+                        # last modified its rows; rewrites carry
+                        # per-row values IN-DATA (__row_ver), NULL
+                        # rows fall back to this file-level version
+                        "row_ver": dict(row_ver or {}),
                         # TBLPROPERTIES travel with every version
                         "properties": dict(self.properties),
                         # the schema travels too (Delta keeps it in the
@@ -1998,12 +2024,13 @@ class ManagedTable:
         spans few write roots and ``compact()`` collapses them to one).
         With ``need_meta`` the result carries ``__mt_key``/``__mt_pos``
         (the DV key space). With ``with_row_col`` the declared schema
-        gains ``__row_id`` (row tracking's materialized-id column —
-        NULL for files that never materialized it; the attach step
-        falls back to base + position for those)."""
+        gains ``__row_id`` and ``__row_ver`` (row tracking's
+        materialized id / last-modified-version columns — NULL for
+        files that never materialized them; the attach step falls back
+        to base + position / the file-level commit version)."""
         sel = self._logical_select()
         if with_row_col:
-            sel = [*sel, F.col("__row_id")]
+            sel = [*sel, F.col("__row_id"), F.col("__row_ver")]
         groups: dict[str, list[str]] = {}
         for rel in set(rels):
             groups.setdefault(_write_root(rel), []).append(rel)
@@ -2013,7 +2040,8 @@ class ManagedTable:
             if with_row_col:
                 read_schema = StructType(
                     [*read_schema.fields,
-                     StructField("__row_id", LongType(), True)]
+                     StructField("__row_id", LongType(), True),
+                     StructField("__row_ver", LongType(), True)]
                 )
             reader = self.spark.read.schema(read_schema).option(
                 "basePath", os.path.join(self.location, wroot)
@@ -2079,36 +2107,61 @@ class ManagedTable:
     to_df = read  # reference idiom: DeltaTable.forName(...).toDF()
 
     def _attach_row_ids(self, df: DataFrame, version: int) -> DataFrame:
-        """Resolve each row's durable id onto a meta-carrying scan
-        (``__mt_key``/``__mt_pos`` + raw ``__row_id`` present):
-        materialized column wins, else base(file) + position. The
-        file→base map is manifest metadata (O(files), broadcast)."""
+        """Resolve each row's durable id AND last-modified commit
+        version onto a meta-carrying scan (``__mt_key``/``__mt_pos`` +
+        raw ``__row_id``/``__row_ver`` present): the materialized
+        column wins, else base(file) + position for the id and the
+        file-level commit version for the version. The file→(base,
+        version) map is manifest metadata (O(files), broadcast)."""
         rb, _mat, _high = self._read_row_base(version)
+        rv = self._read_row_ver(version)
+        rows = [(f, b, rv.get(f, 0)) for f, b in rb.items()]
+        # files absent from row_base (fully materialized) still need
+        # their file-level version fallback
+        rows += [(f, None, v) for f, v in rv.items() if f not in rb]
         map_df = self.spark.createDataFrame(
-            list(rb.items()) or [("", 0)],
-            "__rb_file string, __rb_base long",
+            rows or [("", 0, 0)],
+            "__rb_file string, __rb_base long, __rb_ver long",
         )
-        if not rb:
+        if not rows:
             map_df = map_df.limit(0)
         df = df.join(
             F.broadcast(map_df),
             df["__mt_key"] == map_df["__rb_file"],
             "left",
         )
-        return df.withColumn(
-            "_row_id",
-            F.coalesce(
-                F.col("__row_id"), F.col("__rb_base") + F.col("__mt_pos")
-            ),
-        ).drop("__row_id", "__rb_file", "__rb_base")
+        return (
+            df.withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("__row_id"), F.col("__rb_base") + F.col("__mt_pos")
+                ),
+            )
+            .withColumn(
+                "_row_commit_version",
+                F.coalesce(F.col("__row_ver"), F.col("__rb_ver")),
+            )
+            .drop(
+                "__row_id", "__row_ver",
+                "__rb_file", "__rb_base", "__rb_ver",
+            )
+        )
 
-    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+    def read_with_row_ids(
+        self,
+        version: int | None = None,
+        with_commit_versions: bool = False,
+    ) -> DataFrame:
         """Row tracking read (``delta.enableRowTracking``): the
         snapshot plus ``_row_id`` — a durable per-row id, stable across
-        DV deletes (positions don't shift) and across OPTIMIZE /
-        CLUSTER / compact (maintenance materializes the ids into the
-        rewritten files). Fresh rows mint monotonically; ids are never
-        reused."""
+        DV deletes (positions don't shift), across OPTIMIZE / CLUSTER /
+        compact, AND across DML rewrites (every rewrite materializes
+        surviving ids). Fresh rows mint monotonically; ids are never
+        reused. With ``with_commit_versions`` the result also carries
+        ``_row_commit_version`` — the version that last INSERTED or
+        UPDATED the row (Delta row tracking's second field): carried
+        and maintenance-rewritten rows keep theirs, updated/inserted
+        rows take the modifying commit's version."""
         v = self.current_version() if version is None else version
         if not self._row_tracking_enabled():
             raise ValueError(
@@ -2118,11 +2171,15 @@ class ManagedTable:
         if self.schema is None:
             self.schema = self._load_schema()
         cols = [f.name for f in self.schema.fields]
+        meta_cols = ["_row_id"] + (
+            ["_row_commit_version"] if with_commit_versions else []
+        )
         entries = self._read_manifest(v)
         if not entries:
-            return self.spark.createDataFrame([], self.schema).withColumn(
-                "_row_id", F.lit(None).cast("long")
-            )
+            df = self.spark.createDataFrame([], self.schema)
+            for c in meta_cols:
+                df = df.withColumn(c, F.lit(None).cast("long"))
+            return df
         dv, _ = self._read_dv(v)
         df = self._scan_rels(entries.values(), need_meta=True,
                              with_row_col=True)
@@ -2136,7 +2193,20 @@ class ManagedTable:
                 ["__mt_key", "__mt_pos"],
                 "left_anti",
             )
-        return df.select(*cols, "_row_id")
+        return df.select(*cols, *meta_cols)
+
+    def _track_read(self, version: int | None = None) -> DataFrame:
+        """Snapshot with the row-tracking meta columns renamed for
+        RE-STAGING (``__row_id`` + ``__row_ver`` — the physical names
+        rewrites materialize): a writer carries them through for rows
+        it merely copies and NULLs ``__row_ver`` (or both) on rows it
+        modifies/inserts; NULLs resolve at read time to base+position
+        / the rewriting commit's version."""
+        return (
+            self.read_with_row_ids(version, with_commit_versions=True)
+            .withColumnRenamed("_row_id", "__row_id")
+            .withColumnRenamed("_row_commit_version", "__row_ver")
+        )
 
     def read_pushdown(self, version: int | None = None) -> DataFrame:
         """The AUTOMATIC data-skipping read path: a DataFrame whose
@@ -2735,7 +2805,7 @@ class ManagedTable:
             # carry them IN-DATA when the rewrite materialized the
             # __row_id column (maintenance); pre-tracking files
             # backfill on their first post-enable commit
-            row_base, row_mat, row_high = self._carried_row_base(
+            row_base, row_mat, row_high, row_ver = self._carried_row_base(
                 base,
                 stats,
                 materialized=(
@@ -2745,11 +2815,12 @@ class ManagedTable:
             )
             return (
                 entries, stats, dv, dv_n, txns,
-                row_base, row_mat, row_high,
+                row_base, row_mat, row_high, row_ver,
             )
 
         (
-            entries, stats, dv, dv_n, txns, row_base, row_mat, row_high,
+            entries, stats, dv, dv_n, txns,
+            row_base, row_mat, row_high, row_ver,
         ) = _assemble(v_new - 1)
         # write-side CDC: a rewrite on a CDF-enabled table stages its
         # exact diff in the same transaction (Delta's change files).
@@ -2817,7 +2888,7 @@ class ManagedTable:
                 self._write_manifest(
                     v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
                     cdf=cdf_staged, row_base=row_base, row_mat=row_mat,
-                    row_high=row_high,
+                    row_high=row_high, row_ver=row_ver,
                 )
                 break
             except ConcurrentWriteError:
@@ -2869,7 +2940,7 @@ class ManagedTable:
                 v_new += 1
                 (
                     entries, stats, dv, dv_n, txns,
-                    row_base, row_mat, row_high,
+                    row_base, row_mat, row_high, row_ver,
                 ) = _assemble(v_new - 1)
         self._commit(v_new)
         if v_new > 0 and v_new % _CHECKPOINT_INTERVAL == 0:
@@ -2905,7 +2976,7 @@ class ManagedTable:
         self._save_schema()
         dv, dv_n = self._read_dv(v_new - 1)
         prev_stats = self._read_stats(v_new - 1)
-        rb, rm, rh = self._carried_row_base(v_new - 1, prev_stats)
+        rb, rm, rh, rv = self._carried_row_base(v_new - 1, prev_stats)
         self._write_manifest(
             v_new,
             self._read_manifest(v_new - 1),
@@ -2917,6 +2988,7 @@ class ManagedTable:
             row_base=rb,
             row_mat=rm,
             row_high=rh,
+            row_ver=rv,
         )
         self._commit(v_new)
         if self.retain_versions is not None:
@@ -3050,10 +3122,13 @@ class ManagedTable:
         staged, id_claim = self._assign_identity(staged)
         staged = staged.select(*cols)
         if track:
-            # the incoming region data is new rows (fresh ids mint via
-            # base + position); the straddling dirs' remainder keeps
-            # its ids in-data
-            staged = staged.withColumn("__row_id", F.lit(None).cast("long"))
+            # the incoming region data is new rows (fresh ids and
+            # versions mint via the file-level fallbacks); the
+            # straddling dirs' remainder keeps its ids + versions
+            # in-data
+            staged = staged.withColumn(
+                "__row_id", F.lit(None).cast("long")
+            ).withColumn("__row_ver", F.lit(None).cast("long"))
         if rewrite_rels:
             dv, _ = self._read_dv(v)
             touched_dv = {
@@ -3078,7 +3153,14 @@ class ManagedTable:
                 )
             remainder = live.select(
                 *cols,
-                *([F.col("_row_id").alias("__row_id")] if track else []),
+                *(
+                    [
+                        F.col("_row_id").alias("__row_id"),
+                        F.col("_row_commit_version").alias("__row_ver"),
+                    ]
+                    if track
+                    else []
+                ),
             ).filter(~F.coalesce(cond, F.lit(False)))
             staged = remainder.unionByName(staged)
         # read region: the replaced predicate itself (an intermediate
@@ -4128,11 +4210,11 @@ class ManagedTable:
         cost shape as Delta's OPTIMIZE."""
         track = self._row_tracking_enabled()
         if track:
-            # row tracking: the rewrite MATERIALIZES each row's id into
-            # the new files (__row_id column) so ids survive the move
-            df = self.read_with_row_ids().withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            # row tracking: the rewrite MATERIALIZES each row's id AND
+            # last-modified version into the new files (__row_id /
+            # __row_ver) so both survive the move — a maintenance
+            # rewrite modifies no row
+            df = self._track_read()
         else:
             df = self.read()
         if not zorder_by:
@@ -4246,10 +4328,13 @@ class ManagedTable:
             todo, need_meta=bool(touched_dv) or track, with_row_col=track
         )
         if track:
-            # row tracking: ids materialize into the clustered rewrite
-            live = self._attach_row_ids(
-                live, v
-            ).withColumnRenamed("_row_id", "__row_id")
+            # row tracking: ids + last-modified versions materialize
+            # into the clustered rewrite (no row is modified)
+            live = (
+                self._attach_row_ids(live, v)
+                .withColumnRenamed("_row_id", "__row_id")
+                .withColumnRenamed("_row_commit_version", "__row_ver")
+            )
         if touched_dv:
             live = live.join(
                 self._dv_rows(touched_dv).select(
@@ -4260,7 +4345,9 @@ class ManagedTable:
                 "left_anti",
             )
         ordered = self._zorder_frame(
-            live.select(*([*cols, "__row_id"] if track else cols)),
+            live.select(
+                *([*cols, "__row_id", "__row_ver"] if track else cols)
+            ),
             self.cluster_by, bits, target_files,
         )
         # sort=False: the Z-order IS the layout
@@ -4369,12 +4456,15 @@ class ManagedTable:
             with_row_col=track,
         )
         if track:
-            # materialize each rewritten row's durable id (row
-            # tracking): ids must survive the bin-pack move
-            live = self._attach_row_ids(live, v).withColumnRenamed(
-                "_row_id", "__row_id"
+            # materialize each rewritten row's durable id and
+            # last-modified version (row tracking): both must survive
+            # the bin-pack move
+            live = (
+                self._attach_row_ids(live, v)
+                .withColumnRenamed("_row_id", "__row_id")
+                .withColumnRenamed("_row_commit_version", "__row_ver")
             )
-        out_cols = [*cols, "__row_id"] if track else cols
+        out_cols = [*cols, "__row_id", "__row_ver"] if track else cols
         if touched_dv:
             live = live.join(
                 self._dv_rows(touched_dv).select(
@@ -4396,10 +4486,19 @@ class ManagedTable:
             F.monotonically_increasing_id()
         ]
         live = live.repartitionByRange(n_out, *range_keys)
+        # declared read/write region = exactly the qualifying
+        # partitions: maintenance racing a MERGE into OTHER partitions
+        # rebases instead of raising (the 100 TB shape — nightly
+        # OPTIMIZE and streaming ingest run concurrently); a racing
+        # append INTO a qualifying partition still conflicts, because
+        # base-key replacement would otherwise silently retire the
+        # appended entry without its rows being in the rewrite
         return self._stage_and_commit(
             live, replace_all=False, sort=bool(self.sort_columns),
             op="OPTIMIZE",
             row_ids_materialized=track,
+            read_version=v,
+            read_keys=qualify,
         )
 
     def replace_table_content(
@@ -4522,7 +4621,7 @@ class ManagedTable:
         # row tracking: purged-dir rewrites drop rows, so positions
         # shift — their files mint fresh ids (documented divergence:
         # Delta preserves them by materializing; our PURGE re-mints)
-        rb, rm, rh = self._carried_row_base(v, new_stats)
+        rb, rm, rh, rv = self._carried_row_base(v, new_stats)
         try:
             self._write_manifest(
                 v + 1,
@@ -4535,6 +4634,7 @@ class ManagedTable:
                 row_base=rb,
                 row_mat=rm,
                 row_high=rh,
+                row_ver=rv,
             )
         except ConcurrentWriteError:
             shutil.rmtree(write_dir, ignore_errors=True)
@@ -5192,11 +5292,11 @@ class ManagedTable:
         dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in gone}
         dv_n = {f: n for f, n in dv_n.items() if f in dv}
         v_new = v + 1
-        rb, rm, rh = self._carried_row_base(v, stats)
+        rb, rm, rh, rv = self._carried_row_base(v, stats)
         self._write_manifest(
             v_new, kept_entries, stats, self._read_txn(v),
             op=f"FSCK REPAIR ({len(missing)} dirs)", dv=dv, dv_n=dv_n,
-            row_base=rb, row_mat=rm, row_high=rh,
+            row_base=rb, row_mat=rm, row_high=rh, row_ver=rv,
         )
         self._commit(v_new)
         return {"missing": missing, "version": v_new}
@@ -5510,11 +5610,11 @@ class ManagedTable:
                 raise ValueError(f"table {self.name}: no schema available")
             cols = [f.name for f in self.schema.fields]
             if track:
-                # surviving rows keep their ids in-data; the inserted
-                # rows mint (NULL __row_id → base + position)
-                target = self.read_with_row_ids(v_read).withColumnRenamed(
-                    "_row_id", "__row_id"
-                )
+                # surviving rows keep their ids + last-modified
+                # versions in-data; the inserted rows mint (NULL
+                # __row_id → base + position, NULL __row_ver → the
+                # committing version)
+                target = self._track_read(v_read)
             else:
                 target = self.read(v_read)
             scope_keys: set[str] | None = None
@@ -5551,11 +5651,10 @@ class ManagedTable:
             if track:
                 new_rows = new_rows.withColumn(
                     "__row_id", F.lit(None).cast("long")
-                )
-            merged = target.select(
-                *cols, *(["__row_id"] if track else [])
-            ).unionByName(
-                new_rows.select(*cols, *(["__row_id"] if track else []))
+                ).withColumn("__row_ver", F.lit(None).cast("long"))
+            tcols = [*cols, "__row_id", "__row_ver"] if track else cols
+            merged = target.select(*tcols).unionByName(
+                new_rows.select(*tcols)
             )
             return self._stage_and_commit(
                 merged, replace_all=not self.partition_columns,
@@ -5634,12 +5733,12 @@ class ManagedTable:
             cols = [f.name for f in self.schema.fields]
             if track:
                 # row tracking (Delta parity): surviving rows carry
-                # their ids through the rewrite IN-DATA; a source row
-                # replacing a matched key INHERITS that key's id, a
-                # fresh key mints (NULL __row_id → base + position)
-                target = self.read_with_row_ids(v_read).withColumnRenamed(
-                    "_row_id", "__row_id"
-                )
+                # their ids + last-modified versions through the
+                # rewrite IN-DATA; a source row replacing a matched key
+                # INHERITS that key's id but takes the modifying
+                # commit's version (NULL __row_ver), a fresh key mints
+                # both (NULL __row_id → base + position)
+                target = self._track_read(v_read)
             else:
                 target = self.read(v_read)
             drop_scope: set[str] = set()
@@ -5664,10 +5763,11 @@ class ManagedTable:
                 tid = target.groupBy(*keys).agg(
                     F.min("__row_id").alias("__row_id")
                 )
-                src = source.join(tid, on=keys, how="left")
-            merged = kept.select(
-                *cols, *(["__row_id"] if track else [])
-            ).unionByName(src.select(*cols, *(["__row_id"] if track else [])))
+                src = source.join(tid, on=keys, how="left").withColumn(
+                    "__row_ver", F.lit(None).cast("long")
+                )
+            tcols = [*cols, "__row_id", "__row_ver"] if track else cols
+            merged = kept.select(*tcols).unionByName(src.select(*tcols))
             return self._stage_and_commit(
                 merged, replace_all=not scoped, txn=txn, op="MERGE UPSERT",
                 identity_claim=id_claim,
@@ -5811,7 +5911,7 @@ class ManagedTable:
         # shift positions); the appended dir mints fresh ones — or, with
         # ``append_materialized`` (merge-on-read UPDATE), carries the
         # matched rows' PRESERVED ids in-data
-        rb, rm, rh = self._carried_row_base(
+        rb, rm, rh, rv = self._carried_row_base(
             v, stats,
             materialized=(appended_files if append_materialized else ()),
         )
@@ -5827,6 +5927,7 @@ class ManagedTable:
                 row_base=rb,
                 row_mat=rm,
                 row_high=rh,
+                row_ver=rv,
             )
         except ConcurrentWriteError:
             shutil.rmtree(
@@ -5873,10 +5974,9 @@ class ManagedTable:
         v_read = self.current_version()
         track = self._row_tracking_enabled()
         if track:
-            # surviving rows carry their ids through the rewrite
-            target = self.read_with_row_ids(v_read).withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            # surviving rows carry their ids + versions through the
+            # rewrite (a delete modifies no surviving row)
+            target = self._track_read(v_read)
         else:
             target = self.read(v_read)
         drop_scope: set[str] = set()
@@ -5933,12 +6033,10 @@ class ManagedTable:
         v_read = self.current_version()
         track = self._row_tracking_enabled()
         if track:
-            # copy-on-write DELETE preserves surviving rows' ids by
-            # materializing them into the rewritten files (Delta row
-            # tracking's DML behavior)
-            base_df = self.read_with_row_ids(v_read).withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            # copy-on-write DELETE preserves surviving rows' ids and
+            # last-modified versions by materializing them into the
+            # rewritten files (Delta row tracking's DML behavior)
+            base_df = self._track_read(v_read)
         else:
             base_df = self.read(v_read)
         return self._stage_and_commit(
@@ -6028,9 +6126,7 @@ class ManagedTable:
             )
         v_read = self.current_version()
         if track:
-            base_df = self.read_with_row_ids(v_read).withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            base_df = self._track_read(v_read)
         else:
             base_df = self.read(v_read)
         updated = base_df.select(
@@ -6040,7 +6136,18 @@ class ManagedTable:
                 else F.col(c)
                 for c in cols
             ],
-            *(["__row_id"] if track else []),
+            # ids survive the update; the matched rows' last-modified
+            # version bumps to this commit (NULL → file-level fallback)
+            *(
+                [
+                    F.col("__row_id"),
+                    F.when(
+                        cond, F.lit(None).cast("long")
+                    ).otherwise(F.col("__row_ver")).alias("__row_ver"),
+                ]
+                if track
+                else []
+            ),
         )
         return self._stage_and_commit(
             updated, replace_all=True, op="UPDATE",
@@ -6073,10 +6180,9 @@ class ManagedTable:
         if track:
             # updated rows keep their ids (materialized through the
             # rewrite); no row is added or removed by an update-only
-            # merge, so every staged row carries one
-            target = self.read_with_row_ids(v_read).withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            # merge, so every staged row carries one. Matched rows'
+            # last-modified versions bump (NULL __row_ver below).
+            target = self._track_read(v_read)
         else:
             target = self.read(v_read)
         keys = list(key_columns)
@@ -6136,6 +6242,14 @@ class ManagedTable:
                     F.when(F.col(src_key_marker), F.col(f"__src_{c}"))
                     .otherwise(F.col(c))
                     .alias(c)
+                )
+            elif c == "__row_ver":
+                # matched rows were modified: their last-modified
+                # version becomes this commit (NULL → file fallback)
+                out_cols.append(
+                    F.when(
+                        F.col(src_key_marker), F.lit(None).cast("long")
+                    ).otherwise(F.col(c)).alias(c)
                 )
             else:
                 out_cols.append(F.col(c))
@@ -6271,10 +6385,10 @@ class ManagedTable:
         if track:
             # carried/updated rows keep their ids in-data through the
             # rewrite; insert-clause rows have no target side (NULL
-            # __row_id) and mint base + position
-            target = self.read_with_row_ids(v_read).withColumnRenamed(
-                "_row_id", "__row_id"
-            )
+            # __row_id) and mint base + position. Last-modified
+            # versions: only "keep" rows preserve theirs — any fired
+            # clause modified the row
+            target = self._track_read(v_read)
         else:
             target = self.read(v_read)
         drop_scope: set[str] = set()
@@ -6355,6 +6469,11 @@ class ManagedTable:
             out_cols.append(expr.cast(f.dataType).alias(c))
         if track:
             out_cols.append(F.col("__row_id"))  # NULL on insert rows
+            out_cols.append(
+                F.when(F.col("__act") == "keep", F.col("__row_ver"))
+                .otherwise(F.lit(None).cast("long"))
+                .alias("__row_ver")
+            )
         return self._stage_and_commit(
             kept.select(*out_cols), replace_all=not scoped, op="MERGE",
             drop_rels=drop_scope,

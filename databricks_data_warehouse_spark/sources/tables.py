@@ -2925,7 +2925,6 @@ class ManagedTable:
                         touched_keys is not None
                         and not replace_all
                         and not reset_metadata
-                        and not mark_clustered
                         and not identity_claim
                         and v_new > 0
                         and rebases <= 16
@@ -2937,6 +2936,13 @@ class ManagedTable:
                         # lost the race for real
                         _discard_staged()
                         raise
+                    if mark_clustered:
+                        # the rebind adopted the winner's clustered
+                        # set; re-mark this transaction's staged dirs
+                        # (regions are disjoint, so the union is exact)
+                        self.clustered_rels = sorted(
+                            set(self.clustered_rels) | set(staged.values())
+                        )
                 v_new += 1
                 (
                     entries, stats, dv, dv_n, txns,
@@ -4351,6 +4357,16 @@ class ManagedTable:
             self.cluster_by, bits, target_files,
         )
         # sort=False: the Z-order IS the layout
+        # declared region = the unclustered dirs' partitions: the
+        # nightly clustering increment rebases over concurrent ingest
+        # into OTHER partitions (same maintenance-vs-ingest shape as
+        # OPTIMIZE); a commit touching a partition being re-laid-out
+        # still conflicts (conservative at key granularity)
+        todo_keys = {
+            _base_key(k)
+            for k, rel in entries.items()
+            if rel in set(todo)
+        }
         return self._stage_and_commit(
             ordered,
             replace_all=False,
@@ -4360,6 +4376,8 @@ class ManagedTable:
             drop_rels=set(todo),
             mark_clustered=True,
             row_ids_materialized=track,
+            read_version=v,
+            read_keys=todo_keys,
         )
 
     def _base_matches(self, base_key: str, filters: Sequence[tuple]) -> bool:

@@ -488,3 +488,37 @@ def test_cluster_races_disjoint_merge(spark, tmp_path):
     clustered = set(t._read_clustered(t.current_version()))
     assert clustered  # the staged dirs are marked
     assert any(rel in clustered for rel in man.values())
+
+
+def test_scope_handles_special_char_and_null_partitions(spark, tmp_path):
+    """The drop-scope matching survives hive dir-name escaping: scoped
+    CoW deletes empty partitions whose values carry spaces, '=', '/',
+    while a NULL-keyed merge matches NOTHING (standard SQL equality —
+    Delta's MERGE ON is the same) and the NULL partition is restaged
+    intact, never dropped."""
+    t = ManagedTable(
+        spark, "spc", str(tmp_path / "spc"), partition_columns=["p"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a b"), (2, "x=y"), (3, "s/t"), (4, None), (5, "plain")],
+            "k int, p string",
+        )
+    )
+    t.merge_delete(
+        spark.createDataFrame([(1, "a b"), (2, "x=y")], "k int, p string"),
+        ["p", "k"],
+        deletion_vectors=False,
+    )
+    got = sorted(((r.k, r.p) for r in t.read().collect()),
+                 key=lambda x: x[0])
+    assert got == [(3, "s/t"), (4, None), (5, "plain")]
+    # NULL-keyed delete: matches nothing, loses nothing
+    t.merge_delete(
+        spark.createDataFrame([(4, None)], "k int, p string"),
+        ["p", "k"],
+        deletion_vectors=False,
+    )
+    got = sorted(((r.k, r.p) for r in t.read().collect()),
+                 key=lambda x: x[0])
+    assert got == [(3, "s/t"), (4, None), (5, "plain")]

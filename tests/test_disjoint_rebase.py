@@ -522,3 +522,112 @@ def test_scope_handles_special_char_and_null_partitions(spark, tmp_path):
     got = sorted(((r.k, r.p) for r in t.read().collect()),
                  key=lambda x: x[0])
     assert got == [(3, "s/t"), (4, None), (5, "plain")]
+
+
+# --------------------------------------------- randomized convergence
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lp=st.integers(0, 2),
+    w1p=st.integers(0, 2),
+    w2p=st.integers(0, 2),
+    loser_deletes=st.booleans(),
+)
+def test_disjoint_rebase_converges_to_serial(
+    spark, tmp_path_factory, lp, w1p, w2p, loser_deletes
+):
+    """Property: under ANY overlap pattern of two interposed winners
+    and one loser (random partitions, upsert or delete), the outcome
+    is exactly the serial application in commit order when the loser's
+    region is disjoint from both winners', and a clean
+    ConcurrentWriteError leaving precisely the winners' state when it
+    overlaps either. No interleaving can lose, duplicate, or
+    resurrect a row."""
+    tmp = tmp_path_factory.mktemp("djprop")
+    name = "t"
+    t = ManagedTable(
+        spark, name, str(tmp / name), partition_columns=["p"]
+    )
+    base = [(p, p * 10, str(p)) for p in range(3)]
+    t.overwrite(spark.createDataFrame(base, "k int, v int, p string"))
+    w1h = ManagedTable(spark, name, str(tmp / name), partition_columns=["p"])
+    w2h = ManagedTable(spark, name, str(tmp / name), partition_columns=["p"])
+    loser = ManagedTable(spark, name, str(tmp / name), partition_columns=["p"])
+    orig = loser._write_manifest
+    fired = {"n": 0}
+
+    def interposed(*a, **k):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            w1h.merge_upsert(
+                spark.createDataFrame(
+                    [(100 + w1p, 1000, str(w1p))], "k int, v int, p string"
+                ),
+                ["p", "k"],
+            )
+        elif fired["n"] == 1:
+            fired["n"] = 2
+            w2h.merge_upsert(
+                spark.createDataFrame(
+                    [(100 + w2p, 2000, str(w2p))], "k int, v int, p string"
+                ),
+                ["p", "k"],
+            )
+        return orig(*a, **k)
+
+    loser._write_manifest = interposed
+
+    def apply_winners(state):
+        # only winners that actually fired: an overlap with w1 raises
+        # at the FIRST collision, so w2 never runs
+        state = {r for r in state if r[0] != 100 + w1p} | {
+            (100 + w1p, 1000, str(w1p))
+        }
+        if fired["n"] == 2:
+            state = {r for r in state if r[0] != 100 + w2p} | {
+                (100 + w2p, 2000, str(w2p))
+            }
+        return state
+
+    def apply_loser(state):
+        if loser_deletes:
+            return {r for r in state if not (r[0] == lp and r[2] == str(lp))}
+        return {r for r in state if r[0] != 200 + lp} | {
+            (200 + lp, 3000, str(lp))
+        }
+
+    disjoint = lp not in (w1p, w2p)
+    try:
+        if loser_deletes:
+            loser.merge_delete(
+                spark.createDataFrame([(lp, str(lp))], "k int, p string"),
+                ["p", "k"],
+                deletion_vectors=False,
+            )
+        else:
+            loser.merge_upsert(
+                spark.createDataFrame(
+                    [(200 + lp, 3000, str(lp))], "k int, v int, p string"
+                ),
+                ["p", "k"],
+            )
+        landed = True
+    except ConcurrentWriteError:
+        landed = False
+    assert fired["n"] >= 1  # the race genuinely happened
+    got = {(r.k, r.v, r.p) for r in t.read().collect()}
+    if disjoint:
+        assert landed and fired["n"] == 2, (lp, w1p, w2p, loser_deletes)
+        assert got == apply_loser(apply_winners(set(base)))
+    else:
+        assert not landed
+        assert got == apply_winners(set(base))

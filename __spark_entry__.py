@@ -265,6 +265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_expanding_zscore": streaming.stream_expanding_zscore,
         # ====== (c) r03 greens on untouched files (oldest in registry) =====
         "sample_hash_split": sampling.sample_hash_split,
+        # NEW round 12: quality-temperature mixing — include docs with
+        # prob q^(1/T) at T=0.5 (q², sharpen) and T=2 (√q, flatten);
+        # md5-uniform + exactly-rounded IEEE thresholds, bit-exact
+        "sample_quality_temperature": sampling.sample_quality_temperature,
         "sample_stratified": sampling.sample_stratified,
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
@@ -505,7 +509,10 @@ _R12_WINDOW = [
     "op_validate_relationship",
     "pack_sequences",
     "text_dedup_substrings",
-    "text_lm_familiarity",
+    # text_lm_familiarity yields its slot to the NEW
+    # sample_quality_temperature (text.py keeps text_token_counts_bpe
+    # as its in-window representative; sampling.py gains one)
+    "sample_quality_temperature",
     "text_token_counts_bpe",
 ]
 
@@ -3090,6 +3097,8 @@ def oracle_sql() -> dict[str, str]:
                             / 10000, 0.0) AS dup_trigram_frac
             FROM tok_s t LEFT JOIN tri_s USING (doc_id)
         """,
+        "sample_quality_temperature":
+            sampling.sample_quality_temperature_oracle(),
         "sample_hash_split": f"""
             SELECT doc_id, b AS bucket,
                    CASE WHEN b < 8000 THEN 'train'

@@ -101,3 +101,84 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang, f in STRATA_FRACTIONS.items():
         frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
     return docs.where(bucket < frac * _BUCKETS).select("doc_id", "lang")
+
+
+def sample_quality_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-temperature corpus sampling (round 12): include each
+    document with probability quality^(1/T) — the standard mixing
+    move that up-weights clean text without discarding the tail.
+    Two temperatures side by side: T = 0.5 SHARPENS (prob = q², skews
+    hard toward high quality) and T = 2 FLATTENS (prob = √q, keeps
+    more of the tail). The quality signal is the alpha-character
+    ratio (the text_quality metric).
+
+    Determinism discipline: the per-doc uniform is the first 32 md5
+    bits of a salted key reduced mod 10⁶ (the corpus-wide splitter
+    idiom — any engine reproduces it bit-for-bit), and the two
+    acceptance thresholds use ONLY exactly-rounded IEEE ops
+    (division, multiplication, sqrt — never libm pow, whose last ulp
+    differs across engines), floor-scaled to the same 10⁶ grid.
+    Assignment is per-row and embarrassingly parallel: a new batch
+    samples identically whether processed with the corpus or alone —
+    no shuffle until the per-source report."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    key = F.concat(F.lit("qt|"), F.col("doc_id").cast("string"))
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    q = F.coalesce(
+        alpha / F.length(F.col("text")), F.lit(0.0)
+    )
+    w_sharp = F.floor(q * q * 1_000_000 + F.lit(0.5))   # T = 0.5
+    w_flat = F.floor(F.sqrt(q) * 1_000_000 + F.lit(0.5))  # T = 2
+    tagged = docs.select(
+        "source",
+        "n_chars",
+        (u < w_sharp).cast("long").alias("keep_sharp"),
+        (u < w_flat).cast("long").alias("keep_flat"),
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep_sharp").alias("kept_sharp"),
+            F.sum("keep_flat").alias("kept_flat"),
+            F.sum(
+                F.when(F.col("keep_sharp") == 1, F.col("n_chars"))
+            ).alias("chars_sharp"),
+        )
+        .orderBy("source")
+    )
+
+
+def sample_quality_temperature_oracle() -> str:
+    """DuckDB twin — same md5 uniform, same exactly-rounded threshold
+    arithmetic, same 10⁶ grid."""
+    return """
+        WITH tagged AS (
+            SELECT source, n_chars,
+                   (('0x' || substr(md5('qt|' || doc_id), 1, 8))::BIGINT
+                       % 1000000) AS u,
+                   COALESCE(
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           / CAST(length(text) AS DOUBLE),
+                       0.0
+                   ) AS q
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN u < floor(q * q * 1000000 + 0.5)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_sharp,
+               CAST(SUM(CASE WHEN u < floor(sqrt(q) * 1000000 + 0.5)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_flat,
+               CAST(SUM(CASE WHEN u < floor(q * q * 1000000 + 0.5)
+                             THEN n_chars END) AS BIGINT) AS chars_sharp
+        FROM tagged GROUP BY source ORDER BY source
+    """

@@ -52,6 +52,7 @@ from databricks_data_warehouse_spark.queries import (
     tpch,
 )
 from databricks_data_warehouse_spark import streaming
+from databricks_data_warehouse_spark.sources import formats as formats_mod
 from databricks_data_warehouse_spark.pipelines import cdc as cdc_pipeline
 from databricks_data_warehouse_spark.pipelines import mv as mv_pipeline
 
@@ -269,6 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prob q^(1/T) at T=0.5 (q², sharpen) and T=2 (√q, flatten);
         # md5-uniform + exactly-rounded IEEE thresholds, bit-exact
         "sample_quality_temperature": sampling.sample_quality_temperature,
+        # NEW round 12: multi-format source parity — ORC/CSV/JSON
+        # round-trips re-read through the production readers must be
+        # value-exact vs the parquet source (keys, doubles, dates)
+        "formats_multiformat_scan": formats_mod.formats_multiformat_scan,
         "sample_stratified": sampling.sample_stratified,
         "asof_events_latest_order": asof.asof_events_latest_order,
         "range_join_value_bands": asof.range_join_value_bands,
@@ -484,7 +489,10 @@ _R12_WINDOW = [
     "gold_customer_status_by_city",
     "gold_orders_by_city",
     "gold_orders_by_customer_week",
-    "gold_orders_delivery_time",
+    # gold_orders_delivery_time yields its slot to the NEW
+    # formats_multiformat_scan (gold.py keeps three in-window reps;
+    # formats.py gains its first oracle slot)
+    "formats_multiformat_scan",
     "dash_top_nations_by_segment",
     "dash_avg_delivery_by_nation",
     "dash_late_orders_by_priority",
@@ -3099,6 +3107,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_quality_temperature":
             sampling.sample_quality_temperature_oracle(),
+        "formats_multiformat_scan":
+            formats_mod.formats_multiformat_scan_oracle(),
         "sample_hash_split": f"""
             SELECT doc_id, b AS bucket,
                    CASE WHEN b < 8000 THEN 'train'

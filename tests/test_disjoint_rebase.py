@@ -631,3 +631,64 @@ def test_disjoint_rebase_converges_to_serial(
     else:
         assert not landed
         assert got == apply_winners(set(base))
+
+
+def test_merge_clauses_disjoint_race(spark, tmp_path):
+    """The full-grammar MERGE (clauses) rides the same region
+    machinery: disjoint partitions rebase."""
+    t = _mk(spark, tmp_path, "mc1")
+    loser = _handle(spark, tmp_path, "mc1")
+    winner = _handle(spark, tmp_path, "mc1")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(2, 99, "b")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    loser.merge_clauses(
+        spark.createDataFrame([(1, 77, "a")], "k int, v int, p string"),
+        ["p", "k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    assert state["raced"]
+    assert _rows(t) == [(1, 77, "a"), (2, 99, "b"), (3, 30, "c")]
+
+
+def test_dv_delete_winner_attribution(spark, tmp_path):
+    """A winner whose commit is a DELETION-VECTOR delete (no entry
+    changes — only the dv map moved) must still be attributed to its
+    partition: a racing merge into the SAME partition raises, one
+    into ANOTHER partition rebases."""
+    t = _mk(spark, tmp_path, "dv1")
+    # same-partition race: DV delete in 'a' vs merge into 'a'
+    loser = _handle(spark, tmp_path, "dv1")
+    winner = _handle(spark, tmp_path, "dv1")
+    _interpose(
+        loser,
+        lambda: winner.delete_where(
+            (F.col("p") == "a") & (F.col("k") == 1)  # DV path (default)
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_upsert(
+            spark.createDataFrame([(9, 90, "a")], "k int, v int, p string"),
+            ["p", "k"],
+        )
+    assert _rows(t) == [(2, 20, "b"), (3, 30, "c")]  # the DV delete won
+    # disjoint: DV delete in 'b' vs merge into 'c' — both land
+    loser2 = _handle(spark, tmp_path, "dv1")
+    winner2 = _handle(spark, tmp_path, "dv1")
+    state = _interpose(
+        loser2,
+        lambda: winner2.delete_where(
+            (F.col("p") == "b") & (F.col("k") == 2)
+        ),
+    )
+    loser2.merge_upsert(
+        spark.createDataFrame([(3, 33, "c")], "k int, v int, p string"),
+        ["p", "k"],
+    )
+    assert state["raced"]
+    assert _rows(t) == [(3, 33, "c")]

@@ -28,6 +28,7 @@ from databricks_data_warehouse_spark.ext import (
     bpe,
     dedup,
     dedup_incremental,
+    graph,
     json_ops,
     multimodal,
     packing,
@@ -321,6 +322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        # NEW round 12: integer PageRank over the symmetrized near-dup
+        # candidate graph (corpus-curation authority signal) — ranks in
+        # BIGINT 1e-12 units, floor-division power steps, bit-exact twin
+        "graph_pagerank_docs": graph.pagerank_near_dup,
         "dedup_simhash": dedup.simhash,
         # ---- r04-green: packing / mixture / TF-IDF / BM25 / boilerplate
         "pack_sequences": lambda spark, sf: packing.pack_sequences(
@@ -498,7 +503,12 @@ _R12_WINDOW = [
     "dash_late_orders_by_priority",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard yields its slot to the NEW graph_pagerank_docs
+    # (post-freeze registry additions take a window slot — the r11
+    # process rule; the ngram pair join is transitively exercised: the
+    # pagerank entry RUNS ngram_jaccard_pairs as its edge set, and the
+    # oracle embeds the identical pairs SQL as a subquery)
+    "graph_pagerank_docs",
     # dedup_simhash yields its slot to the NEW table_row_versions_scan
     # (dedup.py keeps three same-file representatives above)
     "ann_ivf_topk",
@@ -916,6 +926,63 @@ def oracle_sql() -> dict[str, str]:
     lang_scores = ",\n               ".join(
         f"len(list_intersect(toks, {arr})) AS score_{code}"
         for code, arr in _LANG_SQL_MARKERS.items()
+    )
+    # Integer-PageRank twin of ext/graph.pagerank_near_dup: the fixed
+    # power iterations are UNROLLED (one CTE trio per step — dangling
+    # mass, in-sums, next ranks); every op is BIGINT/HUGEINT floor
+    # arithmetic, so the match is bit-exact with no fp rounding dance.
+    # Constants imported from the module so the twin can't drift.
+    _pr_scale, _pr_dn, _pr_dd = graph.RANK_SCALE, graph.DAMP_NUM, graph.DAMP_DEN
+    _pr_teleport = (
+        f"(({_pr_dd - _pr_dn}) * ({_pr_scale} // (SELECT n FROM pr_n)))"
+        f" // {_pr_dd}"
+    )
+    pr_ctes = [
+        f"""pr_vp AS (SELECT doc_a, doc_b FROM ({ngram_pairs_sql})),
+            pr_edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pr_vp
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM pr_vp
+            ),
+            pr_deg AS (SELECT src, COUNT(*) AS deg FROM pr_edges GROUP BY src),
+            pr_nodes AS (
+                SELECT d.doc_id, COALESCE(g.deg, 0) AS degree
+                FROM documents d LEFT JOIN pr_deg g ON d.doc_id = g.src
+            ),
+            pr_n AS (SELECT COUNT(*) AS n FROM documents),
+            pr_it0 AS (
+                SELECT doc_id, degree,
+                       CAST({_pr_scale} // (SELECT n FROM pr_n) AS BIGINT) AS r
+                FROM pr_nodes
+            )"""
+    ]
+    for _k in range(1, 4):  # iterations=3, matching the Spark default
+        pr_ctes.append(
+            f"""pr_dang{_k} AS (
+                SELECT COALESCE(SUM(r), 0) // (SELECT n FROM pr_n) AS dn
+                FROM pr_it{_k - 1} WHERE degree = 0
+            ),
+            pr_in{_k} AS (
+                SELECT e.dst, SUM(p.r // p.degree) AS insum
+                FROM pr_edges e JOIN pr_it{_k - 1} p ON e.src = p.doc_id
+                WHERE p.degree > 0
+                GROUP BY e.dst
+            ),
+            pr_it{_k} AS (
+                SELECT nd.doc_id, nd.degree,
+                       CAST({_pr_teleport}
+                            + ({_pr_dn} * (COALESCE(s.insum, 0)
+                                           + (SELECT dn FROM pr_dang{_k})))
+                              // {_pr_dd}
+                            AS BIGINT) AS r
+                FROM pr_nodes nd
+                LEFT JOIN pr_in{_k} s ON nd.doc_id = s.dst
+            )"""
+        )
+    pagerank_sql = (
+        "WITH "
+        + ",\n            ".join(pr_ctes)
+        + "\n            SELECT doc_id, degree, r AS pagerank_e12 FROM pr_it3"
     )
     d = {
         # ------------------------------------------- stats (round 6)
@@ -2596,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ht GROUP BY doc_id
         """,
         "dedup_ngram_jaccard": ngram_pairs_sql,
+        "graph_pagerank_docs": pagerank_sql,
         # cap-cost report twin: same band keys as dedup_minhash_pairs,
         # same gram index as dedup_ngram_jaccard, caps bound at 3/3
         "dedup_cap_report": f"""

@@ -1,0 +1,138 @@
+"""Graph centrality over the near-duplicate document graph.
+
+PageRank over a similarity/link graph is a standard corpus-curation
+primitive: CommonCrawl-derived pipelines rank hosts and documents by
+link authority before sampling, and near-dup cluster authority is the
+same computation over the candidate-pair graph the dedup stage already
+builds (ext/dedup.ngram_jaccard_pairs). A document that sits at the
+center of a large near-dup neighborhood is boilerplate-like; rank is a
+smooth, hub-aware version of the degree signal.
+
+Beyond-reference operator (the reference has no graph code); the graph
+input reuses the blocked inverted-index pair join that is already
+oracle-green (dedup_ngram_jaccard), so the edge set itself is a known
+cross-engine-exact quantity.
+
+Cross-engine exactness: ranks live in scaled INTEGER units
+(RANK_SCALE = 1e12 == mass 1.0) and every step of the power iteration
+uses BIGINT floor division only — no floating point anywhere, so the
+DuckDB oracle is bit-identical by construction at any scale and under
+any summation order (integer addition is associative; there is no
+ulp hazard to round away).
+
+Scale shape (100 TB): the edge list and degree table are computed once
+and persisted; each of the fixed ``iterations`` power steps is ONE
+shuffle (groupBy dst over the contribution join — Catalyst broadcasts
+the rank side or shuffles on the shared key) plus one single-row
+aggregate for the dangling mass (bounded metadata collect, the same
+pattern GraphX uses). Nothing is quadratic: the join is edge-linear,
+the per-node state is two longs. Lineage is truncated by persisting
+each iteration's ranks and unpersisting the previous one, so the plan
+depth stays constant in ``iterations``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries._util import load
+from .dedup import ngram_jaccard_pairs
+
+# 1.0 of rank mass in integer units. 1e12 keeps per-node ranks ≥ 1e6
+# units for corpora up to ~1e6 docs (quantization loss stays ≤ 1e-6
+# relative) while 85 × any partial sum stays far inside int64
+# (total mass ≤ 1e12 → 85 × insum ≤ 8.5e13).
+RANK_SCALE = 10**12
+
+# Damping d = DAMP_NUM / DAMP_DEN = 0.85 expressed as an integer ratio
+# so d·x is (85·x) div 100 — exact in both engines.
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def pagerank_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over the symmetrized word-bigram
+    near-dup graph. Nodes are ALL documents (isolated docs are dangling:
+    their mass teleports uniformly, the classic Brin–Page treatment).
+
+    Per iteration, with n = |documents| and prev(v) the node's rank:
+
+        dang     = Σ prev(v) over degree-0 nodes          (exact BIGINT)
+        insum(v) = Σ prev(u) div degree(u) over edges u→v (exact BIGINT)
+        next(v)  = (15·(S div n)) div 100
+                   + (85·(insum(v) + dang div n)) div 100
+
+    with S = RANK_SCALE. Every operation is integer, so the DuckDB twin
+    (an unrolled CTE per iteration) matches bit-for-bit.
+
+    Output: (doc_id, degree, pagerank_e12) — rank in 1e-12 units.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    base = RANK_SCALE // n
+    teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
+    nodes = (
+        docs.join(deg, docs.doc_id == deg.src, "left")
+        .select("doc_id", F.coalesce("deg", F.lit(0)).alias("degree"))
+        .persist()
+    )
+    ranks = nodes.select(
+        "doc_id", "degree", F.lit(base).cast("long").alias("r")
+    ).persist()
+    for _ in range(iterations):
+        # dangling mass: one single-row aggregate (bounded metadata
+        # collect — the per-iteration scalar every PageRank impl pays).
+        dang = (
+            ranks.where(F.col("degree") == 0)
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        dang_div_n = int(dang) // n
+        contrib = (
+            edges.join(
+                ranks.where(F.col("degree") > 0).select(
+                    F.col("doc_id").alias("src"),
+                    F.expr("r div degree").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("insum"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contrib, nodes.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                "degree",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(insum, 0L) + {dang_div_n}L))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize before dropping the previous state
+        prev.unpersist()
+    out = ranks.select(
+        "doc_id", "degree", F.col("r").alias("pagerank_e12")
+    )
+    return out

@@ -76,9 +76,22 @@ def pagerank_near_dup(
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
         "doc_a", "doc_b"
     )
+    # symmetrize via explode, NOT union of two selects: a union would
+    # evaluate the (expensive) inverted-index pair join once per branch.
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))

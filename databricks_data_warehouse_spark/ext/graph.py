@@ -145,6 +145,12 @@ def pagerank_near_dup(
         )
         ranks.count()  # materialize before dropping the previous state
         prev.unpersist()
+    # the final ranks ARE the result (node-sized, one cached copy the
+    # returned DataFrame serves from); everything else is released —
+    # an eviction of the ranks cache falls back to lineage recompute,
+    # which is correct, just cold.
+    edges.unpersist()
+    nodes.unpersist()
     out = ranks.select(
         "doc_id", "degree", F.col("r").alias("pagerank_e12")
     )

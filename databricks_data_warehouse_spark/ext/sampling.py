@@ -132,8 +132,13 @@ def sample_quality_temperature(
         % 1_000_000
     )
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    # NULLIF guards the zero-length divisor on BOTH sides: Spark's
+    # Divide yields NULL for /0 (or raises under ANSI) while DuckDB's
+    # IEEE float division yields NaN — which COALESCE does NOT catch
+    # and which sorts ABOVE every threshold under NaN-is-greatest,
+    # silently keeping empty documents in the DuckDB twin only.
     q = F.coalesce(
-        alpha / F.length(F.col("text")), F.lit(0.0)
+        alpha / F.nullif(F.length(F.col("text")), F.lit(0)), F.lit(0.0)
     )
     w_sharp = F.floor(q * q * 1_000_000 + F.lit(0.5))   # T = 0.5
     w_flat = F.floor(F.sqrt(q) * 1_000_000 + F.lit(0.5))  # T = 2
@@ -167,7 +172,7 @@ def sample_quality_temperature_oracle() -> str:
                        % 1000000) AS u,
                    COALESCE(
                        length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                           / CAST(length(text) AS DOUBLE),
+                           / CAST(NULLIF(length(text), 0) AS DOUBLE),
                        0.0
                    ) AS q
             FROM documents

@@ -236,15 +236,35 @@ def expectations_from_rules(rules=(), fk_rules=()):
       fall-through leaves the row valid), non-member → violation;
     - FK: NULL child passes, non-NULL orphan → violation.
     """
+    # Arbitrary column names are legal rule targets (the replaced
+    # validate_column path accepted any F.col-able name, e.g. a
+    # rename_map output like "order id") — quote them, don't reject
+    # them. A backtick inside a quoted identifier is escaped by
+    # doubling (Spark's rule), which closes the injection vector the
+    # old _NAME_RE refusal guarded against; expectation NAMES stay
+    # _NAME_RE-safe by sanitizing the column part (names are metric
+    # aliases, not references back to the data).
+    def _qi(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    _used_names: set[str] = set()
+
+    def _nm(name: str, suffix: str) -> str:
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name) or "_"
+        if not re.match(r"[A-Za-z_]", safe):
+            safe = "_" + safe
+        out = f"{safe}{suffix}"
+        i = 2
+        while out in _used_names:  # "a b" and "a_b" must not collide
+            out = f"{safe}{suffix}_{i}"
+            i += 1
+        _used_names.add(out)
+        return out
+
     exps: list[Expectation] = []
     prep_joins: list = []
     for rule in rules:
         col = rule.column
-        if not _NAME_RE.fullmatch(col):
-            raise ValueError(
-                f"expectations_from_rules: column {col!r} is not a safe "
-                "identifier"
-            )
         if hasattr(rule, "accepted_values"):
             vals = ", ".join(
                 "'" + str(v).replace("'", "''") + "'"
@@ -252,27 +272,27 @@ def expectations_from_rules(rules=(), fk_rules=()):
             )
             exps.append(
                 expect_or_drop(
-                    f"{col}_in_domain",
+                    _nm(col, "_in_domain"),
                     # empty domain: only NULL passes (the reference's
                     # ~isin([]) marks every non-NULL row invalid); a
                     # bare "IN ()" would not parse
-                    f"`{col}` IS NULL OR `{col}` IN ({vals})"
+                    f"{_qi(col)} IS NULL OR {_qi(col)} IN ({vals})"
                     if vals
-                    else f"`{col}` IS NULL",
+                    else f"{_qi(col)} IS NULL",
                 )
             )
         elif rule.datatype == "numeric":
             exps.append(
                 expect_or_drop(
-                    f"{col}_is_numeric",
-                    f"try_cast(`{col}` AS bigint) IS NOT NULL",
+                    _nm(col, "_is_numeric"),
+                    f"try_cast({_qi(col)} AS bigint) IS NOT NULL",
                 )
             )
         elif rule.datatype == "timestamp":
             exps.append(
                 expect_or_drop(
-                    f"{col}_is_timestamp",
-                    f"try_cast(`{col}` AS timestamp) IS NOT NULL",
+                    _nm(col, "_is_timestamp"),
+                    f"try_cast({_qi(col)} AS timestamp) IS NOT NULL",
                 )
             )
         else:
@@ -281,17 +301,13 @@ def expectations_from_rules(rules=(), fk_rules=()):
             )
     for fk in fk_rules:
         col = fk.column
-        if not _NAME_RE.fullmatch(col):
-            raise ValueError(
-                f"expectations_from_rules: column {col!r} is not a safe "
-                "identifier"
-            )
         flag = f"__fk_ok_{col}"
         parent_df, parent_col = fk.parent_df, fk.parent_column
         prep_joins.append((col, flag, parent_df, parent_col))
         exps.append(
             expect_or_drop(
-                f"{col}_fk_valid", f"`{col}` IS NULL OR `{flag}`"
+                _nm(col, "_fk_valid"),
+                f"{_qi(col)} IS NULL OR {_qi(flag)}",
             )
         )
 

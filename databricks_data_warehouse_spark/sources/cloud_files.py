@@ -52,6 +52,7 @@ field): files the stream opted out of never re-enter via a sweep.
 from __future__ import annotations
 
 import fnmatch
+import hashlib
 import os
 from dataclasses import dataclass, field
 from typing import Iterator, Sequence
@@ -125,8 +126,43 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         # the real floor from the first start offset it sees (healing
         # subsequent offsets), and sweeps are suppressed — degraded to
         # the incremental listing — for exactly as long as the floor
-        # is unknown.
-        self._floor = 0 if include else -1
+        # is unknown. The WAL alone is NOT a durable enough home: a
+        # restart whose last committed offset was itself written with
+        # floor:-1 (the engine's first latestOffset runs before
+        # partitions can heal) would leave every future offset at -1 —
+        # sweeps silently disabled for the stream's remaining life. So
+        # the floor ALSO lives in a sidecar file next to the data
+        # (dot-prefixed, invisible to _list), written once by
+        # initialOffset and re-read here; the offset-WAL heal remains
+        # as the second recovery path.
+        self._floor = 0 if include else self._read_floor_file()
+
+    # includeExisting=false floor sidecar (see __init__): keyed by the
+    # reader config so differently-scoped streams on one directory
+    # don't share a floor; two IDENTICALLY-configured streams started
+    # at different times would (documented — start them with distinct
+    # `pattern`s or locations).
+    def _floor_file(self) -> str:
+        key = hashlib.md5(
+            f"{self.ext}|{self.pattern}|{self.lookback_ns}".encode()
+        ).hexdigest()[:12]
+        return os.path.join(self.location, f"._al_floor_{key}")
+
+    def _read_floor_file(self) -> int:
+        try:
+            with open(self._floor_file(), "r", encoding="utf-8") as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def _write_floor_file(self, floor: int) -> None:
+        try:
+            tmp = self._floor_file() + f".tmp{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(str(floor))
+            os.replace(tmp, self._floor_file())
+        except OSError:
+            pass  # best-effort: WAL healing remains the fallback
 
     # ------------------------------------------------------ listing
     def _list(self) -> list:
@@ -164,6 +200,7 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         off = self._offset_for(self._list())
         self._floor = off["wm"]
         off["floor"] = self._floor
+        self._write_floor_file(self._floor)  # durable across restarts
         return off
 
     def latestOffset(self) -> dict:
@@ -197,7 +234,18 @@ class CloudFilesStreamReader(DataSourceStreamReader):
         # unknown (an offset emitted by a just-restarted reader before
         # this call): never treated as a real floor of 0.
         default_floor = 0 if self._include_existing else -1
-        self._floor = max(self._floor, int(start.get("floor", default_floor)))
+        healed = max(self._floor, int(start.get("floor", default_floor)))
+        if (
+            not self._include_existing
+            and healed >= 0
+            and self._floor < 0
+        ):
+            # floor recovered from the WAL but the sidecar is missing
+            # (pre-sidecar checkpoint, or the file was cleaned) —
+            # re-persist so the NEXT restart doesn't depend on which
+            # offset it resumes from
+            self._write_floor_file(healed)
+        self._floor = healed
         if end.get("sweep") and self._floor >= 0:
             new = [
                 (p, sz, m)

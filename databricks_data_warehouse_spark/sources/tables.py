@@ -4937,6 +4937,10 @@ class ManagedTable:
             v_new, entries, stats, self._read_txn(v_new - 1),
             op=f"RESTORE v{version}", dv=dv, dv_n=dv_n,
             row_base=rb_v, row_mat=rm_v, row_high=max(high_v, high_cur),
+            # row commit versions come back with the snapshot exactly
+            # like ids — omitting this resolved every restored file's
+            # _row_commit_version to the 0/NULL fallback
+            row_ver=self._read_row_ver(version),
         )
         self._commit(v_new)
         if self.retain_versions is not None:

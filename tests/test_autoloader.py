@@ -246,12 +246,14 @@ def test_cloud_files_sweep_respects_include_existing_floor(tmp_path):
 def test_cloud_files_floor_survives_double_restart(tmp_path):
     """ADVICE r11 (medium): the engine's first latestOffset() after a
     restart runs BEFORE partitions() rehydrates the floor from the
-    checkpointed start offset. That offset must not bake floor:0 into
-    the WAL — a second restart from it would let the always-on
-    first-trigger sweep deliver every pre-existing file the stream
-    opted out of. The unknown state is explicit (-1): sweeps degrade
-    to the incremental listing while the floor is unknown, and the
-    first partitions() call heals later offsets."""
+    checkpointed start offset, so the WAL alone cannot carry the
+    includeExisting=false floor safely (floor:0 there would let a
+    sweep deliver every opted-out file; floor:-1 forever would
+    disable sweeps for the stream's life on an unlucky double
+    restart). The sidecar floor file closes both: initialOffset
+    persists the floor next to the data, __init__ re-reads it, and
+    restarts recover BEFORE their first offset — no unknown window,
+    sweeps never degrade, opted-out files never re-enter."""
     from databricks_data_warehouse_spark.sources.cloud_files import (
         CloudFilesStreamReader,
     )
@@ -274,28 +276,79 @@ def test_cloud_files_floor_survives_double_restart(tmp_path):
     o1 = r1.latestOffset()
     r1.partitions(o0, o1)
 
-    # restart 1: latestOffset fires before any partitions() call
+    # restart 1: latestOffset fires before any partitions() call, but
+    # the sidecar floor file already rehydrated the floor in __init__
+    # — no unknown window, the WAL never carries -1
     r2 = CloudFilesStreamReader(opts)
     o2 = r2.latestOffset()
-    assert o2["floor"] == -1          # unknown — NOT a claimed floor of 0
-    assert "sweep" not in o2          # sweep suppressed while unknown
-    r2.partitions(o1, o2)             # rehydrates the floor from start
-    assert r2._floor == o0["wm"]
+    assert o2["floor"] == o0["wm"]    # recovered before first offset
+    assert o2.get("sweep") is True    # first-trigger sweep stays armed
+    [swept] = r2.partitions(o1, o2)
+    assert all(                       # floor excludes opted-out files
+        os.path.basename(p) != "pre.parquet" for p, _, _ in swept.files
+    )
     o3 = r2.latestOffset()
-    assert o3["floor"] == o0["wm"]    # WAL healed going forward
-    assert o3.get("sweep") is True    # sweeps resume with the real floor
+    assert o3["floor"] == o0["wm"]
 
-    # restart 2 FROM THE UNKNOWN-FLOOR OFFSET (crash right after it
-    # was written): pre-existing files must never re-enter, while a
-    # newly arrived file still flows through the incremental listing
+    # restart 2 (crash right after o2 was WAL'd): the sidecar floor
+    # file recovers the REAL floor before the first latestOffset —
+    # sweeps resume immediately, pre-existing files still never
+    # re-enter, and a newly arrived file flows
     new = d / "new.parquet"
     new.write_bytes(b"y")
     later = o2["wm"] + 10**9
     os.utime(new, ns=(later, later))
     r3 = CloudFilesStreamReader(opts)
+    assert r3._floor == o0["wm"]      # recovered from the sidecar
     o4 = r3.latestOffset()
-    assert "sweep" not in o4
+    assert o4["floor"] == o0["wm"]
+    assert o4.get("sweep") is True    # no degraded window at all
     [batch] = r3.partitions(o2, o4)
     names = [os.path.basename(p) for p, _, _ in batch.files]
     assert "pre.parquet" not in names
     assert "new.parquet" in names
+
+
+def test_cloud_files_floor_sidecar_lost_degrades_then_reheals(tmp_path):
+    """Without the sidecar (cleaned, or a pre-sidecar checkpoint), the
+    unknown-floor restart degrades to the incremental listing — the
+    opted-out files still never re-enter — and the first partitions()
+    call that heals the floor from the WAL REWRITES the sidecar, so
+    the degradation is one restart deep, not permanent."""
+    from databricks_data_warehouse_spark.sources.cloud_files import (
+        CloudFilesStreamReader,
+    )
+
+    d = tmp_path / "lz_floor3"
+    d.mkdir()
+    pre = d / "pre.parquet"
+    pre.write_bytes(b"x")
+    old = os.stat(pre).st_mtime_ns - 10**13
+    os.utime(pre, ns=(old, old))
+    opts = {
+        "location": str(d),
+        "includeExisting": "false",
+        "reconcileEvery": "1",
+        "lookbackNs": "0",
+    }
+    r1 = CloudFilesStreamReader(opts)
+    o0 = r1.initialOffset()
+    os.remove(r1._floor_file())       # sidecar lost
+
+    # restart from an unknown-floor offset: degraded but safe
+    unknown = {"wm": o0["wm"], "recent": o0["recent"], "floor": -1}
+    r2 = CloudFilesStreamReader(opts)
+    assert r2._floor == -1
+    o1 = r2.latestOffset()
+    assert o1["floor"] == -1 and "sweep" not in o1
+    [batch] = r2.partitions(unknown, o1)
+    assert all(
+        os.path.basename(p) != "pre.parquet" for p, _, _ in batch.files
+    )
+
+    # healing from a GOOD start offset rewrites the sidecar
+    good = {"wm": o0["wm"], "recent": o0["recent"], "floor": o0["wm"]}
+    r2.partitions(good, o1)
+    assert r2._floor == o0["wm"]
+    r3 = CloudFilesStreamReader(opts)
+    assert r3._floor == o0["wm"]      # sidecar re-persisted by the heal

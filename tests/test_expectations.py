@@ -244,3 +244,38 @@ def test_stream_expectations_entry_matches_batch_totals(spark):
     assert got["value_under_450"]["violations"] == n_under
     for r in got.values():
         assert r["rows_observed"] == n and r["rows_kept"] == kept
+
+
+def test_rules_adapter_accepts_non_identifier_columns(spark):
+    """Rule columns are data references, not metric names: a renamed
+    column like "order id" must route rows (the old adapter refused
+    any non-identifier name — a regression vs the replaced
+    validate_column path, which accepted every F.col-able name).
+    Expectation NAMES stay identifier-safe via sanitization, with a
+    collision counter ("a b" vs "a_b")."""
+    from databricks_data_warehouse_spark.pipelines.expectations import (
+        expectations_from_rules,
+        quarantine_predicate,
+    )
+    from databricks_data_warehouse_spark.pipelines.silver import (
+        DomainRule,
+        TypeRule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "7", "a"), (2, "x", "a"), (3, "7", "z")],
+        ["row_id", "order id", "a`b"],
+    )
+    rules = [
+        TypeRule("order id", "numeric"),
+        DomainRule("a`b", ["a"]),
+        TypeRule("order_id", "numeric"),  # sanitizes to the same stem
+    ]
+    df = df.withColumn("order_id", df["`order id`"])
+    prepare, exps = expectations_from_rules(rules)
+    assert len({e.name for e in exps}) == 3  # collision de-duped
+    bad = {
+        r["row_id"]
+        for r in prepare(df).where(quarantine_predicate(exps)).collect()
+    }
+    assert bad == {2, 3}

@@ -263,3 +263,20 @@ def test_row_commit_versions_cluster_and_replace_where(spark, tmp_path):
     vers = _vers(t)
     assert vers[777] == 2                    # incoming region stamped
     assert vers[0] == 1 and vers[2] == 1     # untouched partition kept
+
+def test_row_commit_versions_survive_restore(spark, tmp_path):
+    """RESTORE brings row commit versions back with the snapshot (the
+    manifest's row_ver map must be carried like row_base/row_mat —
+    omitting it resolved every restored row to the 0 fallback)."""
+    t = _mk(spark, tmp_path, "rv3")          # v0 data, v1 enable
+    t.append(spark.createDataFrame([(100, 0)], "k long, g long"))  # v2
+    before = _vers(t)
+    assert before[100] == 2 and before[0] == 1
+    t.update_where({"g": "g + 1"}, F.col("k") == 0,
+                   deletion_vectors=False)   # v3 bumps k=0
+    assert _vers(t)[0] == 3
+    t.restore(2)                             # roll back the update
+    after = _vers(t)
+    assert after == before                   # versions restored exactly
+    ids = _ids(t)
+    assert len(set(ids.values())) == len(ids)  # ids intact too

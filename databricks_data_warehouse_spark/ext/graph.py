@@ -76,8 +76,19 @@ def pagerank_near_dup(
     pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
         "doc_a", "doc_b"
     )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return pagerank_from_pairs(docs, pairs, iterations=iterations)
+
+
+def pagerank_from_pairs(
+    docs: DataFrame, pairs: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """The integer power iteration itself, over any (doc_id) node frame
+    and (doc_a, doc_b) undirected-pair frame — factored out so the
+    arithmetic is property-testable against a pure-Python reference
+    model on arbitrary graphs, independent of the corpus edge set."""
     # symmetrize via explode, NOT union of two selects: a union would
-    # evaluate the (expensive) inverted-index pair join once per branch.
+    # evaluate the (possibly expensive) pair join once per branch.
     edges = (
         pairs.select(
             F.explode(
@@ -95,7 +106,6 @@ def pagerank_near_dup(
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    docs = load(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     base = RANK_SCALE // n
     teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN

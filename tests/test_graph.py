@@ -60,3 +60,75 @@ def test_pagerank_deterministic_and_degrees(spark):
         "doc_id", "degree", F.coalesce("d", F.lit(0)).alias("d")
     )
     assert joined.where(F.col("degree") != F.col("d")).count() == 0
+
+
+# ---------------------------------------------------- property suite
+
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _model(nodes, pairs, iterations=3):
+    """Pure-Python integer reference of the power iteration — the spec
+    the Spark plan and the DuckDB oracle must both realize."""
+    sym = set()
+    for a, b in pairs:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    deg = Counter(s for s, _ in sym)
+    n = len(nodes)
+    base = graph.RANK_SCALE // n
+    teleport = (
+        (graph.DAMP_DEN - graph.DAMP_NUM) * base
+    ) // graph.DAMP_DEN
+    r = {v: base for v in nodes}
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if deg.get(v, 0) == 0)
+        dd = dang // n
+        insum = defaultdict(int)
+        for s, d in sym:
+            insum[d] += r[s] // deg[s]
+        r = {
+            v: teleport
+            + (graph.DAMP_NUM * (insum.get(v, 0) + dd)) // graph.DAMP_DEN
+            for v in nodes
+        }
+    return {v: (deg.get(v, 0), r[v]) for v in nodes}
+
+
+@st.composite
+def _graph_case(draw):
+    n = draw(st.integers(min_value=1, max_value=9))
+    nodes = list(range(n))
+    pairs = draw(
+        st.sets(
+            st.tuples(
+                st.integers(0, n - 1), st.integers(0, n - 1)
+            ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+            max_size=12,
+        )
+    )
+    return nodes, sorted(pairs)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_graph_case())
+def test_pagerank_matches_integer_reference_model(spark, case):
+    nodes, pairs = case
+    docs = spark.createDataFrame([(v,) for v in nodes], "doc_id long")
+    if pairs:
+        pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    else:
+        pdf = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: (r["degree"], r["pagerank_e12"])
+        for r in graph.pagerank_from_pairs(docs, pdf).collect()
+    }
+    assert got == _model(nodes, pairs)

@@ -304,9 +304,20 @@ def _rebuild_history(
         # A capped array keeps the FIRST event (the version's true
         # start anchor — a later splice must rebuild __START_AT from
         # it) plus the LAST max_events-1 (the latest values are what
-        # in-place resolution takes). Aged-out middle events lose
-        # exact-replay dedup only: replaying one re-splices to the
-        # same history instead of no-opping.
+        # in-place resolution takes).
+        #
+        # CONTRACT BOUNDARY (round-12 review): any-order convergence
+        # is guaranteed for events whose seq lands ON or OUTSIDE the
+        # retained window (before the first event, at/after the oldest
+        # trailing event, or matching a retained seq). A late event —
+        # new OR replayed — whose seq falls INSIDE an aged-out gap
+        # anchors against the nearest RETAINED neighbors: the result
+        # is deterministic for a given arrival order but may differ
+        # from the full-history splice (the dropped events' boundaries
+        # are unrecoverable by construction). Size the cap above the
+        # hot key's realistic late-arrival horizon; the property suite
+        # pins convergence within the window and
+        # tests/test_apply_changes.py pins the degraded-gap behavior.
         k = max(int(max_events), 2)
         ev = ev.withColumn(
             EVENTS_COL,

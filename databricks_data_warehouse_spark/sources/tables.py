@@ -1871,8 +1871,16 @@ class ManagedTable:
         filter-triple lists evaluated against each delta key's
         partition values (``replace_where``'s read predicate; ``[[]]``
         = "read everything"). Conservative: an undecidable predicate
-        match counts as overlap."""
-        delta = self._commit_delta_keys(version)
+        match counts as overlap — including a version whose manifest a
+        concurrent writer's retention vacuum already deleted (the diff
+        can't be computed, so disjointness can't be PROVED; returning
+        True routes the caller to the ordinary ConcurrentWriteError
+        path instead of escaping with FileNotFoundError and leaking
+        its staged files)."""
+        try:
+            delta = self._commit_delta_keys(version)
+        except FileNotFoundError:
+            return True
         if not delta:
             return False
         if touched_keys and delta & set(touched_keys):
@@ -2364,9 +2372,15 @@ class ManagedTable:
                 t = datetime.datetime.fromisoformat(raw.replace(" ", "T"))
                 s = _stat_scalar(t)
                 return [s, s, 0]
+            if typ.startswith("decimal"):
+                # encode EXACTLY as _stat_scalar encodes a Decimal
+                # filter literal (float, no widening for an exact
+                # value) so '=' scope/prune probes compare in one space
+                s = _stat_scalar(decimal.Decimal(raw))
+                return [s, s, 0]
             if typ == "string":
                 return [raw, raw, 0]
-        except ValueError:
+        except (ValueError, decimal.InvalidOperation):
             return None
         return None
 
@@ -2915,6 +2929,13 @@ class ManagedTable:
                     and not reset_metadata
                     and not identity_claim
                     and cdf_staged is None
+                    # a commit that DECLARED a read region is not blind
+                    # even when the region classified empty: an empty-
+                    # region replace_where still made the promise "no
+                    # rows match the predicate" — a racing append INTO
+                    # that region must fail it via the disjoint path's
+                    # read_dnf check, not be rebased over
+                    and touched_keys is None
                     and v_new > 0
                     and rebases <= 16
                 ) and self._rebind_for_append_rebase(
@@ -5457,6 +5478,24 @@ class ManagedTable:
             ors.append(reduce(lambda a, b: a & b, ands))
         return reduce(lambda a, b: a | b, ors), tuples
 
+    def _scope_dnf(self, tuples) -> list[list[tuple]]:
+        """The scoped operation's read region as predicate-triple DNF
+        (one conjunction per collected source partition tuple). Fed to
+        conflict detection ALONGSIDE the exact entry keys from
+        :meth:`_scope_rels_keys`: the keys cover entries that existed
+        at the read snapshot, the DNF also covers partitions the source
+        NAMES but that had no entry yet — a racing insert into such a
+        partition must conflict (Delta's ConflictChecker raises
+        ConcurrentAppend on read-predicate overlap), not be judged
+        disjoint just because nothing was there to claim."""
+        return [
+            [
+                (c, "is_null") if t[c] is None else (c, "=", t[c])
+                for c in self.partition_columns
+            ]
+            for t in tuples
+        ]
+
     def _scope_rels_keys(
         self, version: int, tuples
     ) -> tuple[set[str], set[str]]:
@@ -5499,7 +5538,28 @@ class ManagedTable:
                 ) is None
                 for c, raw in zip(self.partition_columns, vals)
             ):
-                continue  # unparseable: never claimed by the scope
+                # typed comparison impossible — fall back to exact
+                # STRING equality against the source tuples. Silently
+                # carrying the entry over instead is NOT safe here:
+                # a scoped CoW delete that empties the partition would
+                # resurrect its rows (the staged write produces no dir
+                # for an empty partition, and an unclaimed entry never
+                # reaches drop_rels).
+                raw_by_col = dict(zip(self.partition_columns, vals))
+                for t in tuples:
+                    if all(
+                        (raw_by_col[c] is None and t[c] is None)
+                        or (
+                            raw_by_col[c] is not None
+                            and t[c] is not None
+                            and str(raw_by_col[c]) == str(t[c])
+                        )
+                        for c in self.partition_columns
+                    ):
+                        rels.add(rel)
+                        keys.add(bk)
+                        break
+                continue
             if any(self._base_matches(bk, tr) for tr in trips):
                 rels.add(rel)
                 keys.add(bk)
@@ -5655,6 +5715,7 @@ class ManagedTable:
                 target = target.filter(pf)
                 if match_covers_partitions:
                     _rels, scope_keys = self._scope_rels_keys(v_read, tuples)
+                    read_dnf = self._scope_dnf(tuples)
                 else:
                     read_dnf = [[]]  # keyed match scans the whole table
             else:
@@ -5774,6 +5835,7 @@ class ManagedTable:
                 drop_scope, scope_keys = self._scope_rels_keys(
                     v_read, tuples
                 )
+                read_dnf = self._scope_dnf(tuples)
                 target = target.filter(pf)
             else:
                 read_dnf = [[]]  # full-table pass: reads everything
@@ -5782,11 +5844,32 @@ class ManagedTable:
             )
             src = source
             if track:
+                from pyspark.sql import Window
+
                 tid = target.groupBy(*keys).agg(
                     F.min("__row_id").alias("__row_id")
                 )
-                src = source.join(tid, on=keys, how="left").withColumn(
-                    "__row_ver", F.lit(None).cast("long")
+                # a duplicate-key source may land multiple rows for one
+                # key (upsert keeps them all) — only ONE of them may
+                # INHERIT the matched target id, or the durable id
+                # materializes twice and row tracking's uniqueness
+                # invariant breaks; the rest mint fresh ids (NULL
+                # __row_id → base + position). Deterministic pick:
+                # first by full row content.
+                dup_w = Window.partitionBy(*keys).orderBy(
+                    *[F.col(c) for c in source.columns]
+                )
+                src = (
+                    source.withColumn(
+                        "__dup_rn", F.row_number().over(dup_w)
+                    )
+                    .join(tid, on=keys, how="left")
+                    .withColumn(
+                        "__row_id",
+                        F.when(F.col("__dup_rn") == 1, F.col("__row_id")),
+                    )
+                    .drop("__dup_rn")
+                    .withColumn("__row_ver", F.lit(None).cast("long"))
                 )
             tcols = [*cols, "__row_id", "__row_ver"] if track else cols
             merged = kept.select(*tcols).unionByName(src.select(*tcols))
@@ -5872,6 +5955,25 @@ class ManagedTable:
             # nothing to delete but rows to stage (e.g. an SCD2 batch
             # whose keys are ALL new): plain append, same commit
             return self.append(append_df, op=op)
+        # stale-read guard (the CoW paths check their read snapshot;
+        # the DV path must too): the doomed positions were computed
+        # against the manifest the caller SCANNED — if a commit that
+        # landed since (OPTIMIZE, a partition-scoped merge) retired any
+        # referenced file, writing its DV would orphan the positions
+        # and the delete-half would silently vanish (an UPDATE (DV)
+        # would then duplicate rows). A collision AT the claim is
+        # already conservative (discard + raise below); this closes
+        # the scan→claim window before it.
+        live_dirs = set(self._read_manifest(v).values())
+        dead = [
+            f for f in per_file if os.path.dirname(f) not in live_dirs
+        ]
+        if dead:
+            raise ConcurrentWriteError(
+                f"table {self.name}: {op} references rows in files a "
+                f"concurrent commit retired (e.g. {dead[0]}); re-run "
+                "against the current version"
+            )
         prev_dv, prev_n = self._read_dv(v)
         rows = doomed.select(
             F.col("__mt_key").alias("file"), F.col("__mt_pos").alias("pos")
@@ -6013,6 +6115,7 @@ class ManagedTable:
             # (the staged write produces no dir for an empty partition —
             # restaging alone would silently resurrect it)
             drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
+            read_dnf = self._scope_dnf(tuples)
             target = target.filter(pf)
         else:
             read_dnf = [[]]
@@ -6243,6 +6346,7 @@ class ManagedTable:
             if pf is None:
                 return self.current_version()
             drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
+            read_dnf = self._scope_dnf(tuples)
             target = target.filter(pf)
         else:
             read_dnf = [[]]
@@ -6424,6 +6528,7 @@ class ManagedTable:
             # DELETE clause can empty a partition, which must then leave
             # the manifest (no staged dir is written for it)
             drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
+            read_dnf = self._scope_dnf(tuples)
             target = target.filter(pf)
         else:
             read_dnf = [[]]

@@ -759,3 +759,42 @@ def test_capped_replay_converges(spark, tmp_path):
     assert [[r[c] for c in keep] for r in after] == [
         [r[c] for c in keep] for r in before
     ]
+
+
+def test_capped_gap_splice_is_deterministic_and_documented(spark, tmp_path):
+    """CONTRACT BOUNDARY (round-12 review): a NEW tracked change whose
+    seq falls inside an AGED-OUT span cannot splice against the dropped
+    events — it anchors at the nearest RETAINED neighbors. The outcome
+    legitimately differs from the one-batch (full-history) result; what
+    this pins is (a) the exact anchoring rule and (b) idempotence —
+    replaying the same splice changes nothing further."""
+    t = ManagedTable(spark, "gap", str(tmp_path / "gap"))
+    rows = [(1, "S0", float(s), s, "upsert") for s in (1, 2, *range(4, 41))]
+    _apply_tracked(
+        t, _tracked_changes(spark, rows), track_history_max_events=8
+    )
+    # stored array is [seq 1] + [seqs 34..40]: seq 3 is in the gap
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S1", 3.0, 3, "upsert")]),
+        track_history_max_events=8,
+    )
+    keep = ["status", START_COL, END_COL]
+    hist = [
+        tuple(r[c] for c in keep)
+        for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
+    ]
+    # anchoring rule: S1 closes at the OLDEST RETAINED trailing event
+    # (34), not the dropped true next event (4)
+    assert hist == [("S0", 1, 3), ("S1", 3, 34), ("S0", 34, None)]
+    # idempotence: the same splice again is a no-op on the history
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S1", 3.0, 3, "upsert")]),
+        track_history_max_events=8,
+    )
+    hist2 = [
+        tuple(r[c] for c in keep)
+        for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
+    ]
+    assert hist2 == hist

@@ -692,3 +692,144 @@ def test_dv_delete_winner_attribution(spark, tmp_path):
     )
     assert state["raced"]
     assert _rows(t) == [(3, 33, "c")]
+
+
+def test_empty_region_replace_where_races_in_region_append(spark, tmp_path):
+    """A replace_where whose region classifies EMPTY (no existing entry
+    matches the predicate) still declared "no rows match P" — a racing
+    append INTO P must conflict, not be rebased over as if the commit
+    were a blind append (it stages entries and drops nothing, but it
+    is NOT blind: it has a read region)."""
+    t = _mk(spark, tmp_path, "r_empty")
+    loser = _handle(spark, tmp_path, "r_empty")
+    winner = _handle(spark, tmp_path, "r_empty")
+    _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(9, 90, "d")], "k int, v int, p string")
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.replace_where(
+            spark.createDataFrame([(7, 70, "d")], "k int, v int, p string"),
+            [("p", "=", "d")],
+        )
+    # the winner's append survives; the loser's replace did not land
+    assert (9, 90, "d") in _rows(t)
+    assert (7, 70, "d") not in _rows(t)
+
+
+def test_dv_update_races_optimize_raises_not_duplicates(spark, tmp_path):
+    """Merge-on-read UPDATE computes its doomed positions against the
+    snapshot it scanned; an OPTIMIZE landing before the DV claim
+    retires those files — writing the vector anyway would orphan the
+    positions (the stale copy stays visible next to the appended
+    update: silent duplicates). The DV path must detect the retired
+    files and raise, like the CoW paths detect their stale reads."""
+    t = _mk(spark, tmp_path, "dvrace")
+    # split partition a across two files so optimize has work
+    t.append(spark.createDataFrame([(4, 40, "a")], "k int, v int, p string"))
+    loser = _handle(spark, tmp_path, "dvrace")
+    winner = _handle(spark, tmp_path, "dvrace")
+
+    orig = loser._delete_rows_dv
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            winner.optimize(min_small_files=1)  # retires scanned files
+        return orig(*a, **k)
+
+    loser._delete_rows_dv = interposed
+    with pytest.raises(ConcurrentWriteError):
+        loser.update_where({"v": "v + 100"}, F.col("k") == 1)
+    assert state["raced"]
+    rows = _rows(t)
+    assert rows.count((1, 10, "a")) == 1      # old row intact, once
+    assert (1, 110, "a") not in rows          # update did not half-land
+
+
+def test_scoped_delete_conflicts_with_insert_into_named_empty_partition(
+    spark, tmp_path
+):
+    """A scoped merge_delete's read region must include partitions its
+    SOURCE names even when no entry exists there at the read snapshot:
+    a racing append into such a partition overlaps the delete's read
+    predicate (the later-committed delete named exactly those keys),
+    so it must raise — judging it disjoint would leave rows alive that
+    the committed delete explicitly targeted."""
+    t = _mk(spark, tmp_path, "scope_empty")
+    loser = _handle(spark, tmp_path, "scope_empty")
+    winner = _handle(spark, tmp_path, "scope_empty")
+    _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(9, 90, "z")], "k int, v int, p string")
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_delete(
+            spark.createDataFrame(
+                [(1, "a"), (9, "z")], "k int, p string"
+            ),
+            ["p", "k"],
+            deletion_vectors=False,
+        )
+    # first writer won; the loser's delete did not half-land
+    rows = _rows(t)
+    assert (9, 90, "z") in rows and (1, 10, "a") in rows
+
+
+def test_scoped_delete_empties_decimal_partition(spark, tmp_path):
+    """Decimal partition values must participate in scope claiming: an
+    unparseable partition value used to be 'never claimed', so a
+    scoped CoW delete that emptied the partition silently resurrected
+    its rows (no staged dir for an empty partition + entry carried
+    over == the committed delete deleted nothing)."""
+    from decimal import Decimal
+
+    t = ManagedTable(
+        spark, "decpart", str(tmp_path / "decpart"),
+        partition_columns=["p"],
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, Decimal("1.5")), (2, Decimal("2.5"))],
+            "k int, p decimal(4,1)",
+        )
+    )
+    t.merge_delete(
+        spark.createDataFrame([(1, Decimal("1.5"))], "k int, p decimal(4,1)"),
+        ["p", "k"],
+        deletion_vectors=False,
+    )
+    left = sorted((r.k, str(r.p)) for r in t.read().collect())
+    assert left == [(2, "2.5")]
+
+
+def test_rebase_over_vacuumed_winner_raises_concurrent_not_filenotfound(
+    spark, tmp_path
+):
+    """When a racing winner's retention vacuum deleted the manifest the
+    conflict check needs to diff, disjointness cannot be PROVED — the
+    loser must get the ordinary ConcurrentWriteError (which callers
+    catch and retry), not a FileNotFoundError that skips the staged-
+    file discard."""
+    t = _mk(spark, tmp_path, "vacrace")
+    loser = _handle(spark, tmp_path, "vacrace")
+    winner = _handle(spark, tmp_path, "vacrace")
+    winner.retain_versions = 1  # post-commit vacuum deletes old manifests
+    _interpose(
+        loser,
+        lambda: winner.merge_upsert(
+            spark.createDataFrame([(5, 50, "b")], "k int, v int, p string"),
+            ["p", "k"],
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_upsert(
+            spark.createDataFrame([(7, 70, "a")], "k int, v int, p string"),
+            ["p", "k"],
+        )
+    assert (5, 50, "b") in _rows(t)

@@ -280,3 +280,18 @@ def test_row_commit_versions_survive_restore(spark, tmp_path):
     assert after == before                   # versions restored exactly
     ids = _ids(t)
     assert len(set(ids.values())) == len(ids)  # ids intact too
+
+def test_row_ids_unique_with_duplicate_key_merge_source(spark, tmp_path):
+    """merge_upsert keeps every source row, including duplicate keys —
+    but only ONE of a key's copies may inherit the matched target id;
+    the rest must mint fresh ids, or the durable id materializes on
+    multiple rows."""
+    t = _mk(spark, tmp_path, "rvdup")
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(1, 111), (1, 222), (200, 1)], "k long, g long"
+        ),
+        ["k"],
+    )
+    ids = [r["_row_id"] for r in t.read_with_row_ids().collect()]
+    assert len(set(ids)) == len(ids)  # globally unique, duplicates too

@@ -435,9 +435,10 @@ def events_variant_agg_oracle() -> str:
     # only the distinct COUNT is compared (the shape spellings differ).
     # DuckDB splits integer shapes by SIGN (UBIGINT for non-negative,
     # BIGINT for negative) while Spark's schema_of_variant collapses
-    # all JSON integers to BIGINT — normalize the ':"UBIGINT"' type
-    # token (quoted+colon, so a field NAMED UBIGINT is untouched) so
-    # the distinct count is structural, not sign-accidental.
+    # all JSON integers to BIGINT — normalize the '"UBIGINT"' type
+    # token in object-value AND array-element positions (keys, the
+    # only position followed by ':', are stashed behind a sentinel)
+    # so the distinct count is structural, not sign-accidental.
     return """
         SELECT event_type,
                COUNT(*) AS event_count,
@@ -446,9 +447,11 @@ def events_variant_agg_oracle() -> str:
                CAST(COUNT(CASE WHEN json_extract(props, '$.absent')
                                     IS NOT NULL THEN 1 END) AS BIGINT)
                    AS n_absent,
-               CAST(COUNT(DISTINCT replace(
+               CAST(COUNT(DISTINCT replace(replace(replace(
                         CAST(json_structure(props) AS VARCHAR),
-                        ':"UBIGINT"', ':"BIGINT"')) AS BIGINT)
+                        '"UBIGINT":', chr(1)),
+                        '"UBIGINT"', '"BIGINT"'),
+                        chr(1), '"UBIGINT":')) AS BIGINT)
                    AS n_shapes
         FROM events
         GROUP BY event_type ORDER BY event_type
@@ -509,34 +512,63 @@ def events_variant_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shape_norm_sql(expr: str) -> str:
+    """Sign-normalize DuckDB's integer shape spellings in BOTH
+    object-value AND array-element positions (round-12 review 3: the
+    colon-anchored replace missed ``["UBIGINT"]``, and DuckDB splits
+    array shapes by sign too). Field NAMES are untouched: a key is the
+    only position where the token is followed by ':', so keys are
+    stashed behind a sentinel around the value replace."""
+    return (
+        f"replace(replace(replace(CAST(json_structure({expr}) AS VARCHAR),"
+        " '\"UBIGINT\":', chr(1)),"
+        " '\"UBIGINT\"', '\"BIGINT\"'),"
+        " chr(1), '\"UBIGINT\":')"
+    )
+
+
+# Spark's format_string renders a NULL %d argument as the STRING
+# 'null' (valid JSON null) — the DuckDB twin's `|| NULL ||` would
+# instead collapse the whole synthesized document to SQL NULL
+# (round-12 review 3). TRY_CAST mirrors get_json_object().cast('long')
+# on non-integral values; the pmod spelling mirrors F.pmod on
+# negatives.
+_K_NULLSAFE = (
+    "COALESCE(CAST(TRY_CAST(json_extract(props, '$.k') AS BIGINT)"
+    " AS VARCHAR), 'null')"
+)
+_UID_NULLSAFE = "COALESCE(CAST(user_id AS VARCHAR), 'null')"
+_UID3_NULLSAFE = (
+    "COALESCE(CAST(((user_id % 3) + 3) % 3 AS VARCHAR), 'null')"
+)
+
+
 def events_variant_shapes_oracle() -> str:
-    return """
+    return f"""
         WITH src AS (
             SELECT event_type,
                    CASE event_id % 4
                        WHEN 0 THEN props
-                       WHEN 1 THEN '{"k": '
-                           || CAST(json_extract(props, '$.k') AS BIGINT)
-                           || ', "tag": "t' || (user_id % 3) || '"}'
-                       WHEN 2 THEN '{"k": '
-                           || CAST(json_extract(props, '$.k') AS BIGINT)
-                           || ', "nested": {"a": ' || user_id || '}}'
-                       ELSE '{"arr": ['
-                           || CAST(json_extract(props, '$.k') AS BIGINT)
-                           || ', ' || user_id || ']}'
+                       WHEN 1 THEN '{{"k": '
+                           || {_K_NULLSAFE}
+                           || ', "tag": "t' || {_UID3_NULLSAFE} || '"}}'
+                       WHEN 2 THEN '{{"k": '
+                           || {_K_NULLSAFE}
+                           || ', "nested": {{"a": ' || {_UID_NULLSAFE} || '}}}}'
+                       ELSE '{{"arr": ['
+                           || {_K_NULLSAFE}
+                           || ', ' || {_UID_NULLSAFE} || ']}}'
                    END AS js
             FROM events
         )
         SELECT event_type,
                COUNT(*) AS event_count,
-               CAST(SUM(CAST(json_extract(js, '$.k') AS BIGINT))
+               CAST(SUM(TRY_CAST(json_extract(js, '$.k') AS BIGINT))
                    AS BIGINT) AS sum_k,
                CAST(COUNT(CASE WHEN json_extract(js, '$.nested.a')
                                     IS NOT NULL THEN 1 END) AS BIGINT)
                    AS n_nested,
-               CAST(COUNT(DISTINCT replace(
-                        CAST(json_structure(js) AS VARCHAR),
-                        ':"UBIGINT"', ':"BIGINT"')) AS BIGINT)
+               CAST(COUNT(DISTINCT {_shape_norm_sql('js')}) AS BIGINT)
                    AS n_shapes
         FROM src GROUP BY event_type ORDER BY event_type
     """

@@ -126,10 +126,10 @@ def sample_quality_temperature(
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source", "n_chars"
     )
-    key = F.concat(F.lit("qt|"), F.col("doc_id").cast("string"))
-    u = (
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-        % 1_000_000
+    # the module's one cross-engine uniform (keep hash_bucket /
+    # hash_bucket_sql in sync, not a third inline copy of the idiom)
+    u = hash_bucket(
+        F.col("doc_id").cast("string"), 1_000_000, salt="qt|"
     )
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     # NULLIF guards the zero-length divisor on BOTH sides: Spark's
@@ -163,13 +163,13 @@ def sample_quality_temperature(
 
 
 def sample_quality_temperature_oracle() -> str:
-    """DuckDB twin — same md5 uniform, same exactly-rounded threshold
-    arithmetic, same 10⁶ grid."""
-    return """
+    """DuckDB twin — same md5 uniform (the module's hash_bucket_sql,
+    composed not copied), same exactly-rounded threshold arithmetic,
+    same 10⁶ grid."""
+    return f"""
         WITH tagged AS (
             SELECT source, n_chars,
-                   (('0x' || substr(md5('qt|' || doc_id), 1, 8))::BIGINT
-                       % 1000000) AS u,
+                   {hash_bucket_sql('doc_id', 1_000_000, salt='qt|')} AS u,
                    COALESCE(
                        length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                            / CAST(NULLIF(length(text), 0) AS DOUBLE),

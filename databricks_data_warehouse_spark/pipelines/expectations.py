@@ -245,7 +245,24 @@ def expectations_from_rules(rules=(), fk_rules=()):
     # _NAME_RE-safe by sanitizing the column part (names are metric
     # aliases, not references back to the data).
     def _qi(name: str) -> str:
+        # parity with F.col: a dot denotes struct-field access (the
+        # old validate_column path resolved 'payload.amount' as a
+        # nested field), so each path segment is quoted separately
+        return ".".join(
+            "`" + p.replace("`", "``") + "`" for p in name.split(".")
+        )
+
+    def _qflag(name: str) -> str:
+        # internal flag columns are literal top-level names — never
+        # dot-split (withColumn created them verbatim)
         return "`" + name.replace("`", "``") + "`"
+
+    def _lit(v) -> str:
+        # Spark SQL string literal: backslashes are escape characters
+        # in the default parser mode, so they must be doubled ALONG
+        # WITH quote-doubling — otherwise a domain value like 'a\\b'
+        # silently un-escapes and matching rows route invalid
+        return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
     _used_names: set[str] = set()
 
@@ -266,10 +283,7 @@ def expectations_from_rules(rules=(), fk_rules=()):
     for rule in rules:
         col = rule.column
         if hasattr(rule, "accepted_values"):
-            vals = ", ".join(
-                "'" + str(v).replace("'", "''") + "'"
-                for v in rule.accepted_values
-            )
+            vals = ", ".join(_lit(v) for v in rule.accepted_values)
             exps.append(
                 expect_or_drop(
                     _nm(col, "_in_domain"),
@@ -299,15 +313,17 @@ def expectations_from_rules(rules=(), fk_rules=()):
             raise ValueError(
                 f"expectations_from_rules: unsupported rule {rule!r}"
             )
-    for fk in fk_rules:
+    for i, fk in enumerate(fk_rules):
         col = fk.column
-        flag = f"__fk_ok_{col}"
+        # keyed by rule INDEX too: two FkRules on one child column must
+        # not join two identically-named flags (AMBIGUOUS_REFERENCE)
+        flag = f"__fk_ok_{i}_{col}"
         parent_df, parent_col = fk.parent_df, fk.parent_column
         prep_joins.append((col, flag, parent_df, parent_col))
         exps.append(
             expect_or_drop(
                 _nm(col, "_fk_valid"),
-                f"{_qi(col)} IS NULL OR {_qi(flag)}",
+                f"{_qi(col)} IS NULL OR {_qflag(flag)}",
             )
         )
 

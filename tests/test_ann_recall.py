@@ -209,3 +209,41 @@ def test_retrieval_hybrid_rrf_invariants(spark):
     # descending fused score with doc_id tiebreak
     keys = [(-r["rrf"], r["doc_id"]) for r in got]
     assert keys == sorted(keys)
+
+
+def test_rrf_oracle_lex_ranking_matches_canonical_bm25_twin():
+    """Drift guard (round-12 review 3): retrieval_hybrid_rrf_oracle
+    replays the BM25 scorer rather than composing the canonical
+    text_bm25 twin — if either copy's constants/tokenization change
+    without the other, this comparison breaks loudly instead of the
+    fusion oracle silently scoring with stale formulas. DuckDB-only:
+    compares the RRF entry's emitted lexical ranks against ranks
+    derived from the canonical text_bm25 oracle."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from databricks_data_warehouse_spark.ext.similarity import (
+        retrieval_hybrid_rrf_oracle,
+    )
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    # canonical twin, re-ranked over the fusion's candidate width
+    canonical = con.execute(
+        entry_mod.oracle_sql()["text_bm25"].replace("LIMIT 20", "LIMIT 50")
+    ).fetchall()
+    expected_rank = {
+        row[0]: i + 1 for i, row in enumerate(canonical)
+    }
+    fused = con.execute(retrieval_hybrid_rrf_oracle()).fetchall()
+    lex_ranked = [(r[0], r[1]) for r in fused if r[1] > 0]
+    assert lex_ranked, "fusion output carries no lexical ranks"
+    for doc_id, r_lex in lex_ranked:
+        assert expected_rank.get(doc_id) == r_lex, (
+            f"doc {doc_id}: fusion r_lex={r_lex} vs canonical "
+            f"{expected_rank.get(doc_id)} — the two BM25 twins drifted"
+        )

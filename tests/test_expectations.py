@@ -279,3 +279,43 @@ def test_rules_adapter_accepts_non_identifier_columns(spark):
         for r in prepare(df).where(quarantine_predicate(exps)).collect()
     }
     assert bad == {2, 3}
+
+
+def test_rules_adapter_backslash_domain_and_nested_and_dup_fk(spark):
+    """Three parity regressions vs the replaced validation path (r12
+    review 3): backslashes in domain literals must survive Spark's
+    escape parsing; dotted rule targets resolve as nested fields like
+    F.col did; two FK rules on one child column must not collide on
+    the prepare flag name."""
+    from databricks_data_warehouse_spark.pipelines.expectations import (
+        expectations_from_rules,
+        quarantine_predicate,
+    )
+    from databricks_data_warehouse_spark.pipelines.silver import (
+        DomainRule,
+        FkRule,
+        TypeRule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\\b", ("7",), 10), (2, "zzz", ("x",), 99)],
+        "row_id long, status string, payload struct<amount:string>, loc long",
+    )
+    wh = spark.createDataFrame([(10,)], "wh long")
+    st = spark.createDataFrame([(99,), (10,)], "st long")
+    rules = [
+        DomainRule("status", ["a\\b"]),          # backslash survives
+        TypeRule("payload.amount", "numeric"),    # nested field target
+    ]
+    fk_rules = [
+        FkRule("loc", wh, "wh"),                  # row 2 orphan here
+        FkRule("loc", st, "st"),                  # both rows pass here
+    ]
+    prepare, exps = expectations_from_rules(rules, fk_rules)
+    bad = {
+        r["row_id"]
+        for r in prepare(df).where(quarantine_predicate(exps)).collect()
+    }
+    # row 1: domain ok (a\b), nested numeric ok, both FKs ok -> valid
+    # row 2: domain violation + nested non-numeric + wh-FK orphan
+    assert bad == {2}

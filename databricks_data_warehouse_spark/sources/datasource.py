@@ -614,6 +614,16 @@ def _diff_bucket_filter(tbl, bucket_cols, bucket: int, n_buckets: int):
     cols = {}
     for name in bucket_cols:
         col = tbl.column(name)
+        if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+            # pandas flips int->float64 / bool->object whenever a
+            # chunk contains a null, so the same VALUE hashes to a
+            # different bucket per file and identical rows on the two
+            # sides of a rewrite fail to cancel (spurious delete+
+            # insert pairs, round-12 review 4). Cast to float64 up
+            # front: every file then hashes the same bit pattern.
+            # Bucketing needs CONSISTENCY, not injectivity — ints
+            # beyond 2^53 may share a bucket, which is harmless.
+            col = pc.cast(col, pa.float64())
         if pa.types.is_floating(col.type):
             col = pc.add(col, 0.0)  # -0.0 -> +0.0
         cols[name] = col.to_pandas()
@@ -843,12 +853,25 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # rate limiting for backfills (Delta's maxFilesPerTrigger role):
         # each micro-batch advances at most N table versions, so a
         # months-deep backfill lands as bounded batches instead of one
-        # giant first batch. Progress is tracked via the engine's
-        # commit() callback; after a restart the first latestOffset may
-        # lag the checkpoint (we can't see it) — that batch plans empty
-        # and the window re-anchors on the next commit.
+        # giant first batch. The window anchors on the LAST EMITTED end
+        # offset (round-12 review 4: anchoring on commit()/initialOffset
+        # stalled permanently — the engine only calls commit() while
+        # constructing the NEXT batch, so a drain's first latestOffset
+        # always saw no anchor, re-emitted the first window, and a
+        # capped restart could even regress the checkpoint and
+        # re-deliver versions). While the anchor is unknown — the
+        # FIRST latestOffset of any run: the engine asks before it
+        # calls initialOffset on fresh streams and never reveals the
+        # checkpointed start on restarts — that one batch runs
+        # UNCAPPED: emitting anything lower than the invisible
+        # committed offset would regress the WAL and re-deliver rows.
+        # Delta's own reader throttles batch 0 only because the Scala
+        # API hands it the start offset; the Python DataSource API
+        # does not. Caps bind from the second batch of a run onward;
+        # exactly-once holds regardless (pinned in
+        # tests/test_table_stream.py).
         self.max_versions = mv if mv > 0 else None
-        self._committed: int | None = None
+        self._anchor: int | None = None
 
     def _table(self):
         from .tables import ManagedTable
@@ -861,29 +884,43 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     # ------------------------------------------------------- offsets
     def initialOffset(self) -> dict:
         if self.starting == "latest":
-            return {"version": self._table().current_version()}
-        return {"version": int(self.starting) - 1}
+            off = self._table().current_version()
+        else:
+            off = int(self.starting) - 1
+        # only called on a FRESH stream (no checkpoint): the first
+        # capped window may anchor here
+        self._anchor = off if self._anchor is None else max(self._anchor, off)
+        return {"version": off}
 
     def latestOffset(self) -> dict:
         cur = self._table().current_version()
         if self.max_versions is None:
             return {"version": cur}
-        base = (
-            self._committed
-            if self._committed is not None
-            else int(self.initialOffset()["version"])
-        )
-        return {"version": min(cur, base + self.max_versions)}
+        if self._anchor is None:
+            # restarted process, engine asks for an offset BEFORE any
+            # partitions() call can reveal the checkpointed start: cap
+            # nothing rather than stall or regress — emitting anything
+            # lower than the (invisible) committed offset would make
+            # the engine re-plan already-delivered versions
+            return {"version": cur}
+        end = min(cur, self._anchor + self.max_versions)
+        self._anchor = max(self._anchor, end)
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
-        # engine checkpoint owns durability; we keep the in-run high
-        # water mark so rate limiting windows advance batch by batch
-        self._committed = int(end["version"])
+        # engine checkpoint owns durability; the anchor only moves
+        # forward so rate-limit windows advance batch by batch
+        v = int(end["version"])
+        self._anchor = v if self._anchor is None else max(self._anchor, v)
 
     # ----------------------------------------------------- planning
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         tbl = self._table()
         v_from, v_to = int(start["version"]), int(end["version"])
+        # the checkpointed progress becomes visible here — anchor the
+        # rate-limit window on it (restart recovery; see __init__)
+        hi = max(v_from, v_to)
+        self._anchor = hi if self._anchor is None else max(self._anchor, hi)
         if v_to <= v_from:
             return [_FilePartition(None)]  # empty batch probe
         if self.cdf:
@@ -1120,6 +1157,13 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                                 n_buckets,
                                 bucket_cols,
                                 sorted(renames.items()),
+                                # bucket-hash format version: bumped
+                                # when _diff_bucket_filter's hashing
+                                # changes (v2 = dtype-stable int/bool
+                                # cast), so caches derived under an
+                                # older, possibly row-misassigning
+                                # hash are ignored, not served
+                                "bh2",
                             )
                         ).encode()
                     ).hexdigest()[:12]

@@ -1297,7 +1297,15 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.name}: COPY INTO requires an existing table"
             )
-        ledger = self.copy_files
+        # diff against the COMMITTED ledger, not the in-memory attr: a
+        # previous attempt that merged its adds into self.copy_files
+        # and then lost the version race would otherwise poison the
+        # retry's diff — the never-committed files would look loaded
+        # and the batch would silently no-op (round-12 review 4).
+        # Reading the manifest also heals the handle.
+        ledger = self.copy_files = self._read_copy_files(
+            self.current_version()
+        )
         todo = [
             f for f in candidates if force or f not in ledger
         ]
@@ -2243,6 +2251,7 @@ class ManagedTable:
         starting_version: int | str = 0,
         ignore_deletes: bool = False,
         ignore_changes: bool = False,
+        max_versions_per_trigger: int | None = None,
     ) -> DataFrame:
         """Structured-Streaming read of this table — Delta's
         ``spark.readStream.format("delta")`` parity: each micro-batch
@@ -2252,19 +2261,24 @@ class ManagedTable:
         first; ``"latest"`` streams only new data. Deletes/rewrites in
         the version window raise unless ``ignore_deletes`` /
         ``ignore_changes`` — the same contract (and caveats) as Delta's
-        options of the same names."""
+        options of the same names. ``max_versions_per_trigger`` plays
+        Delta's maxFilesPerTrigger role (see the reader for the
+        first-batch-of-a-run caveat the Python DataSource API forces)."""
         from .datasource import FORMAT_NAME, SENTINEL, register
 
         register(self.spark)
-        return (
+        reader = (
             self.spark.readStream.format(FORMAT_NAME)
             .option("location", self.location)
             .option("startingVersion", str(starting_version))
             .option("ignoreDeletes", str(ignore_deletes).lower())
             .option("ignoreChanges", str(ignore_changes).lower())
-            .load()
-            .drop(SENTINEL)
         )
+        if max_versions_per_trigger is not None:
+            reader = reader.option(
+                "maxVersionsPerTrigger", str(max_versions_per_trigger)
+            )
+        return reader.load().drop(SENTINEL)
 
     def read_change_stream(
         self,

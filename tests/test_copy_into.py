@@ -267,3 +267,34 @@ def test_json_format_round_trip(spark, tmp_path, table):
     assert res["rows_loaded"] == 5
     assert dict(table.read().dtypes) == {"k": "bigint", "s": "string"}
     assert table.copy_into(str(land), file_format="json")["rows_loaded"] == 0
+
+
+def test_failed_copy_commit_does_not_poison_the_ledger(spark, table, landing):
+    """Round-12 review: a COPY attempt that merged its adds into the
+    handle's in-memory ledger and then LOST the version race must not
+    make the retry no-op — the retry re-diffs against the COMMITTED
+    ledger, so the never-loaded files load on attempt 2 (the opposite
+    case — a concurrent writer genuinely COPY'd the same files — still
+    no-ops via the committed ledger)."""
+    other = ManagedTable(spark, "cp", table.location, schema=_SCHEMA)
+
+    orig = table._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            # a rename changes column mapping: the blind-append rebase
+            # refuses, so the loser's commit FAILS (not rebases)
+            other.rename_column("s", "s2")
+        return orig(*a, **k)
+
+    table._write_manifest = interposed
+    with pytest.raises(ConcurrentWriteError):
+        table.copy_into(landing)
+    assert state["raced"]
+    table._write_manifest = orig
+    # the failed attempt must not have recorded its files as loaded
+    res = table.copy_into(landing)
+    assert res["files_loaded"] == 2
+    assert table.read().count() == 250

@@ -489,3 +489,61 @@ def test_cdf_bucketed_diff_cached_after_first_read(spark, tmp_path, monkeypatch)
     assert parts3 and all(
         isinstance(p, ds._CachedDiffPartition) for p in parts3
     )
+
+
+def test_max_versions_engine_call_order_no_stall_no_duplicates(
+    spark, tmp_path
+):
+    """Round-12 review: the ENGINE's real call order is latestOffset
+    FIRST (before initialOffset on fresh streams, before anything on
+    restarts), and commit() only arrives while constructing the NEXT
+    batch. Anchoring the cap window on commit/initialOffset stalled
+    capped drains forever and could regress the checkpoint below the
+    committed offset (duplicate delivery). Pinned here at both levels:
+    the unit call-order and an end-to-end capped drain + capped
+    restart, exactly-once throughout."""
+    from databricks_data_warehouse_spark.sources.datasource import (
+        ManagedTableStreamReader,
+    )
+
+    t = _mk(spark, tmp_path, "mvo", rows=6)          # v0
+    for i in range(3):                               # v1..v3
+        t.append(
+            spark.createDataFrame([(100 + i, 0)], "k long, g long")
+        )
+    # unit: engine order — latestOffset with NO anchor runs uncapped
+    # (never regresses); once partitions reveals progress, caps bind
+    r = ManagedTableStreamReader(
+        t.schema, {"location": t.location, "maxVersionsPerTrigger": "1"}
+    )
+    assert r.latestOffset() == {"version": 3}        # unknown anchor
+    r.partitions({"version": 1}, {"version": 3})     # WAL says 1->3
+    t.append(spark.createDataFrame([(200, 0)], "k long, g long"))  # v4
+    t.append(spark.createDataFrame([(201, 0)], "k long, g long"))  # v5
+    assert r.latestOffset() == {"version": 4}        # capped from 3
+    assert r.latestOffset() == {"version": 5}        # window advanced
+
+    # end-to-end: fresh capped drain delivers everything exactly once
+    _drain(t, tmp_path, "mvo1", max_versions_per_trigger=1)
+    got = sorted(r.k for r in _rows(spark, tmp_path, "mvo1"))
+    assert got == sorted(
+        list(range(6)) + [100, 101, 102, 200, 201]
+    )
+    # capped restarts from the same checkpoint after more appends: on
+    # restart the engine re-plays commit() for the last committed
+    # batch BEFORE latestOffset, so the anchor recovers and the cap
+    # binds — each availableNow drain advances ONE capped window (the
+    # engine latches its ceiling at the first latestOffset; Delta
+    # drains further per run only via SupportsTriggerAvailableNow,
+    # which the Python DataSource API lacks). Exactly once throughout:
+    # repeated drains converge with no duplicates and no regression.
+    t.append(spark.createDataFrame([(300, 0)], "k long, g long"))
+    t.append(spark.createDataFrame([(301, 0)], "k long, g long"))
+    expected = list(range(6)) + [100, 101, 102, 200, 201, 300, 301]
+    for _ in range(4):
+        _drain(t, tmp_path, "mvo1", max_versions_per_trigger=1)
+        got = sorted(r.k for r in _rows(spark, tmp_path, "mvo1"))
+        assert len(got) == len(set(got))       # never a duplicate
+        if got == sorted(expected):
+            break
+    assert got == sorted(expected)             # converged, exactly once

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Iterator, List, Sequence
 
@@ -124,9 +125,17 @@ def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
 
     vals: dict[str, str | None] = {}
     for comp in rel_dir.split("/"):
-        if "=" in comp and not comp.startswith(("_", ".", "w=")):
-            k, raw = comp.split("=", 1)
-            vals[k] = None if raw == _HIVE_NULL else unquote(raw)
+        if "=" not in comp or comp.startswith(("_", ".")):
+            continue
+        # skip the writer-unique staging ROOT (data/w=<version>-<uuid8>)
+        # by its exact shape, NOT by a bare "w=" prefix — a partition
+        # column literally named "w" must parse (round-12 review 4: a
+        # prefix skip read such partitions back as NULL through the
+        # pushdown/stream readers while the native path was correct)
+        if re.fullmatch(r"w=\d+-[0-9a-f]{8}", comp):
+            continue
+        k, raw = comp.split("=", 1)
+        vals[k] = None if raw == _HIVE_NULL else unquote(raw)
     return vals
 
 
@@ -758,7 +767,12 @@ def _read_diff_partition(schema_json: str, p: _DiffPartition):
                 schema=pa.schema(data_fields),
             )
 
-    when = _dt.datetime.fromtimestamp(p.commit_ts)
+    # UTC-anchored: fromtimestamp() yields LOCAL wall time, which the
+    # arrow tz-naive cast then treats as UTC — a constant host-offset
+    # shift on any non-UTC machine (round-12 review 4)
+    when = _dt.datetime.fromtimestamp(
+        p.commit_ts, _dt.timezone.utc
+    ).replace(tzinfo=None)
     out_tables = []
     for tag in ("delete", "insert"):
         side = sides.get(tag)
@@ -1114,7 +1128,17 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 go, gn = by_group(old_files), by_group(new_files)
                 bucket_cols = _diff_bucket_cols(self.spark_schema)
                 diff_pair = True
-                for gkey in sorted(set(go) | set(gn)):
+                # None-safe ordering: a __HIVE_DEFAULT_PARTITION__
+                # group's value is None, which Python's < cannot
+                # compare with str — plain sorted() wedged the CDF
+                # stream permanently on any table with null partition
+                # values (round-12 review 4)
+                for gkey in sorted(
+                    set(go) | set(gn),
+                    key=lambda g: tuple(
+                        (k, v is None, "" if v is None else v) for k, v in g
+                    ),
+                ):
                     ofs, nfs = go.get(gkey, []), gn.get(gkey, [])
                     if not ofs or not nfs:
                         # one-sided group: pure inserts (partition
@@ -1306,7 +1330,9 @@ def _read_cdf_partition(schema_json: str, p: _CdfPartition):
         mask[dead[dead < tbl.num_rows].astype(int)] = False
         tbl = tbl.filter(pa.array(mask))
     n = tbl.num_rows
-    when = datetime.datetime.fromtimestamp(p.commit_ts)
+    when = datetime.datetime.fromtimestamp(
+        p.commit_ts, datetime.timezone.utc
+    ).replace(tzinfo=None)  # UTC wall time (see _read_diff_partition)
     cdf_cols = {
         "_change_type": pa.array([p.change_type] * n, pa.string()),
         "_commit_version": pa.array([p.commit_version] * n, pa.int64()),

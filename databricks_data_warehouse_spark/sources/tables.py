@@ -4852,9 +4852,17 @@ class ManagedTable:
         if isinstance(ts, str):
             when = _dt.datetime.fromisoformat(ts)
         elif isinstance(ts, (int, float)):
-            when = _dt.datetime.fromtimestamp(float(ts))
+            when = _dt.datetime.fromtimestamp(
+                float(ts), _dt.timezone.utc
+            )
         else:
             when = ts
+        # naive inputs are UTC wall time (the session tz is pinned UTC
+        # and in-commit timestamps are UTC epochs); interpreting them
+        # as host-local would shift AS OF probes on non-UTC machines
+        # and mis-resolve during DST-ambiguous hours
+        if when.tzinfo is None:
+            when = when.replace(tzinfo=_dt.timezone.utc)
         epoch = when.timestamp()
         versions = sorted(
             v
@@ -5154,7 +5162,9 @@ class ManagedTable:
                 .withColumn(
                     "_commit_timestamp",
                     F.lit(
-                        __import__("datetime").datetime.fromtimestamp(ts)
+                        __import__("datetime").datetime.fromtimestamp(
+                            ts, __import__("datetime").timezone.utc
+                        ).replace(tzinfo=None)
                     ).cast("timestamp"),
                 )
             )
@@ -5393,6 +5403,34 @@ class ManagedTable:
         for v in dropped_manifests:
             dead |= set(self._read_manifest(v).values())
             dead |= set(self._read_dv(v)[0].values())
+        # a PREVIOUS vacuum that crashed between tombstoning and dir
+        # removal left ._vm_* files: fold their entries into this
+        # sweep so orphan data dirs never leak
+        for entry in os.listdir(self.location):
+            if entry.startswith("._vm_") and entry.endswith(".json"):
+                try:
+                    m = _load_manifest_json(
+                        os.path.join(self.location, entry)
+                    )
+                    dead |= set((m.get("entries") or {}).values())
+                    dead |= set((m.get("dv") or {}).values())
+                except Exception:
+                    pass  # unreadable tombstone: removed below anyway
+        # ORDER MATTERS (round-12 review 4): the manifests leave FIRST
+        # — renamed to tombstones, so a stream/scan lagging at the
+        # retention edge fails LOUDLY on the missing manifest instead
+        # of os.walk-ing already-deleted dirs into a silent empty
+        # batch whose checkpoint commit skips those rows forever. The
+        # tombstones keep the dead-dir list recoverable if this
+        # process dies mid-sweep (see the fold-in above).
+        for v in dropped_manifests:
+            try:
+                os.replace(
+                    self._manifest_path(v),
+                    os.path.join(self.location, f"._vm_{v}.json"),
+                )
+            except FileNotFoundError:
+                pass  # another vacuum swept it concurrently
         own_root = os.path.realpath(self.location) + os.sep
         for rel in dead - referenced:
             target = os.path.join(self.location, rel)
@@ -5401,8 +5439,12 @@ class ManagedTable:
             if not os.path.realpath(target).startswith(own_root):
                 continue
             shutil.rmtree(target, ignore_errors=True)
-        for v in dropped_manifests:
-            os.remove(self._manifest_path(v))
+        for entry in os.listdir(self.location):
+            if entry.startswith("._vm_") and entry.endswith(".json"):
+                try:
+                    os.remove(os.path.join(self.location, entry))
+                except FileNotFoundError:
+                    pass
         # bloom sidecars of write roots no retained manifest references
         # are dead weight (their data dirs just got swept too)
         bloom_root = os.path.join(self.location, _BLOOM_DIR)

@@ -164,7 +164,12 @@ def stream_apply_changes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "re-delivered CDC batches were not no-ops"
             )
         except ConcurrentWriteError:
-            pass
+            # concurrent builder won; its deterministic build ends at
+            # version 2 — wait for THAT commit, not whatever half-built
+            # intermediate exists right now
+            from .windows import _await_table_version
+
+            _await_table_version(t, 2)
     return (
         scd1_current(t)
         .groupBy((F.col("k") % 7).alias("grp"))

@@ -145,14 +145,31 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     else:
         want = {"documents.parquet": src}
+    # same reconcile discipline as windows._stream_source_dir (round-12
+    # review 4): staged names that LEFT the source set must go (a
+    # regenerated documents.parquet has fresh uuid part names, leaving
+    # the old stage entries as dangling symlinks that crash the file
+    # stream or, worse, stale copies that feed extra rows), and a
+    # same-name file whose source changed must re-stage.
+    for name in os.listdir(d):
+        dst = os.path.join(d, name)
+        if name not in want:
+            os.remove(dst)
+            continue
+        if os.path.islink(dst):
+            if not os.path.exists(dst):  # dangling: target regenerated
+                os.remove(dst)
+        else:
+            s, t = os.stat(want[name]), os.stat(dst)
+            if s.st_mtime > t.st_mtime or s.st_size != t.st_size:
+                os.remove(dst)
     for name, target in want.items():
         dst = os.path.join(d, name)
-        st = os.stat(target)
-        if os.path.exists(dst) and os.stat(dst).st_size == st.st_size:
+        if os.path.exists(dst):
             continue
         try:
             if os.path.lexists(dst):
-                os.remove(dst)
+                os.remove(dst)  # dangling link remnant
             os.symlink(target, dst)
         except OSError:
             shutil.copy2(target, dst)

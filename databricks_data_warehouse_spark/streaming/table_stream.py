@@ -52,7 +52,13 @@ def _source_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
             table.overwrite(orders.where(F.col("o_orderkey") % 5 != 0))
             table.append(orders.where(F.col("o_orderkey") % 5 == 0))
         except ConcurrentWriteError:
-            pass  # concurrent builder won; same deterministic layout
+            # concurrent builder won (same deterministic layout) — but
+            # it may still be mid-build: wait for its LAST commit (v1,
+            # the append) before reading, or the aggregate would see a
+            # half-built table
+            from .windows import _await_table_version
+
+            _await_table_version(table, 1)
     return table
 
 

@@ -52,6 +52,23 @@ from ..queries._util import cents
 _sink_ids = itertools.count()
 
 
+def _await_table_version(table, v_min: int, timeout: float = 180) -> None:
+    """A fixture builder that LOST a concurrent-build race must not
+    proceed against a half-built table (round-12 review 4: the winner
+    may have committed its overwrite but not yet its append) — poll
+    until the winner's last expected commit lands."""
+    import time
+
+    deadline = time.time() + timeout
+    while table.current_version() < v_min:
+        if time.time() >= deadline:
+            raise TimeoutError(
+                f"concurrent fixture builder of {table.name} did not "
+                f"reach version {v_min} within {timeout}s"
+            )
+        time.sleep(0.25)
+
+
 def _scratch_root() -> str:
     """RAM-backed scratch (/dev/shm) when available, tempdir otherwise.
 

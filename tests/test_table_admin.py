@@ -628,3 +628,56 @@ def test_in_commit_timestamps_survive_mtime_disturbance(spark, tmp_path):
     assert abs(hist[0] - t0) < 1e-6 and hist[0] < hist[1]
     # monotone clamp: v1's in-commit ts strictly after v0's
     assert t._commit_time(1) > t._commit_time(0)
+
+
+def test_vacuum_removes_manifests_before_dirs_and_recovers_from_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 review: vacuum used to delete data dirs BEFORE their
+    manifests, so a reader lagging at the retention edge os.walk'ed
+    empty dirs into a silent empty batch (checkpointed, rows skipped
+    forever). Manifests now leave first (tombstoned — lagging readers
+    fail LOUDLY on the missing manifest), and a vacuum that crashes
+    mid-sweep leaves tombstones the next vacuum folds in, so orphan
+    data dirs never leak."""
+    import glob
+    import os
+    import shutil as _sh
+
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    t = ManagedTable(spark, "vx", str(tmp_path / "vx"))
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))      # v0
+    v0_dirs = set(t._read_manifest(0).values())
+    t.overwrite(spark.createDataFrame([(2,)], "k long"))      # v1: v0 dies
+    t.append(spark.createDataFrame([(3,)], "k long"))         # v2
+
+    # crash the FIRST dir removal: tombstones exist, dirs survive
+    calls = {"n": 0}
+    real_rmtree = _sh.rmtree
+
+    def exploding(path, *a, **k):
+        calls["n"] += 1
+        raise OSError("simulated crash mid-vacuum")
+
+    monkeypatch.setattr(
+        "databricks_data_warehouse_spark.sources.tables.shutil.rmtree",
+        exploding,
+    )
+    with pytest.raises(OSError):
+        t.vacuum(keep=1)
+    monkeypatch.setattr(
+        "databricks_data_warehouse_spark.sources.tables.shutil.rmtree",
+        real_rmtree,
+    )
+    assert glob.glob(str(tmp_path / "vx" / "._vm_*.json"))  # tombstoned
+    # the old manifest is GONE: a lagging reader fails loudly
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
+    # the next vacuum folds the tombstones in and finishes the sweep
+    t.vacuum(keep=1)
+    assert not glob.glob(str(tmp_path / "vx" / "._vm_*.json"))
+    for rel in v0_dirs - set(t._read_manifest(t.current_version()).values()):
+        assert not os.path.exists(str(tmp_path / "vx" / rel))
+    # table still reads correctly
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]

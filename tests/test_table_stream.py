@@ -547,3 +547,40 @@ def test_max_versions_engine_call_order_no_stall_no_duplicates(
         if got == sorted(expected):
             break
     assert got == sorted(expected)             # converged, exactly once
+
+
+def test_partition_column_named_w_reads_back(spark, tmp_path):
+    """Round-12 review: the hive-path parser skipped any 'w=' component
+    to avoid the data/w=<version>-<uuid> write roots, so a partition
+    column literally NAMED w read back NULL through the pushdown and
+    streaming readers (the native path was correct). The skip is now
+    anchored on the write root's exact shape."""
+    t = ManagedTable(spark, "wcol", str(tmp_path / "wcol"),
+                     partition_columns=["w"])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")],
+                                      "k long, w string"))
+    native = sorted((r.k, r.w) for r in t.read().collect())
+    pushed = sorted((r.k, r.w) for r in t.read_pushdown().collect())
+    assert native == pushed == [(1, "a"), (2, "b")]
+    _drain(t, tmp_path, "wcol1")
+    streamed = sorted((r.k, r.w) for r in _rows(spark, tmp_path, "wcol1"))
+    assert streamed == native
+
+
+def test_cdf_stream_survives_null_partition_rewrite(spark, tmp_path):
+    """Round-12 review: planning a rewrite pair whose partition groups
+    mix a NULL partition value (__HIVE_DEFAULT_PARTITION__) with
+    strings crashed sorted() with a str-vs-None TypeError, wedging the
+    CDC stream permanently. The group ordering is None-safe now."""
+    t = ManagedTable(spark, "npart", str(tmp_path / "npart"),
+                     partition_columns=["g"])
+    t.overwrite(spark.createDataFrame([(1, None), (2, "x")],
+                                      "k long, g string"))      # v0
+    t.overwrite(spark.createDataFrame([(1, None), (3, "x")],
+                                      "k long, g string"))      # v1 rewrite
+    _drain_cdf(t, tmp_path, "np1")
+    got = sorted(
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in _rows(spark, tmp_path, "np1")
+    )
+    assert (2, "delete", 1) in got and (3, "insert", 1) in got

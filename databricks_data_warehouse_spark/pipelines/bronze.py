@@ -41,7 +41,14 @@ def bronze_ingest(
 ) -> ManagedTable:
     """Ingest one batch into a bronze table; returns the table handle."""
     dedup_cols = list(dedup_columns) if dedup_columns else list(source_df.columns)
-    w = Window.partitionBy(*dedup_cols).orderBy(*dedup_cols)
+    # deterministic window ids (round-12 review 5): ordering only by
+    # the key columns ties every same-key row, so window_id assignment
+    # depended on input partitioning — re-ingesting the identical batch
+    # could flip ids, defeat the all-column anti-join, and DUPLICATE
+    # the batch. Tie-break by the remaining columns: identical inputs
+    # then always produce identical (row, window_id) pairs.
+    rest = [c for c in source_df.columns if c not in dedup_cols]
+    w = Window.partitionBy(*dedup_cols).orderBy(*dedup_cols, *rest)
     df = source_df.withColumn("window_id", F.row_number().over(w))
     if "year" in partition_columns:
         df = df.withColumn("year", F.year(F.col(timestamp_column)))

@@ -51,13 +51,34 @@ def build_gold(
         partition_columns=list(partition_columns),
     )
     table.create_if_not_exists()
-    table.merge_upsert(gold_df, key_columns=list(key_columns))
+    # null_safe_keys: GROUP BY puts all NULL keys in ONE group, so the
+    # upsert must fold a NULL-key aggregate row instead of appending a
+    # fresh one per refresh (round-12 review 5: legal NULL group keys
+    # tripped the post-check AFTER committing, and the natural re-run
+    # then duplicated the row — a real conservation violation)
+    table.merge_upsert(
+        gold_df, key_columns=list(key_columns), null_safe_keys=True
+    )
     # post-merge: totals for the refreshed groups must match what we
     # wrote (checked on the table actually written — reference bug
     # Gold-Orders-Type-Delivery-Time.py:80-84 re-read the wrong table)
+    from functools import reduce
+
+    refreshed = gold_df.select(*key_columns).distinct().alias("__g")
     written = (
         table.read()
-        .join(gold_df.select(*key_columns).distinct(), on=list(key_columns))
+        .alias("__w")
+        .join(
+            refreshed,
+            on=reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__w.{k}").eqNullSafe(F.col(f"__g.{k}"))
+                    for k in key_columns
+                ],
+            ),
+            how="left_semi",
+        )
         .agg(F.sum(count_column).alias("t"))
         .collect()[0]["t"]
         or 0

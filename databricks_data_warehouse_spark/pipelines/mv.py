@@ -70,10 +70,25 @@ def refresh_count_cents_mv(
                 F.col("c_delta").cast("long").alias("total_cents"),
             ).schema,
         )
+    # null-safe fold (round-12 review 5): a NULL group key is ONE
+    # group under GROUP BY; the default '=' full-outer join never
+    # matched it, appending a new NULL-key row per refresh instead of
+    # folding — breaking the 'bit-equal to a from-scratch GROUP BY'
+    # contract
+    from functools import reduce
+
+    o, d = old.alias("__o"), delta.alias("__d")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o.{k}").eqNullSafe(F.col(f"__d.{k}")) for k in keys],
+    )
     combined = (
-        old.join(delta, keys, "full_outer")
+        o.join(d, cond, "full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(F.col(f"__o.{k}"), F.col(f"__d.{k}")).alias(k)
+                for k in keys
+            ],
             (
                 F.coalesce(F.col("n_rows"), F.lit(0))
                 + F.coalesce(F.col("n_delta"), F.lit(0))

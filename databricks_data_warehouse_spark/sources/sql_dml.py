@@ -548,8 +548,13 @@ class SqlSession:
         keys = (
             {_base_key(k) for k in t._read_manifest(v)} if v >= 0 else set()
         )
+        # None-safe ordering: a __HIVE_DEFAULT_PARTITION__ value is
+        # JSON null and Python cannot order None against str
         rows = sorted(
-            tuple(_json.loads(k)) for k in keys if k != "[]"
+            (tuple(_json.loads(k)) for k in keys if k != "[]"),
+            key=lambda tup: tuple(
+                (v is None, "" if v is None else str(v)) for v in tup
+            ),
         )
         schema = ", ".join(f"`{c}` string" for c in t.partition_columns)
         return self.spark.createDataFrame(rows, schema)
@@ -580,9 +585,16 @@ class SqlSession:
         for c in cols:
             try:
                 agg = t.metadata_aggregate(c)[c]
+                # an all-NULL column has no bounds: emit SQL NULL, not
+                # the Python string 'None'
                 out.append(
-                    (c, str(agg["min"]), str(agg["max"]),
-                     int(agg["null_count"]), rows_total)
+                    (
+                        c,
+                        None if agg["min"] is None else str(agg["min"]),
+                        None if agg["max"] is None else str(agg["max"]),
+                        int(agg["null_count"]),
+                        rows_total,
+                    )
                 )
             except (ValueError, KeyError):
                 out.append((c, None, None, None, rows_total))
@@ -1403,11 +1415,20 @@ class SqlSession:
         matched = clauses["matched"]
         not_matched = clauses["not_matched"]
         by_source = clauses["by_source"]
-        # Legacy single-clause unconditional combinations keep their
-        # specialized primitives (DV merge-on-read delete, identity-
-        # aware upsert, partition-scoped update); everything else —
-        # conditional clauses, column-list INSERT, NOT MATCHED BY
-        # SOURCE, multi-clause — runs the general merge_clauses path.
+        # ONE semantics for SQL MERGE (round-12 review 5): every form
+        # runs the general merge_clauses path — Delta's scoping (SET
+        # expressions resolve against the TARGET unless source-
+        # qualified), Delta's duplicate-match error, and Delta's ON
+        # `=` NULL semantics — EXCEPT the unconditional matched-DELETE,
+        # whose specialized primitive is behavior-identical (plain-
+        # equality key join, no SET resolution, no dup-match hazard:
+        # deleting a row twice is deleting it) and keeps the
+        # merge-on-read DV fast path. The API methods merge_upsert /
+        # merge_insert_only / merge_update keep their own documented
+        # reference-parity semantics (dup-key keep-all, null-safe
+        # ingestion match, source-scoped SET) for direct callers —
+        # routing SQL through them silently changed results vs the
+        # same statement with a trivially-true clause condition.
         simple = (
             not by_source
             and len(matched) <= 1
@@ -1420,20 +1441,6 @@ class SqlSession:
             if m_act == "delete" and nm_act is None:
                 return self._metrics(
                     "MERGE DELETE", t, t.merge_delete(source, keys)
-                )
-            if m_act == "update_all" and nm_act == "insert_all":
-                return self._metrics(
-                    "MERGE UPSERT", t, t.merge_upsert(source, keys)
-                )
-            if m_act is None and nm_act == "insert_all":
-                return self._metrics(
-                    "MERGE INSERT",
-                    t,
-                    t.merge_insert_only(source, match_columns=keys),
-                )
-            if isinstance(m_act, dict) and nm_act is None:
-                return self._metrics(
-                    "MERGE UPDATE", t, t.merge_update(source, keys, set_map=m_act)
                 )
         return self._metrics(
             "MERGE",
@@ -1468,6 +1475,9 @@ class SqlSession:
         additionally rewrites BARE identifiers that name source columns
         — Delta resolves them against the source row there."""
         src_cols = set(source.columns)
+        tgt_cols = (
+            {f.name for f in t.schema.fields} if t.schema else set()
+        )
 
         def rewrite(text: str) -> str:
             if src_alias:
@@ -1480,10 +1490,16 @@ class SqlSession:
                 text = re.sub(
                     rf"(?<![A-Za-z0-9_`.]){re.escape(tgt_alias)}\.", "", text
                 )
-            if source_scope:
+            # bare-name resolution (Delta): in NOT MATCHED clauses every
+            # bare source column resolves against the source row; in
+            # MATCHED clauses a bare name resolves target-first, so
+            # only SOURCE-ONLY names rewrite to src.<name> (a name in
+            # both stays bare → target)
+            bare = src_cols if source_scope else (src_cols - tgt_cols)
+            if bare:
                 def sub(m):
                     name = m.group(0)
-                    return f"src.{name}" if name in src_cols else name
+                    return f"src.{name}" if name in bare else name
 
                 text = re.sub(
                     r"(?<![A-Za-z0-9_`.'\"])"
@@ -1506,22 +1522,56 @@ class SqlSession:
             parts.append(rewrite(text[last:]))
             return "".join(parts)
 
+        schema_cols = (
+            [f.name for f in t.schema.fields] if t.schema else list(src_cols)
+        )
+
+        def unquote_col(name: str) -> str:
+            n = name.strip()
+            if len(n) >= 2 and n[0] == "`" and n[-1] == "`":
+                n = n[1:-1].replace("``", "`")
+            return n
+
+        def check_cols(names, what: str) -> None:
+            # silent-NULL guard (round-12 review 5): a backticked or
+            # typo'd column name that matches no schema field used to
+            # fall through merge_clauses' by-name resolution and insert
+            # NULL everywhere with no error
+            unknown = [n for n in names if n not in set(schema_cols)]
+            if unknown:
+                raise ValueError(
+                    f"MERGE {what}: unknown target column(s) {unknown}; "
+                    f"table columns are {schema_cols}"
+                )
+
         out = []
         for cond, act in clauses:
             c = canon(cond) if cond is not None else None
             if act == "update_all":
                 # UPDATE SET * — every target column takes the source's
-                # same-named value (Delta resolves SET * by name)
-                cols = (
-                    [f.name for f in t.schema.fields]
-                    if t.schema
-                    else list(src_cols)
+                # same-named value (Delta resolves SET * by name and
+                # ERRORS on an unresolvable source reference; silently
+                # keeping the target's value would mask schema drift).
+                # Generated/identity columns are excluded: they are
+                # never assignable and recompute/mint on write.
+                skip = set(getattr(t, "generated", {}) or {}) | set(
+                    getattr(t, "identity", {}) or {}
                 )
-                act = {n: f"src.{n}" for n in cols if n in src_cols}
+                cols = [n for n in schema_cols if n not in skip]
+                drift = [n for n in cols if n not in src_cols]
+                if drift:
+                    raise ValueError(
+                        "MERGE UPDATE SET *: source schema drift — "
+                        f"missing column(s) {drift}"
+                    )
+                act = {n: f"src.{n}" for n in cols}
             elif isinstance(act, tuple) and act[0] == "insert_map":
-                act = {n: canon(e) for n, e in zip(act[1], act[2])}
+                names = [unquote_col(n) for n in act[1]]
+                check_cols(names, "INSERT")
+                act = {n: canon(e) for n, e in zip(names, act[2])}
             elif isinstance(act, dict):
-                act = {n: canon(e) for n, e in act.items()}
+                act = {unquote_col(n): canon(e) for n, e in act.items()}
+                check_cols(list(act), "UPDATE SET")
             out.append((c, act))
         return out
 
@@ -1746,6 +1796,26 @@ class SqlSession:
                 t.create_view(name)
 
     def _query(self, stmt: str) -> DataFrame:
+        # the rewrites below must never fire INSIDE a string literal
+        # (round-12 review 5: a quoted message like 'vt VERSION AS OF
+        # 0' was silently rewritten). The guard is positional — a match
+        # may legitimately CONTAIN a quote (TIMESTAMP AS OF '…',
+        # table_changes('t', …)) but must not BEGIN inside one.
+        def _masked_sub(pattern: str, repl, text: str) -> str:
+            spans = [
+                (m.start(), m.end())
+                for m in re.finditer(
+                    r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", text
+                )
+            ]
+
+            def guard(m: re.Match) -> str:
+                if any(a < m.start() < b for a, b in spans):
+                    return m.group(0)  # literal text, leave it alone
+                return repl(m)
+
+            return re.sub(pattern, guard, text, flags=re.IGNORECASE)
+
         # `t VERSION AS OF n` time travel: swap in a versioned view
         def sub(m: re.Match) -> str:
             name, v = m.group(1), int(m.group(2))
@@ -1755,11 +1825,8 @@ class SqlSession:
             self._tables[name].create_view(view, version=v)
             return view
 
-        stmt = re.sub(
-            rf"\b({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b",
-            sub,
-            stmt,
-            flags=re.IGNORECASE,
+        stmt = _masked_sub(
+            rf"\b({_IDENT})\s+VERSION\s+AS\s+OF\s+(\d+)\b", sub, stmt
         )
 
         # `t TIMESTAMP AS OF '...'`: resolve to a version via manifest
@@ -1774,11 +1841,10 @@ class SqlSession:
             t.create_view(view, version=v)
             return view
 
-        stmt = re.sub(
+        stmt = _masked_sub(
             rf"\b({_IDENT})\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
             sub_ts,
             stmt,
-            flags=re.IGNORECASE,
         )
 
         # `table_changes('t', from[, to])` — Delta's CDF table function
@@ -1791,15 +1857,21 @@ class SqlSession:
             v_to = int(m.group(3)) if m.group(3) else None
             t = self.table(name)
             view = f"{name}__changes_{v_from}_{v_to if v_to is not None else 'cur'}"
-            t.changes_by_version(v_from, v_to).createOrReplaceTempView(view)
+            # Databricks table_changes(t, from[, to]) INCLUDES version
+            # `from`'s changes; changes_by_version(base, to) diffs the
+            # pairs base+1..to, so the SQL function passes from-1
+            # (round-12 review 5: the old pass-through silently dropped
+            # the start version's changes for ported workloads)
+            t.changes_by_version(v_from - 1, v_to).createOrReplaceTempView(
+                view
+            )
             return view
 
-        stmt = re.sub(
+        stmt = _masked_sub(
             rf"\btable_changes\s*\(\s*'({_IDENT})'\s*,\s*(\d+)"
             rf"(?:\s*,\s*(\d+))?\s*\)",
             sub_cdf,
             stmt,
-            flags=re.IGNORECASE,
         )
         self._register_views()
         return self.spark.sql(stmt)

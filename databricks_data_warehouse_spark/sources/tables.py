@@ -1135,6 +1135,21 @@ class ManagedTable:
                 df = df.withColumn(g, F.expr(spec["expr"]))
         return df
 
+    def _regen_generated(
+        self, df: DataFrame, assigned: Collection[str] = ()
+    ) -> DataFrame:
+        """RECOMPUTE generated columns against the post-assignment
+        values of an UPDATE/MERGE rewrite (Delta recomputes on write;
+        round-12 review 5: staging the stale stored value made every
+        legal UPDATE touching a generation input abort with a
+        misleading CHECK violation). A generated column the statement
+        EXPLICITLY assigned is left alone — its CHECK constraint then
+        validates the user's value."""
+        for g, spec in self.generated.items():
+            if g in df.columns and g not in assigned:
+                df = df.withColumn(g, F.expr(spec["expr"]))
+        return df
+
     def _read_identity(self, version: int) -> dict[str, dict]:
         """Identity-column specs + high watermarks committed WITH a
         version (manifest key ``identity``)."""
@@ -5813,6 +5828,7 @@ class ManagedTable:
         key_columns: Sequence[str],
         merge_schema: bool = False,
         txn: tuple[str, int] | None = None,
+        null_safe_keys: bool = False,
     ) -> int:
         """S7: keyed upsert — matched target rows replaced by source values,
         unmatched source rows inserted (Gold-*.py whenMatchedUpdate +
@@ -5895,9 +5911,24 @@ class ManagedTable:
                 target = target.filter(pf)
             else:
                 read_dnf = [[]]  # full-table pass: reads everything
-            kept = target.join(
-                source.select(*keys).distinct(), on=keys, how="left_anti"
-            )
+            src_keys_df = source.select(*keys).distinct()
+            if null_safe_keys:
+                # MV/gold folding: a NULL group key is one group (the
+                # GROUP BY convention) — default '=' matching would
+                # append a fresh NULL-key row on every refresh
+                kept = target.alias("__t").join(
+                    src_keys_df.alias("__s"),
+                    on=reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+                            for k in keys
+                        ],
+                    ),
+                    how="left_anti",
+                )
+            else:
+                kept = target.join(src_keys_df, on=keys, how="left_anti")
             src = source
             if track:
                 from pyspark.sql import Window
@@ -6289,9 +6320,12 @@ class ManagedTable:
                         "left_anti",
                     )
                 matched = df.filter(cond)
-                rewritten = matched.select(
-                    *[exprs.get(c, F.col(c)).alias(c) for c in cols],
-                    F.col("_row_id").alias("__row_id"),
+                rewritten = self._regen_generated(
+                    matched.select(
+                        *[exprs.get(c, F.col(c)).alias(c) for c in cols],
+                        F.col("_row_id").alias("__row_id"),
+                    ),
+                    assigned=set(exprs),
                 )
                 return self._delete_rows_dv(
                     matched, op="UPDATE (DV)", append_df=rewritten,
@@ -6299,8 +6333,11 @@ class ManagedTable:
                 )
             target = self._read_internal(v, with_pos=True)
             matched = target.filter(cond)
-            rewritten = matched.select(
-                *[exprs.get(c, F.col(c)).alias(c) for c in cols]
+            rewritten = self._regen_generated(
+                matched.select(
+                    *[exprs.get(c, F.col(c)).alias(c) for c in cols]
+                ),
+                assigned=set(exprs),
             )
             return self._delete_rows_dv(
                 matched, op="UPDATE (DV)", append_df=rewritten
@@ -6330,6 +6367,10 @@ class ManagedTable:
                 else []
             ),
         )
+        # unassigned generated columns recompute against the post-
+        # assignment values (no-op for unmatched rows: stored == expr
+        # by the generation CHECK invariant)
+        updated = self._regen_generated(updated, assigned=set(exprs))
         return self._stage_and_commit(
             updated, replace_all=True, op="UPDATE",
             row_ids_materialized=track,
@@ -6657,8 +6698,17 @@ class ManagedTable:
                 .otherwise(F.lit(None).cast("long"))
                 .alias("__row_ver")
             )
+        assigned_gen = {
+            c
+            for _cc, a in (*matched, *not_matched, *not_matched_by_source)
+            if isinstance(a, Mapping)
+            for c in a
+        }
+        result = self._regen_generated(
+            kept.select(*out_cols), assigned=assigned_gen
+        )
         return self._stage_and_commit(
-            kept.select(*out_cols), replace_all=not scoped, op="MERGE",
+            result, replace_all=not scoped, op="MERGE",
             drop_rels=drop_scope,
             row_ids_materialized="partial" if track else False,
             read_version=v_read,

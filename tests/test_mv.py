@@ -96,3 +96,29 @@ def test_mv_staged_refresh_matches_each_version(spark, tmp_path):
             .collect()
         }
         assert _state(mv) == want, upto
+
+
+def test_mv_null_group_key_folds(spark, tmp_path):
+    """Round-12 review 5: the MV's old/delta merge joined group keys
+    with '=', so a NULL key appended one extra row per refresh instead
+    of folding into its group."""
+    from databricks_data_warehouse_spark.pipelines.mv import (
+        refresh_count_cents_mv,
+    )
+    from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+    src = ManagedTable(spark, "mvn_src", str(tmp_path / "mvn_src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), (None, 2.0)], "g string, amt double"
+        )
+    )
+    mv = ManagedTable(spark, "mvn", str(tmp_path / "mvn"))
+    refresh_count_cents_mv(src, mv, ["g"], "amt")
+    src.append(spark.createDataFrame([(None, 3.0)], "g string, amt double"))
+    refresh_count_cents_mv(src, mv, ["g"], "amt")
+    rows = sorted(
+        ((r["g"], r["n_rows"], r["total_cents"]) for r in mv.read().collect()),
+        key=lambda x: (x[0] is None, x[0] or ""),
+    )
+    assert rows == [("a", 1, 100), (None, 2, 500)]

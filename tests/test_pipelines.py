@@ -360,3 +360,49 @@ def test_training_corpus_build_conserves_and_is_idempotent(spark, tmp_path):
     a = sorted(r["doc_id"] for r in table2.read().collect())
     b = sorted(r["doc_id"] for r in out.collect())
     assert a == b
+
+
+def test_bronze_keyed_dedup_rerun_is_idempotent(spark, tmp_path):
+    """Round-12 review 5: keyed dedup ordered only by the key columns,
+    so window_id among distinct same-key rows depended on input
+    partitioning — re-ingesting the identical batch could flip ids,
+    defeat the all-column anti-join, and duplicate the batch."""
+    import datetime
+
+    from databricks_data_warehouse_spark.pipelines.bronze import (
+        bronze_ingest,
+    )
+
+    ts = datetime.datetime(2024, 3, 1)
+    rows = [(1, "alpha", ts), (1, "beta", ts)]
+    loc = str(tmp_path / "bk")
+    df1 = spark.createDataFrame(rows, "id long, s string, ts timestamp")
+    t = bronze_ingest(spark, df1, loc, "bk", "ts", dedup_columns=["id"])
+    assert t.read().count() == 2
+    # identical batch, adversarial partitioning/order
+    df2 = spark.createDataFrame(
+        list(reversed(rows)), "id long, s string, ts timestamp"
+    ).repartition(7)
+    bronze_ingest(spark, df2, loc, "bk", "ts", dedup_columns=["id"])
+    assert t.read().count() == 2  # re-run ingested NOTHING
+
+
+def test_gold_null_group_key_folds_and_reconciles(spark, tmp_path):
+    """Round-12 review 5: a NULL group key (legal GROUP BY output) used
+    to fail the post-merge check AFTER committing, and a re-run then
+    appended a duplicate NULL-key row — conservation violated."""
+    from databricks_data_warehouse_spark.pipelines.gold import build_gold
+
+    gold_df = spark.createDataFrame(
+        [("x", 2), (None, 3)], "city string, n long"
+    )
+    loc = str(tmp_path / "gn")
+    t = build_gold(spark, gold_df, loc, "gn", ["city"], "n", 5)
+    assert t.read().count() == 2
+    # re-run with the same aggregate: folds, never duplicates
+    t = build_gold(spark, gold_df, loc, "gn", ["city"], "n", 5)
+    rows = sorted(
+        ((r["city"], r["n"]) for r in t.read().collect()),
+        key=lambda x: (x[0] is None, x[0] or ""),
+    )
+    assert rows == [("x", 2), (None, 3)]

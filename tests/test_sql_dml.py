@@ -133,7 +133,9 @@ def test_sql_merge_upsert(spark, tmp_path):
         "MERGE INTO sqlt AS t USING updates AS u ON t.k = u.k "
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     ).collect()[0]
-    assert out["operation"] == "MERGE UPSERT"
+    # round-12 review 5: SQL MERGE runs the general Delta-semantics
+    # path for every form but the unconditional matched-DELETE
+    assert out["operation"] == "MERGE"
     got = {r["k"]: (r["g"], r["v"]) for r in t.read().collect()}
     assert len(got) == 21
     assert got[5] == (99, 5000.0)
@@ -346,19 +348,29 @@ def test_sql_table_changes_tvf(spark, tmp_path):
     t = _mk(spark, tmp_path, "cf", rows=10)
     s = _sess(spark, t)
     s.sql("DELETE FROM cf WHERE k < 4")
+    # Databricks semantics: the start version's own changes are
+    # INCLUDED (round-12 review 5 closed the off-by-one) — from v1
+    # the feed is just the deletes, from v0 the initial inserts too
     got = s.sql(
-        "SELECT k, _change_type FROM table_changes('cf', 0) ORDER BY k"
+        "SELECT k, _change_type FROM table_changes('cf', 1) ORDER BY k"
     ).collect()
     assert [(r["k"], r["_change_type"]) for r in got] == [
         (i, "delete") for i in range(4)
     ]
+    full = s.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('cf', 0)"
+    ).collect()[0]
+    assert full["n"] == 14  # 10 v0 inserts + 4 v1 deletes
     # explicit window form + Delta CDF attribution columns
     r = s.sql(
         "SELECT COUNT(*) AS n, MAX(_commit_version) AS v, "
         "MAX(_commit_timestamp) IS NOT NULL AS has_ts "
-        "FROM table_changes('cf', 0, 1)"
+        "FROM table_changes('cf', 1, 1)"
     ).collect()[0]
     assert (r["n"], r["v"], r["has_ts"]) == (4, 1, True)
+    # rewrites never fire inside string literals
+    lit = s.sql("SELECT 'cf VERSION AS OF 0' AS msg").collect()[0]["msg"]
+    assert lit == "cf VERSION AS OF 0"
 
 
 def test_sql_unknown_table_raises(spark, tmp_path):
@@ -678,3 +690,61 @@ def test_insert_overwrite_partition_with_generated_column(spark, tmp_path):
     s.sql("INSERT OVERWRITE giop PARTITION (g = 1) VALUES (5, 5.0)")
     got = {(r["k"], r["g"], r["v"], r["gen"]) for r in t.read().collect()}
     assert got == {(1, 0, 1.0, 2), (5, 1, 5.0, 10)}
+
+
+def test_sql_merge_delta_semantics_not_api_fast_paths(spark, tmp_path):
+    """Round-12 review 5: SQL MERGE must behave identically with and
+    without a trivially-true clause condition — the unconditional
+    forms used to route to API fast paths with DIFFERENT semantics
+    (source-scoped SET, dup-key keep-all, null-safe insert match)."""
+    # (a) SET expressions resolve against the TARGET (Delta scoping)
+    t = _mk(spark, tmp_path, rows=3)  # v at k: 0.5*k presumably; read below
+    s = _sess(spark, t)
+    before = {r["k"]: r["v"] for r in t.read().collect()}
+    spark.createDataFrame(
+        [(1, 99.0)], "k long, v double"
+    ).createOrReplaceTempView("m_src")
+    s.sql(
+        "MERGE INTO sqlt USING m_src ON sqlt.k = m_src.k "
+        "WHEN MATCHED THEN UPDATE SET v = v + 1"
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == before[1] + 1  # target.v + 1, NOT source 99+1
+
+    # (b) duplicate-key sources raise like Delta (not keep-all)
+    spark.createDataFrame(
+        [(2, 0, 50.0), (2, 0, 60.0)], "k long, g long, v double"
+    ).createOrReplaceTempView("m_dup")
+    with pytest.raises(ValueError, match="duplicate|multiple"):
+        s.sql(
+            "MERGE INTO sqlt USING m_dup ON sqlt.k = m_dup.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    # (c) a NULL-key source row INSERTS (ON `=` never matches NULL)
+    n_before = t.read().count()
+    spark.createDataFrame(
+        [(None, 0, 7.0)], "k long, g long, v double"
+    ).createOrReplaceTempView("m_null")
+    s.sql(
+        "MERGE INTO sqlt USING m_null ON sqlt.k = m_null.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.read().count() == n_before + 1
+
+    # (d) backticked INSERT column lists resolve; unknown columns raise
+    spark.createDataFrame(
+        [(100, 1.0)], "k long, v double"
+    ).createOrReplaceTempView("m_bt")
+    s.sql(
+        "MERGE INTO sqlt USING m_bt ON sqlt.k = m_bt.k "
+        "WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (m_bt.k, m_bt.v)"
+    )
+    row = [r for r in t.read().collect() if r["k"] == 100]
+    assert row and row[0]["v"] == 1.0
+    with pytest.raises(ValueError, match="unknown target column"):
+        s.sql(
+            "MERGE INTO sqlt USING m_bt ON sqlt.k = m_bt.k "
+            "WHEN NOT MATCHED THEN INSERT (typo) VALUES (m_bt.k)"
+        )

@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    The executing window is ``_R12_WINDOW`` (defined below, next to
+    The executing window is ``_R13_WINDOW`` (defined below, next to
     the catalog) — see its comment for this round's selection
     rationale. Everything not in the window keeps catalog order after
     it."""
@@ -115,6 +115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asserted); both must land, nothing lost or doubled
         "table_append_race": managed_scan.table_append_race,
         "table_disjoint_merge_race": managed_scan.table_disjoint_merge_race,
+        # NEW round 13: FILE-level conflict detection — merge-on-read
+        # DML racing on an UNPARTITIONED table (one base entry key, so
+        # entry-level disjointness is unprovable); the loser rebases
+        # when the winner's file set and its read predicate are
+        # provably disjoint (REAL interposed claim collision,
+        # builder-asserted)
+        "table_unpartitioned_race": managed_scan.table_unpartitioned_race,
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
@@ -426,112 +433,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R12_WINDOW}
+    ordered = {k: cat[k] for k in _R13_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 12 (VERDICT r11 item 1): lead
-# with table_row_tracking_scan (the project's only never-driver-
-# checked entry, now extended through a CoW UPDATE) and the two NEW
-# round-12 oracles (table_disjoint_merge_race — non-blind disjoint
-# conflict detection under a REAL interposed collision;
-# events_variant_shapes — schema_of_variant over a heterogeneous
-# fixture where the answer isn't constant). Then every entry whose
-# implementing files round 12 touched: events_variant_agg (oracle
-# de-pinned), the 10 tables.py-backed r08/r09/r10 driver-record gaps
-# the r11 verdict named, the merge/DML entries on the rewritten
-# commit path (table_append_race, table_merge_sync, table_sql_dml),
-# the cdc.py-backed entries (__EVENTS bounding + scd2_history drop:
-# table_scd2_track_history, table_apply_changes_scd2,
-# stream_apply_changes), the silver/expectations rewiring
-# (pipeline_expectations, op_pipeline_validate), and the cloud_files
-# floor fix (stream_copy_into). Two post-freeze round-12 additions
-# took tail slots per the adopted rule (table_row_versions_scan,
-# retrieval_hybrid_rrf). The remaining slots drain the r08 staleness
-# tail oldest-first; 10 r08 entries stay out this round — each on an
-# untouched file with a same-file sibling IN the window
-# (ann_ivf_assignments/ann_pq_topk/ann_kmeans_refine/emb_pq_codes/
-# emb_hard_negatives → similarity.py siblings incl. the new
-# retrieval_hybrid_rrf; dedup_minhash_signatures + dedup_simhash →
-# dedup_minhash_pairs/ngram/exact; text_dup_spans →
-# text_dedup_substrings; sample_token_budget → r11-green sampling
-# siblings; op_profile_customer → the five op_* siblings) — they
-# rotate in r13.
-_R12_WINDOW = [
-    # (a) never-driver-checked + new round-12 oracles
-    "table_row_tracking_scan",
-    "table_row_versions_scan",
-    "table_disjoint_merge_race",
-    "events_variant_shapes",
-    "events_variant_agg",
-    # (b) round-12-touched commit path (tables.py)
+# The 50-slot driver window for round 13 (VERDICT r12 item 3): the
+# staleness candidates were the 13 r08 entries + the 38 r09 entries
+# (51 for 50 slots). The window takes ALL 13 r08, the NEW round-13
+# oracle (table_unpartitioned_race — post-freeze additions take a
+# slot, the r11 process rule), six re-checks on paths round 13
+# touched (tables.py: merge_clauses partition-scope guard + per-clause
+# generated regen + the blind manifest flag on every commit +
+# _rebind_for_disjoint_rebase's file-granular mode → table_append_race,
+# table_disjoint_merge_race, table_merge_sync, table_sql_dml,
+# table_generated_scan; ext/graph.py empty-frame guard →
+# graph_pagerank_docs), and 30 of the 38 r09 entries. The 8 deferred
+# r09 entries each keep a same-file sibling IN this window and rotate
+# in r14: text_quality_floor/text_repetition/text_token_counts
+# (text.py — text_quality, text_lang_id, text_lm_familiarity,
+# text_dup_spans in-window), ann_lsh_topk_multiprobe/ann_lsh_buckets/
+# ann_pairs_per_label (similarity.py — ann_lsh_topk,
+# ann_lsh_near_dup_pairs, emb_centroid_per_label + five r08
+# similarity entries in-window), dash_low_order_customers
+# (dashboard.py — dash_customer_share_by_segment in-window, three
+# dashboard entries r12-green), events_hourly_windows (json_ops.py —
+# events_json_agg/extract/anomaly in-window).
+_R13_WINDOW = [
+    # (a) NEW round-13 oracle + touched-path re-checks
+    "table_unpartitioned_race",
     "table_append_race",
+    "table_disjoint_merge_race",
     "table_merge_sync",
     "table_sql_dml",
-    # (c) the r11 verdict's 10 driver-record gaps (all tables.py-backed)
-    "table_zorder_scan",
-    "table_zorder_scan_sql",
     "table_generated_scan",
-    "table_mv_incremental",
-    "stream_ingest_managed_table",
-    "stream_gold_counts_table",
-    "table_bloom_scan",
-    "table_cluster_scan",
-    "table_copy_into",
-    "table_convert_scan",
-    # (d) round-12-touched cdc / silver / cloud_files
-    "table_scd2_track_history",
-    "table_apply_changes_scd2",
-    "stream_apply_changes",
-    "pipeline_expectations",
-    "op_pipeline_validate",
-    "stream_copy_into",
-    # (e) r08 staleness tail, oldest-first
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "gold_customer_status_by_city",
-    "gold_orders_by_city",
-    "gold_orders_by_customer_week",
-    # gold_orders_delivery_time yields its slot to the NEW
-    # formats_multiformat_scan (gold.py keeps three in-window reps;
-    # formats.py gains its first oracle slot)
-    "formats_multiformat_scan",
-    "dash_top_nations_by_segment",
-    "dash_avg_delivery_by_nation",
-    "dash_late_orders_by_priority",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    # dedup_ngram_jaccard yields its slot to the NEW graph_pagerank_docs
-    # (post-freeze registry additions take a window slot — the r11
-    # process rule; the ngram pair join is transitively exercised: the
-    # pagerank entry RUNS ngram_jaccard_pairs as its edge set, and the
-    # oracle embeds the identical pairs SQL as a subquery)
     "graph_pagerank_docs",
-    # dedup_simhash yields its slot to the NEW table_row_versions_scan
-    # (dedup.py keeps three same-file representatives above)
-    "ann_ivf_topk",
-    "ann_pq_rerank_topk",
-    # post-freeze registry addition takes a window slot (the r11
-    # process rule): the NEW hybrid-retrieval fusion entry displaces
-    # emb_hard_negatives (similarity.py keeps three same-file
-    # representatives in the window: ann_ivf_topk, ann_pq_rerank_topk,
-    # retrieval_hybrid_rrf)
-    "retrieval_hybrid_rrf",
-    "op_assign_row_ids",
-    "op_clean_string",
-    "op_identify_duplicates",
-    "op_ingestion_status",
-    "op_validate_columns",
-    "op_validate_relationship",
-    "pack_sequences",
-    "text_dedup_substrings",
-    # text_lm_familiarity yields its slot to the NEW
-    # sample_quality_temperature (text.py keeps text_token_counts_bpe
-    # as its in-window representative; sampling.py gains one)
-    "sample_quality_temperature",
-    "text_token_counts_bpe",
+    # (b) the full r08 staleness tail (oldest driver greens, VERDICT)
+    "ann_ivf_assignments",
+    "ann_kmeans_refine",
+    "ann_pq_topk",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "emb_hard_negatives",
+    "emb_pq_codes",
+    "gold_orders_delivery_time",
+    "op_profile_customer",
+    "sample_token_budget",
+    "text_dup_spans",
+    "text_lm_familiarity",
+    # (c) 30 of the 38 r09 entries (oldest-first cohort)
+    "agg_delay_percentiles_approx",
+    "agg_distinct_counts_approx",
+    "agg_unpivot_status",
+    "agg_value_histogram",
+    "ann_cosine_topk",
+    "ann_lsh_near_dup_pairs",
+    "ann_lsh_topk",
+    "ann_recall_report",
+    "dash_customer_share_by_segment",
+    "dedup_cap_report",
+    "dedup_clusters",
+    "dedup_containment_pairs",
+    "dedup_incremental",
+    "dedup_keep_canonical",
+    "dedup_semantic",
+    "emb_centroid_per_label",
+    "emb_quantize_int8",
+    "events_anomaly_zscore",
+    "events_json_agg",
+    "events_json_extract",
+    "gold_customer_breakdown",
+    "join_skew_salted",
+    "op_clean_string_address",
+    "text_corpus_filter",
+    "text_decontaminate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality",
+    "tpch_q6_forecast_revenue",
 ]
 
 
@@ -1071,6 +1052,8 @@ def oracle_sql() -> dict[str, str]:
         "table_append_race": managed_scan.table_append_race_oracle(),
         "table_disjoint_merge_race":
             managed_scan.table_disjoint_merge_race_oracle(),
+        "table_unpartitioned_race":
+            managed_scan.table_unpartitioned_race_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
         "table_row_versions_scan":

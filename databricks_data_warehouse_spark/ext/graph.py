@@ -107,6 +107,15 @@ def pagerank_from_pairs(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n = docs.count()
+    if n == 0:
+        # empty node frame: return the empty result rather than a
+        # ZeroDivisionError (ADVICE r12)
+        edges.unpersist()
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(0).cast("long").alias("pagerank_e12"),
+        )
     base = RANK_SCALE // n
     teleport = ((DAMP_DEN - DAMP_NUM) * base) // DAMP_DEN
     nodes = (

@@ -869,3 +869,117 @@ def table_row_tracking_scan_oracle() -> str:
         SELECT -1, total, total, total * (total - 1) // 2 FROM n
         ORDER BY grp
     """
+
+
+def _unpartitioned_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached UNPARTITIONED table built by a REAL FILE-level commit
+    race (round 13): v0 lands orders with k <= mid, v1 appends k > mid
+    (two disjoint file sets by construction); then two handles race —
+    the interposed winner runs a merge-on-read ``UPDATE (DV)``
+    repricing a slice of the HIGH half (+2), the loser a merge-on-read
+    ``DELETE (DV)`` of a slice of the LOW half — and the loser's
+    manifest claim truly collides. Entry-level conflict detection can
+    never prove disjointness here (an unpartitioned table has one base
+    entry key), so this exercises Delta's FILE-set ConflictChecker
+    (sources/tables.py _dv_rebase_conflicts): the loser's touched
+    files and read predicate (declared as filter-triple DNF) are
+    checked against the winner's added/removed/re-vectored files via
+    footer stats, and the loser REBASES, reusing its staged DV.
+    Builder-asserted: the race fired, the loser landed at v3, and both
+    writers' changes hold. At 100 TB this is concurrent GDPR deletes /
+    backfills on an unpartitioned dimension table landing in parallel
+    instead of serializing."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"uprace_tbl_{h}")
+    t = ManagedTable(spark, f"orders_uprace_{h}", loc)
+    if t.current_version() == 3:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_uprace_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    q = mid // 4
+    t.overwrite(base.where(F.col("k") <= mid))                     # v0
+    t.append(base.where(F.col("k") > mid))                         # v1
+    t1 = ManagedTable(spark, f"orders_uprace_{h}", loc)
+    t2 = ManagedTable(spark, f"orders_uprace_{h}", loc)
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.update_where(                                # v2 wins
+                {"price": "price + 2"},
+                (F.col("k") > mid) & (F.col("k") % 10 == 3),
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.delete_where(                               # rebases to v3
+        (F.col("k") <= q) & (F.col("k") % 10 == 7),
+        read_filters=[[("k", "<=", q)]],
+    )
+    if not state["raced"] or v != 3 or t.current_version() != 3:
+        raise AssertionError(
+            f"file-level DV rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_unpartitioned_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-disjoint concurrent DML on an UNPARTITIONED table,
+    driver-checked: after the interposed claim collision (see
+    ``_unpartitioned_race_table``) the table must hold BOTH writers'
+    changes — the low-half slice deleted, the high-half slice repriced
+    +2, everything else untouched — with no row lost, doubled, or
+    resurrected. The oracle applies both DMLs in plain SQL."""
+    from ._util import cents
+
+    t = _unpartitioned_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_unpartitioned_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH bounds AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid
+            FROM orders
+        ),
+        adj AS (
+            SELECT o_orderkey AS k,
+                   o_totalprice
+                       + CASE WHEN o_orderkey > (SELECT mid FROM bounds)
+                                   AND o_orderkey % 10 = 3
+                              THEN 2 ELSE 0 END AS price
+            FROM orders
+            WHERE NOT (o_orderkey <= (SELECT mid FROM bounds) // 4
+                       AND o_orderkey % 10 = 7)
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """

@@ -124,15 +124,22 @@ def _parse_partition_values(rel_dir: str) -> dict[str, str | None]:
     from .tables import _HIVE_NULL
 
     vals: dict[str, str | None] = {}
-    for comp in rel_dir.split("/"):
+    comps = rel_dir.split("/")
+    for i, comp in enumerate(comps):
         if "=" not in comp or comp.startswith(("_", ".")):
             continue
         # skip the writer-unique staging ROOT (data/w=<version>-<uuid8>)
-        # by its exact shape, NOT by a bare "w=" prefix — a partition
-        # column literally named "w" must parse (round-12 review 4: a
-        # prefix skip read such partitions back as NULL through the
-        # pushdown/stream readers while the native path was correct)
-        if re.fullmatch(r"w=\d+-[0-9a-f]{8}", comp):
+        # by shape AND position — directly under a "data" component —
+        # not by a bare "w=" prefix: a partition column literally named
+        # "w" must parse (round-12 review 4), including one whose STRING
+        # value happens to match the staging shape, e.g. '3-deadbeef'
+        # (ADVICE r12: partition dirs always sit BELOW the staging
+        # root, never directly under "data")
+        if (
+            i > 0
+            and comps[i - 1] == "data"
+            and re.fullmatch(r"w=\d+-[0-9a-f]{8}", comp)
+        ):
             continue
         k, raw = comp.split("=", 1)
         vals[k] = None if raw == _HIVE_NULL else unquote(raw)

@@ -215,6 +215,21 @@ def _parse_predicate_triples(text: str) -> list[tuple]:
     return triples
 
 
+def _read_dnf_of(where: str | None) -> list[list[tuple]] | None:
+    """A DML WHERE clause as read-predicate DNF for file-level conflict
+    detection (round 13): a parseable conjunction of simple predicates
+    becomes one triple list, no WHERE means "reads everything"
+    (``[[]]``), and anything the triple grammar can't express returns
+    None — the conservative "predicate unknown" signal (any non-blind
+    concurrent add then conflicts; see ManagedTable._delete_rows_dv)."""
+    if not where:
+        return [[]]
+    try:
+        return [_parse_predicate_triples(where)]
+    except ValueError:
+        return None
+
+
 def _parse_assignments(set_text: str) -> dict[str, str]:
     """``a = expr, b.c = expr`` → {col: expr} (alias prefixes on the
     TARGET side stripped; the right-hand side stays verbatim)."""
@@ -947,7 +962,11 @@ class SqlSession:
                 ),
             )
         cond = F.expr(where) if where else F.lit(True)
-        return self._metrics("DELETE", t, t.delete_where(cond))
+        return self._metrics(
+            "DELETE",
+            t,
+            t.delete_where(cond, read_filters=_read_dnf_of(where)),
+        )
 
     def _update(self, stmt: str) -> DataFrame:
         m = re.match(
@@ -988,7 +1007,13 @@ class SqlSession:
                 ),
             )
         cond = F.expr(where) if where else F.lit(True)
-        return self._metrics("UPDATE", t, t.update_where(assignments, cond))
+        return self._metrics(
+            "UPDATE",
+            t,
+            t.update_where(
+                assignments, cond, read_filters=_read_dnf_of(where)
+            ),
+        )
 
     def _match_with_subquery(self, t, where_text: str) -> DataFrame:
         """The CURRENT snapshot's rows matching a WHERE that contains a
@@ -1802,10 +1827,14 @@ class SqlSession:
         # may legitimately CONTAIN a quote (TIMESTAMP AS OF '…',
         # table_changes('t', …)) but must not BEGIN inside one.
         def _masked_sub(pattern: str, repl, text: str) -> str:
+            # spans recognize BOTH ''-doubling and backslash escapes
+            # (ADVICE r12: Spark's default parser accepts 'it\'s', so a
+            # span that stopped at \' let a rewrite fire inside — or be
+            # wrongly suppressed after — such a literal)
             spans = [
                 (m.start(), m.end())
                 for m in re.finditer(
-                    r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", text
+                    r"'(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\"", text
                 )
             ]
 

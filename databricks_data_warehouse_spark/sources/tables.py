@@ -1561,9 +1561,12 @@ class ManagedTable:
         position), and maintenance rewrites (OPTIMIZE / CLUSTER /
         compact) MATERIALIZE the ids into the rewritten files so they
         survive the move (Delta row-tracking's backfill). Data rewrites
-        (merge/update copy-on-write) re-mint ids for rewritten rows —
-        the documented v1 divergence from Delta, which preserves ids
-        through DML by materializing in every writer."""
+        PRESERVE ids too (round 12): CoW UPDATE/DELETE, DV update,
+        MERGE rewrites and replaceWhere all materialize survivors' ids
+        into the rewritten files — matched keys inherit the target
+        row's id, fresh rows mint base + position — matching Delta,
+        which preserves ids through DML by materializing in every
+        writer (see :meth:`_carried_row_base`)."""
         return (
             str(self.properties.get("delta.enableRowTracking", ""))
             .lower()
@@ -1680,6 +1683,7 @@ class ManagedTable:
         row_mat: Collection[str] = (),
         row_high: int = 0,
         row_ver: Mapping[str, int] | None = None,
+        blind: bool = False,
     ) -> None:
         os.makedirs(self.location, exist_ok=True)
         final = self._manifest_path(version)
@@ -1745,6 +1749,12 @@ class ManagedTable:
                         "dataChange": not str(op).startswith(
                             ("OPTIMIZE", "REORG")
                         ),
+                        # blind-append marker (file-level conflict
+                        # detection): True only when the committing
+                        # transaction read NOTHING — a later racer may
+                        # then serialize before it regardless of its
+                        # own read predicate
+                        "blind": bool(blind),
                         # write-side CDC (delta.enableChangeDataFeed):
                         # rel dirs of this commit's staged change files
                         "cdf": dict(cdf) if cdf else None,
@@ -1881,6 +1891,91 @@ class ManagedTable:
                     delta.add(rel_to_key.get(d, d))
         return delta
 
+    def _commit_delta_files(
+        self, version: int
+    ) -> tuple[dict[str, dict], set[str], bool]:
+        """FILE-level write set of a committed version, relative to its
+        parent: ``(added_stats, removed_or_dv_changed, blind)`` where
+        ``added_stats`` maps each newly-referenced data file to its
+        footer stats (for read-predicate overlap checks),
+        ``removed_or_dv_changed`` is the files the commit retired or
+        whose deletion-vector state it touched, and ``blind`` is True
+        when the commit was a blind append (self-declared at commit
+        time and verified adds-only). This is Delta ConflictChecker's
+        AddFile /
+        RemoveFile comparison — the granularity that lets concurrent
+        DML on UNPARTITIONED tables land in parallel when their file
+        sets are disjoint. O(entries) metadata diff, no data I/O."""
+        prev_stats = self._read_stats(version - 1) if version > 0 else {}
+        cur_stats = self._read_stats(version)
+        added = {f: s for f, s in cur_stats.items() if f not in prev_stats}
+        removed = set(prev_stats) - set(cur_stats)
+        prev_dv, _ = self._read_dv(version - 1) if version > 0 else ({}, {})
+        cur_dv, _ = self._read_dv(version)
+        dv_changed = {
+            f
+            for f in set(prev_dv) | set(cur_dv)
+            if prev_dv.get(f) != cur_dv.get(f)
+        }
+        # blindness is SELF-DECLARED at commit time (manifest "blind"
+        # flag) and structurally verified: an adds-only diff alone
+        # can't distinguish a true blind append from a MERGE
+        # insert-only, which READ the target (its key-absence decision
+        # could be invalidated by a concurrent delete, so it must not
+        # be exempt from the read-predicate check). Old manifests lack
+        # the flag → conservatively non-blind.
+        blind = (
+            not removed
+            and not dv_changed
+            and bool(
+                _load_manifest_json(self._manifest_path(version)).get(
+                    "blind", False
+                )
+            )
+        )
+        return added, removed | dv_changed, blind
+
+    def _dv_rebase_conflicts(
+        self,
+        version: int,
+        touched_files: Collection[str],
+        read_dnf: Sequence[Sequence[tuple]] | None,
+    ) -> bool:
+        """Does committed ``version`` conflict with a merge-on-read DML
+        transaction that marks/rewrites exactly ``touched_files`` and
+        whose read predicate is ``read_dnf``? Delta's file-level rules
+        under write-serializable isolation:
+
+        - the winner retired or re-vectored one of our files →
+          conflict (ConcurrentDeleteDelete / ConcurrentDeleteRead: our
+          positions and DV union were computed against its old state);
+        - a NON-blind winner added files that may satisfy our read
+          predicate → conflict (ConcurrentAppend: our matched-row scan
+          missed them); ``read_dnf=None`` means the predicate is
+          unknown, so ANY non-blind add conflicts;
+        - a BLIND append never conflicts: the history serializes with
+          our DML first, the append second — its rows were never
+          candidates (Delta's WriteSerializable default).
+
+        Conservative on missing evidence: a version whose manifest a
+        retention vacuum already deleted counts as overlap."""
+        try:
+            added, removed_dv, blind = self._commit_delta_files(version)
+        except FileNotFoundError:
+            return True
+        if removed_dv & set(touched_files):
+            return True
+        if added and not blind:
+            if read_dnf is None:
+                return True
+            trips_dnf = [self._phys_triples(list(t)) for t in read_dnf]
+            for f, stat in added.items():
+                if any(
+                    self._file_matches(stat, trips) for trips in trips_dnf
+                ):
+                    return True
+        return False
+
     def _commit_conflicts(
         self,
         version: int,
@@ -1925,6 +2020,8 @@ class ManagedTable:
         copy_files_guard: Sequence[str],
         touched_keys: Collection[str],
         touched_dnf: Sequence[Sequence[tuple]] | None,
+        touched_files: Collection[str] | None = None,
+        file_read_dnf: Sequence[Sequence[tuple]] | None = None,
     ) -> bool:
         """Delta's logical conflict detection for NON-BLIND commits
         (the half ``_rebind_for_append_rebase`` doesn't cover): a
@@ -1942,7 +2039,11 @@ class ManagedTable:
         (schema, column mapping, constraints, the appendOnly /
         CDF / row-tracking property switches), advanced our streaming
         txn watermark, COPY'd a guarded source file, or touched any
-        entry in our region. Every refusal is decided on locals; the
+        entry in our region. With ``touched_files`` the region check
+        runs at FILE granularity instead (``_dv_rebase_conflicts`` —
+        the merge-on-read DML shape, which proves disjointness even on
+        UNPARTITIONED tables); ``file_read_dnf`` is that transaction's
+        read-predicate DNF. Every refusal is decided on locals; the
         handle mutates only after the function has decided True."""
         man_path = self._manifest_path(winner)
         if not os.path.exists(man_path):
@@ -1978,7 +2079,16 @@ class ManagedTable:
             if set(copy_files_guard) & set(new_copy):
                 return False
             new_copy = {**new_copy, **dict(copy_files_add)}
-        if self._commit_conflicts(winner, touched_keys, touched_dnf):
+        if touched_files is not None:
+            # FILE-granular region (merge-on-read DML — works on
+            # unpartitioned tables, where every entry shares one base
+            # key and the entry-level check could never prove
+            # disjointness)
+            if self._dv_rebase_conflicts(
+                winner, touched_files, file_read_dnf
+            ):
+                return False
+        elif self._commit_conflicts(winner, touched_keys, touched_dnf):
             return False
         self.copy_files = new_copy
         self.bloom = self._read_bloom(winner)
@@ -2925,13 +3035,25 @@ class ManagedTable:
                         f"{op} read or rewrites; re-run against the "
                         "current version"
                     )
+        # self-declared blind-append marker for FILE-level conflict
+        # detection (the reader is _commit_delta_files): a transaction
+        # that read nothing — no region declared, no entry replaced or
+        # dropped, no metadata reset — may be serialized AFTER any
+        # racing DML regardless of that DML's read predicate
+        commit_blind = (
+            append_only
+            and not replace_all
+            and not drop_rels
+            and not reset_metadata
+            and touched_keys is None
+        )
         rebases = 0
         while True:
             try:
                 self._write_manifest(
                     v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
                     cdf=cdf_staged, row_base=row_base, row_mat=row_mat,
-                    row_high=row_high, row_ver=row_ver,
+                    row_high=row_high, row_ver=row_ver, blind=commit_blind,
                 )
                 break
             except ConcurrentWriteError:
@@ -4651,7 +4773,10 @@ class ManagedTable:
         if not purge_dirs:
             return v
         # visible rows of the purged dirs (their DVs applied), restaged
-        live = self._scan_rels(sorted(purge_dirs), need_meta=True)
+        track = self._row_tracking_enabled()
+        live = self._scan_rels(
+            sorted(purge_dirs), need_meta=True, with_row_col=track
+        )
         purged_dv = {f: d for f, d in dv.items() if os.path.dirname(f) in purge_dirs}
         live = live.join(
             self._dv_rows(purged_dv).select(
@@ -4659,7 +4784,21 @@ class ManagedTable:
             ),
             ["__mt_key", "__mt_pos"],
             "left_anti",
-        ).select(*cols)
+        )
+        if track:
+            # REORG PURGE preserves row ids and commit versions like
+            # every other rewrite (round 13 — this was the last
+            # re-minting path): resolve each survivor's id
+            # (materialized wins, else base + position) and
+            # MATERIALIZE both into the restaged files
+            live = (
+                self._attach_row_ids(live, v)
+                .withColumnRenamed("_row_id", "__row_id")
+                .withColumnRenamed("_row_commit_version", "__row_ver")
+                .select(*cols, "__row_id", "__row_ver")
+            )
+        else:
+            live = live.select(*cols)
         write_rel = f"data/w={v + 1}-{uuid.uuid4().hex[:8]}"
         write_dir = os.path.join(self.location, write_rel)
         if self.sort_columns:
@@ -4683,13 +4822,17 @@ class ManagedTable:
         new_stats = {
             f: s for f, s in stats.items() if os.path.dirname(f) not in purge_dirs
         }
-        new_stats.update(self._collect_file_stats(write_dir))
+        staged_stats = self._collect_file_stats(write_dir)
+        new_stats.update(staged_stats)
         new_dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in purge_dirs}
         new_n = {f: n for f, n in dv_n.items() if f in new_dv}
-        # row tracking: purged-dir rewrites drop rows, so positions
-        # shift — their files mint fresh ids (documented divergence:
-        # Delta preserves them by materializing; our PURGE re-mints)
-        rb, rm, rh, rv = self._carried_row_base(v, new_stats)
+        # row tracking: the restaged files carry every survivor's id
+        # and commit version IN-DATA (materialized above) — positions
+        # shift but ids don't, Delta's preserve-by-materializing rule
+        rb, rm, rh, rv = self._carried_row_base(
+            v, new_stats,
+            materialized=(set(staged_stats) if track else ()),
+        )
         try:
             self._write_manifest(
                 v + 1,
@@ -6014,6 +6157,7 @@ class ManagedTable:
         op: str,
         append_df: DataFrame | None = None,
         append_materialized: bool = False,
+        read_dnf: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
         (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
@@ -6028,7 +6172,18 @@ class ManagedTable:
         the merge-on-read UPDATE shape (Delta with DVs enabled): the
         old row versions go dead via the vector, their replacements
         land in a fresh data dir, and both become visible atomically
-        in one manifest. Constraints bind on the appended rows."""
+        in one manifest. Constraints bind on the appended rows.
+
+        Concurrency (round 13 — Delta's FILE-level ConflictChecker,
+        which works on UNPARTITIONED tables too): the transaction's
+        write set is exactly the touched files, so a claim-collision
+        loser rebases onto the winner whenever the winner neither
+        touched those files nor — unless it was a blind append —
+        added files that could satisfy ``read_dnf`` (the DML's WHERE
+        as filter-triple DNF; ``None`` = unknown, every non-blind add
+        conflicts). Blind appends never conflict: the history
+        serializes DML-first (write-serializable), the appended rows
+        were never candidates."""
         self._check_append_only(op)  # central guard: every DV mutation
         v = self.current_version()
         doomed = doomed.select("__mt_key", "__mt_pos")
@@ -6076,14 +6231,6 @@ class ManagedTable:
         rows.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(self.location, dv_rel)
         )
-        new_dv = {f: d for f, d in prev_dv.items() if f not in per_file}
-        new_dv.update({f: dv_rel for f in per_file})
-        new_n = {f: n for f, n in prev_n.items() if f not in per_file}
-        new_n.update(
-            {f: prev_n.get(f, 0) + n for f, n in per_file.items()}
-        )
-        entries = self._read_manifest(v)
-        stats = dict(self._read_stats(v))
         write_dir = None
         appended_files: dict[str, dict] = {}
         if append_df is not None:
@@ -6100,47 +6247,53 @@ class ManagedTable:
                 writer = writer.partitionBy(*self.partition_columns)
             writer.parquet(write_dir)
             self._enforce_constraints(write_dir)
-            # append semantics: the new dir COEXISTS with the partition's
-            # existing entries (an update rewrites only matched rows), so
-            # its entry key carries the write id; a later partition-
-            # scoped merge replaces by BASE key and drops both
-            entries = {
-                **entries,
-                **{
-                    f"{k}@{write_rel}": rel
-                    for k, rel in self._walk_staged(write_dir, write_rel).items()
-                },
-            }
             appended_files = self._collect_file_stats(write_dir)
-            stats.update(appended_files)
             if self.bloom:
                 try:
                     self._write_bloom_sidecars(write_dir, write_rel)
                 except Exception:
                     pass  # rebuildable cache, never aborts the commit
-        # row tracking: carried files keep their ids (DV deletes don't
-        # shift positions); the appended dir mints fresh ones — or, with
-        # ``append_materialized`` (merge-on-read UPDATE), carries the
-        # matched rows' PRESERVED ids in-data
-        rb, rm, rh, rv = self._carried_row_base(
-            v, stats,
-            materialized=(appended_files if append_materialized else ()),
-        )
-        try:
-            self._write_manifest(
-                v + 1,
-                entries,
-                stats,
-                self._read_txn(v),
-                op=op,
-                dv=new_dv,
-                dv_n=new_n,
-                row_base=rb,
-                row_mat=rm,
-                row_high=rh,
-                row_ver=rv,
+
+        def _assemble_dv(base: int):
+            """Manifest state for landing this DV transaction on top of
+            version ``base`` — re-runnable against a racing winner's
+            base (file-disjointness was proved by the rebase check, so
+            the touched files' previous DV state at ``base`` equals
+            their state at the read snapshot and the staged union
+            parquet stays exact)."""
+            entries_b = dict(self._read_manifest(base))
+            stats_b = dict(self._read_stats(base))
+            if write_dir is not None:
+                # append semantics: the new dir COEXISTS with the
+                # partition's existing entries (an update rewrites only
+                # matched rows), so its entry key carries the write id;
+                # a later partition-scoped merge replaces by BASE key
+                # and drops both
+                entries_b.update(
+                    {
+                        f"{k}@{write_rel}": rel
+                        for k, rel in self._walk_staged(
+                            write_dir, write_rel
+                        ).items()
+                    }
+                )
+                stats_b.update(appended_files)
+            dv_b, n_b = self._read_dv(base)
+            nd = {f: d for f, d in dv_b.items() if f not in per_file}
+            nd.update({f: dv_rel for f in per_file})
+            nn = {f: n for f, n in n_b.items() if f not in per_file}
+            nn.update({f: n_b.get(f, 0) + c for f, c in per_file.items()})
+            # row tracking: carried files keep their ids (DV deletes
+            # don't shift positions); the appended dir mints fresh ones
+            # — or, with ``append_materialized`` (merge-on-read
+            # UPDATE), carries the matched rows' PRESERVED ids in-data
+            rbb, rmm, rhh, rvv = self._carried_row_base(
+                base, stats_b,
+                materialized=(appended_files if append_materialized else ()),
             )
-        except ConcurrentWriteError:
+            return entries_b, stats_b, nd, nn, rbb, rmm, rhh, rvv
+
+        def _discard():
             shutil.rmtree(
                 os.path.join(self.location, dv_rel), ignore_errors=True
             )
@@ -6149,17 +6302,52 @@ class ManagedTable:
                 shutil.rmtree(
                     self._bloom_dir_for_root(write_rel), ignore_errors=True
                 )
-            raise
-        self._commit(v + 1)
+
+        (
+            entries, stats, new_dv, new_n, rb, rm, rh, rv,
+        ) = _assemble_dv(v)
+        v_new = v + 1
+        rebases = 0
+        while True:
+            try:
+                self._write_manifest(
+                    v_new, entries, stats, self._read_txn(v_new - 1),
+                    op=op, dv=new_dv, dv_n=new_n,
+                    row_base=rb, row_mat=rm, row_high=rh, row_ver=rv,
+                )
+                break
+            except ConcurrentWriteError:
+                # FILE-level disjoint rebase (see docstring): reuse the
+                # staged dv/data files as-is and reassemble on the
+                # winner's manifest when its write set is provably
+                # disjoint from this transaction's touched files and
+                # read predicate
+                rebases += 1
+                ok = (
+                    v_new > 0 and rebases <= 16
+                ) and self._rebind_for_disjoint_rebase(
+                    v_new, None, None, (),
+                    touched_keys=(), touched_dnf=None,
+                    touched_files=set(per_file), file_read_dnf=read_dnf,
+                )
+                if not ok:
+                    _discard()
+                    raise
+                v_new += 1
+                (
+                    entries, stats, new_dv, new_n, rb, rm, rh, rv,
+                ) = _assemble_dv(v_new - 1)
+        self._commit(v_new)
         if self.retain_versions is not None:
             self.vacuum(keep=self.retain_versions)
-        return v + 1
+        return v_new
 
     def merge_delete(
         self,
         source: DataFrame,
         key_columns: Sequence[str],
         deletion_vectors: bool = True,
+        read_filters: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """Delta ``whenMatchedDelete`` parity: target rows whose key
         matches a source row are REMOVED; everything else carries over.
@@ -6178,7 +6366,9 @@ class ManagedTable:
         if deletion_vectors:
             target = self._read_internal(self.current_version(), with_pos=True)
             doomed = target.join(src_keys, on=keys, how="left_semi")
-            return self._delete_rows_dv(doomed, op="MERGE DELETE (DV)")
+            return self._delete_rows_dv(
+                doomed, op="MERGE DELETE (DV)", read_dnf=read_filters
+            )
         scoped = bool(self.partition_columns) and set(
             self.partition_columns
         ) <= set(keys)
@@ -6221,7 +6411,10 @@ class ManagedTable:
         )
 
     def delete_where(
-        self, condition: Column, deletion_vectors: bool = True
+        self,
+        condition: Column,
+        deletion_vectors: bool = True,
+        read_filters: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """``DELETE FROM table WHERE ...`` parity.
 
@@ -6236,12 +6429,21 @@ class ManagedTable:
         "not matched, keep" — hence the ``coalesce(cond, false)``
         (on the DV path the same coalesce SELECTS only true-matches),
         where a bare ``filter(~cond)`` would silently delete the
-        NULL-predicate rows too (ADVICE r05)."""
+        NULL-predicate rows too (ADVICE r05).
+
+        ``read_filters`` (optional, DV path): ``condition`` as
+        filter-triple DNF — the transaction's declared read predicate.
+        With it, a claim-collision loser can rebase over a racing
+        non-blind writer whose added files provably don't satisfy the
+        predicate (file-level conflict detection; see
+        :meth:`_delete_rows_dv`). Must be implied by ``condition``."""
         self._check_append_only("DELETE")
         if deletion_vectors:
             target = self._read_internal(self.current_version(), with_pos=True)
             doomed = target.filter(F.coalesce(condition, F.lit(False)))
-            return self._delete_rows_dv(doomed, op="DELETE (DV)")
+            return self._delete_rows_dv(
+                doomed, op="DELETE (DV)", read_dnf=read_filters
+            )
         v_read = self.current_version()
         track = self._row_tracking_enabled()
         if track:
@@ -6265,6 +6467,7 @@ class ManagedTable:
         assignments: Mapping[str, str | Column],
         condition: Column,
         deletion_vectors: bool = True,
+        read_filters: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """``UPDATE table SET col = expr, ... WHERE ...`` parity
         (Delta UPDATE). ``assignments`` maps target column -> new-value
@@ -6329,7 +6532,7 @@ class ManagedTable:
                 )
                 return self._delete_rows_dv(
                     matched, op="UPDATE (DV)", append_df=rewritten,
-                    append_materialized=True,
+                    append_materialized=True, read_dnf=read_filters,
                 )
             target = self._read_internal(v, with_pos=True)
             matched = target.filter(cond)
@@ -6340,7 +6543,8 @@ class ManagedTable:
                 assigned=set(exprs),
             )
             return self._delete_rows_dv(
-                matched, op="UPDATE (DV)", append_df=rewritten
+                matched, op="UPDATE (DV)", append_df=rewritten,
+                read_dnf=read_filters,
             )
         v_read = self.current_version()
         if track:
@@ -6590,13 +6794,40 @@ class ManagedTable:
         # (NULL) — so only "insert_all" (partition values come verbatim
         # from the source row, inside the scoped set) keeps scoping.
         _pcols = set(self.partition_columns)
+        _keyset = set(keys)
+
+        def _moves_partition(a, *, insert=False) -> bool:
+            """True if this update/insert map can land a row outside
+            the source's partitions. Verbatim assignments are exempt
+            (round-13: SQL ``UPDATE SET *`` canonicalizes to a full
+            column map, which must not forfeit partition scoping):
+            on a MATCHED row the join equality pins ``src.p == p`` for
+            a key column, so assigning either spelling keeps the row
+            in place; an insert map assigning EVERY partition column
+            exactly ``src.<p>`` lands the row verbatim inside the
+            scoped set, same as ``insert_all``."""
+            if not isinstance(a, Mapping):
+                return False
+            if insert:
+                return any(
+                    not (
+                        isinstance(a.get(p), str)
+                        and a[p].strip() == f"src.{p}"
+                    )
+                    for p in _pcols
+                )
+            for p in set(a) & _pcols:
+                v = a[p].strip() if isinstance(a[p], str) else None
+                if v == p:  # identity assignment — keeps the value
+                    continue
+                if v == f"src.{p}" and p in _keyset:
+                    continue  # join equality: src.p == p on matches
+                return True
+            return False
+
         _updates_partition_col = any(
-            isinstance(a, Mapping) and set(a) & _pcols
-            for _c, a in [*matched, *not_matched_by_source]
-        ) or any(
-            isinstance(a, Mapping) and (set(a) & _pcols or not _pcols <= set(a))
-            for _c, a in not_matched
-        )
+            _moves_partition(a) for _c, a in [*matched, *not_matched_by_source]
+        ) or any(_moves_partition(a, insert=True) for _c, a in not_matched)
         scoped = (
             not not_matched_by_source
             and bool(self.partition_columns)
@@ -6698,15 +6929,39 @@ class ManagedTable:
                 .otherwise(F.lit(None).cast("long"))
                 .alias("__row_ver")
             )
-        assigned_gen = {
-            c
-            for _cc, a in (*matched, *not_matched, *not_matched_by_source)
-            if isinstance(a, Mapping)
-            for c in a
-        }
-        result = self._regen_generated(
-            kept.select(*out_cols), assigned=assigned_gen
-        )
+        # generated columns regenerate PER CLAUSE (ADVICE r12 medium):
+        # a global assigned-set union would skip regeneration on rows
+        # fired by a clause that assigned only the column's INPUTS,
+        # leaving a stale generated value (misleading CHECK abort or a
+        # persisted invariant violation). A row keeps its value only
+        # when ITS firing clause explicitly assigned the generated
+        # column; every other row recomputes against post-assignment
+        # inputs.
+        gen_keep_acts: dict[str, set[str]] = {}
+        for prefix, clauses in (
+            ("m", matched), ("i", not_matched), ("s", not_matched_by_source)
+        ):
+            for i, (_cc, a) in enumerate(clauses):
+                if isinstance(a, Mapping):
+                    for c in a:
+                        if c in self.generated:
+                            gen_keep_acts.setdefault(c, set()).add(
+                                f"{prefix}{i}"
+                            )
+        result = kept.select(*out_cols, F.col("__act"))
+        for g, spec in self.generated.items():
+            if g not in result.columns:
+                continue
+            regen = F.expr(spec["expr"])
+            acts = sorted(gen_keep_acts.get(g, ()))
+            # "keep" rows hold a value already consistent with their
+            # (unchanged) inputs; recomputing is a no-op for them
+            if acts:
+                regen = F.when(
+                    F.col("__act").isin(acts), F.col(g)
+                ).otherwise(regen)
+            result = result.withColumn(g, regen)
+        result = result.drop("__act")
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",
             drop_rels=drop_scope,

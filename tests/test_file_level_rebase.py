@@ -1,0 +1,274 @@
+"""Delta's FILE-level ConflictChecker (round 13): merge-on-read DML
+(DELETE (DV) / UPDATE (DV) / MERGE DELETE (DV)) declares its write set
+as the exact touched files, so a claim-collision loser rebases onto the
+winner whenever the winner neither touched those files nor — unless it
+was a blind append — added files that could satisfy the loser's read
+predicate. This is the granularity that lets concurrent DML on
+UNPARTITIONED tables land in parallel (the r12 disjoint rebase keyed on
+partition entries, so every scoped DML on an unpartitioned table kept
+first-writer-wins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_data_warehouse_spark.sources.sql_dml import SqlSession
+from databricks_data_warehouse_spark.sources.tables import (
+    ConcurrentWriteError,
+    ManagedTable,
+)
+
+
+def _mk(spark, tmp_path, name):
+    """Unpartitioned table with TWO files: ids 0–9 and 100–109."""
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    t.overwrite(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    return t
+
+
+def _handle(spark, tmp_path, name):
+    return ManagedTable(spark, name, str(tmp_path / name))
+
+
+def _interpose(loser, fire):
+    """Make ``fire()`` run right before the loser's first manifest
+    claim — a REAL version-number collision, not a simulation."""
+    orig = loser._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            fire()
+        return orig(*a, **k)
+
+    loser._write_manifest = interposed
+    return state
+
+
+def _rows(t):
+    return sorted((r.k, r.v) for r in t.read().collect())
+
+
+def test_disjoint_dv_deletes_both_land_unpartitioned(spark, tmp_path):
+    """Two DELETE (DV)s marking rows in DIFFERENT files of an
+    unpartitioned table: the loser rebases, both land."""
+    t = _mk(spark, tmp_path, "f1")
+    loser = _handle(spark, tmp_path, "f1")
+    winner = _handle(spark, tmp_path, "f1")
+    state = _interpose(
+        loser, lambda: winner.delete_where(F.col("k") == 105)
+    )
+    v = loser.delete_where(F.col("k") == 3, read_filters=[[("k", "=", 3)]])
+    assert state["raced"]
+    assert v == loser.current_version() == 3  # v1 base, v2 winner, v3 loser
+    assert _rows(t) == sorted(
+        (k, k * 10) for k in list(range(10)) + list(range(100, 110))
+        if k not in (3, 105)
+    )
+
+
+def test_overlapping_dv_deletes_raise(spark, tmp_path):
+    """Both DMLs mark rows in the SAME file: ConcurrentDeleteDelete —
+    the loser's DV union was computed against stale state."""
+    t = _mk(spark, tmp_path, "f2")
+    loser = _handle(spark, tmp_path, "f2")
+    winner = _handle(spark, tmp_path, "f2")
+    _interpose(loser, lambda: winner.delete_where(F.col("k") == 2))
+    with pytest.raises(ConcurrentWriteError):
+        loser.delete_where(F.col("k") == 3, read_filters=[[("k", "=", 3)]])
+    # the winner landed; the loser aborted cleanly
+    assert (2, 20) not in _rows(t) and (3, 30) in _rows(t)
+
+
+def test_blind_append_never_conflicts_with_dv_delete(spark, tmp_path):
+    """A blind append racing a DV delete — even one whose rows MATCH
+    the delete predicate — rebases: write-serializable history, the
+    delete serializes first (Delta's default isolation)."""
+    t = _mk(spark, tmp_path, "f3")
+    loser = _handle(spark, tmp_path, "f3")
+    winner = _handle(spark, tmp_path, "f3")
+    state = _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(3, 999)], "k long, v long")
+        ),
+    )
+    # no read_filters: predicate unknown — blind appends are exempt
+    v = loser.delete_where(F.col("k") == 3)
+    assert state["raced"] and v == loser.current_version()
+    # old k=3 deleted; the appended k=3 survives (append second)
+    assert (3, 999) in _rows(t) and (3, 30) not in _rows(t)
+
+
+def test_nonblind_add_matching_predicate_raises(spark, tmp_path):
+    """A non-blind winner (UPDATE (DV) rewrites rows into a new file)
+    whose added rows satisfy the loser's read predicate conflicts:
+    the loser's matched-row scan missed them (ConcurrentAppend)."""
+    t = _mk(spark, tmp_path, "f4")
+    loser = _handle(spark, tmp_path, "f4")
+    winner = _handle(spark, tmp_path, "f4")
+    # winner rewrites k=105 to k=5-range territory (v stays distinct)
+    _interpose(
+        loser,
+        lambda: winner.update_where({"k": "5"}, F.col("k") == 105),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.delete_where(
+            F.col("k") <= 9, read_filters=[[("k", "<=", 9)]]
+        )
+    assert (5, 1050) in _rows(t)  # the winner landed
+
+
+def test_nonblind_add_outside_predicate_rebases(spark, tmp_path):
+    """The same non-blind winner, but the loser's predicate provably
+    excludes the added file (footer stats): disjoint — rebase."""
+    t = _mk(spark, tmp_path, "f5")
+    loser = _handle(spark, tmp_path, "f5")
+    winner = _handle(spark, tmp_path, "f5")
+    state = _interpose(
+        loser,
+        lambda: winner.update_where(
+            {"v": "v + 1"},
+            F.col("k") == 105,
+            read_filters=[[("k", "=", 105)]],
+        ),
+    )
+    v = loser.delete_where(
+        F.col("k") == 3, read_filters=[[("k", "=", 3)]]
+    )
+    assert state["raced"] and v == loser.current_version()
+    rows = _rows(t)
+    assert (3, 30) not in rows and (105, 1051) in rows
+
+
+def test_dv_delete_without_predicate_conflicts_with_nonblind_add(
+    spark, tmp_path
+):
+    """read_filters=None (predicate unknown) is conservative: ANY
+    non-blind winner that added files raises."""
+    t = _mk(spark, tmp_path, "f6")
+    loser = _handle(spark, tmp_path, "f6")
+    winner = _handle(spark, tmp_path, "f6")
+    _interpose(
+        loser,
+        lambda: winner.update_where({"v": "v + 1"}, F.col("k") == 105),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.delete_where(F.col("k") == 3)
+    assert (105, 1051) in _rows(t)
+
+
+def test_disjoint_dv_updates_both_land(spark, tmp_path):
+    """Two UPDATE (DV)s on different files of an unpartitioned table
+    both land; values reflect both."""
+    t = _mk(spark, tmp_path, "f7")
+    loser = _handle(spark, tmp_path, "f7")
+    winner = _handle(spark, tmp_path, "f7")
+    state = _interpose(
+        loser,
+        lambda: winner.update_where(
+            {"v": "v + 1"},
+            F.col("k") == 105,
+            read_filters=[[("k", "=", 105)]],
+        ),
+    )
+    v = loser.update_where(
+        {"v": "v + 2"}, F.col("k") == 3, read_filters=[[("k", "=", 3)]]
+    )
+    assert state["raced"] and v == loser.current_version()
+    rows = dict(_rows(t))
+    assert rows[3] == 32 and rows[105] == 1051
+
+
+def test_metadata_flip_mid_flight_refuses_file_rebase(spark, tmp_path):
+    """A winner that changed write semantics (appendOnly) under the
+    loser's staged DV refuses the rebase even with disjoint files."""
+    t = _mk(spark, tmp_path, "f8")
+    loser = _handle(spark, tmp_path, "f8")
+    winner = _handle(spark, tmp_path, "f8")
+    _interpose(
+        loser,
+        lambda: winner.set_properties({"delta.appendOnly": "true"}),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.delete_where(
+            F.col("k") == 3, read_filters=[[("k", "=", 3)]]
+        )
+    assert (3, 30) in _rows(t)  # nothing deleted
+
+
+def test_sql_dml_derives_read_filters(spark, tmp_path):
+    """The SQL layer parses a simple WHERE into the read DNF, so SQL
+    DELETE/UPDATE racing a disjoint non-blind writer rebases too."""
+    t = _mk(spark, tmp_path, "f9")
+    sess = SqlSession(spark)
+    sess.register(t)
+    loser = _handle(spark, tmp_path, "f9")
+    winner = _handle(spark, tmp_path, "f9")
+    state = _interpose(
+        loser,
+        lambda: winner.update_where(
+            {"v": "v + 1"},
+            F.col("k") == 105,
+            read_filters=[[("k", "=", 105)]],
+        ),
+    )
+    sess_loser = SqlSession(spark)
+    sess_loser.register(loser, "t9")
+    sess_loser.sql("DELETE FROM t9 WHERE k = 3")
+    assert state["raced"]
+    rows = _rows(t)
+    assert (3, 30) not in rows and (105, 1051) in rows
+
+
+def test_parallel_dv_deletes_threads_unpartitioned(spark, tmp_path):
+    """REAL concurrency: four writers each DV-delete their own key in
+    a DIFFERENT file of an unpartitioned table, simultaneously. Every
+    writer lands (file-disjoint rebases), zero aborted work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    name = "f10"
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    # four files: one append per range
+    t.overwrite(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    for lo in (100, 200, 300):
+        t.append(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            )
+        )
+
+    def writer(lo):
+        h = ManagedTable(spark, name, str(tmp_path / name))
+        return h.delete_where(
+            F.col("k") == lo + 5,
+            read_filters=[[("k", "=", lo + 5)]],
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = list(ex.map(writer, (0, 100, 200, 300)))
+    assert sorted(versions) == [4, 5, 6, 7]  # v0-3 setup, then all land
+    got = {k for k, _v in _rows(t)}
+    assert got == {
+        k
+        for k in list(range(10))
+        + list(range(100, 110))
+        + list(range(200, 210))
+        + list(range(300, 310))
+        if k not in (5, 105, 205, 305)
+    }

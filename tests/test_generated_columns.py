@@ -339,3 +339,31 @@ def test_month_pair_derivation_rules(spark, tmp_path):
         == t.read().filter(F.col("ts").between(lo, hi2)).count()
         > 0
     )
+
+
+def test_merge_clauses_regenerates_per_clause(spark, tmp_path):
+    """ADVICE r12 (medium): when clause A explicitly assigns generated
+    column g and clause B assigns only g's INPUT, rows fired by B must
+    still regenerate g — a global assigned-set union left them with the
+    stale stored value (misleading CHECK abort or a persisted
+    invariant-violating value)."""
+    t = ManagedTable(spark, "tg", str(tmp_path / "tg"))
+    t.set_generated_column("g", "v * 2")
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    )
+    src = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "k long, v double"
+    )
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[
+            # clause m0: explicit (consistent) assignment of g
+            ("src.v >= 200", {"v": "src.v", "g": "src.v * 2"}),
+            # clause m1: assigns only g's input — g must regenerate
+            (None, {"v": "src.v"}),
+        ],
+    )
+    rows = {r["k"]: (r["v"], r["g"]) for r in t.read().collect()}
+    assert rows == {1: (100.0, 200.0), 2: (200.0, 400.0)}

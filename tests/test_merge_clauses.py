@@ -150,26 +150,37 @@ def test_sql_conditional_matched_delete(spark, tmp_path):
     assert _state(t) == {2: ("b", 20.0), 3: ("kept", 30.0)}
 
 
-def test_sql_legacy_combo_keeps_specialized_route(spark, tmp_path):
-    """Unconditional UPDATE SET * + INSERT * must still run the
-    identity-aware partition-scoped upsert, not the general engine."""
-    t = _mk(spark, tmp_path)
+def test_sql_legacy_combo_unified_route_stays_partition_scoped(spark, tmp_path):
+    """Unconditional UPDATE SET * + INSERT * routes through the unified
+    merge_clauses engine (history op MERGE — the r12 routing unification,
+    sql_dml.py) AND keeps the property the old specialized route
+    guaranteed: a partition-scoped SQL upsert leaves untouched
+    partitions' files byte-identical (carried manifest entries)."""
+    t = ManagedTable(spark, "t", str(tmp_path / "tp"), partition_columns=["g"])
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("g"),
+        F.lit(1.0).alias("v"),
+    )
+    t.overwrite(df)
     sess = SqlSession(spark)
     sess.register(t)
-    _src(spark, [(1, "up", 11.0), (5, "in", 50.0)]).createOrReplaceTempView(
-        "batch3"
-    )
+    spark.createDataFrame(
+        [(1, 1, 99.0), (1000, 1, 50.0)], "k long, g long, v double"
+    ).createOrReplaceTempView("batch3")
+    v0 = t._read_manifest(t.current_version())
     sess.sql(
-        "MERGE INTO t USING batch3 ON t.k = batch3.k "
+        "MERGE INTO t USING batch3 ON t.k = batch3.k AND t.g = batch3.g "
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
-    assert _state(t) == {
-        1: ("up", 11.0),
-        2: ("b", 20.0),
-        3: ("c", 30.0),
-        5: ("in", 50.0),
-    }
-    assert t.history()[0]["operation"] == "MERGE UPSERT"
+    assert t.history()[0]["operation"] == "MERGE"
+    v1 = t._read_manifest(t.current_version())
+    # partitions g=0,2,3 carry over byte-identical (same entry files)
+    carried = {rel for rel in v0.values() if "g=1" not in rel}
+    assert carried <= set(v1.values())
+    rows = {r["k"]: r["v"] for r in t.read().where("g = 1").collect()}
+    assert rows[1] == 99.0 and rows[1000] == 50.0
+    assert t.read().count() == 41
 
 
 def test_partition_scoped_without_by_source(spark, tmp_path):

@@ -295,3 +295,25 @@ def test_row_ids_unique_with_duplicate_key_merge_source(spark, tmp_path):
     )
     ids = [r["_row_id"] for r in t.read_with_row_ids().collect()]
     assert len(set(ids)) == len(ids)  # globally unique, duplicates too
+
+
+def test_row_ids_preserved_through_reorg_purge(spark, tmp_path):
+    """Round 13: REORG PURGE was the last re-minting rewrite — the
+    restaged files must now materialize every survivor's id (and
+    commit version), Delta's preserve-by-materializing rule."""
+    t = _mk(spark, tmp_path, "rt_reorg")
+    t.compact()
+    t.delete_where(F.col("k") % 10 == 0)  # merge-on-read: DVs only
+    before = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.read_with_row_ids(with_commit_versions=True).collect()
+    }
+    v = t.reorg(0.01)  # every dir qualifies: purge all DVs
+    assert v == t.current_version()
+    dv, _n = t._read_dv(v)
+    assert not dv  # DVs gone — rows physically dropped
+    after = {
+        r["k"]: (r["_row_id"], r["_row_commit_version"])
+        for r in t.read_with_row_ids(with_commit_versions=True).collect()
+    }
+    assert after == before

@@ -328,7 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_signatures": dedup.minhash_signatures,
         "dedup_minhash_pairs": dedup.minhash_candidate_pairs,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_cached,
         # NEW round 12: integer PageRank over the symmetrized near-dup
         # candidate graph (corpus-curation authority signal) — ranks in
         # BIGINT 1e-12 units, floor-division power steps, bit-exact twin

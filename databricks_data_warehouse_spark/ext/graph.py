@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..queries._util import load
-from .dedup import ngram_jaccard_pairs
+from .dedup import ngram_jaccard_pairs_cached
 
 # 1.0 of rank mass in integer units. 1e12 keeps per-node ranks ≥ 1e6
 # units for corpora up to ~1e6 docs (quantization loss stays ≤ 1e-6
@@ -73,9 +73,12 @@ def pagerank_near_dup(
 
     Output: (doc_id, degree, pagerank_e12) — rank in 1e-12 units.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold).select(
-        "doc_a", "doc_b"
-    )
+    # shared scratch-cached edge set (VERDICT r12 item 6): the same
+    # pair join the dedup_ngram_jaccard entry serves — computed once
+    # per corpus, consumed by both
+    pairs = ngram_jaccard_pairs_cached(
+        spark, sf_dir, threshold=threshold
+    ).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return pagerank_from_pairs(docs, pairs, iterations=iterations)
 

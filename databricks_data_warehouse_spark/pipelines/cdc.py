@@ -62,6 +62,15 @@ DELETED_COL = "__DELETED"
 # and resolve untracked columns by true event order (VERDICT r10
 # item 5). Default mode stores nothing extra (1 row == 1 event).
 EVENTS_COL = "__EVENTS"
+# TRACK HISTORY mode only: seq-only anchors for events the __EVENTS
+# cap dropped (round 13, VERDICT r12 item 7) — array<seq type>. A
+# dropped event's VALUES are unrecoverable by design (that is what
+# the cap bounds), but its SEQUENCE is one scalar; keeping the seqs
+# lets a late splice into an aged-out span close at the TRUE next
+# event boundary instead of the nearest retained neighbor, making
+# in-gap splice BOUNDARIES exact whenever the gap fits the anchor
+# cap (same N as the event cap; beyond it anchors subsample evenly).
+ANCHORS_COL = "__GAP_ANCHORS"
 
 
 def scd1_current(target: ManagedTable) -> DataFrame:
@@ -86,7 +95,7 @@ def scd2_history(target: ManagedTable) -> DataFrame:
     (ADVICE r11)."""
     return target.read().where(
         F.col(END_COL).isNull() | (F.col(START_COL) != F.col(END_COL))
-    ).drop(EVENTS_COL)
+    ).drop(EVENTS_COL, ANCHORS_COL)
 
 
 def _latest_per_key(
@@ -119,12 +128,18 @@ def apply_changes(
     one when the batch is a no-op).
 
     ``track_history_max_events`` bounds the per-version ``__EVENTS``
-    array in tracked mode: a version keeps its LAST N merged events by
-    sequence (the latest values are what in-place resolution needs), so
-    a hot key with millions of untracked updates cannot grow its SCD2
-    row without bound. Events aged past the cap lose exact-replay
-    dedup — replaying one re-splices (converging to the same history,
-    one extra commit) instead of no-opping."""
+    array in tracked mode: a version keeps its FIRST + LAST N−1 merged
+    events by sequence (the latest values are what in-place resolution
+    needs), so a hot key with millions of untracked updates cannot
+    grow its SCD2 row without bound. The SEQS of dropped events
+    persist as ``__GAP_ANCHORS`` (round 13, same N cap — evenly
+    subsampled beyond it): replaying an aged-out event dedupes against
+    its anchor (commit-free no-op), and a late splice INTO the gap
+    closes at the true next event boundary whenever the gap fits the
+    anchor cap. Residual approximation is value-level only: a rebuilt
+    middle segment consisting solely of anchors takes its row's stored
+    values (tracked columns exact by construction, untracked
+    best-effort — the dropped VALUES are what the cap bounds away)."""
     keys = list(keys)
     if stored_as_scd_type == 1:
         if (
@@ -265,6 +280,8 @@ def _rebuild_history(
     Deletes always break; the preceding version's ``__END_AT`` is the
     delete's sequence and the delete itself persists as a zero-width
     tombstone row (see ``scd2_history``)."""
+    if "__ph" not in events.columns:
+        events = events.withColumn("__ph", F.lit(False))
     w = Window.partitionBy(*keys).orderBy(F.col(seq))
     if tracked is None:
         brk = F.lit(True)
@@ -288,16 +305,28 @@ def _rebuild_history(
     if tracked is not None and EVENTS_COL in out_cols:
         # persist the group's merged events (sorted by seq — the
         # struct's first field) so collapsing stays lossless for a
-        # later splice; same wg window, no extra shuffle
+        # later splice; same wg window, no extra shuffle. PHANTOM
+        # events (seq-only anchors replayed from __GAP_ANCHORS — see
+        # below) are excluded: their values are synthesized, never
+        # stored as real events.
         value_cols = [
             c
             for c in events.columns
-            if c not in (*keys, seq, "__del", "__src", "__brk", "__grp")
+            if c not in (*keys, seq, "__del", "__src", "__brk", "__grp",
+                         "__ph")
         ]
-        arr = F.sort_array(
-            F.collect_list(
-                F.struct(F.col(seq), *[F.col(c) for c in value_cols])
-            ).over(wg)
+        ev = ev.withColumn(
+            "__arr_all",
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        ~F.col("__ph"),
+                        F.struct(
+                            F.col(seq), *[F.col(c) for c in value_cols]
+                        ),
+                    )
+                ).over(wg)
+            ),
         )
         # bounded (VERDICT r11 item 5): a hot key's millions of
         # untracked updates must not grow its SCD2 row without bound.
@@ -305,30 +334,60 @@ def _rebuild_history(
         # start anchor — a later splice must rebuild __START_AT from
         # it) plus the LAST max_events-1 (the latest values are what
         # in-place resolution takes).
-        #
-        # CONTRACT BOUNDARY (round-12 review): any-order convergence
-        # is guaranteed for events whose seq lands ON or OUTSIDE the
-        # retained window (before the first event, at/after the oldest
-        # trailing event, or matching a retained seq). A late event —
-        # new OR replayed — whose seq falls INSIDE an aged-out gap
-        # anchors against the nearest RETAINED neighbors: the result
-        # is deterministic for a given arrival order but may differ
-        # from the full-history splice (the dropped events' boundaries
-        # are unrecoverable by construction). Size the cap above the
-        # hot key's realistic late-arrival horizon; the property suite
-        # pins convergence within the window and
-        # tests/test_apply_changes.py pins the degraded-gap behavior.
         k = max(int(max_events), 2)
         ev = ev.withColumn(
             EVENTS_COL,
-            F.when(F.size(arr) <= F.lit(k), arr).otherwise(
+            F.when(
+                F.size("__arr_all") <= F.lit(k), F.col("__arr_all")
+            ).otherwise(
                 F.concat(
-                    F.slice(arr, 1, 1), F.slice(arr, -(k - 1), k - 1)
+                    F.slice("__arr_all", 1, 1),
+                    F.slice("__arr_all", -(k - 1), k - 1),
                 )
             ),
         )
-    # the version's values are its LATEST event's values
-    wlast = wg.orderBy(F.col(seq).desc())
+        # seq-only GAP ANCHORS (round 13, VERDICT r12 item 7): the
+        # seqs this cap application drops, plus anchors carried from
+        # prior rebuilds (phantom group members). A later splice into
+        # the gap then closes at the TRUE next event seq — exact
+        # boundaries whenever the gap fits the anchor cap. Values of
+        # dropped events stay unrecoverable (the cap's whole point);
+        # the residual approximation is value-level only: a rebuilt
+        # middle segment consisting ONLY of anchors takes its source
+        # row's stored values (tracked columns exact by construction —
+        # every event in a merged version shares them; untracked
+        # best-effort). Anchors beyond the cap subsample evenly —
+        # still O(max_events) state per row.
+        ev = ev.withColumn(
+            "__anch_all",
+            F.sort_array(
+                F.concat(
+                    F.expr(
+                        f"transform(slice(__arr_all, 2, "
+                        f"greatest(size(__arr_all) - {k}, 0)), "
+                        f"x -> x.{seq})"
+                    ),
+                    F.collect_list(
+                        F.when(F.col("__ph"), F.col(seq))
+                    ).over(wg),
+                )
+            ),
+        )
+        ev = ev.withColumn(
+            ANCHORS_COL,
+            F.when(
+                F.size("__anch_all") <= F.lit(k), F.col("__anch_all")
+            ).otherwise(
+                F.expr(
+                    f"filter(__anch_all, (x, i) -> "
+                    f"i % int(ceil(size(__anch_all) / {k}.0)) = 0)"
+                )
+            ),
+        ).drop("__arr_all", "__anch_all")
+    # the version's values are its LATEST REAL event's values —
+    # phantoms (synthesized values) only win when a group is all-
+    # phantom (a middle segment of an aged-out gap; see ANCHORS_COL)
+    wlast = wg.orderBy(F.col("__ph").asc(), F.col(seq).desc())
     ev = (
         ev.withColumn("__rn", F.row_number().over(wlast))
         .where(F.col("__rn") == 1)
@@ -399,8 +458,13 @@ def _apply_scd2(
     out_cols = [c for c in data_cols if c != seq] + [START_COL, END_COL]
     if tracked is not None:
         out_cols.append(EVENTS_COL)
-    ev_cols = [*keys, *value_cols, seq, "__del", "__src"]
-    batch_ev = ch.withColumn("__src", F.lit(1)).select(*ev_cols)
+        out_cols.append(ANCHORS_COL)
+    ev_cols = [*keys, *value_cols, seq, "__del", "__src", "__ph"]
+    batch_ev = (
+        ch.withColumn("__src", F.lit(1))
+        .withColumn("__ph", F.lit(False))
+        .select(*ev_cols)
+    )
 
     def dedupe(events: DataFrame) -> DataFrame:
         # one (key, seq) survivor; already-applied events (src 0) win
@@ -468,6 +532,7 @@ def _apply_scd2(
             *[F.col(f"__e.{c}").alias(c) for c in value_cols],
             F.col(f"__e.{seq}").alias(seq),
             F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+            F.lit(False).alias("__ph"),
         )
         row_ev = hist.where(
             F.col(EVENTS_COL).isNull() | (F.size(EVENTS_COL) == 0)
@@ -475,17 +540,37 @@ def _apply_scd2(
             *keys, *value_cols,
             F.col(START_COL).alias(seq),
             F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+            F.lit(False).alias("__ph"),
         ).unionByName(exact_ev)
+        if ANCHORS_COL in tcols:
+            # phantom replay of seq-only gap anchors (round 13): each
+            # anchor re-enters the event stream at its TRUE sequence,
+            # carrying its row's stored values — tracked columns exact
+            # (constant within a merged version), untracked synthetic
+            # and never persisted back as a real event (__ph excludes
+            # them from the rebuilt __EVENTS; they re-emit as anchors)
+            ph_ev = hist.where(
+                F.col(ANCHORS_COL).isNotNull()
+                & (F.size(ANCHORS_COL) > 0)
+            ).select(
+                *keys, *value_cols,
+                F.explode(ANCHORS_COL).alias(seq),
+                F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+                F.lit(True).alias("__ph"),
+            )
+            row_ev = row_ev.unionByName(ph_ev)
     else:
         row_ev = hist.select(
             *keys, *value_cols,
             F.col(START_COL).alias(seq),
             F.lit(False).alias("__del"), F.lit(0).alias("__src"),
+            F.lit(False).alias("__ph"),
         )
     tomb_ev = affected.where(is_tomb).select(
         *keys, *value_cols,
         F.col(START_COL).alias(seq),
         F.lit(True).alias("__del"), F.lit(0).alias("__src"),
+        F.lit(False).alias("__ph"),
     )
     wh = Window.partitionBy(*keys).orderBy(F.col(START_COL))
     del_ev = (
@@ -501,6 +586,7 @@ def _apply_scd2(
             *keys, *value_cols,
             F.col(END_COL).alias(seq),
             F.lit(True).alias("__del"), F.lit(0).alias("__src"),
+            F.lit(False).alias("__ph"),
         )
     )
     events = dedupe(

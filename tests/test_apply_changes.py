@@ -761,19 +761,56 @@ def test_capped_replay_converges(spark, tmp_path):
     ]
 
 
-def test_capped_gap_splice_is_deterministic_and_documented(spark, tmp_path):
-    """CONTRACT BOUNDARY (round-12 review): a NEW tracked change whose
-    seq falls inside an AGED-OUT span cannot splice against the dropped
-    events — it anchors at the nearest RETAINED neighbors. The outcome
-    legitimately differs from the one-batch (full-history) result; what
-    this pins is (a) the exact anchoring rule and (b) idempotence —
-    replaying the same splice changes nothing further."""
+def test_capped_gap_splice_exact_within_anchor_cap(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 7): the seqs of cap-dropped events
+    persist as __GAP_ANCHORS, so a late tracked change into an
+    aged-out span closes at the TRUE next event boundary — the history
+    EQUALS the uncapped (full-history) splice whenever the gap fits
+    the anchor cap."""
+    rows = [(1, "S0", float(s), s, "upsert") for s in (1, 2, *range(4, 16))]
+    late = [(1, "S1", 3.0, 3, "upsert")]
+    # capped build (cap 8 keeps first + last 7: seqs 2..8 age out,
+    # but their anchors fit the cap of 8) then the late splice
+    t = ManagedTable(spark, "gapx", str(tmp_path / "gapx"))
+    _apply_tracked(
+        t, _tracked_changes(spark, rows), track_history_max_events=8
+    )
+    _apply_tracked(
+        t, _tracked_changes(spark, late), track_history_max_events=8
+    )
+    # uncapped reference: same events, one big cap
+    ref = ManagedTable(spark, "gapref", str(tmp_path / "gapref"))
+    _apply_tracked(t=ref, ch=_tracked_changes(spark, rows))
+    _apply_tracked(t=ref, ch=_tracked_changes(spark, late))
+    keep = ["status", START_COL, END_COL]
+
+    def hist(tb):
+        return [
+            tuple(r[c] for c in keep)
+            for r in sorted(
+                scd2_history(tb).collect(), key=lambda r: r[START_COL]
+            )
+        ]
+
+    got, want = hist(t), hist(ref)
+    # S1 closes at the TRUE next event (4 — an aged-out seq known only
+    # through its anchor), identical to the uncapped splice
+    assert got == want == [("S0", 1, 3), ("S1", 3, 4), ("S0", 4, None)]
+
+
+def test_capped_gap_splice_subsampled_beyond_cap(spark, tmp_path):
+    """CONTRACT BOUNDARY: when the aged-out span exceeds the anchor
+    cap, anchors subsample evenly — a splice into the gap closes at
+    the nearest KEPT anchor (tighter than the pre-anchor rule of
+    "oldest retained trailing event", still approximate). Pins (a) the
+    subsampled anchoring rule and (b) idempotence."""
     t = ManagedTable(spark, "gap", str(tmp_path / "gap"))
     rows = [(1, "S0", float(s), s, "upsert") for s in (1, 2, *range(4, 41))]
     _apply_tracked(
         t, _tracked_changes(spark, rows), track_history_max_events=8
     )
-    # stored array is [seq 1] + [seqs 34..40]: seq 3 is in the gap
+    # events kept: [1] + [34..40]; dropped seqs 2,4..33 (32 anchors >
+    # cap 8) subsample at step 4 → kept anchors 2,7,11,15,19,23,27,31
     _apply_tracked(
         t,
         _tracked_changes(spark, [(1, "S1", 3.0, 3, "upsert")]),
@@ -784,9 +821,9 @@ def test_capped_gap_splice_is_deterministic_and_documented(spark, tmp_path):
         tuple(r[c] for c in keep)
         for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
     ]
-    # anchoring rule: S1 closes at the OLDEST RETAINED trailing event
-    # (34), not the dropped true next event (4)
-    assert hist == [("S0", 1, 3), ("S1", 3, 34), ("S0", 34, None)]
+    # anchoring rule: S1 closes at the nearest KEPT anchor (7) — the
+    # true boundary 4 was subsampled away
+    assert hist == [("S0", 1, 3), ("S1", 3, 7), ("S0", 7, None)]
     # idempotence: the same splice again is a no-op on the history
     _apply_tracked(
         t,
@@ -798,3 +835,22 @@ def test_capped_gap_splice_is_deterministic_and_documented(spark, tmp_path):
         for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
     ]
     assert hist2 == hist
+
+
+def test_capped_replay_of_aged_event_is_commit_free(spark, tmp_path):
+    """Round 13: replaying an event whose seq aged out of __EVENTS now
+    dedupes against its __GAP_ANCHORS anchor — a commit-free no-op
+    (previously it re-spliced: same history, one extra commit)."""
+    t = ManagedTable(spark, "rpnc", str(tmp_path / "rpnc"))
+    rows = [(1, "S0", float(s), s, "upsert") for s in range(1, 13)]
+    _apply_tracked(
+        t, _tracked_changes(spark, rows), track_history_max_events=8
+    )
+    v0 = t.current_version()
+    # seq 3 aged out (cap 8 keeps 1 + 6..12) but its anchor persists
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S0", 3.0, 3, "upsert")]),
+        track_history_max_events=8,
+    )
+    assert t.current_version() == v0  # zero version churn

@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loser rebases reusing its compacted files (REAL interposed
         # collision, builder-asserted)
         "table_optimize_race": managed_scan.table_optimize_race,
+        # NEW round 13: merge-on-read MERGE (Delta MERGE with DVs) —
+        # mixed delete/update/insert clauses through ONE DV commit;
+        # untouched files carried byte-identical (builder-asserted)
+        "table_merge_on_read": managed_scan.table_merge_on_read,
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
@@ -465,11 +469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dashboard entries r12-green), events_hourly_windows (json_ops.py —
 # events_json_agg/extract/anomaly in-window). The post-freeze
 # table_optimize_race took emb_quantize_int8's slot (similarity.py
-# keeps nine in-window representatives; it rotates in r14).
+# keeps nine in-window representatives; it rotates in r14), and the
+# post-freeze table_merge_on_read took dedup_containment_pairs's slot
+# (dedup.py keeps six in-window representatives; it rotates in r14).
 _R13_WINDOW = [
     # (a) NEW round-13 oracle + touched-path re-checks
     "table_unpartitioned_race",
     "table_optimize_race",
+    "table_merge_on_read",
     "table_append_race",
     "table_disjoint_merge_race",
     "table_merge_sync",
@@ -502,7 +509,6 @@ _R13_WINDOW = [
     "dash_customer_share_by_segment",
     "dedup_cap_report",
     "dedup_clusters",
-    "dedup_containment_pairs",
     "dedup_incremental",
     "dedup_keep_canonical",
     "dedup_semantic",
@@ -1062,6 +1068,7 @@ def oracle_sql() -> dict[str, str]:
         "table_unpartitioned_race":
             managed_scan.table_unpartitioned_race_oracle(),
         "table_optimize_race": managed_scan.table_optimize_race_oracle(),
+        "table_merge_on_read": managed_scan.table_merge_on_read_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
         "table_row_versions_scan":

@@ -1098,3 +1098,105 @@ def table_optimize_race_oracle() -> str:
                CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
         FROM adj GROUP BY grp ORDER BY grp
     """
+
+
+def _merge_on_read_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached UNPARTITIONED table exercising merge-on-read MERGE
+    (round 13: ``merge_clauses(deletion_vectors=True)`` — Delta's
+    MERGE-with-DVs): v0 lands every order; ONE merge then (a) deletes
+    the k%100==0 slice via a conditional matched-DELETE clause, (b)
+    reprices k%10==3 (+5) via the matched-UPDATE clause, and (c)
+    inserts two literal rows — all in one commit whose write set is
+    the DV sidecar plus ONE appended dir of exactly the changed rows;
+    every untouched file carries over byte-identical (the builder
+    asserts the v0 entries survive verbatim and that history records
+    MERGE (DV))."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"mor_tbl_{h}")
+    t = ManagedTable(spark, f"orders_mor_{h}", loc)
+    if t.current_version() == 1:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_mor_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t.overwrite(base)                                               # v0
+    v0_entries = set(t._read_manifest(0).values())
+    src = (
+        base.where((F.col("k") % 100 == 0) | (F.col("k") % 10 == 3))
+        .select("k", "price")
+        .unionByName(
+            spark.createDataFrame(
+                [(3_000_000_001, 11.0), (3_000_000_002, 22.0)],
+                "k long, price double",
+            )
+        )
+    )
+    v = t.merge_clauses(                                            # v1
+        src,
+        ["k"],
+        matched=[
+            ("k % 100 = 0", "delete"),
+            (None, {"price": "price + 5"}),
+        ],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    hist_op = t.history()[0]["operation"]
+    v1_entries = set(t._read_manifest(v).values())
+    if v != 1 or hist_op != "MERGE (DV)" or not v0_entries <= v1_entries:
+        raise AssertionError(
+            f"merge-on-read merge did not take the DV path: v={v} "
+            f"op={hist_op!r} carried={v0_entries <= v1_entries}"
+        )
+    return t
+
+
+def table_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE, driver-checked: deletes + repricing +
+    inserts through one DV commit (see ``_merge_on_read_table``); the
+    oracle replays the clauses relationally. Reading the table applies
+    the deletion vectors, so a wrong or double-applied DV shows up as
+    a value mismatch here."""
+    from ._util import cents
+
+    t = _merge_on_read_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_merge_on_read_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH adj AS (
+            SELECT o_orderkey AS k,
+                   o_totalprice
+                       + CASE WHEN o_orderkey % 10 = 3 THEN 5 ELSE 0 END
+                       AS price
+            FROM orders
+            WHERE o_orderkey % 100 <> 0
+            UNION ALL
+            SELECT 3000000001, 11.0
+            UNION ALL
+            SELECT 3000000002, 22.0
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """

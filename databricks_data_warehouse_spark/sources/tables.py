@@ -6157,6 +6157,7 @@ class ManagedTable:
         op: str,
         append_df: DataFrame | None = None,
         append_materialized: bool = False,
+        append_mint: bool = False,
         read_dnf: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
@@ -6290,6 +6291,11 @@ class ManagedTable:
             rbb, rmm, rhh, rvv = self._carried_row_base(
                 base, stats_b,
                 materialized=(appended_files if append_materialized else ()),
+                # append_mint (merge-on-read MERGE): the appended dir
+                # interleaves id-carrying rewrites with NULL-id inserts
+                # — a per-file base lets the NULLs resolve to base +
+                # position ("partial" materialization)
+                mint_materialized=append_mint,
             )
             return entries_b, stats_b, nd, nn, rbb, rmm, rhh, rvv
 
@@ -6696,6 +6702,7 @@ class ManagedTable:
         matched: Sequence[tuple] = (),
         not_matched: Sequence[tuple] = (),
         not_matched_by_source: Sequence[tuple] = (),
+        deletion_vectors: bool = False,
     ) -> int:
         """Delta's FULL conditional MERGE: an ordered clause list per
         match class, first-true-condition-fires — the general form
@@ -6732,6 +6739,18 @@ class ManagedTable:
         by-source merges can't prune). Duplicate source keys raise when
         any matched / by-source clause exists (Delta's "multiple source
         rows matched" error).
+
+        ``deletion_vectors=True`` is the MERGE-ON-READ shape (round 13,
+        Delta's MERGE with DVs): matched/by-source rows a clause fires
+        on go dead via a deletion-vector sidecar and their rewritten
+        versions (plus inserts) land in ONE appended dir — O(changed
+        rows) written, untouched rows' files never rewritten, on ANY
+        table including unpartitioned ones. The commit's write set is
+        the exact touched files, so it rides file-level conflict
+        detection: two merges on disjoint key ranges land in parallel
+        even without partitions (``_delete_rows_dv``). Identity-column
+        tables must use the copy-on-write path (inserts can't mint
+        through the append).
 
         Tables with generated or identity columns require insert maps
         to be ``"insert_all"`` (the specialized :meth:`merge_upsert` /
@@ -6836,7 +6855,47 @@ class ManagedTable:
         )
         v_read = self.current_version()
         track = self._row_tracking_enabled()
-        if track:
+        drop_scope: set[str] = set()
+        scope_keys: set[str] | None = None
+        read_dnf = None
+        if deletion_vectors:
+            if self.identity:
+                raise ValueError(
+                    f"table {self.name}: merge-on-read MERGE cannot "
+                    "mint identity columns; use deletion_vectors=False"
+                )
+            # meta-carrying read (the DV key space: __mt_key/__mt_pos
+            # of every visible row); with row tracking, ids attach so
+            # updated rows carry them into the appended rewrite
+            target = self._scan_rels(
+                self._read_manifest(v_read).values(),
+                need_meta=True,
+                with_row_col=track,
+            )
+            dv_map, _ = self._read_dv(v_read)
+            if dv_map:
+                target = target.join(
+                    self._dv_rows(dv_map).select(
+                        F.col("file").alias("__mt_key"),
+                        F.col("pos").alias("__mt_pos"),
+                    ),
+                    ["__mt_key", "__mt_pos"],
+                    "left_anti",
+                )
+            if track:
+                target = (
+                    self._attach_row_ids(target, v_read)
+                    .withColumnRenamed("_row_id", "__row_id")
+                    .withColumnRenamed("_row_commit_version", "__row_ver")
+                )
+            if scoped:
+                # join pruning only — the commit is file-scoped, no
+                # entries are dropped or restaged
+                pf, _tuples = self._source_partitions(source)
+                if pf is None:
+                    return self.current_version()
+                target = target.filter(pf)
+        elif track:
             # carried/updated rows keep their ids in-data through the
             # rewrite; insert-clause rows have no target side (NULL
             # __row_id) and mint base + position. Last-modified
@@ -6845,21 +6904,20 @@ class ManagedTable:
             target = self._track_read(v_read)
         else:
             target = self.read(v_read)
-        drop_scope: set[str] = set()
-        scope_keys: set[str] | None = None
-        read_dnf = None
-        if scoped:
-            pf, tuples = self._source_partitions(source)
-            if pf is None:
-                return self.current_version()  # empty source, no by-source
-            # scoped entries are dropped + survivors restaged: a matched
-            # DELETE clause can empty a partition, which must then leave
-            # the manifest (no staged dir is written for it)
-            drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
-            read_dnf = self._scope_dnf(tuples)
-            target = target.filter(pf)
-        else:
-            read_dnf = [[]]
+        if not deletion_vectors:
+            if scoped:
+                pf, tuples = self._source_partitions(source)
+                if pf is None:
+                    return self.current_version()  # empty source, no by-source
+                # scoped entries are dropped + survivors restaged: a
+                # matched DELETE clause can empty a partition, which
+                # must then leave the manifest (no staged dir is
+                # written for it)
+                drop_scope, scope_keys = self._scope_rels_keys(v_read, tuples)
+                read_dnf = self._scope_dnf(tuples)
+                target = target.filter(pf)
+            else:
+                read_dnf = [[]]
         if not not_matched_by_source and source.isEmpty():
             return self.current_version()
         src = source.select(
@@ -6897,7 +6955,25 @@ class ManagedTable:
             for i, (_c, a) in enumerate(not_matched_by_source)
             if a == "delete"
         )
-        kept = joined.filter(~F.col("__act").isin(sorted(dead)))
+        if deletion_vectors:
+            # only rows a clause FIRED on are rewritten/appended; keep
+            # rows stay in their files untouched (the whole point)
+            live = sorted(
+                {
+                    f"m{i}"
+                    for i, (_c, a) in enumerate(matched)
+                    if a != "delete"
+                }
+                | {f"i{i}" for i in range(len(not_matched))}
+                | {
+                    f"s{i}"
+                    for i, (_c, a) in enumerate(not_matched_by_source)
+                    if a != "delete"
+                }
+            )
+            kept = joined.filter(F.col("__act").isin(live))
+        else:
+            kept = joined.filter(~F.col("__act").isin(sorted(dead)))
         out_cols = []
         for f in self.schema.fields:
             c = f.name
@@ -6962,6 +7038,50 @@ class ManagedTable:
                 ).otherwise(regen)
             result = result.withColumn(g, regen)
         result = result.drop("__act")
+        if deletion_vectors:
+            # merge-on-read commit: the fired target-side rows' old
+            # versions die via the vector, the rewritten/inserted rows
+            # append, atomically. The declared read predicate is the
+            # per-key-column BETWEEN over the source's key bounds — a
+            # sound SUPERSET of the rows the keyed join could read
+            # (one tiny source agg) — so a racing non-blind writer
+            # whose added files provably carry no key in range stays
+            # disjoint and the loser rebases. A by-source clause reads
+            # every target row: its predicate is "everything".
+            if not_matched_by_source:
+                merge_read_dnf: Sequence[Sequence[tuple]] | None = [[]]
+            else:
+                merge_read_dnf = None
+                try:
+                    bounds = source.agg(
+                        *[F.min(k).alias(f"__lo_{k}") for k in keys],
+                        *[F.max(k).alias(f"__hi_{k}") for k in keys],
+                    ).collect()[0]
+                    trips = []
+                    empty_read = False
+                    for k in keys:
+                        lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
+                        if lo is None or hi is None:
+                            # no rows / all-NULL key: NULL keys match
+                            # nothing under standard equality — the
+                            # read set is empty
+                            empty_read = True
+                            break
+                        trips.append((k, "between", lo, hi))
+                    merge_read_dnf = [] if empty_read else [trips]
+                except Exception:
+                    merge_read_dnf = None  # unorderable key type
+            doomed = joined.filter(
+                F.col("__tgt_m").isNotNull() & (F.col("__act") != "keep")
+            ).select("__mt_key", "__mt_pos")
+            return self._delete_rows_dv(
+                doomed,
+                op="MERGE (DV)",
+                append_df=result,
+                append_materialized=track,
+                append_mint=track,
+                read_dnf=merge_read_dnf,
+            )
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",
             drop_rels=drop_scope,

@@ -308,3 +308,150 @@ def test_partition_omitting_insert_falls_back_to_full_rewrite(spark, tmp_path):
         (2, None, 2.0),  # pre-existing NULL-partition row NOT dropped
         (9, None, 9.0),  # inserted with NULL partition value
     }
+
+
+# ------------------------------------------------- merge-on-read (DV)
+
+
+def test_dv_merge_upsert_state_and_untouched_files(spark, tmp_path):
+    """deletion_vectors=True: same visible state as the CoW path, but
+    untouched rows' files carry over byte-identical and only the
+    changed rows append (history op MERGE (DV))."""
+    t = _mk(spark, tmp_path)
+    v0_entries = set(t._read_manifest(t.current_version()).values())
+    t.merge_clauses(
+        _src(spark, [(1, "up", 11.0), (5, "in", 50.0)]),
+        ["k"],
+        matched=[(None, {"s": "'up'", "v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    assert _state(t) == {
+        1: ("up", 11.0),
+        2: ("b", 20.0),
+        3: ("c", 30.0),
+        5: ("in", 50.0),
+    }
+    assert t.history()[0]["operation"] == "MERGE (DV)"
+    v1 = t._read_manifest(t.current_version())
+    assert v0_entries <= set(v1.values())  # originals never rewritten
+    dv, dv_n = t._read_dv(t.current_version())
+    assert sum(dv_n.values()) == 1  # exactly the updated row died
+
+
+def test_dv_merge_delete_clause(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_clauses(
+        _src(spark, [(2, "x", 0.0)]),
+        ["k"],
+        matched=[("src.v = 0", "delete"), (None, {"v": "src.v"})],
+        deletion_vectors=True,
+    )
+    assert _state(t) == {1: ("a", 10.0), 3: ("c", 30.0)}
+    dv, dv_n = t._read_dv(t.current_version())
+    assert sum(dv_n.values()) == 1
+
+
+def test_dv_merge_by_source_sync(spark, tmp_path):
+    """Snapshot sync through the merge-on-read path."""
+    t = _mk(spark, tmp_path)
+    t.merge_clauses(
+        _src(spark, [(2, "B", 200.0), (4, "d", 40.0)]),
+        ["k"],
+        matched=[(None, {"s": "src.s", "v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        not_matched_by_source=[(None, "delete")],
+        deletion_vectors=True,
+    )
+    assert _state(t) == {2: ("B", 200.0), 4: ("d", 40.0)}
+
+
+def test_dv_merge_matches_cow_merge(spark, tmp_path):
+    """Property-ish cross-check: the two paths produce identical
+    visible state on a mixed clause set."""
+    src_rows = [(1, "m", 1.5), (3, "z", 0.0), (7, "n", 70.0)]
+    clauses = dict(
+        matched=[("src.v = 0", "delete"), (None, {"v": "v + src.v"})],
+        not_matched=[("src.v > 50", "insert_all")],
+    )
+    a = _mk(spark, tmp_path, rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    b = ManagedTable(spark, "t2", str(tmp_path / "t2"))
+    b.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+    )
+    a.merge_clauses(_src(spark, src_rows), ["k"], **clauses)
+    b.merge_clauses(
+        _src(spark, src_rows), ["k"], deletion_vectors=True, **clauses
+    )
+    assert _state(a) == _state(b) == {
+        1: ("a", 11.5),
+        2: ("b", 20.0),
+        7: ("n", 70.0),
+    }
+
+
+def test_dv_merge_identity_table_raises(spark, tmp_path):
+    t = ManagedTable(spark, "ti", str(tmp_path / "ti"))
+    t.set_identity_column("id")
+    t.create_if_not_exists(
+        spark.createDataFrame([], "id long, k long, v double").schema
+    )
+    with pytest.raises(ValueError, match="identity"):
+        t.merge_clauses(
+            spark.createDataFrame([(1, 1.0)], "k long, v double"),
+            ["k"],
+            not_matched=[(None, "insert_all")],
+            deletion_vectors=True,
+        )
+
+
+def test_dv_merges_disjoint_keys_race_unpartitioned(spark, tmp_path):
+    """The headline scenario: two merge-on-read MERGEs on disjoint key
+    ranges of an UNPARTITIONED table race — the loser's touched files
+    are disjoint from the winner's, so it rebases and both land."""
+    name = "tr"
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    t.overwrite(
+        spark.range(0, 10).select(
+            F.col("k"), F.lit("a").alias("s"), F.lit(1.0).alias("v")
+        ).withColumn("k", F.col("id")).select("k", "s", "v")
+        if False
+        else spark.range(0, 10).selectExpr(
+            "id AS k", "'a' AS s", "CAST(1.0 AS double) AS v"
+        )
+    )
+    t.append(
+        spark.range(100, 110).selectExpr(
+            "id AS k", "'a' AS s", "CAST(1.0 AS double) AS v"
+        )
+    )
+    loser = ManagedTable(spark, name, str(tmp_path / name))
+    winner = ManagedTable(spark, name, str(tmp_path / name))
+    orig = loser._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            winner.merge_clauses(
+                spark.createDataFrame([(105, "w", 5.0)], "k long, s string, v double"),
+                ["k"],
+                matched=[(None, {"s": "src.s", "v": "src.v"})],
+                deletion_vectors=True,
+            )
+        return orig(*a, **kw)
+
+    loser._write_manifest = interposed
+    v = loser.merge_clauses(
+        spark.createDataFrame([(3, "l", 3.0)], "k long, s string, v double"),
+        ["k"],
+        matched=[(None, {"s": "src.s", "v": "src.v"})],
+        deletion_vectors=True,
+    )
+    assert state["raced"] and v == loser.current_version()
+    got = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got[3] == ("l", 3.0) and got[105] == ("w", 5.0)
+    assert len(got) == 20

@@ -317,3 +317,29 @@ def test_row_ids_preserved_through_reorg_purge(spark, tmp_path):
         for r in t.read_with_row_ids(with_commit_versions=True).collect()
     }
     assert after == before
+
+
+def test_row_ids_through_merge_on_read_merge(spark, tmp_path):
+    """Round 13: merge_clauses(deletion_vectors=True) — updated rows
+    KEEP their ids (materialized into the appended rewrite), inserts
+    mint fresh ones above the watermark, untouched rows' files are
+    never rewritten."""
+    t = _mk(spark, tmp_path, "rt_mor")
+    t.compact()
+    before = _ids(t)
+    src = spark.createDataFrame(
+        [(3, 99), (1000, 0)], "k long, g long"
+    )
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[(None, {"g": "src.g"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    after = _ids(t)
+    assert set(after) == set(before) | {1000}
+    assert all(after[k] == before[k] for k in before)  # incl. updated k=3
+    assert after[1000] > max(before.values())  # fresh mint, never reused
+    g = {r["k"]: r["g"] for r in t.read().collect()}
+    assert g[3] == 99 and g[1000] == 0

@@ -1473,6 +1473,10 @@ class SqlSession:
             t.merge_clauses(
                 source,
                 keys,
+                # delta.enableDeletionVectors: SQL MERGE takes the
+                # merge-on-read path (round 13) — same visible result,
+                # O(changed rows) written
+                deletion_vectors=t._dv_writes_enabled(),
                 matched=self._canon_clauses(
                     matched, t, source, tgt_alias or tgt_name, src_alias
                 ),

@@ -961,6 +961,22 @@ class ManagedTable:
         elif ac.lower() == "false":
             self.auto_compact = False
 
+    def _dv_writes_enabled(self) -> bool:
+        """Delta ``delta.enableDeletionVectors = 'true'``: DML prefers
+        the merge-on-read path — SQL MERGE routes through
+        ``merge_clauses(deletion_vectors=True)`` (O(changed rows)
+        written, untouched files carried). Identity-column tables fall
+        back to copy-on-write regardless (inserts must mint), matching
+        Delta's fall-back-when-unsupported rule. Reads the CURRENT
+        manifest's map like :meth:`_check_append_only`."""
+        v = self.current_version()
+        props = self._read_properties(v) if v >= 0 else self.properties
+        return (
+            str(props.get("delta.enableDeletionVectors", "")).lower()
+            == "true"
+            and not self.identity
+        )
+
     def _check_append_only(self, op: str) -> None:
         """Delta ``delta.appendOnly = 'true'``: a table declared
         append-only rejects every commit that removes or rewrites

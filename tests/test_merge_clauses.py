@@ -455,3 +455,44 @@ def test_dv_merges_disjoint_keys_race_unpartitioned(spark, tmp_path):
     got = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
     assert got[3] == ("l", 3.0) and got[105] == ("w", 5.0)
     assert len(got) == 20
+
+
+def test_sql_merge_routes_dv_when_property_set(spark, tmp_path):
+    """delta.enableDeletionVectors = 'true': SQL MERGE takes the
+    merge-on-read path (history op MERGE (DV), original files carried);
+    without the property it stays copy-on-write (op MERGE)."""
+    t = _mk(spark, tmp_path)
+    t.set_properties({"delta.enableDeletionVectors": "true"})
+    sess = SqlSession(spark)
+    sess.register(t)
+    _src(spark, [(1, "up", 11.0), (5, "in", 50.0)]).createOrReplaceTempView(
+        "bdv"
+    )
+    v_before = t._read_manifest(t.current_version())
+    sess.sql(
+        "MERGE INTO t USING bdv ON t.k = bdv.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert t.history()[0]["operation"] == "MERGE (DV)"
+    assert set(v_before.values()) <= set(
+        t._read_manifest(t.current_version()).values()
+    )
+    assert _state(t) == {
+        1: ("up", 11.0),
+        2: ("b", 20.0),
+        3: ("c", 30.0),
+        5: ("in", 50.0),
+    }
+    # property off → copy-on-write (distinct location: _mk reuses one)
+    t2 = ManagedTable(spark, "t2", str(tmp_path / "t2cw"))
+    t2.overwrite(
+        spark.createDataFrame([(9, "z", 90.0)], "k long, s string, v double")
+    )
+    sess2 = SqlSession(spark)
+    sess2.register(t2, "t2")
+    _src(spark, [(9, "y", 91.0)]).createOrReplaceTempView("bcw")
+    sess2.sql(
+        "MERGE INTO t2 USING bcw ON t2.k = bcw.k "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert t2.history()[0]["operation"] == "MERGE"

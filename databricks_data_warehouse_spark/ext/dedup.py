@@ -284,20 +284,38 @@ def ngram_jaccard_pairs_cached(
             fp = f"{src}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         fp = src
+    # the key carries the IMPLEMENTATION too (source hash of the pair
+    # join + its tokenizer deps): scratch outlives code changes on this
+    # host, and a stale cached edge set would mask a fix — or fabricate
+    # an oracle mismatch — in every consumer (round-13 review)
+    import inspect
+
+    from . import text as _text
+
+    impl = hashlib.md5(
+        (
+            inspect.getsource(ngram_jaccard_pairs)
+            + inspect.getsource(_text.tokens)
+            + inspect.getsource(_text.word_ngrams)
+            + inspect.getsource(normalized_text)
+        ).encode()
+    ).hexdigest()[:8]
     key = hashlib.md5(
-        f"{fp}|{threshold}|{max_df}".encode()
+        f"{fp}|{threshold}|{max_df}|{impl}".encode()
     ).hexdigest()[:12]
     final = os.path.join(_scratch_root(), f"ngram_pairs_{key}")
     done = os.path.join(final, "_SUCCESS")
     if not os.path.exists(done):
         tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
-        ngram_jaccard_pairs(
-            spark, sf_dir, threshold=threshold, max_df=max_df
-        ).write.mode("overwrite").parquet(tmp)
         try:
+            ngram_jaccard_pairs(
+                spark, sf_dir, threshold=threshold, max_df=max_df
+            ).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, final)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        except Exception:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(done):
+                raise  # a real build failure, not a lost rename race
     return spark.read.parquet(final)
 
 

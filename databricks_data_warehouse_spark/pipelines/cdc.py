@@ -503,7 +503,8 @@ def _apply_scd2(
     # It feeds THREE consumers (upsert events, delete events, doomed
     # positions) — one eager materialization beats re-scanning the
     # target's files per branch
-    snap = target._read_internal(target.current_version(), with_pos=True)
+    v_read = target.current_version()
+    snap = target._read_internal(v_read, with_pos=True)
     batch_keys = ch.select(*keys).distinct()
     affected = snap.join(F.broadcast(batch_keys), keys, "left_semi")
     affected = affected.localCheckpoint()
@@ -612,6 +613,7 @@ def _apply_scd2(
         affected.select("__mt_key", "__mt_pos"),
         op="APPLY CHANGES (SCD2)",
         append_df=replacement,
+        read_version=v_read,
     )
 
 

@@ -953,12 +953,15 @@ class SqlSession:
         t = self.table(m.group(1))
         where = m.group(2)
         if where and _SUBQUERY.search(where):
+            v_read = t.current_version()
             matched = self._match_with_subquery(t, where)
             return self._metrics(
                 "DELETE",
                 t,
                 t._delete_rows_dv(
-                    matched.select("__mt_key", "__mt_pos"), op="DELETE (DV)"
+                    matched.select("__mt_key", "__mt_pos"),
+                    op="DELETE (DV)",
+                    read_version=v_read,
                 ),
             )
         cond = F.expr(where) if where else F.lit(True)
@@ -994,6 +997,7 @@ class SqlSession:
                     f"table {t.name}: UPDATE of unknown columns "
                     f"{sorted(unknown)}"
                 )
+            v_read = t.current_version()
             matched = self._match_with_subquery(t, where)
             exprs = {c: F.expr(e) for c, e in assignments.items()}
             rewritten = matched.select(
@@ -1003,7 +1007,8 @@ class SqlSession:
                 "UPDATE",
                 t,
                 t._delete_rows_dv(
-                    matched, op="UPDATE (DV)", append_df=rewritten
+                    matched, op="UPDATE (DV)", append_df=rewritten,
+                    read_version=v_read,
                 ),
             )
         cond = F.expr(where) if where else F.lit(True)

@@ -1440,6 +1440,55 @@ class ManagedTable:
             for f in self.schema.fields
         ]
 
+    def _ansi_coerce(self, df: DataFrame) -> DataFrame:
+        """Staged files must carry the DECLARED column types: the scan
+        applies the table schema to the parquet bytes, so a frame
+        staged with a drifted type (decimal(2,1) into a double
+        column, int into long) would be reinterpreted — e.g. the
+        decimal's unscaled 50 read back as 50.0 (found via the
+        round-10 INSERT OVERWRITE PARTITION repro). Delta casts on
+        write under storeAssignmentPolicy=ANSI — an overflowing or
+        malformed value FAILS the write rather than silently
+        nulling/wrapping (ADVICE r10): try_cast + a raise when a
+        non-NULL input became NULL, all inside one codegen'd pass.
+        Shared by _stage_and_commit and the DV append staging (round
+        13 review: the merge-on-read path skipped it)."""
+        if self.schema is None:
+            return df
+        want = {f.name: f.dataType for f in self.schema.fields}
+        if not any(
+            c in want and df.schema[c].dataType != want[c]
+            for c in df.columns
+        ):
+            return df
+
+        def _ansi_cast(c):
+            tried = F.col(c).try_cast(want[c])
+            return F.when(
+                F.col(c).isNotNull() & tried.isNull(),
+                F.assert_true(
+                    F.lit(False),
+                    F.concat(
+                        F.lit(
+                            f"table {self.name}: value "
+                            f"overflows/fails ANSI cast of "
+                            f"column {c!r} to "
+                            f"{want[c].simpleString()}: "
+                        ),
+                        F.col(c).cast("string"),
+                    ),
+                ).cast(want[c]),
+            ).otherwise(tried).alias(c)
+
+        return df.select(
+            *[
+                _ansi_cast(c)
+                if c in want and df.schema[c].dataType != want[c]
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
     def _to_physical(self, df: DataFrame) -> DataFrame:
         """Rename a logical-named DataFrame to physical names before it
         is written (identity when no mapping is active)."""
@@ -2829,48 +2878,7 @@ class ManagedTable:
                         "the write to mint fresh ids"
                     )
                 spec["next"] = int(base_next) + int(spec["step"]) * int(used)
-        # staged files must carry the DECLARED column types: the scan
-        # applies the table schema to the parquet bytes, so a frame
-        # staged with a drifted type (decimal(2,1) into a double
-        # column, int into long) would be reinterpreted — e.g. the
-        # decimal's unscaled 50 read back as 50.0 (found via the
-        # round-10 INSERT OVERWRITE PARTITION repro). Delta casts on
-        # write under storeAssignmentPolicy=ANSI — an overflowing or
-        # malformed value FAILS the write rather than silently
-        # nulling/wrapping (ADVICE r10): try_cast + a raise when a
-        # non-NULL input became NULL, all inside one codegen'd pass.
-        if self.schema is not None:
-            want = {f.name: f.dataType for f in self.schema.fields}
-            if any(
-                c in want and df.schema[c].dataType != want[c]
-                for c in df.columns
-            ):
-                def _ansi_cast(c):
-                    tried = F.col(c).try_cast(want[c])
-                    return F.when(
-                        F.col(c).isNotNull() & tried.isNull(),
-                        F.assert_true(
-                            F.lit(False),
-                            F.concat(
-                                F.lit(
-                                    f"table {self.name}: value "
-                                    f"overflows/fails ANSI cast of "
-                                    f"column {c!r} to "
-                                    f"{want[c].simpleString()}: "
-                                ),
-                                F.col(c).cast("string"),
-                            ),
-                        ).cast(want[c]),
-                    ).otherwise(tried).alias(c)
-
-                df = df.select(
-                    *[
-                        _ansi_cast(c)
-                        if c in want and df.schema[c].dataType != want[c]
-                        else F.col(c)
-                        for c in df.columns
-                    ]
-                )
+        df = self._ansi_coerce(df)
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
         # share a directory — the loser's cleanup would otherwise
@@ -6175,6 +6183,7 @@ class ManagedTable:
         append_materialized: bool = False,
         append_mint: bool = False,
         read_dnf: Sequence[Sequence[tuple]] | None = None,
+        read_version: int | None = None,
     ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
         (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
@@ -6200,20 +6209,70 @@ class ManagedTable:
         as filter-triple DNF; ``None`` = unknown, every non-blind add
         conflicts). Blind appends never conflict: the history
         serializes DML-first (write-serializable), the appended rows
-        were never candidates."""
-        self._check_append_only(op)  # central guard: every DV mutation
+        were never candidates.
+
+        ``read_version`` is the snapshot the DOOMED positions (and any
+        ``append_df`` values) were derived from — commits that landed
+        between it and this claim are conflict-checked with the same
+        file-level rules BEFORE the claim (round-13 review: the CoW
+        path has this loop; without it an intermediate writer's
+        re-vectoring of a touched file double-counted dv_n and a
+        stale predicate scan missed its adds)."""
         v = self.current_version()
+        # metadata of the version being built on binds (round-13
+        # review, mirroring _stage_and_commit): a constraint, rename,
+        # or property committed by another writer after this handle
+        # opened must govern this commit's staging and enforcement
+        if v >= 0:
+            self.constraints = self._read_constraints(v)
+            self.renames = self._read_renames(v)
+            self.bloom = self._read_bloom(v)
+            self.generated = self._read_generated(v)
+            self.properties = self._read_properties(v)
+            self._apply_functional_properties()
+            self.defaults = self._read_defaults(v)
         doomed = doomed.select("__mt_key", "__mt_pos")
         per_file = {
             r["__mt_key"]: r["n"]
             for r in doomed.groupBy("__mt_key").agg(F.count("*").alias("n")).collect()
         }
+        if per_file:
+            # the guard bites only when rows are actually marked dead:
+            # an insert-only merge routed through this path must stay
+            # legal on an appendOnly table (round-13 review)
+            self._check_append_only(op)
         if not per_file:
             if append_df is None or append_df.isEmpty():
                 return v  # nothing matched: commit-free no-op
             # nothing to delete but rows to stage (e.g. an SCD2 batch
-            # whose keys are ALL new): plain append, same commit
-            return self.append(append_df, op=op)
+            # whose keys are ALL new): append in the same commit shape
+            # — but NON-blind (round-13 review: this transaction READ
+            # the target for its decisions; a blind marker would
+            # wrongly exempt it from racers' read-predicate checks)
+            cols = [f.name for f in self.schema.fields]
+            return self._stage_and_commit(
+                self._apply_generated(append_df).select(*cols),
+                replace_all=False,
+                append_only=True,
+                op=op,
+                read_version=read_version,
+                read_keys=(),
+                read_dnf=read_dnf,
+            )
+        # stale-read guard over the whole window (round-13 review):
+        # every commit between the caller's read snapshot and now must
+        # be file-disjoint, or the doomed positions / appended values
+        # baked a stale view
+        if read_version is not None:
+            for iv in range(read_version + 1, v + 1):
+                if self._dv_rebase_conflicts(iv, set(per_file), read_dnf):
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: version {iv} (committed "
+                        "after this transaction's read snapshot "
+                        f"{read_version}) touched files or rows this "
+                        f"{op} read or marks; re-run against the "
+                        "current version"
+                    )
         # stale-read guard (the CoW paths check their read snapshot;
         # the DV path must too): the doomed positions were computed
         # against the manifest the caller SCANNED — if a commit that
@@ -6256,7 +6315,7 @@ class ManagedTable:
                 cols = [*cols, "__row_id"]
             write_rel = f"data/w={v + 1}-{uuid.uuid4().hex[:8]}"
             write_dir = os.path.join(self.location, write_rel)
-            staged_df = append_df.select(*cols)
+            staged_df = self._ansi_coerce(append_df.select(*cols))
             if self.sort_columns:
                 staged_df = staged_df.sortWithinPartitions(*self.sort_columns)
             writer = self._to_physical(staged_df).write.mode("overwrite")
@@ -6386,10 +6445,12 @@ class ManagedTable:
         keys = list(key_columns)
         src_keys = source.select(*keys).distinct()
         if deletion_vectors:
-            target = self._read_internal(self.current_version(), with_pos=True)
+            v_read = self.current_version()
+            target = self._read_internal(v_read, with_pos=True)
             doomed = target.join(src_keys, on=keys, how="left_semi")
             return self._delete_rows_dv(
-                doomed, op="MERGE DELETE (DV)", read_dnf=read_filters
+                doomed, op="MERGE DELETE (DV)", read_dnf=read_filters,
+                read_version=v_read,
             )
         scoped = bool(self.partition_columns) and set(
             self.partition_columns
@@ -6461,10 +6522,12 @@ class ManagedTable:
         :meth:`_delete_rows_dv`). Must be implied by ``condition``."""
         self._check_append_only("DELETE")
         if deletion_vectors:
-            target = self._read_internal(self.current_version(), with_pos=True)
+            v_read = self.current_version()
+            target = self._read_internal(v_read, with_pos=True)
             doomed = target.filter(F.coalesce(condition, F.lit(False)))
             return self._delete_rows_dv(
-                doomed, op="DELETE (DV)", read_dnf=read_filters
+                doomed, op="DELETE (DV)", read_dnf=read_filters,
+                read_version=v_read,
             )
         v_read = self.current_version()
         track = self._row_tracking_enabled()
@@ -6555,6 +6618,7 @@ class ManagedTable:
                 return self._delete_rows_dv(
                     matched, op="UPDATE (DV)", append_df=rewritten,
                     append_materialized=True, read_dnf=read_filters,
+                    read_version=v,
                 )
             target = self._read_internal(v, with_pos=True)
             matched = target.filter(cond)
@@ -6566,7 +6630,7 @@ class ManagedTable:
             )
             return self._delete_rows_dv(
                 matched, op="UPDATE (DV)", append_df=rewritten,
-                read_dnf=read_filters,
+                read_dnf=read_filters, read_version=v,
             )
         v_read = self.current_version()
         if track:
@@ -6880,6 +6944,13 @@ class ManagedTable:
                     f"table {self.name}: merge-on-read MERGE cannot "
                     "mint identity columns; use deletion_vectors=False"
                 )
+            # materialize the source ONCE (Delta materializes merge
+            # sources for the same reasons): it feeds four consumers —
+            # dup check, isEmpty probe, the outer join, and the
+            # read-bounds agg — and re-running an expensive or
+            # nondeterministic source query per consumer is both slow
+            # and a correctness hazard (round-13 review)
+            source = source.localCheckpoint(eager=True)
             # meta-carrying read (the DV key space: __mt_key/__mt_pos
             # of every visible row); with row tracking, ids attach so
             # updated rows carry them into the appended rewrite
@@ -7097,6 +7168,7 @@ class ManagedTable:
                 append_materialized=track,
                 append_mint=track,
                 read_dnf=merge_read_dnf,
+                read_version=v_read,
             )
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",

@@ -272,3 +272,97 @@ def test_parallel_dv_deletes_threads_unpartitioned(spark, tmp_path):
         + list(range(300, 310))
         if k not in (5, 105, 205, 305)
     }
+
+
+# ------------------------------------- round-13 review regressions
+
+
+def test_dv_stale_read_window_checked(spark, tmp_path):
+    """A commit landing between the caller's read snapshot and the DV
+    claim is conflict-checked: same-file overlap raises, disjoint
+    files pass (review finding: the window was previously unguarded
+    except for retired files)."""
+    t = _mk(spark, tmp_path, "sr1")
+    v_read = t.current_version()
+    doomed = t._read_internal(v_read, with_pos=True).filter(
+        F.col("k") == 3
+    ).select("__mt_key", "__mt_pos")
+    other = _handle(spark, tmp_path, "sr1")
+    other.delete_where(F.col("k") == 2)  # same file, lands first
+    with pytest.raises(ConcurrentWriteError):
+        t._delete_rows_dv(
+            doomed, op="DELETE (DV)",
+            read_dnf=[[("k", "=", 3)]], read_version=v_read,
+        )
+    # disjoint intermediate (other file): proceeds
+    t2 = _mk(spark, tmp_path, "sr2")
+    v_read = t2.current_version()
+    doomed = t2._read_internal(v_read, with_pos=True).filter(
+        F.col("k") == 3
+    ).select("__mt_key", "__mt_pos")
+    other2 = _handle(spark, tmp_path, "sr2")
+    other2.delete_where(F.col("k") == 105)
+    v = t2._delete_rows_dv(
+        doomed, op="DELETE (DV)",
+        read_dnf=[[("k", "=", 3)]], read_version=v_read,
+    )
+    assert v == t2.current_version()
+    got = {k for k, _ in _rows(t2)}
+    assert 3 not in got and 105 not in got
+
+
+def test_insert_only_dv_merge_allowed_on_append_only(spark, tmp_path):
+    """Review finding: routing MERGE through the DV path must not
+    break insert-only merges on appendOnly tables (nothing is marked
+    dead); a matched-clause merge still raises."""
+    t = _mk(spark, tmp_path, "ao1")
+    t.set_properties({"delta.appendOnly": "true"})
+    v = t.merge_clauses(
+        spark.createDataFrame([(999, 1)], "k long, v long"),
+        ["k"],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    assert v == t.current_version()
+    assert (999, 1) in {(k, v_) for k, v_ in _rows(t)}
+    # the fallback commit is NON-blind (it read the target's keys)
+    import json as _json
+    from databricks_data_warehouse_spark.sources.tables import (
+        _load_manifest_json,
+    )
+    m = _load_manifest_json(t._manifest_path(t.current_version()))
+    assert m.get("blind") is False
+    with pytest.raises(ValueError, match="append-only"):
+        t.merge_clauses(
+            spark.createDataFrame([(3, 0.0)], "k long, v double"),
+            ["k"],
+            matched=[(None, "delete")],
+            deletion_vectors=True,
+        )
+
+
+def test_dv_update_ansi_coerces_drifted_types(spark, tmp_path):
+    """Review finding: the DV append staging skipped the ANSI cast
+    guard — an int assigned into a double column must land as double
+    and read back correctly."""
+    t = _mk(spark, tmp_path, "co1")  # v is long here; use a double tbl
+    td = ManagedTable(spark, "co2", str(tmp_path / "co2"))
+    td.overwrite(
+        spark.createDataFrame([(1, 10.5), (2, 20.5)], "k long, p double")
+    )
+    td.update_where({"p": "1"}, F.col("k") == 1)  # int expr → double col
+    got = {r["k"]: r["p"] for r in td.read().collect()}
+    assert got == {1: 1.0, 2: 20.5}
+
+
+def test_dv_commit_binds_current_constraints(spark, tmp_path):
+    """Review finding: a constraint added by another writer after this
+    handle opened must bind on the DV commit's appended rows."""
+    t = _mk(spark, tmp_path, "cb1")
+    stale = _handle(spark, tmp_path, "cb1")
+    stale.schema = stale._load_schema()
+    t.add_constraint("v_positive", "v >= 0")
+    with pytest.raises(Exception, match="v_positive|constraint"):
+        stale.update_where({"v": "-1"}, F.col("k") == 3)
+    vals = {r["k"]: r["v"] for r in t.read().collect()}
+    assert vals[3] == 30  # nothing landed

@@ -147,6 +147,45 @@ def test_merge_clauses_matches_reference_model(spark, tmp_path_factory, sc):
     )
 
 
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_scenario())
+def test_merge_on_read_matches_reference_model(spark, tmp_path_factory, sc):
+    """Round 13: the merge-on-read path (deletion_vectors=True) must
+    satisfy the SAME reference model as the copy-on-write path — one
+    shared model, two physical strategies."""
+    target, source, matched, not_matched, by_source = sc
+    if not (matched or not_matched or by_source):
+        return
+    tmp = tmp_path_factory.mktemp("mcdvprop")
+    t = ManagedTable(spark, "t", str(tmp / "t"))
+    t.overwrite(spark.createDataFrame(target, "k long, v long"))
+    src_df = spark.createDataFrame(source, "k long, v long")
+    m = [
+        (
+            _mk_cond(ck)[0],
+            "delete" if act == "delete" else {"v": "src.v + 1"},
+        )
+        for ck, act in matched
+    ]
+    nm = [(_mk_cond(ck)[0], "insert_all") for ck, _ in not_matched]
+    bs = [
+        (_mk_cond(ck)[0], "delete" if act == "delete" else {"v": "0"})
+        for ck, act in by_source
+    ]
+    t.merge_clauses(src_df, ["k"], matched=m, not_matched=nm,
+                    not_matched_by_source=bs, deletion_vectors=True)
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    want = _reference(target, source, matched, not_matched, by_source)
+    assert got == want, (
+        f"target={target} source={source} m={matched} "
+        f"nm={not_matched} bs={by_source}"
+    )
+
+
 @st.composite
 def _rw_scenario(draw):
     rows = _rows(draw, 8)

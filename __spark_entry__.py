@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    The executing window is ``_R13_WINDOW`` (defined below, next to
+    The executing window is ``_R14_WINDOW`` (defined below, next to
     the catalog) — see its comment for this round's selection
     rationale. Everything not in the window keeps catalog order after
     it."""
@@ -131,6 +131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixed delete/update/insert clauses through ONE DV commit;
         # untouched files carried byte-identical (builder-asserted)
         "table_merge_on_read": managed_scan.table_merge_on_read,
+        # NEW round 14: COPY-ON-WRITE race — entry-scoped CoW
+        # DELETE/UPDATE declare file-granular write sets, so two CoW
+        # DMLs on different files of an UNPARTITIONED table land in
+        # parallel (REAL interposed collision, builder-asserted)
+        "table_cow_race": managed_scan.table_cow_race,
+        # NEW round 14: identity columns under merge-on-read MERGE —
+        # matched rewrites keep ids, inserts mint against the high
+        # watermark atomically with the DV commit; base pairing and
+        # the minted id set are oracle-exact (builder-asserted op
+        # MERGE (DV) + byte-identical carry of the pre-merge files)
+        "table_identity_merge_dv": managed_scan.table_identity_merge_dv,
         # NEW round 11: row tracking — dense durable id set {0..N-1}
         # preserved through backfill + append + materializing OPTIMIZE
         "table_row_tracking_scan": managed_scan.table_row_tracking_scan,
@@ -442,90 +453,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R13_WINDOW}
+    ordered = {k: cat[k] for k in _R14_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 13 (VERDICT r12 item 3): the
-# staleness candidates were the 13 r08 entries + the 38 r09 entries
-# (51 for 50 slots). The window takes ALL 13 r08, the NEW round-13
-# oracle (table_unpartitioned_race — post-freeze additions take a
-# slot, the r11 process rule), six re-checks on paths round 13
-# touched (tables.py: merge_clauses partition-scope guard + per-clause
-# generated regen + the blind manifest flag on every commit +
-# _rebind_for_disjoint_rebase's file-granular mode → table_append_race,
-# table_disjoint_merge_race, table_merge_sync, table_sql_dml,
-# table_generated_scan; ext/graph.py empty-frame guard →
-# graph_pagerank_docs), and 30 of the 38 r09 entries. The 8 deferred
-# r09 entries each keep a same-file sibling IN this window and rotate
-# in r14: text_quality_floor/text_repetition/text_token_counts
-# (text.py — text_quality, text_lang_id, text_lm_familiarity,
-# text_dup_spans in-window), ann_lsh_topk_multiprobe/ann_lsh_buckets/
-# ann_pairs_per_label (similarity.py — ann_lsh_topk,
-# ann_lsh_near_dup_pairs, emb_centroid_per_label + five r08
-# similarity entries in-window), dash_low_order_customers
-# (dashboard.py — dash_customer_share_by_segment in-window, three
-# dashboard entries r12-green), events_hourly_windows (json_ops.py —
-# events_json_agg/extract/anomaly in-window). The post-freeze
-# table_optimize_race took emb_quantize_int8's slot (similarity.py
-# keeps nine in-window representatives; it rotates in r14), and the
-# post-freeze table_merge_on_read took dedup_containment_pairs's slot
-# (dedup.py keeps six in-window representatives; it rotates in r14).
-_R13_WINDOW = [
-    # (a) NEW round-13 oracle + touched-path re-checks
-    "table_unpartitioned_race",
-    "table_optimize_race",
+# The 50-slot driver window for round 14 (VERDICT r13 "what's
+# missing" 1): the staleness candidates after r13 were exactly the 10
+# remaining r09 entries (the 8 documented deferrals + the 2 slot-donors
+# to the r13 post-freeze race oracles) and the 37 r10 entries — 47 in
+# total, which fit in one window. The remaining 3 slots go to the two
+# NEW round-14 oracles (post-freeze additions take a slot, the r11
+# process rule): table_cow_race (entry-scoped copy-on-write DML with
+# file-level conflict detection, a REAL interposed collision) and
+# table_identity_merge_dv (identity minting under merge-on-read MERGE,
+# watermark claim atomic with the DV commit) — and ONE touched-path
+# re-check: table_merge_on_read (round 14 rewired its commit path:
+# the identity fill, the key-set read predicate _source_key_dnf, and
+# _delete_rows_dv's per-attempt identity claim all sit under it).
+# Other r13-green entries on touched files (table_unpartitioned_race,
+# table_sql_dml, table_append_race — tables.py; dedup_* — untouched)
+# are covered by the builder's full 183-entry check_oracle gate this
+# round; their newest driver record stays r13.
+_R14_WINDOW = [
+    # (a) NEW round-14 oracles + the touched-path re-check
+    "table_cow_race",
+    "table_identity_merge_dv",
     "table_merge_on_read",
-    "table_append_race",
-    "table_disjoint_merge_race",
-    "table_merge_sync",
-    "table_sql_dml",
-    "table_generated_scan",
-    "graph_pagerank_docs",
-    # (b) the full r08 staleness tail (oldest driver greens, VERDICT)
-    "ann_ivf_assignments",
-    "ann_kmeans_refine",
-    "ann_pq_topk",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "emb_hard_negatives",
-    "emb_pq_codes",
-    "gold_orders_delivery_time",
-    "op_profile_customer",
-    "sample_token_budget",
-    "text_dup_spans",
-    "text_lm_familiarity",
-    # (c) 30 of the 38 r09 entries (oldest-first cohort)
-    "agg_delay_percentiles_approx",
-    "agg_distinct_counts_approx",
-    "agg_unpivot_status",
-    "agg_value_histogram",
-    "ann_cosine_topk",
-    "ann_lsh_near_dup_pairs",
-    "ann_lsh_topk",
-    "ann_recall_report",
-    "dash_customer_share_by_segment",
-    "dedup_cap_report",
-    "dedup_clusters",
-    "dedup_incremental",
-    "dedup_keep_canonical",
-    "dedup_semantic",
-    "emb_centroid_per_label",
-    "events_anomaly_zscore",
-    "events_json_agg",
-    "events_json_extract",
-    "gold_customer_breakdown",
-    "join_skew_salted",
-    "op_clean_string_address",
-    "text_corpus_filter",
-    "text_decontaminate",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality",
-    "tpch_q6_forecast_revenue",
+    # (b) the full r09 staleness tail (oldest driver greens)
+    "ann_lsh_buckets",
+    "ann_lsh_topk_multiprobe",
+    "ann_pairs_per_label",
+    "dash_low_order_customers",
+    "dedup_containment_pairs",
+    "emb_quantize_int8",
+    "events_hourly_windows",
+    "text_quality_floor",
+    "text_repetition",
+    "text_token_counts",
+    # (c) the full r10 cohort (next-oldest driver greens)
+    "agg_cube_orders",
+    "agg_customer_quartiles",
+    "agg_daily_revenue_gapfill",
+    "agg_delay_percentiles",
+    "agg_grouping_sets",
+    "agg_order_gaps",
+    "agg_pivot_status_by_segment",
+    "agg_rolling_revenue",
+    "agg_rollup_customers",
+    "agg_value_mad",
+    "data_epoch_shuffle",
+    "events_funnel",
+    "events_retention",
+    "events_scd2_status",
+    "events_sessionize",
+    "mixture_sample",
+    "mixture_weights",
+    "op_validate_domain",
+    "set_ops_customers",
+    "stream_click_purchase_join",
+    "stream_hourly_tumbling",
+    "stream_user_running_counts",
+    "table_apply_snapshot_scd1",
+    "text_bm25",
+    "text_boilerplate",
+    "tfidf_top_terms",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_sales_opportunity",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
 ]
 
 
@@ -1069,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
             managed_scan.table_unpartitioned_race_oracle(),
         "table_optimize_race": managed_scan.table_optimize_race_oracle(),
         "table_merge_on_read": managed_scan.table_merge_on_read_oracle(),
+        "table_cow_race": managed_scan.table_cow_race_oracle(),
+        "table_identity_merge_dv":
+            managed_scan.table_identity_merge_dv_oracle(),
         "table_row_tracking_scan":
             managed_scan.table_row_tracking_scan_oracle(),
         "table_row_versions_scan":

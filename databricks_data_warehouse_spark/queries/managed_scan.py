@@ -1200,3 +1200,269 @@ def table_merge_on_read_oracle() -> str:
                CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
         FROM adj GROUP BY grp ORDER BY grp
     """
+
+
+def _cow_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached UNPARTITIONED table built by a REAL COPY-ON-WRITE commit
+    race (round 14, VERDICT r13 item 4): v0 lands orders with k <=
+    mid, v1 appends k > mid (two disjoint file sets); then two handles
+    race with ``deletion_vectors=False`` DML — the interposed winner
+    runs an entry-scoped CoW ``UPDATE`` repricing a slice of the HIGH
+    half (+2), the loser an entry-scoped CoW ``DELETE`` of a slice of
+    the LOW half — and the loser's manifest claim truly collides.
+    Round 13's file-level ConflictChecker covered only the DV path;
+    round 14's entry-scoped CoW DML declares its write set as exactly
+    the files of the entries it restages (sources/tables.py
+    _cow_touched) plus its read-predicate DNF, so the loser REBASES,
+    reusing its staged survivor files. Builder-asserted: the race
+    fired and the loser landed at v3. At 100 TB this is two selective
+    copy-on-write rewrites (DVs disabled by policy) landing in
+    parallel on an unpartitioned table instead of serializing — and
+    each rewriting only its touched files, never the snapshot."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"cowrace_tbl_{h}")
+    t = ManagedTable(spark, f"orders_cowrace_{h}", loc)
+    if t.current_version() == 3:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_cowrace_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    q = mid // 4
+    t.overwrite(base.where(F.col("k") <= mid))                     # v0
+    t.append(base.where(F.col("k") > mid))                         # v1
+    t1 = ManagedTable(spark, f"orders_cowrace_{h}", loc)
+    t2 = ManagedTable(spark, f"orders_cowrace_{h}", loc)
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.update_where(                                # v2 wins
+                {"price": "price + 2"},
+                (F.col("k") > mid) & (F.col("k") % 10 == 3),
+                deletion_vectors=False,
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.delete_where(                               # rebases to v3
+        (F.col("k") <= q) & (F.col("k") % 10 == 7),
+        deletion_vectors=False,
+        read_filters=[[("k", "<=", q)]],
+    )
+    if not state["raced"] or v != 3 or t.current_version() != 3:
+        raise AssertionError(
+            f"entry-scoped CoW rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_cow_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-disjoint concurrent COPY-ON-WRITE DML on an UNPARTITIONED
+    table, driver-checked: after the interposed claim collision (see
+    ``_cow_race_table``) the table must hold BOTH writers' changes —
+    the low-half slice deleted, the high-half slice repriced +2 —
+    with no row lost, doubled, or resurrected. The oracle applies both
+    DMLs in plain SQL."""
+    from ._util import cents
+
+    t = _cow_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_cow_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH bounds AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid
+            FROM orders
+        ),
+        adj AS (
+            SELECT o_orderkey AS k,
+                   o_totalprice
+                       + CASE WHEN o_orderkey > (SELECT mid FROM bounds)
+                                   AND o_orderkey % 10 = 3
+                              THEN 2 ELSE 0 END AS price
+            FROM orders
+            WHERE NOT (o_orderkey <= (SELECT mid FROM bounds) // 4
+                       AND o_orderkey % 10 = 7)
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """
+
+
+def _identity_merge_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached IDENTITY table exercised by a merge-on-read MERGE that
+    MINTS (round 14, VERDICT r13 item 2): v1 appends orders with
+    k <= mid sorted by k — the two-phase assignment gives id =
+    rank-of-k (partition offsets accumulate in range order), so the
+    base pairing is deterministic and oracle-checkable. v2 is a
+    ``merge_clauses(deletion_vectors=True)``: matched rows (k%10=3)
+    reprice +5 KEEPING their ids, not-matched rows (high half, k%10=3)
+    insert and mint fresh ids against the high watermark, the claim
+    committing atomically with the DV transaction. Builder-asserted:
+    the history op is MERGE (DV) and v1's data files carry over
+    byte-identical (merge-on-read wrote only the changed rows).
+    Minted-insert id PAIRING is join-order-dependent, so the oracle
+    checks the insert ids as a SET (contiguous n+1..n+m) and the base
+    ids exactly."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"idmerge_tbl_{h}")
+    t = ManagedTable(spark, f"orders_idmerge_{h}", loc)
+    if t.current_version() == 2:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_idmerge_{h}", loc)
+        t.set_identity_column("id", start=1, step=1)
+    else:
+        t.set_identity_column("id", start=1, step=1)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    schema = (
+        spark.createDataFrame([], "id long, k long, price double").schema
+    )
+    t.create_if_not_exists(schema)                                 # v0
+    t.append(base.where(F.col("k") <= mid).orderBy("k"))           # v1
+    files_v1 = set(t._read_manifest(t.current_version()).values())
+    src = (
+        base.where(F.col("k") % 10 == 3)
+        .orderBy("k")
+    )
+    t.merge_clauses(                                               # v2
+        src,
+        ["k"],
+        matched=[(None, {"price": "price + 5"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    hist = t.history()[0]["operation"]
+    carried = files_v1 <= set(
+        t._read_manifest(t.current_version()).values()
+    )
+    if hist != "MERGE (DV)" or not carried:
+        raise AssertionError(
+            f"identity merge-on-read did not engage: op={hist} "
+            f"carried={carried}"
+        )
+    return t
+
+
+def table_identity_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns under merge-on-read MERGE, driver-checked (see
+    ``_identity_merge_table``): base rows must hold id = rank-of-k
+    with matched rows repriced +5 and their ids KEPT (the pairing
+    checksum ``sum(id * (k % 97))`` binds id to row); minted insert
+    rows land as one contiguous id block n+1..n+m (grp = -1: count,
+    id-sum, min, max pin the exact set) with their source values
+    intact. The oracle reconstructs all of it in plain SQL."""
+    from ._util import cents
+
+    t = _identity_merge_table(spark, sf_dir)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = base.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).collect()[0]
+    mid = (int(b["lo"]) + int(b["hi"])) // 2
+    n = base.where(F.col("k") <= mid).count()
+    df = t.read()
+    grp = F.when(F.col("id") <= n, F.col("k") % 7).otherwise(F.lit(-1))
+    # the pairing checksum binds id<->row for BASE rows only: minted
+    # insert ids are a deterministic SET (pinned by count/sum/min/max)
+    # but their pairing is join-order-dependent
+    pair = F.when(
+        F.col("id") <= n, F.col("id") * (F.col("k") % 97)
+    ).otherwise(F.lit(0))
+    return (
+        df.groupBy(grp.alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+            F.sum(pair).alias("id_pair_chk"),
+            F.sum("id").alias("id_sum"),
+            F.min("id").alias("id_min"),
+            F.max("id").alias("id_max"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_identity_merge_dv_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH bounds AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid
+            FROM orders
+        ),
+        base AS (
+            SELECT o_orderkey AS k, o_totalprice AS price,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id
+            FROM orders WHERE o_orderkey <= (SELECT mid FROM bounds)
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        upd AS (
+            SELECT id, k,
+                   price + CASE WHEN k % 10 = 3 THEN 5 ELSE 0 END AS price
+            FROM base
+        ),
+        ins AS (
+            SELECT (SELECT n FROM nn)
+                       + ROW_NUMBER() OVER (ORDER BY o_orderkey) AS id,
+                   o_orderkey AS k, o_totalprice AS price
+            FROM orders
+            WHERE o_orderkey > (SELECT mid FROM bounds)
+              AND o_orderkey % 10 = 3
+        ),
+        allr AS (
+            SELECT id, k, price, k % 7 AS grp FROM upd
+            UNION ALL
+            SELECT id, k, price, -1 AS grp FROM ins
+        )
+        SELECT grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN grp = -1 THEN 0
+                             ELSE id * (k % 97) END) AS BIGINT)
+                   AS id_pair_chk,
+               CAST(SUM(id) AS BIGINT) AS id_sum,
+               MIN(id) AS id_min,
+               MAX(id) AS id_max
+        FROM allr GROUP BY grp ORDER BY grp
+    """

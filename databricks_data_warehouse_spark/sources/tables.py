@@ -63,7 +63,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 _LATEST = "_LATEST"
 _SCHEMA = "_SCHEMA"
@@ -965,16 +965,15 @@ class ManagedTable:
         """Delta ``delta.enableDeletionVectors = 'true'``: DML prefers
         the merge-on-read path — SQL MERGE routes through
         ``merge_clauses(deletion_vectors=True)`` (O(changed rows)
-        written, untouched files carried). Identity-column tables fall
-        back to copy-on-write regardless (inserts must mint), matching
-        Delta's fall-back-when-unsupported rule. Reads the CURRENT
-        manifest's map like :meth:`_check_append_only`."""
+        written, untouched files carried). Identity-column tables ride
+        it too (round 14): inserts mint against the high watermark and
+        the claim commits atomically with the DV transaction. Reads
+        the CURRENT manifest's map like :meth:`_check_append_only`."""
         v = self.current_version()
         props = self._read_properties(v) if v >= 0 else self.properties
         return (
             str(props.get("delta.enableDeletionVectors", "")).lower()
             == "true"
-            and not self.identity
         )
 
     def _check_append_only(self, op: str) -> None:
@@ -1244,6 +1243,30 @@ class ManagedTable:
             )
             claim[c] = (int(spec["next"]), acc)
         return out.drop("__pid", "__rn", "__off"), claim
+
+    def _claim_identity_bump(
+        self, claim: Mapping[str, tuple[int, int]], base: int
+    ) -> None:
+        """Validate a minted-id claim against ``base``'s identity
+        watermarks and bump them for the manifest about to be written
+        (``_write_manifest`` persists ``self.identity``). Raises
+        ``ConcurrentWriteError`` when another writer consumed ids since
+        the mint — the caller discards its staged files and re-runs to
+        mint fresh ids (Delta's identity high-watermark conflict rule).
+        Re-run on EVERY commit attempt, including after a blind or
+        disjoint rebase: file-disjointness does not prove watermark
+        disjointness."""
+        if base >= 0:
+            self.identity = self._read_identity(base)
+        for c, (base_next, used) in claim.items():
+            spec = self.identity.get(c)
+            if spec is None or int(spec["next"]) != int(base_next):
+                raise ConcurrentWriteError(
+                    f"table {self.name}: identity column {c!r} "
+                    "watermark moved under this transaction; re-run "
+                    "the write to mint fresh ids"
+                )
+            spec["next"] = int(base_next) + int(spec["step"]) * int(used)
 
     def _read_copy_files(self, version: int) -> dict[str, list]:
         """COPY INTO's loaded-file ledger committed WITH a version
@@ -2264,10 +2287,152 @@ class ManagedTable:
             else:
                 base = base.select(*sel)
             scans.append(base)
+        if not scans:
+            # empty manifest (fresh table, or every entry dropped):
+            # an empty frame with the full declared shape, so DML into
+            # an empty table (e.g. a first merge-on-read MERGE that is
+            # all inserts) plans like any other
+            decl = self.schema or self._load_schema()
+            fields = [
+                StructField(f.name, f.dataType, True) for f in decl.fields
+            ]
+            if with_row_col:
+                fields += [
+                    StructField("__row_id", LongType(), True),
+                    StructField("__row_ver", LongType(), True),
+                ]
+            if need_meta:
+                fields += [
+                    StructField("__mt_key", StringType(), True),
+                    StructField("__mt_pos", LongType(), True),
+                ]
+            return self.spark.createDataFrame([], StructType(fields))
         df = reduce(DataFrame.unionByName, scans)
         if need_meta:
             df = df.withColumn("__mt_key", self._file_key()).drop("__mt_path")
         return df
+
+    # keys-per-column cap for the exact IN-set read predicate: beyond
+    # it the declared predicate falls back to the BETWEEN bounds (the
+    # DNF lives only in driver memory for this transaction's conflict
+    # checks — never persisted — so the cap bounds driver memory and
+    # the per-file stat-check cost, not any on-disk structure)
+    _KEY_SET_CAP = 1024
+
+    def _source_key_dnf(
+        self, source: DataFrame, keys: Sequence[str]
+    ) -> list[list[tuple]] | None:
+        """A merge source's key space as a filter-triple conjunction —
+        the transaction's declared read predicate over the target.
+
+        Per key column: the exact distinct value set when it has at
+        most ``_KEY_SET_CAP`` values (an ``in`` triple — a racing
+        writer's added file conflicts only if its [min, max] can hold
+        one of OUR keys, so sparse keys scattered across the full
+        range stay disjoint from adds between them), else the
+        [min, max] BETWEEN. ``[]`` = the read set is provably empty
+        (no rows, or an all-NULL key: NULL matches nothing under ON
+        ``=``); ``None`` = unknown (unorderable key type), every
+        non-blind add conflicts."""
+        try:
+            bounds = source.agg(
+                *[F.min(k).alias(f"__lo_{k}") for k in keys],
+                *[F.max(k).alias(f"__hi_{k}") for k in keys],
+                *[
+                    F.count_distinct(F.col(k)).alias(f"__nd_{k}")
+                    for k in keys
+                ],
+            ).collect()[0]
+            small = []
+            for k in keys:
+                if bounds[f"__lo_{k}"] is None or bounds[f"__hi_{k}"] is None:
+                    return []  # empty / all-NULL key: reads nothing
+                if 0 < bounds[f"__nd_{k}"] <= self._KEY_SET_CAP:
+                    small.append(k)
+            key_sets = {}
+            if small:
+                sets_row = source.agg(
+                    *[F.collect_set(k).alias(k) for k in small]
+                ).collect()[0]
+                for k in small:
+                    vals = list(sets_row[k])
+                    try:
+                        vals.sort()
+                    except TypeError:
+                        pass  # determinism nicety only
+                    key_sets[k] = vals
+            trips = []
+            for k in keys:
+                if k in key_sets:
+                    trips.append((k, "in", key_sets[k]))
+                else:
+                    trips.append(
+                        (k, "between", bounds[f"__lo_{k}"],
+                         bounds[f"__hi_{k}"])
+                    )
+            return [trips]
+        except Exception:
+            return None
+
+    def _dir_of_key(self) -> Column:
+        """Manifest entry dir of a ``__mt_key`` file key (entries map
+        partition keys to LEAF dirs, so this is the parent path)."""
+        return F.regexp_replace(F.col("__mt_key"), "/[^/]*$", "")
+
+    def _cow_meta_read(self, version: int, track: bool) -> DataFrame:
+        """Visible rows of ``version`` with their file identity
+        (``__mt_key``/``__mt_pos``, DVs applied) — the input of an
+        entry-scoped copy-on-write rewrite. With ``track``, rows carry
+        their resolved ``__row_id``/``__row_ver`` so the restaged
+        survivors materialize them (Delta row tracking's DML rule)."""
+        df = self._scan_rels(
+            self._read_manifest(version).values(),
+            need_meta=True,
+            with_row_col=track,
+        )
+        dv_map, _ = self._read_dv(version)
+        if dv_map:
+            df = df.join(
+                self._dv_rows(dv_map).select(
+                    F.col("file").alias("__mt_key"),
+                    F.col("pos").alias("__mt_pos"),
+                ),
+                ["__mt_key", "__mt_pos"],
+                "left_anti",
+            )
+        if track:
+            df = (
+                self._attach_row_ids(df, version)
+                .withColumnRenamed("_row_id", "__row_id")
+                .withColumnRenamed("_row_commit_version", "__row_ver")
+            )
+        return df
+
+    def _cow_touched(
+        self, base_df: DataFrame, cond: Column, version: int
+    ) -> tuple[list[str], list[str]]:
+        """(touched entry dirs, full file write set) of a copy-on-write
+        DML: the manifest entries containing at least one row matching
+        ``cond``, and EVERY file under them (the whole entry restages,
+        so the declared write region must cover its untouched files
+        too). One distinct-agg over the matched rows — O(files)
+        driver-side, no row data collected."""
+        touched_rels = sorted(
+            {
+                os.path.dirname(r["__mt_key"])
+                for r in base_df.filter(cond)
+                .select("__mt_key")
+                .distinct()
+                .collect()
+            }
+        )
+        rel_set = set(touched_rels)
+        touched_files = sorted(
+            f
+            for f in self._read_stats(version)
+            if os.path.dirname(f) in rel_set
+        )
+        return touched_rels, touched_files
 
     def _read_internal(self, version: int, with_pos: bool = False) -> DataFrame:
         """Snapshot read. With ``with_pos`` the result keeps
@@ -2786,6 +2951,8 @@ class ManagedTable:
         read_version: int | None = None,
         read_keys: Collection[str] | None = None,
         read_dnf: Sequence[Sequence[tuple]] | None = None,
+        touched_files: Collection[str] | None = None,
+        file_read_dnf: Sequence[Sequence[tuple]] | None = None,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -2818,7 +2985,16 @@ class ManagedTable:
         file as carrying ids in-data (maintenance rewrites — no fresh
         rows); ``"partial"`` additionally mints a base id per staged
         file so rows whose ``__row_id`` is NULL (merge inserts riding a
-        rewrite) resolve to base + position."""
+        rewrite) resolve to base + position.
+
+        ``touched_files`` + ``file_read_dnf`` (round 14): declare the
+        transaction's region at FILE granularity instead of entry keys
+        — the copy-on-write DML shape (entry-scoped DELETE/UPDATE
+        rewrites). Both the stale-read window check and the
+        claim-collision rebase then run ``_dv_rebase_conflicts`` /
+        the file-granular ``_rebind_for_disjoint_rebase`` mode, which
+        proves disjointness even on unpartitioned tables and exempts
+        blind appends (write-serializable)."""
         v_new = self.current_version() + 1
         # enforce against the constraint set of the version being built
         # on (a constraint added by another writer after this handle
@@ -2868,8 +3044,12 @@ class ManagedTable:
             # ids were minted against a base watermark; if another
             # writer consumed ids since, this batch's ids may collide —
             # fail BEFORE staging so the caller re-assigns and retries
-            # (Delta's identity high-watermark conflict rule)
-            for c, (base_next, used) in identity_claim.items():
+            # (Delta's identity high-watermark conflict rule). The
+            # authoritative validate-and-bump runs per commit attempt
+            # in the claim loop below (``_claim_identity_bump``) so a
+            # rebase re-checks against the winner's watermark; this is
+            # just the cheap pre-staging fail-fast.
+            for c, (base_next, _used) in identity_claim.items():
                 spec = self.identity.get(c)
                 if spec is None or int(spec["next"]) != int(base_next):
                     raise ConcurrentWriteError(
@@ -2877,7 +3057,6 @@ class ManagedTable:
                         "watermark moved under this transaction; re-run "
                         "the write to mint fresh ids"
                     )
-                spec["next"] = int(base_next) + int(spec["step"]) * int(used)
         df = self._ansi_coerce(df)
         # writer-unique staging root (Delta's GUID-named data files):
         # two writers racing for the same version number must never
@@ -3048,7 +3227,23 @@ class ManagedTable:
         # intermediates are fine (their entries carry over via
         # _assemble). Metadata is re-adopted above, so only data
         # overlap is checked here.
-        if read_version is not None and touched_keys is not None:
+        if read_version is not None and touched_files is not None:
+            # FILE-granular window check (round 14, the CoW DML shape):
+            # blind-append-aware, so an unrelated ingest landing inside
+            # the window never aborts a selective rewrite
+            for iv in range(read_version + 1, v_new):
+                if self._dv_rebase_conflicts(
+                    iv, set(touched_files), file_read_dnf
+                ):
+                    _discard_staged()
+                    raise ConcurrentWriteError(
+                        f"table {self.name}: version {iv} (committed "
+                        "after this transaction's read snapshot "
+                        f"{read_version}) touched files this "
+                        f"{op} read or rewrites; re-run against the "
+                        "current version"
+                    )
+        elif read_version is not None and touched_keys is not None:
             for iv in range(read_version + 1, v_new):
                 if self._commit_conflicts(iv, touched_keys, read_dnf):
                     _discard_staged()
@@ -3070,9 +3265,16 @@ class ManagedTable:
             and not drop_rels
             and not reset_metadata
             and touched_keys is None
+            and touched_files is None
         )
         rebases = 0
         while True:
+            if identity_claim:
+                try:
+                    self._claim_identity_bump(identity_claim, v_new - 1)
+                except ConcurrentWriteError:
+                    _discard_staged()
+                    raise
             try:
                 self._write_manifest(
                     v_new, entries, stats, txns, op, dv=dv, dv_n=dv_n,
@@ -3102,7 +3304,11 @@ class ManagedTable:
                     and not drop_rels
                     and not mark_clustered
                     and not reset_metadata
-                    and not identity_claim
+                    # an identity_claim does NOT block the rebase
+                    # (round 14): the claim loop above re-validates the
+                    # watermark against each winner — an identity
+                    # append racing a non-minting commit rebases; one
+                    # racing another mint discards and re-mints
                     and cdf_staged is None
                     # a commit that DECLARED a read region is not blind
                     # even when the region classified empty: an empty-
@@ -3111,6 +3317,7 @@ class ManagedTable:
                     # that region must fail it via the disjoint path's
                     # read_dnf check, not be rebased over
                     and touched_keys is None
+                    and touched_files is None
                     and v_new > 0
                     and rebases <= 16
                 ) and self._rebind_for_append_rebase(
@@ -3118,15 +3325,19 @@ class ManagedTable:
                 )
                 if not blind_ok:
                     disjoint_ok = (
-                        touched_keys is not None
+                        (
+                            touched_keys is not None
+                            or touched_files is not None
+                        )
                         and not replace_all
                         and not reset_metadata
-                        and not identity_claim
                         and v_new > 0
                         and rebases <= 16
                     ) and self._rebind_for_disjoint_rebase(
                         v_new, txn, copy_files_add, copy_files_guard,
-                        touched_keys, read_dnf,
+                        touched_keys or (), read_dnf,
+                        touched_files=touched_files,
+                        file_read_dnf=file_read_dnf,
                     )
                     if not disjoint_ok:
                         # lost the race for real
@@ -6184,6 +6395,7 @@ class ManagedTable:
         append_mint: bool = False,
         read_dnf: Sequence[Sequence[tuple]] | None = None,
         read_version: int | None = None,
+        identity_claim: Mapping[str, tuple[int, int]] | None = None,
     ) -> int:
         """Commit a merge-on-read delete: mark ``doomed`` rows
         (``__mt_key``/``__mt_pos`` of the CURRENT snapshot) in a
@@ -6217,7 +6429,14 @@ class ManagedTable:
         file-level rules BEFORE the claim (round-13 review: the CoW
         path has this loop; without it an intermediate writer's
         re-vectoring of a touched file double-counted dv_n and a
-        stale predicate scan missed its adds)."""
+        stale predicate scan missed its adds).
+
+        ``identity_claim`` (round 14 — merge-on-read MERGE on identity
+        tables): ids minted for the appended insert rows against a base
+        watermark; validated and bumped atomically with every manifest
+        attempt (:meth:`_claim_identity_bump`), including after a
+        disjoint rebase — if the winner consumed ids, the staged files
+        are discarded and the caller re-mints."""
         v = self.current_version()
         # metadata of the version being built on binds (round-13
         # review, mirroring _stage_and_commit): a constraint, rename,
@@ -6231,6 +6450,7 @@ class ManagedTable:
             self.properties = self._read_properties(v)
             self._apply_functional_properties()
             self.defaults = self._read_defaults(v)
+            self.identity = self._read_identity(v)
         doomed = doomed.select("__mt_key", "__mt_pos")
         per_file = {
             r["__mt_key"]: r["n"]
@@ -6248,16 +6468,21 @@ class ManagedTable:
             # whose keys are ALL new): append in the same commit shape
             # — but NON-blind (round-13 review: this transaction READ
             # the target for its decisions; a blind marker would
-            # wrongly exempt it from racers' read-predicate checks)
+            # wrongly exempt it from racers' read-predicate checks).
+            # The region is declared at FILE granularity (round 14):
+            # it touches no existing file, so it conflicts only with a
+            # non-blind racer whose adds can satisfy its read predicate
+            # — a racing BLIND ingest rebases instead of aborting it
             cols = [f.name for f in self.schema.fields]
             return self._stage_and_commit(
                 self._apply_generated(append_df).select(*cols),
                 replace_all=False,
                 append_only=True,
                 op=op,
+                identity_claim=identity_claim,
                 read_version=read_version,
-                read_keys=(),
-                read_dnf=read_dnf,
+                touched_files=(),
+                file_read_dnf=read_dnf,
             )
         # stale-read guard over the whole window (round-13 review):
         # every commit between the caller's read snapshot and now must
@@ -6390,6 +6615,15 @@ class ManagedTable:
         v_new = v + 1
         rebases = 0
         while True:
+            if identity_claim:
+                try:
+                    self._claim_identity_bump(identity_claim, v_new - 1)
+                except ConcurrentWriteError:
+                    # a racing writer consumed ids: the staged insert
+                    # rows carry collision-prone values — discard and
+                    # let the caller re-mint
+                    _discard()
+                    raise
             try:
                 self._write_manifest(
                     v_new, entries, stats, self._read_txn(v_new - 1),
@@ -6448,8 +6682,17 @@ class ManagedTable:
             v_read = self.current_version()
             target = self._read_internal(v_read, with_pos=True)
             doomed = target.join(src_keys, on=keys, how="left_semi")
+            # no caller-declared predicate → derive the key-set DNF
+            # from the source (round 14): a racing add whose file
+            # provably holds none of our keys could not have matched,
+            # so the loser rebases instead of aborting
+            dnf = (
+                read_filters
+                if read_filters is not None
+                else self._source_key_dnf(src_keys, keys)
+            )
             return self._delete_rows_dv(
-                doomed, op="MERGE DELETE (DV)", read_dnf=read_filters,
+                doomed, op="MERGE DELETE (DV)", read_dnf=dnf,
                 read_version=v_read,
             )
         scoped = bool(self.partition_columns) and set(
@@ -6514,12 +6757,23 @@ class ManagedTable:
         where a bare ``filter(~cond)`` would silently delete the
         NULL-predicate rows too (ADVICE r05).
 
-        ``read_filters`` (optional, DV path): ``condition`` as
+        ``read_filters`` (optional, BOTH paths): ``condition`` as
         filter-triple DNF — the transaction's declared read predicate.
         With it, a claim-collision loser can rebase over a racing
         non-blind writer whose added files provably don't satisfy the
         predicate (file-level conflict detection; see
-        :meth:`_delete_rows_dv`). Must be implied by ``condition``."""
+        :meth:`_delete_rows_dv`). Must be implied by ``condition``.
+
+        The copy-on-write path is ENTRY-SCOPED (round 14, Delta's CoW
+        DML shape): only the manifest entries whose files contain
+        matching rows are rewritten — their survivors restage, every
+        other entry carries over byte-identical — and the commit
+        declares its write set as exactly those entries' files, so it
+        rides the same file-level conflict detection as the DV path
+        (two CoW deletes on different files of an UNPARTITIONED table
+        land in parallel; a selective CoW delete on a 100 TB table
+        rewrites only the touched files, not the snapshot). Matching
+        zero rows is a commit-free no-op on both paths."""
         self._check_append_only("DELETE")
         if deletion_vectors:
             v_read = self.current_version()
@@ -6531,20 +6785,28 @@ class ManagedTable:
             )
         v_read = self.current_version()
         track = self._row_tracking_enabled()
-        if track:
-            # copy-on-write DELETE preserves surviving rows' ids and
-            # last-modified versions by materializing them into the
-            # rewritten files (Delta row tracking's DML behavior)
-            base_df = self._track_read(v_read)
-        else:
-            base_df = self.read(v_read)
+        base_df = self._cow_meta_read(v_read, track)
+        cond_t = F.coalesce(condition, F.lit(False))
+        touched_rels, touched_files = self._cow_touched(
+            base_df, cond_t, v_read
+        )
+        if not touched_rels:
+            return v_read  # nothing matched
+        survivors = (
+            base_df.filter(self._dir_of_key().isin(touched_rels))
+            .filter(~cond_t)
+            .drop("__mt_key", "__mt_pos")
+        )
         return self._stage_and_commit(
-            base_df.filter(~F.coalesce(condition, F.lit(False))),
-            replace_all=True,
+            survivors,
+            replace_all=False,
+            append_only=True,
+            drop_rels=set(touched_rels),
             op="DELETE",
             row_ids_materialized=track,
             read_version=v_read,
-            read_dnf=[[]],
+            touched_files=touched_files,
+            file_read_dnf=read_filters,
         )
 
     def update_where(
@@ -6632,12 +6894,21 @@ class ManagedTable:
                 matched, op="UPDATE (DV)", append_df=rewritten,
                 read_dnf=read_filters, read_version=v,
             )
+        # entry-scoped copy-on-write (round 14, same shape as
+        # delete_where): only entries containing matched rows restage
+        # (matched rows rewritten, their file-neighbors carried
+        # verbatim into the restage), everything else carries over
+        # byte-identical, and the write set is declared at file
+        # granularity for parallel disjoint writers
         v_read = self.current_version()
-        if track:
-            base_df = self._track_read(v_read)
-        else:
-            base_df = self.read(v_read)
-        updated = base_df.select(
+        base_df = self._cow_meta_read(v_read, track)
+        touched_rels, touched_files = self._cow_touched(
+            base_df, cond, v_read
+        )
+        if not touched_rels:
+            return v_read  # nothing matched
+        scoped_df = base_df.filter(self._dir_of_key().isin(touched_rels))
+        updated = scoped_df.select(
             *[
                 F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
                 if c in exprs
@@ -6662,10 +6933,15 @@ class ManagedTable:
         # by the generation CHECK invariant)
         updated = self._regen_generated(updated, assigned=set(exprs))
         return self._stage_and_commit(
-            updated, replace_all=True, op="UPDATE",
+            updated,
+            replace_all=False,
+            append_only=True,
+            drop_rels=set(touched_rels),
+            op="UPDATE",
             row_ids_materialized=track,
             read_version=v_read,
-            read_dnf=[[]],
+            touched_files=touched_files,
+            file_read_dnf=read_filters,
         )
 
     def merge_update(
@@ -6828,9 +7104,14 @@ class ManagedTable:
         table including unpartitioned ones. The commit's write set is
         the exact touched files, so it rides file-level conflict
         detection: two merges on disjoint key ranges land in parallel
-        even without partitions (``_delete_rows_dv``). Identity-column
-        tables must use the copy-on-write path (inserts can't mint
-        through the append).
+        even without partitions (``_delete_rows_dv``).
+
+        Identity-column tables work on BOTH paths (round 14): when the
+        source omits the identity columns, matched rewrites keep the
+        target's ids and not-matched inserts mint fresh ones against
+        the high watermark, whose claim commits atomically with the
+        merge (a racing consumer of the same watermark loses and
+        re-mints — Delta's identity conflict rule).
 
         Tables with generated or identity columns require insert maps
         to be ``"insert_all"`` (the specialized :meth:`merge_upsert` /
@@ -6933,17 +7214,36 @@ class ManagedTable:
             and set(self.partition_columns) <= set(keys)
             and not _updates_partition_col
         )
+        id_claim = None
+        if self.identity:
+            # GENERATED ALWAYS: no clause may assign an identity column
+            for _cc, a in [*matched, *not_matched, *not_matched_by_source]:
+                if isinstance(a, Mapping) and set(a) & set(self.identity):
+                    bad = sorted(set(a) & set(self.identity))
+                    raise ValueError(
+                        f"table {self.name}: column(s) {bad} are "
+                        "GENERATED ALWAYS AS IDENTITY — MERGE clauses "
+                        "must not assign them"
+                    )
+            missing_ident = sorted(
+                c for c in self.identity if c not in source.columns
+            )
+            if missing_ident:
+                # matched rewrites keep the TARGET's ids (the out-column
+                # default expr); the fill mints fresh ids only for the
+                # not-matched source rows an insert clause may land, and
+                # the claim commits atomically with the merge (round 14
+                # — Delta's identity-under-MERGE high-watermark rule,
+                # on BOTH the CoW and the merge-on-read path)
+                source, id_claim = self._merge_fill_identity(
+                    source, keys, missing_ident
+                )
         v_read = self.current_version()
         track = self._row_tracking_enabled()
         drop_scope: set[str] = set()
         scope_keys: set[str] | None = None
         read_dnf = None
         if deletion_vectors:
-            if self.identity:
-                raise ValueError(
-                    f"table {self.name}: merge-on-read MERGE cannot "
-                    "mint identity columns; use deletion_vectors=False"
-                )
             # materialize the source ONCE (Delta materializes merge
             # sources for the same reasons): it feeds four consumers —
             # dup check, isEmpty probe, the outer join, and the
@@ -7128,36 +7428,22 @@ class ManagedTable:
         if deletion_vectors:
             # merge-on-read commit: the fired target-side rows' old
             # versions die via the vector, the rewritten/inserted rows
-            # append, atomically. The declared read predicate is the
-            # per-key-column BETWEEN over the source's key bounds — a
-            # sound SUPERSET of the rows the keyed join could read
-            # (one tiny source agg) — so a racing non-blind writer
-            # whose added files provably carry no key in range stays
-            # disjoint and the loser rebases. A by-source clause reads
-            # every target row: its predicate is "everything".
+            # append, atomically. The declared read predicate is per
+            # key column: the exact DISTINCT KEY SET when small enough
+            # (round 14 — an ``in`` triple, so a SPARSE key set
+            # scattered across the table's range no longer declares
+            # the whole range read and serializes against every racing
+            # add inside it), else the BETWEEN over the source's key
+            # bounds. Both are sound supersets of the rows the keyed
+            # join could read (one tiny source agg each) — a racing
+            # non-blind writer whose added files provably carry no
+            # declared key stays disjoint and the loser rebases. A
+            # by-source clause reads every target row: its predicate
+            # is "everything".
             if not_matched_by_source:
                 merge_read_dnf: Sequence[Sequence[tuple]] | None = [[]]
             else:
-                merge_read_dnf = None
-                try:
-                    bounds = source.agg(
-                        *[F.min(k).alias(f"__lo_{k}") for k in keys],
-                        *[F.max(k).alias(f"__hi_{k}") for k in keys],
-                    ).collect()[0]
-                    trips = []
-                    empty_read = False
-                    for k in keys:
-                        lo, hi = bounds[f"__lo_{k}"], bounds[f"__hi_{k}"]
-                        if lo is None or hi is None:
-                            # no rows / all-NULL key: NULL keys match
-                            # nothing under standard equality — the
-                            # read set is empty
-                            empty_read = True
-                            break
-                        trips.append((k, "between", lo, hi))
-                    merge_read_dnf = [] if empty_read else [trips]
-                except Exception:
-                    merge_read_dnf = None  # unorderable key type
+                merge_read_dnf = self._source_key_dnf(source, keys)
             doomed = joined.filter(
                 F.col("__tgt_m").isNotNull() & (F.col("__act") != "keep")
             ).select("__mt_key", "__mt_pos")
@@ -7169,9 +7455,11 @@ class ManagedTable:
                 append_mint=track,
                 read_dnf=merge_read_dnf,
                 read_version=v_read,
+                identity_claim=id_claim,
             )
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",
+            identity_claim=id_claim,
             drop_rels=drop_scope,
             row_ids_materialized="partial" if track else False,
             read_version=v_read,

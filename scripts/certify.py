@@ -82,7 +82,26 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
-    oracles = entry_mod.oracle_sql()
+    oracles = dict(entry_mod.oracle_sql())
+    # Edge-cache PARITY (VERDICT r13 "what's wrong" 1): the Spark side
+    # of dedup_ngram_jaccard / graph_pagerank_docs reads the persisted
+    # per-corpus edge table (built once, visible in bench raw_reps);
+    # timing the DuckDB twins on a full pair-join recompute every rep
+    # flattered the ratio by ~19%. Give the oracle the SAME one-time
+    # materialization: build the edge table once into a temp table and
+    # have both twins read it. The build cost is reported separately.
+    edge_build_sec = None
+    inner = oracles.get("dedup_ngram_jaccard")
+    if inner:
+        t0 = time.time()
+        con.execute(f"CREATE TEMP TABLE __edge_cache AS {inner}")
+        edge_build_sec = round(time.time() - t0, 3)
+        oracles["dedup_ngram_jaccard"] = "SELECT * FROM __edge_cache"
+        pr = oracles.get("graph_pagerank_docs")
+        if pr and inner in pr:
+            oracles["graph_pagerank_docs"] = pr.replace(
+                inner, " SELECT * FROM __edge_cache "
+            )
     shared = sorted(set(oracles) & set(spark_q))
     times: dict[str, float] = {}
     for name in shared:
@@ -103,6 +122,7 @@ def main() -> int:
     print(json.dumps({
         "sf_dir": sf_dir,
         "mode": "live" if live else "recorded",
+        "edge_cache_build_sec": edge_build_sec,
         "n_shared": len(shared),
         "spark_total": round(spark_total, 1),
         "duckdb_total": round(duck_total, 1),

@@ -366,3 +366,205 @@ def test_dv_commit_binds_current_constraints(spark, tmp_path):
         stale.update_where({"v": "-1"}, F.col("k") == 3)
     vals = {r["k"]: r["v"] for r in t.read().collect()}
     assert vals[3] == 30  # nothing landed
+
+
+# ---------------------------------------------------------------------------
+# Round 14: ENTRY-SCOPED copy-on-write DML — CoW DELETE/UPDATE rewrite
+# only the entries containing matched rows, declare a file-granular
+# write set, and ride the same conflict detection as the DV path.
+# ---------------------------------------------------------------------------
+
+
+def test_cow_delete_entry_scoped_carries_untouched_files(spark, tmp_path):
+    """A selective CoW DELETE rewrites only the entry holding matched
+    rows; the other file survives byte-identical in the manifest."""
+    t = _mk(spark, tmp_path, "cw1")
+    before = set(t._read_manifest(t.current_version()).values())
+    t.delete_where(F.col("k") == 3, deletion_vectors=False)
+    after = t._read_manifest(t.current_version()).values()
+    # the 100-109 entry carried over untouched; the 0-9 entry was
+    # replaced by a fresh staged dir
+    assert len(before & set(after)) == 1
+    assert _rows(t) == sorted(
+        (k, k * 10) for k in list(range(10)) + list(range(100, 110))
+        if k != 3
+    )
+    assert t.history()[0]["operation"] == "DELETE"
+
+
+def test_cow_update_entry_scoped(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cw2")
+    before = set(t._read_manifest(t.current_version()).values())
+    t.update_where({"v": "v + 1"}, F.col("k") == 105, deletion_vectors=False)
+    after = t._read_manifest(t.current_version()).values()
+    assert len(before & set(after)) == 1  # ids-0-9 file untouched
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[105] == 1051 and got[3] == 30 and len(got) == 20
+
+
+def test_cow_dml_zero_match_is_commit_free(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cw3")
+    v = t.current_version()
+    assert t.delete_where(F.col("k") == 999, deletion_vectors=False) == v
+    assert (
+        t.update_where({"v": "0"}, F.col("k") == 999, deletion_vectors=False)
+        == v
+    )
+    assert t.current_version() == v
+
+
+def test_disjoint_cow_deletes_both_land_unpartitioned(spark, tmp_path):
+    """Two copy-on-write DELETEs touching DIFFERENT files of an
+    unpartitioned table: the loser rebases at file granularity, both
+    land (previously: replace_all, loser aborted)."""
+    t = _mk(spark, tmp_path, "cw4")
+    loser = _handle(spark, tmp_path, "cw4")
+    winner = _handle(spark, tmp_path, "cw4")
+    state = _interpose(
+        loser,
+        lambda: winner.delete_where(
+            F.col("k") == 105, deletion_vectors=False
+        ),
+    )
+    loser.delete_where(
+        F.col("k") == 3,
+        deletion_vectors=False,
+        read_filters=[[("k", "=", 3)]],
+    )
+    assert state["raced"]
+    assert _rows(t) == sorted(
+        (k, k * 10) for k in list(range(10)) + list(range(100, 110))
+        if k not in (3, 105)
+    )
+
+
+def test_overlapping_cow_deletes_raise(spark, tmp_path):
+    """Two CoW DELETEs claiming rows in the SAME file: the loser's
+    write set overlaps the winner's — first-writer-wins."""
+    t = _mk(spark, tmp_path, "cw5")
+    loser = _handle(spark, tmp_path, "cw5")
+    winner = _handle(spark, tmp_path, "cw5")
+    state = _interpose(
+        loser,
+        lambda: winner.delete_where(
+            F.col("k") == 2, deletion_vectors=False
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.delete_where(
+            F.col("k") == 3,
+            deletion_vectors=False,
+            read_filters=[[("k", "=", 3)]],
+        )
+    assert state["raced"]
+    assert (2, 20) not in _rows(t) and (3, 30) in _rows(t)
+
+
+def test_cow_delete_rebases_over_blind_append(spark, tmp_path):
+    """A blind append landing mid-flight never conflicts with a CoW
+    DELETE (write-serializable: the DELETE serializes first)."""
+    t = _mk(spark, tmp_path, "cw6")
+    loser = _handle(spark, tmp_path, "cw6")
+    winner = _handle(spark, tmp_path, "cw6")
+    state = _interpose(
+        loser,
+        lambda: winner.append(
+            spark.createDataFrame([(999, 9990)], "k long, v long")
+        ),
+    )
+    loser.delete_where(
+        F.col("k") == 3,
+        deletion_vectors=False,
+        read_filters=[[("k", "=", 3)]],
+    )
+    assert state["raced"]
+    got = _rows(t)
+    assert (999, 9990) in got and (3, 30) not in got and len(got) == 20
+
+
+def test_cow_delete_mixed_race_with_dv_delete(spark, tmp_path):
+    """CoW DELETE racing a DV DELETE on the other file: disjoint at
+    file granularity on both sides — both land."""
+    t = _mk(spark, tmp_path, "cw7")
+    loser = _handle(spark, tmp_path, "cw7")
+    winner = _handle(spark, tmp_path, "cw7")
+    state = _interpose(
+        loser,
+        lambda: winner.delete_where(F.col("k") == 107),  # DV path
+    )
+    loser.delete_where(
+        F.col("k") == 1,
+        deletion_vectors=False,
+        read_filters=[[("k", "=", 1)]],
+    )
+    assert state["raced"]
+    assert _rows(t) == sorted(
+        (k, k * 10) for k in list(range(10)) + list(range(100, 110))
+        if k not in (1, 107)
+    )
+
+
+def test_cow_update_moves_row_across_partitions(spark, tmp_path):
+    """Entry-scoped CoW UPDATE on a PARTITIONED table where the
+    assignment changes the partition value: the rewritten row lands in
+    its new partition, the old entry's survivors restage, other
+    partitions carry over."""
+    t = ManagedTable(
+        spark, "cwp", str(tmp_path / "cwp"), partition_columns=["p"]
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "k long, p string, v long",
+        )
+    )
+    t.update_where({"p": "'b'"}, F.col("k") == 1, deletion_vectors=False)
+    got = sorted((r.k, r.p, r.v) for r in t.read().collect())
+    assert got == [(1, "b", 10), (2, "a", 20), (3, "b", 30)]
+
+
+def test_sparse_key_merge_rebases_over_mid_range_rewrite(spark, tmp_path):
+    """Round 14: the DV MERGE's declared read predicate is the exact
+    key SET when small — a merge on sparse keys {2, 999} racing a
+    non-blind rewrite that adds a k=105 file (inside the [2, 999]
+    span) stays disjoint and rebases; the old per-key BETWEEN would
+    have serialized them."""
+    t = _mk(spark, tmp_path, "sp1")
+    loser = _handle(spark, tmp_path, "sp1")
+    winner = _handle(spark, tmp_path, "sp1")
+    state = _interpose(
+        loser,
+        lambda: winner.update_where({"v": "v + 1"}, F.col("k") == 105),
+    )
+    loser.merge_clauses(
+        spark.createDataFrame([(2, 222), (999, 9990)], "k long, v long"),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    assert state["raced"]
+    got = dict(_rows(t))
+    assert got[105] == 1051  # winner landed
+    assert got[2] == 222 and got[999] == 9990  # loser rebased, both in
+    assert len(got) == 21
+
+
+def test_source_key_dnf_shapes(spark, tmp_path):
+    """Unit shapes of the derived read predicate: IN-set under the
+    cap, BETWEEN above it, [] for empty / all-NULL key sources."""
+    t = _mk(spark, tmp_path, "sp2")
+    small = spark.createDataFrame([(2, 0), (999, 0)], "k long, v long")
+    [trips] = t._source_key_dnf(small, ["k"])
+    assert trips[0][0] == "k" and trips[0][1] == "in"
+    assert sorted(trips[0][2]) == [2, 999]
+    big = spark.range(0, t._KEY_SET_CAP + 5).select(
+        F.col("id").alias("k"), F.lit(0).alias("v")
+    )
+    [trips] = t._source_key_dnf(big, ["k"])
+    assert trips[0][1] == "between"
+    assert t._source_key_dnf(small.limit(0), ["k"]) == []
+    nulls = spark.createDataFrame(
+        [(None, 1)], "k long, v long"
+    )
+    assert t._source_key_dnf(nulls, ["k"]) == []

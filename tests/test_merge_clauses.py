@@ -393,19 +393,73 @@ def test_dv_merge_matches_cow_merge(spark, tmp_path):
     }
 
 
-def test_dv_merge_identity_table_raises(spark, tmp_path):
+def test_dv_merge_identity_table_mints(spark, tmp_path):
+    """Round 14: merge-on-read MERGE on an identity table — matched
+    rewrites keep the target's ids, not-matched inserts mint fresh
+    ones against the high watermark, the claim commits atomically.
+    Also covers the all-insert merge into an EMPTY table (the empty-
+    manifest meta scan)."""
     t = ManagedTable(spark, "ti", str(tmp_path / "ti"))
+    t.set_identity_column("id", start=10, step=2)
+    t.create_if_not_exists(
+        spark.createDataFrame([], "id long, k long, v double").schema
+    )
+    # all-insert merge into the empty table
+    t.merge_clauses(
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "k long, v double"
+        ).repartition(1),
+        ["k"],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    assert sorted(r.id for r in t.read().collect()) == [10, 12]
+    id2 = {r.k: r.id for r in t.read().collect()}[2]
+    # mixed merge: matched keeps its id, insert mints the next one
+    t.merge_clauses(
+        spark.createDataFrame(
+            [(2, 22.0), (3, 3.0)], "k long, v double"
+        ).repartition(1),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    state = {r.k: (r.id, r.v) for r in t.read().collect()}
+    assert state[2] == (id2, 22.0)  # rewrite kept the id
+    assert state[3][0] == 14 and state[3][1] == 3.0  # fresh mint
+    assert t.history()[0]["operation"] == "MERGE (DV)"
+    # clauses may never assign a GENERATED ALWAYS identity column
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_clauses(
+            spark.createDataFrame([(3, 9.0)], "k long, v double"),
+            ["k"],
+            matched=[(None, {"id": "99"})],
+            deletion_vectors=True,
+        )
+
+
+def test_cow_merge_identity_table_mints(spark, tmp_path):
+    """The copy-on-write twin: same fill/mint semantics without DVs
+    (previously an unresolved-column AnalysisException)."""
+    t = ManagedTable(spark, "tic", str(tmp_path / "tic"))
     t.set_identity_column("id")
     t.create_if_not_exists(
         spark.createDataFrame([], "id long, k long, v double").schema
     )
-    with pytest.raises(ValueError, match="identity"):
-        t.merge_clauses(
-            spark.createDataFrame([(1, 1.0)], "k long, v double"),
-            ["k"],
-            not_matched=[(None, "insert_all")],
-            deletion_vectors=True,
-        )
+    t.append(
+        spark.createDataFrame([(1, 10.0)], "k long, v double").repartition(1)
+    )
+    t.merge_clauses(
+        spark.createDataFrame(
+            [(1, 11.0), (2, 2.0)], "k long, v double"
+        ).repartition(1),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    state = {r.k: (r.id, r.v) for r in t.read().collect()}
+    assert state == {1: (1, 11.0), 2: (2, 2.0)}
 
 
 def test_dv_merges_disjoint_keys_race_unpartitioned(spark, tmp_path):

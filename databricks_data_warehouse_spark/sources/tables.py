@@ -3271,7 +3271,15 @@ class ManagedTable:
         while True:
             if identity_claim:
                 try:
-                    self._claim_identity_bump(identity_claim, v_new - 1)
+                    # CREATE OR REPLACE (reset_metadata) carries the
+                    # handle's FRESH identity declarations — the base
+                    # manifest's (old table's) watermarks must not
+                    # govern it; base=-1 validates against the handle
+                    # (a replace never rebases, so the loop runs once)
+                    self._claim_identity_bump(
+                        identity_claim,
+                        -1 if reset_metadata else v_new - 1,
+                    )
                 except ConcurrentWriteError:
                     _discard_staged()
                     raise
@@ -6368,8 +6376,19 @@ class ManagedTable:
                 f"or none; source omits only {missing}"
             )
         probe = f"__tgt_{missing[0]}"
+        # the key->id projection only needs target rows whose keys can
+        # match the source: prune the read with the source's key DNF
+        # (round 14 — at 100 TB the projection touches the candidate
+        # files, not the table). scan(trips) ≡ read().filter(trips),
+        # and any row the join could match satisfies the triples, so
+        # the projection is join-equivalent. An empty read set (no
+        # rows / all-NULL key) means nothing matches: mint for all.
+        key_dnf = self._source_key_dnf(source, keys)
+        if key_dnf == []:
+            return self._assign_identity(source)
+        tgt_rows = self.scan(key_dnf[0]) if key_dnf else self.read()
         tgt_ids = (
-            self.read()
+            tgt_rows
             .select(
                 *keys,
                 *[F.col(c).alias(f"__tgt_{c}") for c in missing],
@@ -7087,14 +7106,19 @@ class ManagedTable:
         Delta's semantics, including NULL conditions counting as not
         fired.
 
-        Scale shape: one full-outer shuffle join on the keys builds the
-        new snapshot. Partition-scoped like :meth:`merge_upsert` when
-        the partition columns are part of the key AND no by-source
-        clause exists (a by-source clause must see every target row, so
-        it forces the full-table pass — same reason Delta's
-        by-source merges can't prune). Duplicate source keys raise when
-        any matched / by-source clause exists (Delta's "multiple source
-        rows matched" error).
+        Scale shape: one full-outer shuffle join on the keys decides
+        every row's clause. Partition-scoped like :meth:`merge_upsert`
+        when the partition columns are part of the key AND no by-source
+        clause exists (a by-source clause must see every target row —
+        same reason Delta's by-source merges can't prune). Otherwise
+        the copy-on-write commit is ENTRY-SCOPED (round 14): only the
+        manifest entries holding fired rows restage, everything else
+        carries over byte-identical, and the write set is declared at
+        file granularity so disjoint merges on unpartitioned tables
+        land in parallel — O(touched files + inserts) written, never
+        O(table). Duplicate source keys raise when any matched /
+        by-source clause exists (Delta's "multiple source rows matched"
+        error).
 
         ``deletion_vectors=True`` is the MERGE-ON-READ shape (round 13,
         Delta's MERGE with DVs): matched/by-source rows a clause fires
@@ -7243,39 +7267,29 @@ class ManagedTable:
         drop_scope: set[str] = set()
         scope_keys: set[str] | None = None
         read_dnf = None
-        if deletion_vectors:
+        # entry-scoped copy-on-write (round 14): an UNSCOPED CoW merge
+        # previously replaced the full snapshot — O(table) written for
+        # any merge on an unpartitioned table, and any claim collision
+        # aborted. Now only the entries containing FIRED target rows
+        # restage (their keeps carried into the restage, everything
+        # else byte-identical), with the write set declared at file
+        # granularity like the DV path.
+        entry_scoped = not deletion_vectors and not scoped
+        if deletion_vectors or entry_scoped:
             # materialize the source ONCE (Delta materializes merge
-            # sources for the same reasons): it feeds four consumers —
-            # dup check, isEmpty probe, the outer join, and the
-            # read-bounds agg — and re-running an expensive or
+            # sources for the same reasons): it feeds several consumers
+            # — dup check, isEmpty probe, the outer join (twice for the
+            # scoped shapes: touched-file agg + the staged write), and
+            # the read-bounds agg — and re-running an expensive or
             # nondeterministic source query per consumer is both slow
             # and a correctness hazard (round-13 review)
             source = source.localCheckpoint(eager=True)
+        if deletion_vectors or entry_scoped:
             # meta-carrying read (the DV key space: __mt_key/__mt_pos
             # of every visible row); with row tracking, ids attach so
             # updated rows carry them into the appended rewrite
-            target = self._scan_rels(
-                self._read_manifest(v_read).values(),
-                need_meta=True,
-                with_row_col=track,
-            )
-            dv_map, _ = self._read_dv(v_read)
-            if dv_map:
-                target = target.join(
-                    self._dv_rows(dv_map).select(
-                        F.col("file").alias("__mt_key"),
-                        F.col("pos").alias("__mt_pos"),
-                    ),
-                    ["__mt_key", "__mt_pos"],
-                    "left_anti",
-                )
-            if track:
-                target = (
-                    self._attach_row_ids(target, v_read)
-                    .withColumnRenamed("_row_id", "__row_id")
-                    .withColumnRenamed("_row_commit_version", "__row_ver")
-                )
-            if scoped:
+            target = self._cow_meta_read(v_read, track)
+            if deletion_vectors and scoped:
                 # join pruning only — the commit is file-scoped, no
                 # entries are dropped or restaged
                 pf, _tuples = self._source_partitions(source)
@@ -7359,6 +7373,31 @@ class ManagedTable:
                 }
             )
             kept = joined.filter(F.col("__act").isin(live))
+        elif entry_scoped:
+            # entry-scoped CoW: restage only the entries holding FIRED
+            # target rows — their keep-rows ride along (the whole dir
+            # is replaced), untouched entries carry over via the
+            # manifest; insert rows (no target side) always stage
+            fired = (
+                joined.filter(
+                    F.col("__tgt_m").isNotNull()
+                    & (F.col("__act") != "keep")
+                )
+                .select("__mt_key")
+                .distinct()
+            )
+            touched_rels = sorted(
+                {os.path.dirname(r["__mt_key"]) for r in fired.collect()}
+            )
+            kept = joined.filter(
+                (
+                    F.col("__tgt_m").isNull()
+                    | self._dir_of_key().isin(touched_rels)
+                )
+                & ~F.col("__act").isin(sorted(dead))
+            )
+            if not touched_rels and kept.isEmpty():
+                return self.current_version()  # nothing fired: no-op
         else:
             kept = joined.filter(~F.col("__act").isin(sorted(dead)))
         out_cols = []
@@ -7456,6 +7495,36 @@ class ManagedTable:
                 read_dnf=merge_read_dnf,
                 read_version=v_read,
                 identity_claim=id_claim,
+            )
+        if entry_scoped:
+            # entry-scoped CoW commit: drop the touched entries,
+            # restage their transformed rows + inserts as one new
+            # append entry, declare the write set at FILE granularity
+            # (every file of the dropped entries) plus the read
+            # predicate — by-source merges read everything, keyed
+            # merges read their key set (same DNF as the DV path)
+            rel_set = set(touched_rels)
+            touched_files = sorted(
+                f
+                for f in self._read_stats(v_read)
+                if os.path.dirname(f) in rel_set
+            )
+            merge_read_dnf = (
+                [[]]
+                if not_matched_by_source
+                else self._source_key_dnf(source, keys)
+            )
+            return self._stage_and_commit(
+                result,
+                replace_all=False,
+                append_only=True,
+                drop_rels=rel_set,
+                op="MERGE",
+                identity_claim=id_claim,
+                row_ids_materialized="partial" if track else False,
+                read_version=v_read,
+                touched_files=touched_files,
+                file_read_dnf=merge_read_dnf,
             )
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",

@@ -568,3 +568,69 @@ def test_source_key_dnf_shapes(spark, tmp_path):
         [(None, 1)], "k long, v long"
     )
     assert t._source_key_dnf(nulls, ["k"]) == []
+
+
+def test_cow_merge_entry_scoped_carries_untouched_files(spark, tmp_path):
+    """Round 14: an UNSCOPED copy-on-write merge_clauses rewrites only
+    the entries holding fired rows; the other file's entry survives in
+    the manifest byte-identical, and inserts ride the same commit."""
+    t = _mk(spark, tmp_path, "cm1")
+    before = set(t._read_manifest(t.current_version()).values())
+    t.merge_clauses(
+        spark.createDataFrame([(3, 333), (999, 9990)], "k long, v long"),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    after = t._read_manifest(t.current_version()).values()
+    assert len(before & set(after)) == 1  # high-half file untouched
+    got = dict(_rows(t))
+    assert got[3] == 333 and got[999] == 9990 and len(got) == 21
+    assert t.history()[0]["operation"] == "MERGE"
+
+
+def test_disjoint_cow_merges_both_land_unpartitioned(spark, tmp_path):
+    """Two unscoped CoW merges firing on DIFFERENT files of an
+    unpartitioned table: the loser's auto-derived key-set read
+    predicate + file write set prove disjointness — both land
+    (previously: replace_all, loser aborted)."""
+    t = _mk(spark, tmp_path, "cm2")
+    loser = _handle(spark, tmp_path, "cm2")
+    winner = _handle(spark, tmp_path, "cm2")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_clauses(
+            spark.createDataFrame([(105, 1055)], "k long, v long"),
+            ["k"],
+            matched=[(None, {"v": "src.v"})],
+        ),
+    )
+    loser.merge_clauses(
+        spark.createDataFrame([(3, 333), (999, 9990)], "k long, v long"),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+    )
+    assert state["raced"]
+    got = dict(_rows(t))
+    assert got[105] == 1055 and got[3] == 333 and got[999] == 9990
+    assert len(got) == 21
+
+
+def test_cow_merge_by_source_still_full_sweep(spark, tmp_path):
+    """A by-source clause must see every target row: the entry-scoped
+    CoW commit still produces exactly the sync result (rows absent
+    from the source deleted everywhere, both files touched)."""
+    t = _mk(spark, tmp_path, "cm3")
+    src = spark.createDataFrame(
+        [(k, k * 10) for k in (1, 3, 104)], "k long, v long"
+    )
+    t.merge_clauses(
+        src,
+        ["k"],
+        matched=[(None, {"v": "src.v + 1"})],
+        not_matched=[(None, "insert_all")],
+        not_matched_by_source=[(None, "delete")],
+    )
+    got = dict(_rows(t))
+    assert got == {1: 11, 3: 31, 104: 1041}

@@ -123,7 +123,13 @@ def test_merge_clauses_matches_reference_model(spark, tmp_path_factory, sc):
         return  # merge_clauses rejects empty clause sets (tested elsewhere)
     tmp = tmp_path_factory.mktemp("mcprop")
     t = ManagedTable(spark, "t", str(tmp / "t"))
-    t.overwrite(spark.createDataFrame(target, "k long, v long"))
+    # TWO manifest entries (round 14): the default copy-on-write path
+    # is now entry-scoped, so the model must hold when some entries
+    # carry over untouched and others restage
+    half = len(target) // 2
+    t.overwrite(spark.createDataFrame(target[:half], "k long, v long"))
+    if target[half:]:
+        t.append(spark.createDataFrame(target[half:], "k long, v long"))
     src_df = spark.createDataFrame(source, "k long, v long")
     m = [
         (

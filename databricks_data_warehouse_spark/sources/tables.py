@@ -2385,6 +2385,12 @@ class ManagedTable:
         entry-scoped copy-on-write rewrite. With ``track``, rows carry
         their resolved ``__row_id``/``__row_ver`` so the restaged
         survivors materialize them (Delta row tracking's DML rule)."""
+        if version < 0:
+            raise FileNotFoundError(
+                f"table {self.name} does not exist yet"
+            )
+        if self.schema is None:
+            self.schema = self._load_schema()
         df = self._scan_rels(
             self._read_manifest(version).values(),
             need_meta=True,
@@ -2426,13 +2432,35 @@ class ManagedTable:
                 .collect()
             }
         )
-        rel_set = set(touched_rels)
-        touched_files = sorted(
+        return touched_rels, self._files_under(touched_rels, version)
+
+    def _files_under(
+        self, rels: Collection[str], version: int
+    ) -> list[str]:
+        """Every data file of the given manifest entry dirs, in the
+        DV/stats key space — the full write set of a commit that drops
+        and restages them. Stats keys plus a listdir per dir (belt and
+        braces: a file missing from stats — a legacy dir — would
+        under-declare the region and let a racer wrongly rebase over
+        it). No data I/O."""
+        rel_set = set(rels)
+        files = {
             f
             for f in self._read_stats(version)
             if os.path.dirname(f) in rel_set
-        )
-        return touched_rels, touched_files
+        }
+        for rel in rel_set:
+            d = rel if os.path.isabs(rel) else os.path.join(
+                self.location, rel
+            )
+            try:
+                names = os.listdir(d)
+            except OSError:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.add(os.path.join(rel, n))
+        return sorted(files)
 
     def _read_internal(self, version: int, with_pos: bool = False) -> DataFrame:
         """Snapshot read. With ``with_pos`` the result keeps
@@ -7504,11 +7532,7 @@ class ManagedTable:
             # predicate — by-source merges read everything, keyed
             # merges read their key set (same DNF as the DV path)
             rel_set = set(touched_rels)
-            touched_files = sorted(
-                f
-                for f in self._read_stats(v_read)
-                if os.path.dirname(f) in rel_set
-            )
+            touched_files = self._files_under(touched_rels, v_read)
             merge_read_dnf = (
                 [[]]
                 if not_matched_by_source

@@ -185,3 +185,48 @@ def test_sql_merge_identity_routes_merge_on_read(spark, tmp_path):
     rows = {r.k: (r.id, r.v) for r in t2.read().collect()}
     assert rows[1] == (101, 1.5)
     assert rows[900][0] == 110
+
+
+def test_identity_merge_dv_with_row_tracking(spark, tmp_path):
+    """Round 14 combination: row tracking AND identity columns under a
+    merge-on-read MERGE — the rewrite keeps BOTH the durable row id
+    and the identity value of matched rows, an insert mints fresh
+    values on BOTH watermarks, and untouched files never rewrite."""
+    t = ManagedTable(spark, "imrt", str(tmp_path / "imrt"))
+    t.set_identity_column("id", start=100, step=1)
+    t.create_if_not_exists(
+        spark.createDataFrame([], "id long, k long, v double").schema
+    )
+    t.set_properties({"delta.enableRowTracking": "true"})
+    t.append(_src(spark, [(0, 0.0), (1, 1.0)]))
+    t.append(_src(spark, [(50, 50.0)]))
+    files_before = set(t._read_manifest(t.current_version()).values())
+    rid_before = {
+        r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()
+    }
+    id_before = {r.k: r.id for r in t.read().collect()}
+    t.merge_clauses(
+        _src(spark, [(1, 11.0), (200, 200.0)]),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    rid_after = {
+        r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()
+    }
+    id_after = {r.k: r.id for r in t.read().collect()}
+    # matched row kept both identities; untouched rows untouched
+    assert rid_after[1] == rid_before[1]
+    assert id_after[1] == id_before[1]
+    for k in (0, 50):
+        assert rid_after[k] == rid_before[k] and id_after[k] == id_before[k]
+    # insert minted fresh on both watermarks
+    assert rid_after[200] > max(rid_before.values())
+    assert id_after[200] == max(id_before.values()) + 1
+    # merge-on-read: the pre-merge files carried byte-identical
+    assert files_before <= set(
+        t._read_manifest(t.current_version()).values()
+    )
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert vals[1] == 11.0 and vals[200] == 200.0

@@ -6886,6 +6886,15 @@ class ManagedTable:
             raise ValueError(
                 f"table {self.name}: UPDATE of unknown columns {sorted(unknown)}"
             )
+        bad_id = sorted(set(assignments) & set(self.identity))
+        if bad_id:
+            # Delta refuses UPDATE on identity columns: they are
+            # GENERATED ALWAYS — an assignment would break the
+            # never-reused id contract (round 14)
+            raise ValueError(
+                f"table {self.name}: column(s) {bad_id} are GENERATED "
+                "ALWAYS AS IDENTITY — UPDATE must not assign them"
+            )
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
@@ -7035,6 +7044,15 @@ class ManagedTable:
                     if candidate in source.columns:
                         expr = candidate
                 resolved[tgt_col] = expr
+        bad_id = sorted(set(resolved) & set(self.identity))
+        if bad_id:
+            # Delta refuses updates to identity columns (GENERATED
+            # ALWAYS); this also catches the implicit set_map=None
+            # resolution when the source happens to carry the column
+            raise ValueError(
+                f"table {self.name}: column(s) {bad_id} are GENERATED "
+                "ALWAYS AS IDENTITY — MERGE UPDATE must not assign them"
+            )
         dup = (
             source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
         )

@@ -182,3 +182,39 @@ def test_merge_partial_identity_supply_rejected(spark, tmp_path):
     src = _batch(spark, 10, 20).withColumn("id", F.lit(5))
     with pytest.raises(ValueError, match="ALL identity columns"):
         t.merge_upsert(src, key_columns=["rid"])
+
+
+def test_update_where_rejects_identity_assignment(spark, tmp_path):
+    """Round 14: UPDATE must not assign a GENERATED ALWAYS identity
+    column (Delta refuses — an assignment breaks the never-reused id
+    contract)."""
+    t = ManagedTable(spark, "idg1", str(tmp_path / "idg1"))
+    t.set_identity_column("id")
+    t.create_if_not_exists(
+        spark.createDataFrame([], "id long, k long").schema
+    )
+    t.append(spark.createDataFrame([(1,), (2,)], "k long"))
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.update_where({"id": "99"}, F.col("k") == 1)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2]
+
+
+def test_merge_update_rejects_identity_assignment(spark, tmp_path):
+    """Same contract for update-matched-only merges, including the
+    implicit set_map=None resolution when the source carries the
+    identity column."""
+    t = ManagedTable(spark, "idg2", str(tmp_path / "idg2"))
+    t.set_identity_column("id")
+    t.create_if_not_exists(
+        spark.createDataFrame([], "id long, k long, v long").schema
+    )
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    src = spark.createDataFrame([(1, 5, 11)], "k long, id long, v long")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_update(src, ["k"], {"id": "id", "v": "v"})
+    with pytest.raises(ValueError, match="IDENTITY"):
+        t.merge_update(src, ["k"])  # implicit resolution hits id too
+    assert {r.k: (r.id, r.v) for r in t.read().collect()} == {
+        1: (1, 10),
+        2: (2, 20),
+    }

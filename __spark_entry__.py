@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver check priority (first 50 checked/round).
 
-    The executing window is ``_R14_WINDOW`` (defined below, next to
+    The executing window is ``_R15_WINDOW`` (defined below, next to
     the catalog) — see its comment for this round's selection
     rationale. Everything not in the window keeps catalog order after
     it."""
@@ -453,82 +453,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R14_WINDOW}
+    ordered = {k: cat[k] for k in _R15_WINDOW if k in cat}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 
 
-# The 50-slot driver window for round 14 (VERDICT r13 "what's
-# missing" 1): the staleness candidates after r13 were exactly the 10
-# remaining r09 entries (the 8 documented deferrals + the 2 slot-donors
-# to the r13 post-freeze race oracles) and the 37 r10 entries — 47 in
-# total, which fit in one window. The remaining 3 slots go to the two
-# NEW round-14 oracles (post-freeze additions take a slot, the r11
-# process rule): table_cow_race (entry-scoped copy-on-write DML with
-# file-level conflict detection, a REAL interposed collision) and
-# table_identity_merge_dv (identity minting under merge-on-read MERGE,
-# watermark claim atomic with the DV commit) — and ONE touched-path
-# re-check: table_merge_on_read (round 14 rewired its commit path:
-# the identity fill, the key-set read predicate _source_key_dnf, and
-# _delete_rows_dv's per-attempt identity claim all sit under it).
-# Other r13-green entries on touched files (table_unpartitioned_race,
-# table_sql_dml, table_append_race — tables.py; dedup_* — untouched)
-# are covered by the builder's full 183-entry check_oracle gate this
-# round; their newest driver record stays r13.
-_R14_WINDOW = [
-    # (a) NEW round-14 oracles + the touched-path re-check
-    "table_cow_race",
-    "table_identity_merge_dv",
-    "table_merge_on_read",
-    # (b) the full r09 staleness tail (oldest driver greens)
-    "ann_lsh_buckets",
-    "ann_lsh_topk_multiprobe",
-    "ann_pairs_per_label",
-    "dash_low_order_customers",
-    "dedup_containment_pairs",
-    "emb_quantize_int8",
-    "events_hourly_windows",
-    "text_quality_floor",
-    "text_repetition",
-    "text_token_counts",
-    # (c) the full r10 cohort (next-oldest driver greens)
-    "agg_cube_orders",
-    "agg_customer_quartiles",
-    "agg_daily_revenue_gapfill",
-    "agg_delay_percentiles",
-    "agg_grouping_sets",
-    "agg_order_gaps",
-    "agg_pivot_status_by_segment",
-    "agg_rolling_revenue",
-    "agg_rollup_customers",
-    "agg_value_mad",
-    "data_epoch_shuffle",
-    "events_funnel",
-    "events_retention",
-    "events_scd2_status",
-    "events_sessionize",
-    "mixture_sample",
-    "mixture_weights",
-    "op_validate_domain",
-    "set_ops_customers",
-    "stream_click_purchase_join",
+# The 50-slot driver window for round 15 (VERDICT r14 "Next round" 1):
+# after r14 repaid all r09/r10 staleness, the oldest driver green is
+# r11 on exactly 40 entries — ALL of them take slots (b), making the
+# oldest driver green >= r12 everywhere after this round. The remaining
+# 10 slots, (a): new round-15 oracles (post-freeze additions take a
+# slot, the r11 process rule) and touched-path re-checks for the files
+# this round rewires — tables.py (per-FILE CoW write sets, above-cap
+# bloom key predicates): table_cow_race, table_merge_on_read,
+# table_unpartitioned_race; pipelines/cdc.py (exact gap boundary
+# anchors): table_apply_changes_scd1 / table_apply_snapshot_scd2 are
+# already in (b); streaming lifecycle shave: stream_hourly_tumbling as
+# the representative re-check (the 8 stream_* entries in (b) cover the
+# rest). Unused reserve slots fall through to catalog order.
+_R15_WINDOW = [
+    # (a) new round-15 oracles + touched-path re-checks
+    "table_file_cow_race",
+    "table_sparse_bloom_race",
     "stream_hourly_tumbling",
-    "stream_user_running_counts",
-    "table_apply_snapshot_scd1",
-    "text_bm25",
-    "text_boilerplate",
-    "tfidf_top_terms",
-    "tpch_q10_returned_items",
-    "tpch_q12_shipping_modes",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q22_sales_opportunity",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    "table_cow_race",
+    "table_merge_on_read",
+    "table_unpartitioned_race",
+    # (b) the full r11 staleness tail (oldest driver greens, all 40)
+    "agg_distinct_counts",
+    "agg_revenue_pareto",
+    "asof_events_latest_order",
+    "dedup_ratio_by_source",
+    "events_path_topk",
+    "events_transition_matrix",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_media_metadata",
+    "range_join_value_bands",
+    "sample_hash_split",
+    "sample_stratified",
+    "stats_corr_price_qty",
+    "stats_delay_regression",
+    "stream_dedup_events",
+    "stream_dedup_simhash",
+    "stream_enriched_counts",
+    "stream_expanding_zscore",
+    "stream_expectations",
+    "stream_session_windows",
+    "stream_sliding_windows",
+    "stream_table_cdf",
+    "stream_table_source",
+    "table_apply_changes_scd1",
+    "table_apply_snapshot_scd2",
+    "table_cdf",
+    "table_cdf_staged_scan",
+    "table_dml_subquery",
+    "table_replace_where",
+    "text_chunks",
+    "text_word_bigrams",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_excess_stock_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "udaf_weighted_delay",
+    "udtf_word_bigrams",
 ]
 
 

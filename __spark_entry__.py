@@ -136,6 +136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DMLs on different files of an UNPARTITIONED table land in
         # parallel (REAL interposed collision, builder-asserted)
         "table_cow_race": managed_scan.table_cow_race,
+        # NEW round 15: per-FILE CoW race — the write set is the exact
+        # matched files and untouched neighbors re-enter the manifest
+        # as @carry: file entries, so two CoW DMLs on different files
+        # of the SAME entry of an UNPARTITIONED table land in parallel
+        # (REAL interposed collision, builder-asserted carry + rebase)
+        "table_file_cow_race": managed_scan.table_file_cow_race,
         # NEW round 14: identity columns under merge-on-read MERGE —
         # matched rewrites keep ids, inserts mint against the high
         # watermark atomically with the DV commit; base pairing and
@@ -1064,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "table_optimize_race": managed_scan.table_optimize_race_oracle(),
         "table_merge_on_read": managed_scan.table_merge_on_read_oracle(),
         "table_cow_race": managed_scan.table_cow_race_oracle(),
+        "table_file_cow_race": managed_scan.table_file_cow_race_oracle(),
         "table_identity_merge_dv":
             managed_scan.table_identity_merge_dv_oracle(),
         "table_row_tracking_scan":

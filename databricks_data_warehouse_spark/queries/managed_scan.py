@@ -1211,9 +1211,9 @@ def _cow_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     half (+2), the loser an entry-scoped CoW ``DELETE`` of a slice of
     the LOW half — and the loser's manifest claim truly collides.
     Round 13's file-level ConflictChecker covered only the DV path;
-    round 14's entry-scoped CoW DML declares its write set as exactly
-    the files of the entries it restages (sources/tables.py
-    _cow_touched) plus its read-predicate DNF, so the loser REBASES,
+    the CoW DML declares its write set as exactly the files it
+    restages (sources/tables.py _cow_matched_files; per-file since
+    round 15) plus its read-predicate DNF, so the loser REBASES,
     reusing its staged survivor files. Builder-asserted: the race
     fired and the loser landed at v3. At 100 TB this is two selective
     copy-on-write rewrites (DVs disabled by policy) landing in
@@ -1293,6 +1293,129 @@ def table_cow_race(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def table_cow_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH bounds AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid
+            FROM orders
+        ),
+        adj AS (
+            SELECT o_orderkey AS k,
+                   o_totalprice
+                       + CASE WHEN o_orderkey > (SELECT mid FROM bounds)
+                                   AND o_orderkey % 10 = 3
+                              THEN 2 ELSE 0 END AS price
+            FROM orders
+            WHERE NOT (o_orderkey <= (SELECT mid FROM bounds) // 4
+                       AND o_orderkey % 10 = 7)
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """
+
+
+def _file_cow_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached UNPARTITIONED table built by a REAL per-FILE
+    copy-on-write race (round 15, VERDICT r14 item 2): v0 lands ALL
+    orders in ONE manifest entry holding TWO range-split files (low
+    half / high half of o_orderkey), so entry-level disjointness is
+    unprovable — round 14's entry-scoped CoW serialized this shape.
+    Two handles then race with ``deletion_vectors=False`` DML: the
+    interposed winner runs a CoW ``UPDATE`` repricing a slice of the
+    HIGH file (+2), the loser a CoW ``DELETE`` of a slice of the LOW
+    file, and the loser's manifest claim truly collides. The per-file
+    write set (only the files holding matched rows restage; untouched
+    neighbors re-enter the manifest as ``@carry:`` file entries) lets
+    the loser REBASE, reusing its staged survivors. Builder-asserted:
+    the race fired, the winner's commit carried the low file as a
+    file-granular carry entry, and the loser landed at v2. At 100 TB
+    this is Delta's AddFile/RemoveFile granularity: two selective CoW
+    rewrites inside one huge unpartitioned entry land in parallel,
+    each writing O(its matched files), never the snapshot."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"fcowrace_tbl_{h}")
+    t = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
+    if t.current_version() == 2:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    q = mid // 4
+    # ONE commit, ONE entry, TWO files (range split near the median —
+    # the deleted slice k <= q and the repriced slice k > mid provably
+    # fall in different files)
+    t.overwrite(base.repartitionByRange(2, "k"))                   # v0
+    t1 = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
+    t2 = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.update_where(                                # v1 wins
+                {"price": "price + 2"},
+                (F.col("k") > mid) & (F.col("k") % 10 == 3),
+                deletion_vectors=False,
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.delete_where(                               # rebases to v2
+        (F.col("k") <= q) & (F.col("k") % 10 == 7),
+        deletion_vectors=False,
+        read_filters=[[("k", "<=", q)]],
+    )
+    if not state["raced"] or v != 2 or t.current_version() != 2:
+        raise AssertionError(
+            f"per-file CoW rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    if not any("@carry:" in k for k in t._read_manifest(1)):
+        raise AssertionError(
+            "winner's commit did not carry the untouched neighbor "
+            "file as a file-granular entry"
+        )
+    return t
+
+
+def table_file_cow_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME-ENTRY, different-files concurrent COPY-ON-WRITE DML on an
+    UNPARTITIONED table, driver-checked: after the interposed claim
+    collision (see ``_file_cow_race_table``) the table must hold BOTH
+    writers' changes — the low-file slice deleted, the high-file slice
+    repriced +2 — with no row lost, doubled, or resurrected. The
+    oracle applies both DMLs in plain SQL."""
+    from ._util import cents
+
+    t = _file_cow_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_file_cow_race_oracle() -> str:
     from ._util import cents_sql
 
     return f"""

@@ -335,13 +335,23 @@ class ManagedTableReader(DataSourceReader):
         kept_keys: list[str] = []
         total = 0
         for rel_dir in sorted(set(entries.values())):
+            # a per-file carry entry references one data file; its
+            # partition values come from the file's dir path
+            is_file_rel = rel_dir.endswith(".parquet")
+            pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
             pvals = {
                 k: val
-                for k, val in _parse_partition_values(rel_dir).items()
+                for k, val in _parse_partition_values(pdir).items()
                 if k in part_cols
             }
             abs_dir = os.path.join(self.location, rel_dir)
-            for dirpath, _dirs, files in os.walk(abs_dir):
+            if is_file_rel:
+                walk_iter = [
+                    (os.path.dirname(abs_dir), (), [os.path.basename(abs_dir)])
+                ]
+            else:
+                walk_iter = os.walk(abs_dir)
+            for dirpath, _dirs, files in walk_iter:
                 for fn in sorted(files):
                     if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                         continue
@@ -572,12 +582,20 @@ def _dir_files(location: str, rel_dirs, part_cols, dv: dict) -> list:
     files = []
     for rel_dir in rel_dirs:
         abs_dir = os.path.join(location, rel_dir)
+        is_file_rel = rel_dir.endswith(".parquet")
+        pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
         pvals = {
             k: val
-            for k, val in _parse_partition_values(rel_dir).items()
+            for k, val in _parse_partition_values(pdir).items()
             if k in part_cols
         }
-        for dirpath, _dirs, fns in os.walk(abs_dir):
+        if is_file_rel:
+            walk_iter = [
+                (os.path.dirname(abs_dir), (), [os.path.basename(abs_dir)])
+            ]
+        else:
+            walk_iter = os.walk(abs_dir)
+        for dirpath, _dirs, fns in walk_iter:
             for fn in sorted(fns):
                 if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                     continue
@@ -963,7 +981,8 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         grew = {
             f
             for f, d in dv_new.items()
-            if os.path.dirname(f) in old_dirs and dv_old.get(f) != d
+            if (f in old_dirs or os.path.dirname(f) in old_dirs)
+            and dv_old.get(f) != d
         }
         if grew and not (self.ignore_deletes or self.ignore_changes):
             raise RuntimeError(
@@ -972,18 +991,39 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 "carried-over files (deletion vectors). Set "
                 "ignoreDeletes=true to skip them."
             )
-        added_rels = sorted(set(new_entries.values()) - old_dirs)
+        added_rels = sorted(
+            r
+            for r in set(new_entries.values()) - old_dirs
+            # a per-file CARRY entry whose file the old manifest already
+            # covered (through its then-live dir) is unchanged data, not
+            # an add — never re-deliver it
+            if not (
+                r.endswith(".parquet") and os.path.dirname(r) in old_dirs
+            )
+        )
         renames = tbl._read_renames(v_to)  # mapping at the window's end
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         for rel_dir in added_rels:
+            is_file_rel = rel_dir.endswith(".parquet")
+            pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
             pvals = {
                 k: val
-                for k, val in _parse_partition_values(rel_dir).items()
+                for k, val in _parse_partition_values(pdir).items()
                 if k in part_cols
             }
             abs_dir = os.path.join(self.location, rel_dir)
-            for dirpath, _dirs, files in os.walk(abs_dir):
+            if is_file_rel:
+                walk_iter = [
+                    (
+                        os.path.dirname(abs_dir),
+                        (),
+                        [os.path.basename(abs_dir)],
+                    )
+                ]
+            else:
+                walk_iter = os.walk(abs_dir)
+            for dirpath, _dirs, files in walk_iter:
                 for fn in sorted(files):
                     if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
                         continue

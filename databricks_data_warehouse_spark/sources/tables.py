@@ -395,17 +395,66 @@ def _derived_generated_triples(
 
 _APPEND_SUFFIX_RE = re.compile(r"@data/w=\d+-[0-9a-f]{8}$")
 
+# a carry entry's suffix: "@carry:" + the carried data FILE's rel path
+# (round 15, per-file copy-on-write). End-anchored on ".parquet" — a
+# bare base key is JSON of partition values and always ends with a
+# closing quote/bracket, never ".parquet", so a key containing a
+# literal "@carry:" in a partition VALUE is never truncated.
+_CARRY_SUFFIX_RE = re.compile(r"@carry:.*\.parquet$")
+
 
 def _base_key(k: str) -> str:
-    """Strip an append entry's ``@data/w=<N>-<hex8>`` suffix to get the
+    """Strip an append entry's ``@data/w=<N>-<hex8>`` suffix (or a
+    per-file carry entry's ``@carry:<file rel>`` suffix) to get the
     base partition key. The base key is ``json.dumps`` of partition
     VALUES, which may themselves contain ``@`` (emails, user ids) — a
     naive ``split('@', 1)`` truncates those to a JSON prefix and a
     later partition-scoped merge then fails to retire the partition's
     earlier append entries, leaving duplicate rows (ADVICE r07). The
-    end-anchored regex is unambiguous: a suffix-less key always ends
-    with the JSON ``]``/``}``/quote, never the hex tail."""
-    return _APPEND_SUFFIX_RE.sub("", k)
+    end-anchored regexes are unambiguous: a suffix-less key always ends
+    with the JSON ``]``/``}``/quote, never the hex tail or ``.parquet``."""
+    return _APPEND_SUFFIX_RE.sub("", _CARRY_SUFFIX_RE.sub("", k))
+
+
+def _rel_is_file(rel: str) -> bool:
+    """True when a manifest rel references a single data FILE (a
+    file-granular carry entry left behind by a per-file copy-on-write
+    rewrite) rather than a leaf directory. Data files are always
+    ``*.parquet``; entry dirs never are."""
+    return rel.endswith(".parquet")
+
+
+def _rel_covers(rel_set, f: str) -> bool:
+    """Whether any manifest rel in ``rel_set`` covers data file ``f``:
+    either the file itself (file-granular carry entry) or its leaf
+    dir (ordinary entry)."""
+    return f in rel_set or os.path.dirname(f) in rel_set
+
+
+class _KeyBloom:
+    """Driver-held Bloom sketch of a DML source's key set (round 15):
+    the declared read predicate for key sets ABOVE ``_KEY_SET_CAP``,
+    where materializing the exact ``in`` list would blow the driver.
+    Built by ONE distributed aggregate (``pmod(xxhash64(col, lit(i)),
+    m)`` positions bit-packed into ≤ m/64 longs), probed at
+    conflict-check time against a racing add's actual key values
+    hashed by the SAME JVM expression — bit-identity by construction.
+    Sound: false positives only cause a conservative conflict. Lives
+    only in this transaction's in-memory conflict checks, never
+    persisted."""
+
+    __slots__ = ("m", "k", "words")
+
+    def __init__(self, m: int, k: int, words: dict):
+        self.m = m
+        self.k = k
+        self.words = words
+
+    def has_positions(self, pos_list) -> bool:
+        """All k bit positions set → the value MAY be in the key set."""
+        return all(
+            (self.words.get(p >> 6, 0) >> (p & 63)) & 1 for p in pos_list
+        )
 
 
 
@@ -1976,7 +2025,9 @@ class ManagedTable:
             for f in set(prev_dv) | set(cur_dv):
                 if prev_dv.get(f) != cur_dv.get(f):
                     d = os.path.dirname(f)
-                    delta.add(rel_to_key.get(d, d))
+                    # a file carried as its own entry attributes to the
+                    # carry entry's base key, not its (retired) dir
+                    delta.add(rel_to_key.get(f, rel_to_key.get(d, d)))
         return delta
 
     def _commit_delta_files(
@@ -2058,10 +2109,16 @@ class ManagedTable:
                 return True
             trips_dnf = [self._phys_triples(list(t)) for t in read_dnf]
             for f, stat in added.items():
-                if any(
-                    self._file_matches(stat, trips) for trips in trips_dnf
-                ):
-                    return True
+                for trips in trips_dnf:
+                    if self._file_matches(stat, trips) and not (
+                        # above-cap key sets: the stats check could not
+                        # disprove overlap (BETWEEN spans the add), but
+                        # the key-sketch probe of the file's ACTUAL
+                        # values may still prove every one misses our
+                        # key set (round 15)
+                        self._key_bloom_refutes(f, trips)
+                    ):
+                        return True
         return False
 
     def _commit_conflicts(
@@ -2313,11 +2370,24 @@ class ManagedTable:
         return df
 
     # keys-per-column cap for the exact IN-set read predicate: beyond
-    # it the declared predicate falls back to the BETWEEN bounds (the
-    # DNF lives only in driver memory for this transaction's conflict
-    # checks — never persisted — so the cap bounds driver memory and
-    # the per-file stat-check cost, not any on-disk structure)
+    # it the declared predicate becomes BETWEEN bounds + a Bloom
+    # sketch of the key set (round 15 — the sketch refutes racing adds
+    # whose values provably miss every key, where BETWEEN alone would
+    # serialize against any add inside the span). The DNF lives only
+    # in driver memory for this transaction's conflict checks — never
+    # persisted — so the caps bound driver memory and the per-file
+    # check cost, not any on-disk structure.
     _KEY_SET_CAP = 1024
+    # bloom sketch sizing: ~10 bits/key (fpr ≈ 1% at 6 hashes), capped
+    # at 8M bits = 128k driver-held longs (~1 MB); beyond ~800k keys
+    # the fpr degrades gracefully toward BETWEEN behavior, never
+    # unsoundly
+    _KEY_BLOOM_MAX_BITS = 1 << 23
+    _KEY_BLOOM_HASHES = 6
+    # max distinct values read from a racing ADDED file during a probe
+    # (the probe is exceptional-path: it runs only on an actual claim
+    # collision, and its I/O is O(racer's added files), never O(table))
+    _KEY_PROBE_CAP = 65536
 
     def _source_key_dnf(
         self, source: DataFrame, keys: Sequence[str]
@@ -2330,10 +2400,15 @@ class ManagedTable:
         writer's added file conflicts only if its [min, max] can hold
         one of OUR keys, so sparse keys scattered across the full
         range stay disjoint from adds between them), else the
-        [min, max] BETWEEN. ``[]`` = the read set is provably empty
-        (no rows, or an all-NULL key: NULL matches nothing under ON
-        ``=``); ``None`` = unknown (unorderable key type), every
-        non-blind add conflicts."""
+        [min, max] BETWEEN *plus* an ``in_bloom`` sketch of the exact
+        key set (round 15): the stats check keeps its BETWEEN
+        semantics, and ``_dv_rebase_conflicts`` refines a would-be
+        conflict by probing the racing add's actual key values against
+        the sketch — 10k scattered keys now rebase over a mid-span add
+        that BETWEEN would have serialized against. ``[]`` = the read
+        set is provably empty (no rows, or an all-NULL key: NULL
+        matches nothing under ON ``=``); ``None`` = unknown
+        (unorderable key type), every non-blind add conflicts."""
         try:
             bounds = source.agg(
                 *[F.min(k).alias(f"__lo_{k}") for k in keys],
@@ -2370,14 +2445,113 @@ class ManagedTable:
                         (k, "between", bounds[f"__lo_{k}"],
                          bounds[f"__hi_{k}"])
                     )
+                    sketch = self._key_bloom_sketch(
+                        source, k, int(bounds[f"__nd_{k}"])
+                    )
+                    if sketch is not None:
+                        trips.append((k, "in_bloom", sketch))
             return [trips]
         except Exception:
             return None
 
-    def _dir_of_key(self) -> Column:
-        """Manifest entry dir of a ``__mt_key`` file key (entries map
-        partition keys to LEAF dirs, so this is the parent path)."""
-        return F.regexp_replace(F.col("__mt_key"), "/[^/]*$", "")
+    def _key_bloom_sketch(
+        self, source: DataFrame, col: str, nd: int
+    ) -> "_KeyBloom | None":
+        """Bloom sketch of ``source[col]``'s distinct values via one
+        distributed aggregate: k ``pmod(xxhash64(col, lit(i)), m)``
+        positions per value, bit-packed into 64-bit words by a
+        ``bit_or`` groupBy — the driver collects ≤ m/64 longs, never
+        the values. The source value is CAST to the target column's
+        declared type first: xxhash64 is type-sensitive (hash(int 5) ≠
+        hash(long 5)) and the probe reads the racing file AS the
+        declared schema, so both sides hash the same type
+        bit-identically. None on failure (caller keeps BETWEEN
+        only)."""
+        if self.schema is None:
+            self.schema = self._load_schema()
+        fields = {f.name: f for f in (self.schema.fields if self.schema else [])}
+        if col not in fields:
+            return None
+        m = int(max(1024, min(nd * 10, self._KEY_BLOOM_MAX_BITS)))
+        kh = self._KEY_BLOOM_HASHES
+        try:
+            cv = F.col(col).cast(fields[col].dataType)
+            poss = F.array(
+                *[
+                    F.pmod(F.xxhash64(cv, F.lit(i)), F.lit(m))
+                    for i in range(kh)
+                ]
+            )
+            rows = (
+                source.where(F.col(col).isNotNull())
+                .select(F.explode(poss).alias("p"))
+                .select(
+                    F.floor(F.col("p") / 64).cast("long").alias("w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(pmod(p, 64) AS INT))"
+                    ).alias("b"),
+                )
+                .groupBy("w")
+                .agg(F.bit_or("b").alias("bits"))
+                .collect()
+            )
+            words = {
+                int(r["w"]): int(r["bits"]) & 0xFFFFFFFFFFFFFFFF
+                for r in rows
+            }
+            return _KeyBloom(m, kh, words)
+        except Exception:
+            return None
+
+    def _key_bloom_refutes(
+        self, file_rel: str, trips: Sequence[tuple]
+    ) -> bool:
+        """Refinement probe for an added file whose stats could not
+        disprove overlap: read the file's ACTUAL values of each
+        ``in_bloom`` column (distinct, capped, column-pruned — one
+        small file of the racer's commit, never the table) and test
+        them against the transaction's key sketch. True when some
+        sketch column proves NO row of the file carries one of our
+        keys — the add is disjoint and the caller may rebase.
+        Conservative on any failure, cap overrun, or absent sketch."""
+        blooms = [
+            (t[0], t[2]) for t in trips if len(t) > 2 and t[1] == "in_bloom"
+        ]
+        if not blooms:
+            return False
+        path = (
+            file_rel
+            if os.path.isabs(file_rel)
+            else os.path.join(self.location, file_rel)
+        )
+        for col, sk in blooms:
+            try:
+                poss = F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("__v"), F.lit(i)), F.lit(sk.m)
+                        )
+                        for i in range(sk.k)
+                    ]
+                )
+                rows = (
+                    self.spark.read.schema(self._physical_schema())
+                    .parquet(path)
+                    .where(F.col(col).isNotNull())
+                    .select(F.col(col).alias("__v"))
+                    .distinct()
+                    .limit(self._KEY_PROBE_CAP + 1)
+                    .select(poss.alias("__ps"))
+                    .collect()
+                )
+            except Exception:
+                continue  # unreadable / column absent: cannot refute
+            if len(rows) > self._KEY_PROBE_CAP:
+                continue  # too many distincts: cannot refute cheaply
+            if not any(sk.has_positions(r["__ps"]) for r in rows):
+                return True  # no value can be one of our keys
+        return False
 
     def _cow_meta_read(self, version: int, track: bool) -> DataFrame:
         """Visible rows of ``version`` with their file identity
@@ -2414,42 +2588,44 @@ class ManagedTable:
             )
         return df
 
-    def _cow_touched(
-        self, base_df: DataFrame, cond: Column, version: int
-    ) -> tuple[list[str], list[str]]:
-        """(touched entry dirs, full file write set) of a copy-on-write
-        DML: the manifest entries containing at least one row matching
-        ``cond``, and EVERY file under them (the whole entry restages,
-        so the declared write region must cover its untouched files
-        too). One distinct-agg over the matched rows — O(files)
-        driver-side, no row data collected."""
-        touched_rels = sorted(
+    def _cow_matched_files(
+        self, base_df: DataFrame, cond: Column
+    ) -> list[str]:
+        """The data FILES holding at least one row matching ``cond`` —
+        the exact write set of a per-file copy-on-write DML (only these
+        files' survivors restage; every other file, including the
+        untouched neighbors in the same entry dir, carries through the
+        manifest byte-identical). One distinct-agg over the matched
+        rows' file keys — O(touched files) driver-side metadata, no row
+        data collected."""
+        return sorted(
             {
-                os.path.dirname(r["__mt_key"])
+                r["__mt_key"]
                 for r in base_df.filter(cond)
                 .select("__mt_key")
                 .distinct()
                 .collect()
             }
         )
-        return touched_rels, self._files_under(touched_rels, version)
 
     def _files_under(
         self, rels: Collection[str], version: int
     ) -> list[str]:
-        """Every data file of the given manifest entry dirs, in the
-        DV/stats key space — the full write set of a commit that drops
-        and restages them. Stats keys plus a listdir per dir (belt and
-        braces: a file missing from stats — a legacy dir — would
-        under-declare the region and let a racer wrongly rebase over
-        it). No data I/O."""
+        """Every data file the given manifest rels cover, in the
+        DV/stats key space — the full file set of a group of entries.
+        A file-granular rel covers itself; a dir rel covers its stats
+        keys plus a listdir (belt and braces: a file missing from
+        stats — a legacy dir — would under-declare the region and let
+        a racer wrongly rebase over it). No data I/O."""
         rel_set = set(rels)
-        files = {
+        files = {f for f in rel_set if _rel_is_file(f)}
+        dir_set = rel_set - files
+        files |= {
             f
             for f in self._read_stats(version)
-            if os.path.dirname(f) in rel_set
+            if os.path.dirname(f) in dir_set
         }
-        for rel in rel_set:
+        for rel in dir_set:
             d = rel if os.path.isabs(rel) else os.path.join(
                 self.location, rel
             )
@@ -2921,7 +3097,7 @@ class ManagedTable:
         touched_dv = {
             f: d
             for f, d in dv_prev.items()
-            if os.path.dirname(f) in set(removed_rels)
+            if _rel_covers(set(removed_rels), f)
         }
         old = self._scan_rels(removed_rels, need_meta=bool(touched_dv))
         if touched_dv:
@@ -2981,6 +3157,7 @@ class ManagedTable:
         read_dnf: Sequence[Sequence[tuple]] | None = None,
         touched_files: Collection[str] | None = None,
         file_read_dnf: Sequence[Sequence[tuple]] | None = None,
+        cow_rewrite_files: Collection[str] | None = None,
     ) -> int:
         """Write ``df``'s partitions as version ``current+1``.
 
@@ -3022,7 +3199,21 @@ class ManagedTable:
         claim-collision rebase then run ``_dv_rebase_conflicts`` /
         the file-granular ``_rebind_for_disjoint_rebase`` mode, which
         proves disjointness even on unpartitioned tables and exempts
-        blind appends (write-serializable)."""
+        blind appends (write-serializable).
+
+        ``cow_rewrite_files`` (round 15, per-file CoW): the exact data
+        FILES a copy-on-write DML rewrote (its staged frame holds their
+        survivors). The manifest assembly retires ONLY those files:
+        each one's covering entry is dropped and, when the entry is a
+        dir with untouched neighbors, those neighbors re-enter the
+        manifest as file-granular CARRY entries (key
+        ``<base>@carry:<file rel>`` — deterministic, so an unchanged
+        carried file diffs as unchanged across versions). Derived per
+        assembly against the actual base, so a claim-collision rebase
+        re-plans the drop/carry split against the winner's manifest —
+        two CoW DMLs matching rows in DIFFERENT files of the SAME
+        entry of an unpartitioned table both land, Delta's per-file
+        CoW parity."""
         v_new = self.current_version() + 1
         # enforce against the constraint set of the version being built
         # on (a constraint added by another writer after this handle
@@ -3152,6 +3343,30 @@ class ManagedTable:
                 # replaces nothing: its keys are unique by construction.
                 prev_entries = self._read_manifest(base)
                 dropped = set(drop_rels)
+                carry: dict[str, str] = {}
+                if cow_rewrite_files:
+                    # per-file CoW: retire each rewritten file's
+                    # covering entry in THIS base's manifest (a dir in
+                    # our read snapshot may already be file-granular in
+                    # a rebase winner's), carrying the dir's untouched
+                    # neighbors as file entries. Conflict checking has
+                    # already proved every rewritten file is still
+                    # live in `base`.
+                    base_rels = set(prev_entries.values())
+                    rewritten = set(cow_rewrite_files)
+                    cow_drop = {
+                        f if f in base_rels else os.path.dirname(f)
+                        for f in rewritten
+                    }
+                    rel_key = {rel: k for k, rel in prev_entries.items()}
+                    for rel in sorted(cow_drop):
+                        if _rel_is_file(rel) or rel not in rel_key:
+                            continue
+                        bk = _base_key(rel_key[rel])
+                        for f in self._files_under([rel], base):
+                            if f not in rewritten:
+                                carry[f"{bk}@carry:{f}"] = f
+                    dropped |= cow_drop
                 entries = {
                     k: rel
                     for k, rel in prev_entries.items()
@@ -3159,14 +3374,15 @@ class ManagedTable:
                     and (append_only or _base_key(k) not in staged)
                 }
                 entries.update(staged)
+                entries.update(carry)
                 prev_stats = self._read_stats(base)
             # stats for retained files carry over; replaced/removed
-            # entries' files fall out because their leaf dir left the
-            # manifest
+            # entries' files fall out because their covering entry
+            # (leaf dir or carry-file rel) left the manifest
             kept_dirs = set(entries.values()) - set(staged.values())
             stats = {
                 f: s for f, s in prev_stats.items()
-                if os.path.dirname(f) in kept_dirs
+                if _rel_covers(kept_dirs, f)
             }
             stats.update(staged_stats)
             # deletion vectors of RETAINED files carry over; a replaced
@@ -3178,7 +3394,7 @@ class ManagedTable:
                 prev_dv, prev_dv_n = self._read_dv(base)
                 dv = {
                     f: d for f, d in prev_dv.items()
-                    if os.path.dirname(f) in kept_dirs
+                    if _rel_covers(kept_dirs, f)
                 }
                 dv_n = {f: n for f, n in prev_dv_n.items() if f in dv}
             txns = dict(self._read_txn(base)) if base >= 0 else {}
@@ -3220,10 +3436,25 @@ class ManagedTable:
             and not self.renames
             and self._cdf_enabled()
         ):
-            removed_rels = sorted(
-                set(self._read_manifest(v_new - 1).values())
-                - set(entries.values())
-            )
+            new_vals = set(entries.values())
+            removed_rels: list[str] = []
+            for rel in sorted(
+                set(self._read_manifest(v_new - 1).values()) - new_vals
+            ):
+                if _rel_is_file(rel):
+                    removed_rels.append(rel)
+                    continue
+                # a dir retired by a per-file CoW keeps some of its
+                # files as carry entries — only the non-carried files
+                # were actually removed, so the staged diff must not
+                # scan the carried ones as deletes
+                under = self._files_under([rel], v_new - 1)
+                if any(f in new_vals for f in under):
+                    removed_rels.extend(
+                        f for f in under if f not in new_vals
+                    )
+                else:
+                    removed_rels.append(rel)
             if removed_rels:
                 cdf_staged = self._stage_change_data(
                     v_new - 1, removed_rels,
@@ -3582,7 +3813,7 @@ class ManagedTable:
             dv, _ = self._read_dv(v)
             touched_dv = {
                 f: d for f, d in dv.items()
-                if os.path.dirname(f) in rewrite_rels
+                if _rel_covers(rewrite_rels, f)
             }
             live = self._scan_rels(
                 sorted(rewrite_rels),
@@ -3690,6 +3921,11 @@ class ManagedTable:
                 return False
             if mn is None or mx is None:
                 continue  # bounds unknown, non-null rows exist: keep
+            if op == "in_bloom":
+                # key-set membership sketch: min/max stats cannot
+                # decide it — kept conservatively here; the refinement
+                # probe lives in _dv_rebase_conflicts
+                continue
             if op == "in":
                 vals = [_stat_scalar(x) for x in rest[0]]
                 if all(
@@ -4383,17 +4619,22 @@ class ManagedTable:
         predicates evaluated over the checkpoint's add-file stats),
         and it returns exactly the driver loop's result."""
         entry_dirs = set(entries.values())
-        dirs_df = self.spark.createDataFrame(
-            [(d,) for d in sorted(entry_dirs)], "dir string"
+        rels_df = self.spark.createDataFrame(
+            [(d,) for d in sorted(entry_dirs)], "rel string"
         )
         sdf = self._stats_df(version).withColumn(
             "dir", F.expr("substring_index(file, '/', size(split(file, '/')) - 1)")
         )
-        known = sdf.join(F.broadcast(dirs_df), "dir")
+        # an entry rel covers a file when it is the file's leaf dir OR
+        # the file itself (per-file carry entry)
+        known = sdf.join(
+            F.broadcast(rels_df),
+            (F.col("dir") == F.col("rel")) | (F.col("file") == F.col("rel")),
+        )
         agg = known.agg(
             F.count("*").alias("files"),
             F.coalesce(F.sum("rows"), F.lit(0)).alias("rows_total"),
-            F.collect_set("dir").alias("dirs"),
+            F.collect_set("rel").alias("dirs"),
             F.sum(F.when(self._keep_expr(filters), F.col("rows"))).alias(
                 "rows_kept"
             ),
@@ -4437,12 +4678,15 @@ class ManagedTable:
         if len(stats) >= self.distributed_prune_threshold:
             return self._prune_distributed(filters, entries, v)
         entry_dirs = set(entries.values())
-        # files the manifest covers = stats keys under its entry dirs;
-        # an entry dir with no stats (pre-stats manifest) falls back to
-        # the whole-dir scan, never skipped
-        known = [f for f in stats if os.path.dirname(f) in entry_dirs]
-        covered_dirs = {os.path.dirname(f) for f in known}
-        legacy_dirs = entry_dirs - covered_dirs
+        # files the manifest covers = stats keys under its entry dirs
+        # (or equal to a file-granular carry entry); an entry with no
+        # stats (pre-stats manifest) falls back to the whole-rel scan,
+        # never skipped
+        known = [f for f in stats if _rel_covers(entry_dirs, f)]
+        covered_rels = {
+            f if f in entry_dirs else os.path.dirname(f) for f in known
+        }
+        legacy_dirs = entry_dirs - covered_rels
         kept = [f for f in known if self._file_matches(stats[f], filters)]
         kept, bloom_dropped = self._bloom_prune(filters, kept, v)
         return (
@@ -4579,8 +4823,10 @@ class ManagedTable:
         entries = self._read_manifest(v)
         stats = self._read_stats(v)
         entry_dirs = set(entries.values())
-        files = [f for f in stats if os.path.dirname(f) in entry_dirs]
-        covered = {os.path.dirname(f) for f in files}
+        files = [f for f in stats if _rel_covers(entry_dirs, f)]
+        covered = {
+            f if f in entry_dirs else os.path.dirname(f) for f in files
+        }
         if entry_dirs - covered:
             raise ValueError(
                 f"table {self.name}: snapshot v{v} has files without "
@@ -4770,7 +5016,7 @@ class ManagedTable:
         cols = [f.name for f in self.schema.fields]
         dv, _ = self._read_dv(v)
         touched_dv = {
-            f: d for f, d in dv.items() if os.path.dirname(f) in set(todo)
+            f: d for f, d in dv.items() if _rel_covers(set(todo), f)
         }
         track = self._row_tracking_enabled()
         live = self._scan_rels(
@@ -4890,6 +5136,17 @@ class ManagedTable:
             base = _base_key(k)
             rels_by_base.setdefault(base, []).append(rel)
             abs_dir = os.path.join(self.location, rel)
+            if _rel_is_file(rel):
+                # a per-file carry entry is a single (typically small)
+                # file — a natural compaction candidate
+                try:
+                    sz = os.path.getsize(abs_dir)
+                except OSError:
+                    continue
+                bytes_by_base[base] = bytes_by_base.get(base, 0) + sz
+                if sz < target_bytes:
+                    small_by_base[base] = small_by_base.get(base, 0) + 1
+                continue
             for dirpath, _dirs, fns in os.walk(abs_dir):
                 for fn in fns:
                     if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
@@ -4908,7 +5165,7 @@ class ManagedTable:
         cols = [f.name for f in self.schema.fields]
         dv, _ = self._read_dv(v)
         touched_dv = {
-            f: d for f, d in dv.items() if os.path.dirname(f) in rels
+            f: d for f, d in dv.items() if _rel_covers(rels, f)
         }
         track = self._row_tracking_enabled()
         live = self._scan_rels(
@@ -5025,15 +5282,24 @@ class ManagedTable:
             self.schema = self._load_schema()
         cols = [f.name for f in self.schema.fields]
         stats = self._read_stats(v)
+        # group by covering manifest REL, not raw dirname: a file
+        # carried as its own entry (per-file CoW) purges alone — a
+        # dirname group would scan its whole former dir, resurrecting
+        # retired neighbor files still on disk
+        man_rels = set(self._read_manifest(v).values())
+
+        def _cover(f: str) -> str:
+            return f if f in man_rels else os.path.dirname(f)
+
         dead_by_dir: dict[str, int] = {}
         rows_by_dir: dict[str, int] = {}
         for f, s in stats.items():
-            rows_by_dir[os.path.dirname(f)] = rows_by_dir.get(
-                os.path.dirname(f), 0
+            rows_by_dir[_cover(f)] = rows_by_dir.get(
+                _cover(f), 0
             ) + int(s.get("rows", 0))
         for f, n in dv_n.items():
-            dead_by_dir[os.path.dirname(f)] = dead_by_dir.get(
-                os.path.dirname(f), 0
+            dead_by_dir[_cover(f)] = dead_by_dir.get(
+                _cover(f), 0
             ) + int(n)
         purge_dirs = {
             d
@@ -5043,12 +5309,12 @@ class ManagedTable:
         }
         if not purge_dirs:
             return v
-        # visible rows of the purged dirs (their DVs applied), restaged
+        # visible rows of the purged rels (their DVs applied), restaged
         track = self._row_tracking_enabled()
         live = self._scan_rels(
             sorted(purge_dirs), need_meta=True, with_row_col=track
         )
-        purged_dv = {f: d for f, d in dv.items() if os.path.dirname(f) in purge_dirs}
+        purged_dv = {f: d for f, d in dv.items() if _cover(f) in purge_dirs}
         live = live.join(
             self._dv_rows(purged_dv).select(
                 F.col("file").alias("__mt_key"), F.col("pos").alias("__mt_pos")
@@ -5091,11 +5357,11 @@ class ManagedTable:
             }
         )
         new_stats = {
-            f: s for f, s in stats.items() if os.path.dirname(f) not in purge_dirs
+            f: s for f, s in stats.items() if _cover(f) not in purge_dirs
         }
         staged_stats = self._collect_file_stats(write_dir)
         new_stats.update(staged_stats)
-        new_dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in purge_dirs}
+        new_dv = {f: d for f, d in dv.items() if _cover(f) not in purge_dirs}
         new_n = {f: n for f, n in dv_n.items() if f in new_dv}
         # row tracking: the restaged files carry every survivor's id
         # and commit version IN-DATA (materialized above) — positions
@@ -5724,13 +5990,37 @@ class ManagedTable:
                 dead |= set(self._read_manifest(v).values())
                 dead |= set(self._read_dv(v)[0].values())
         own_root = os.path.realpath(self.location) + os.sep
-        return sorted(
-            rel
-            for rel in dead - referenced
-            if os.path.realpath(
+        out: list[str] = []
+        carried_dirs = {
+            os.path.dirname(r) for r in referenced if _rel_is_file(r)
+        }
+        for rel in sorted(dead - referenced):
+            if not os.path.realpath(
                 os.path.join(self.location, rel)
-            ).startswith(own_root)
-        )
+            ).startswith(own_root):
+                continue
+            if _rel_is_file(rel) and os.path.dirname(rel) in referenced:
+                # its dir is still a live manifest entry — the file
+                # lives on through it
+                continue
+            if not _rel_is_file(rel) and rel in carried_dirs:
+                # the dir left the manifests but some of its files are
+                # still referenced as carry entries: only the dead
+                # files inside would go
+                d = os.path.join(self.location, rel)
+                try:
+                    names = os.listdir(d)
+                except OSError:
+                    continue
+                out.extend(
+                    os.path.join(rel, n)
+                    for n in sorted(names)
+                    if n.endswith(".parquet")
+                    and os.path.join(rel, n) not in referenced
+                )
+                continue
+            out.append(rel)
+        return out
 
     def _vacuum_horizon(
         self, current: int, keep: int, retain_hours: float | None
@@ -5767,7 +6057,9 @@ class ManagedTable:
             {
                 rel
                 for rel in entries.values()
-                if not os.path.isdir(
+                if not (
+                    os.path.isfile if _rel_is_file(rel) else os.path.isdir
+                )(
                     rel if os.path.isabs(rel)
                     else os.path.join(self.location, rel)
                 )
@@ -5782,10 +6074,10 @@ class ManagedTable:
         stats = {
             f: s
             for f, s in self._read_stats(v).items()
-            if os.path.dirname(f) not in gone
+            if not _rel_covers(gone, f)
         }
         dv, dv_n = self._read_dv(v)
-        dv = {f: d for f, d in dv.items() if os.path.dirname(f) not in gone}
+        dv = {f: d for f, d in dv.items() if not _rel_covers(gone, f)}
         dv_n = {f: n for f, n in dv_n.items() if f in dv}
         v_new = v + 1
         rb, rm, rh, rv = self._carried_row_base(v, stats)
@@ -5861,11 +6153,42 @@ class ManagedTable:
             except FileNotFoundError:
                 pass  # another vacuum swept it concurrently
         own_root = os.path.realpath(self.location) + os.sep
+        carried_dirs = {
+            os.path.dirname(r) for r in referenced if _rel_is_file(r)
+        }
         for rel in dead - referenced:
             target = os.path.join(self.location, rel)
             # containment guard: a shallow clone's manifest references
             # source-owned absolute paths — never delete those
             if not os.path.realpath(target).startswith(own_root):
+                continue
+            if _rel_is_file(rel):
+                # a dead carry entry: remove just the file — unless its
+                # dir is itself a live entry (the file lives through it)
+                if os.path.dirname(rel) in referenced:
+                    continue
+                try:
+                    os.remove(target)
+                except OSError:
+                    pass
+                continue
+            if rel in carried_dirs:
+                # dir retired by a per-file CoW but some files inside
+                # are still referenced as carry entries: sweep only the
+                # dead files, keep the dir
+                try:
+                    names = os.listdir(target)
+                except OSError:
+                    continue
+                for n in names:
+                    if (
+                        n.endswith(".parquet")
+                        and os.path.join(rel, n) not in referenced
+                    ):
+                        try:
+                            os.remove(os.path.join(target, n))
+                        except OSError:
+                            pass
                 continue
             shutil.rmtree(target, ignore_errors=True)
         for entry in os.listdir(self.location):
@@ -6556,7 +6879,7 @@ class ManagedTable:
         # the scan→claim window before it.
         live_dirs = set(self._read_manifest(v).values())
         dead = [
-            f for f in per_file if os.path.dirname(f) not in live_dirs
+            f for f in per_file if not _rel_covers(live_dirs, f)
         ]
         if dead:
             raise ConcurrentWriteError(
@@ -6811,16 +7134,18 @@ class ManagedTable:
         predicate (file-level conflict detection; see
         :meth:`_delete_rows_dv`). Must be implied by ``condition``.
 
-        The copy-on-write path is ENTRY-SCOPED (round 14, Delta's CoW
-        DML shape): only the manifest entries whose files contain
+        The copy-on-write path is FILE-SCOPED (round 15, Delta's
+        per-file CoW DML shape): only the data FILES containing
         matching rows are rewritten — their survivors restage, every
-        other entry carries over byte-identical — and the commit
-        declares its write set as exactly those entries' files, so it
-        rides the same file-level conflict detection as the DV path
-        (two CoW deletes on different files of an UNPARTITIONED table
-        land in parallel; a selective CoW delete on a 100 TB table
-        rewrites only the touched files, not the snapshot). Matching
-        zero rows is a commit-free no-op on both paths."""
+        other file (including untouched neighbors in the same entry
+        dir, which re-enter the manifest as carry entries) carries over
+        byte-identical — and the commit declares its write set as
+        exactly the matched files, so it rides the same file-level
+        conflict detection as the DV path (two CoW deletes on different
+        files of the SAME entry of an UNPARTITIONED table land in
+        parallel; a selective CoW delete on a 100 TB table rewrites
+        only the matched files, not the snapshot). Matching zero rows
+        is a commit-free no-op on both paths."""
         self._check_append_only("DELETE")
         if deletion_vectors:
             v_read = self.current_version()
@@ -6834,13 +7159,11 @@ class ManagedTable:
         track = self._row_tracking_enabled()
         base_df = self._cow_meta_read(v_read, track)
         cond_t = F.coalesce(condition, F.lit(False))
-        touched_rels, touched_files = self._cow_touched(
-            base_df, cond_t, v_read
-        )
-        if not touched_rels:
+        matched_files = self._cow_matched_files(base_df, cond_t)
+        if not matched_files:
             return v_read  # nothing matched
         survivors = (
-            base_df.filter(self._dir_of_key().isin(touched_rels))
+            base_df.filter(F.col("__mt_key").isin(matched_files))
             .filter(~cond_t)
             .drop("__mt_key", "__mt_pos")
         )
@@ -6848,12 +7171,12 @@ class ManagedTable:
             survivors,
             replace_all=False,
             append_only=True,
-            drop_rels=set(touched_rels),
             op="DELETE",
             row_ids_materialized=track,
             read_version=v_read,
-            touched_files=touched_files,
+            touched_files=matched_files,
             file_read_dnf=read_filters,
+            cow_rewrite_files=matched_files,
         )
 
     def update_where(
@@ -6950,20 +7273,19 @@ class ManagedTable:
                 matched, op="UPDATE (DV)", append_df=rewritten,
                 read_dnf=read_filters, read_version=v,
             )
-        # entry-scoped copy-on-write (round 14, same shape as
-        # delete_where): only entries containing matched rows restage
-        # (matched rows rewritten, their file-neighbors carried
-        # verbatim into the restage), everything else carries over
-        # byte-identical, and the write set is declared at file
-        # granularity for parallel disjoint writers
+        # per-file copy-on-write (round 15, same shape as
+        # delete_where): only the FILES containing matched rows restage
+        # (matched rows rewritten, their file-neighbors in the same
+        # file ride along), everything else — other files of the same
+        # entry included, via carry entries — carries over
+        # byte-identical, and the write set is exactly the matched
+        # files, so disjoint-file writers land in parallel
         v_read = self.current_version()
         base_df = self._cow_meta_read(v_read, track)
-        touched_rels, touched_files = self._cow_touched(
-            base_df, cond, v_read
-        )
-        if not touched_rels:
+        matched_files = self._cow_matched_files(base_df, cond)
+        if not matched_files:
             return v_read  # nothing matched
-        scoped_df = base_df.filter(self._dir_of_key().isin(touched_rels))
+        scoped_df = base_df.filter(F.col("__mt_key").isin(matched_files))
         updated = scoped_df.select(
             *[
                 F.when(cond, exprs[c]).otherwise(F.col(c)).alias(c)
@@ -6992,12 +7314,12 @@ class ManagedTable:
             updated,
             replace_all=False,
             append_only=True,
-            drop_rels=set(touched_rels),
             op="UPDATE",
             row_ids_materialized=track,
             read_version=v_read,
-            touched_files=touched_files,
+            touched_files=matched_files,
             file_read_dnf=read_filters,
+            cow_rewrite_files=matched_files,
         )
 
     def merge_update(
@@ -7420,29 +7742,32 @@ class ManagedTable:
             )
             kept = joined.filter(F.col("__act").isin(live))
         elif entry_scoped:
-            # entry-scoped CoW: restage only the entries holding FIRED
-            # target rows — their keep-rows ride along (the whole dir
-            # is replaced), untouched entries carry over via the
-            # manifest; insert rows (no target side) always stage
-            fired = (
-                joined.filter(
-                    F.col("__tgt_m").isNotNull()
-                    & (F.col("__act") != "keep")
-                )
-                .select("__mt_key")
-                .distinct()
-            )
-            touched_rels = sorted(
-                {os.path.dirname(r["__mt_key"]) for r in fired.collect()}
+            # per-file CoW: restage only the FILES holding FIRED
+            # target rows — their keep-rows ride along (the file is
+            # replaced), every other file carries over via the
+            # manifest (untouched neighbors in a fired file's entry
+            # become carry entries); insert rows (no target side)
+            # always stage
+            fired_files = sorted(
+                {
+                    r["__mt_key"]
+                    for r in joined.filter(
+                        F.col("__tgt_m").isNotNull()
+                        & (F.col("__act") != "keep")
+                    )
+                    .select("__mt_key")
+                    .distinct()
+                    .collect()
+                }
             )
             kept = joined.filter(
                 (
                     F.col("__tgt_m").isNull()
-                    | self._dir_of_key().isin(touched_rels)
+                    | F.col("__mt_key").isin(fired_files)
                 )
                 & ~F.col("__act").isin(sorted(dead))
             )
-            if not touched_rels and kept.isEmpty():
+            if not fired_files and kept.isEmpty():
                 return self.current_version()  # nothing fired: no-op
         else:
             kept = joined.filter(~F.col("__act").isin(sorted(dead)))
@@ -7543,14 +7868,13 @@ class ManagedTable:
                 identity_claim=id_claim,
             )
         if entry_scoped:
-            # entry-scoped CoW commit: drop the touched entries,
+            # per-file CoW commit: retire exactly the fired files,
             # restage their transformed rows + inserts as one new
-            # append entry, declare the write set at FILE granularity
-            # (every file of the dropped entries) plus the read
+            # append entry (untouched neighbors of a fired file's
+            # entry become carry entries in the assembly), declare
+            # the write set as the fired files plus the read
             # predicate — by-source merges read everything, keyed
             # merges read their key set (same DNF as the DV path)
-            rel_set = set(touched_rels)
-            touched_files = self._files_under(touched_rels, v_read)
             merge_read_dnf = (
                 [[]]
                 if not_matched_by_source
@@ -7560,13 +7884,13 @@ class ManagedTable:
                 result,
                 replace_all=False,
                 append_only=True,
-                drop_rels=rel_set,
                 op="MERGE",
                 identity_claim=id_claim,
                 row_ids_materialized="partial" if track else False,
                 read_version=v_read,
-                touched_files=touched_files,
+                touched_files=fired_files,
                 file_read_dnf=merge_read_dnf,
+                cow_rewrite_files=fired_files,
             )
         return self._stage_and_commit(
             result, replace_all=not scoped, op="MERGE",

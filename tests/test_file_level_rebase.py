@@ -570,6 +570,97 @@ def test_source_key_dnf_shapes(spark, tmp_path):
     assert t._source_key_dnf(nulls, ["k"]) == []
 
 
+def _big_sparse_source(spark, extra=()):
+    """>_KEY_SET_CAP scattered keys: {2, 999} ∪ {10000, 10002, …} —
+    the span covers k=105 but the SET does not."""
+    wide = spark.range(0, 2000).select(
+        (F.col("id") * 2 + 10000).alias("k"),
+        F.lit(0).alias("v"),
+    )
+    hot = spark.createDataFrame(
+        [(2, 222), (999, 9990), *extra], "k long, v long"
+    )
+    return hot.unionByName(wide)
+
+
+def test_above_cap_sparse_keys_rebase_via_bloom(spark, tmp_path):
+    """Round 15: a merge on >1024 scattered keys races a non-blind
+    rewrite adding a k=105 file INSIDE the keys' [2, ~14000] span.
+    BETWEEN alone would serialize; the key-set Bloom sketch probes the
+    added file's actual values, proves 105 is not one of our keys, and
+    the loser rebases."""
+    t = _mk(spark, tmp_path, "kb1")
+    loser = _handle(spark, tmp_path, "kb1")
+    winner = _handle(spark, tmp_path, "kb1")
+    state = _interpose(
+        loser,
+        lambda: winner.update_where({"v": "v + 1"}, F.col("k") == 105),
+    )
+    loser.merge_clauses(
+        _big_sparse_source(spark),
+        ["k"],
+        matched=[(None, {"v": "src.v"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    assert state["raced"]
+    got = dict(_rows(t))
+    assert got[105] == 1051  # winner landed
+    assert got[2] == 222 and got[999] == 9990  # loser rebased
+    assert got[10000] == 0 and len(got) == 20 + 2001
+
+
+def test_above_cap_keys_conflict_when_add_contains_key(spark, tmp_path):
+    """Soundness direction: the racing add DOES carry one of the
+    loser's 2000+ keys (k=10002) — the sketch cannot refute it and the
+    loser must raise, not rebase over a row its key-absence decision
+    missed."""
+    t = _mk(spark, tmp_path, "kb2")
+    loser = _handle(spark, tmp_path, "kb2")
+    winner = _handle(spark, tmp_path, "kb2")
+    state = _interpose(
+        loser,
+        lambda: winner.merge_clauses(
+            spark.createDataFrame([(10002, 111)], "k long, v long"),
+            ["k"],
+            not_matched=[(None, "insert_all")],
+            deletion_vectors=True,
+        ),
+    )
+    with pytest.raises(ConcurrentWriteError):
+        loser.merge_clauses(
+            _big_sparse_source(spark),
+            ["k"],
+            matched=[(None, {"v": "src.v"})],
+            not_matched=[(None, "insert_all")],
+            deletion_vectors=True,
+        )
+    assert state["raced"]
+    assert dict(_rows(t))[10002] == 111  # only the winner landed
+
+
+def test_key_bloom_sketch_membership(spark, tmp_path):
+    """Unit: the sketch admits every source key and refutes a value
+    far outside the set (hashing the declared column type on both
+    sides)."""
+    t = _mk(spark, tmp_path, "kb3")
+    src = _big_sparse_source(spark)
+    sk = t._key_bloom_sketch(src, "k", 2002)
+    assert sk is not None
+    poss = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col("k").cast("long"), F.lit(i)), F.lit(sk.m))
+            for i in range(sk.k)
+        ]
+    )
+    member_rows = src.select(poss.alias("ps")).collect()
+    assert all(sk.has_positions(r["ps"]) for r in member_rows)
+    probe = spark.createDataFrame([(105,)], "k long").select(
+        poss.alias("ps")
+    ).collect()
+    assert not sk.has_positions(probe[0]["ps"])
+
+
 def test_cow_merge_entry_scoped_carries_untouched_files(spark, tmp_path):
     """Round 14: an UNSCOPED copy-on-write merge_clauses rewrites only
     the entries holding fired rows; the other file's entry survives in

@@ -45,6 +45,7 @@ keyed windows over that slice only — no global shuffle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -71,6 +72,18 @@ EVENTS_COL = "__EVENTS"
 # in-gap splice BOUNDARIES exact whenever the gap fits the anchor
 # cap (same N as the event cap; beyond it anchors subsample evenly).
 ANCHORS_COL = "__GAP_ANCHORS"
+# TRACK HISTORY mode only (round 15, VERDICT r14 item 4): when a row's
+# gap anchors exceed the per-row cap, the FULL dropped-seq set spills
+# to an append-only parquet side store at <location>/_gap_anchors
+# (columns: keys…, __seq). Reconstruction replays the affected keys'
+# side anchors as phantoms alongside the per-row ones, so an in-gap
+# splice closes at the TRUE next event boundary no matter how far
+# beyond the cap the gap grew. Row state stays O(max_events); the
+# side store is O(dropped events) of scalar seqs. Written AFTER the
+# main commit: a crash between leaves the seqs subsampled (the pre-r15
+# behavior), never a phantom for an uncommitted event.
+OVERFLOW_COL = "__ANCH_OVERFLOW"
+_SIDE_ANCHOR_DIR = "_gap_anchors"
 
 
 def scd1_current(target: ManagedTable) -> DataFrame:
@@ -269,6 +282,7 @@ def _rebuild_history(
     tracked: list[str] | None,
     out_cols: list[str],
     max_events: int = 10_000,
+    with_overflow: bool = False,
 ) -> DataFrame:
     """Collapse a deduped per-key event stream (``__del`` flags
     deletes) into SCD2 rows. ``tracked is None`` → every event opens a
@@ -383,7 +397,22 @@ def _rebuild_history(
                     f"i % int(ceil(size(__anch_all) / {k}.0)) = 0)"
                 )
             ),
-        ).drop("__arr_all", "__anch_all")
+        )
+        if with_overflow:
+            # the FULL anchor set of rows whose per-row cap subsampled
+            # (round 15): the caller persists these to the _gap_anchors
+            # side store AFTER the commit, keeping in-gap splices
+            # boundary-exact beyond the cap at O(max_events) ROW state
+            # (the side store is O(dropped events) storage — scalar
+            # seqs, append-only, never read outside affected-key
+            # reconstruction)
+            ev = ev.withColumn(
+                OVERFLOW_COL,
+                F.when(
+                    F.size("__anch_all") > F.lit(k), F.col("__anch_all")
+                ),
+            )
+        ev = ev.drop("__arr_all", "__anch_all")
     # the version's values are its LATEST REAL event's values —
     # phantoms (synthesized values) only win when a group is all-
     # phantom (a middle segment of an aged-out gap; see ANCHORS_COL)
@@ -406,7 +435,65 @@ def _rebuild_history(
             F.col(END_COL)
         ),
     )
+    if with_overflow and tracked is not None and EVENTS_COL in out_cols:
+        return ev.select(*out_cols, OVERFLOW_COL)
     return ev.select(*out_cols)
+
+
+def _side_anchor_path(target: ManagedTable) -> str:
+    return os.path.join(target.location, _SIDE_ANCHOR_DIR)
+
+
+def _load_side_anchors(
+    target: ManagedTable, keys: list[str]
+) -> DataFrame | None:
+    """The side store's (keys…, __seq) rows, or None when absent.
+    Read only during affected-key reconstruction — the caller
+    semi-joins it down to the batch's keys immediately."""
+    p = _side_anchor_path(target)
+    try:
+        if not any(
+            fn.endswith(".parquet") for fn in os.listdir(p)
+        ):
+            return None
+    except OSError:
+        return None
+    try:
+        return target.spark.read.parquet(p)
+    except Exception:
+        return None
+
+
+def _persist_overflow_anchors(
+    target: ManagedTable, rebuilt: DataFrame, keys: list[str], seq: str
+) -> None:
+    """Append the rebuilt rows' beyond-cap anchor seqs to the side
+    store, deduped against what it already holds. Runs AFTER the main
+    commit (see OVERFLOW_COL note); best-effort — a failure degrades
+    the affected gaps to the subsampled per-row anchors, never
+    corrupts history."""
+    try:
+        over = (
+            rebuilt.where(
+                F.col(OVERFLOW_COL).isNotNull()
+                & (F.size(OVERFLOW_COL) > 0)
+            )
+            .select(*keys, F.explode(OVERFLOW_COL).alias("__seq"))
+            .distinct()
+        )
+        if over.isEmpty():
+            return
+        existing = _load_side_anchors(target, keys)
+        if existing is not None:
+            over = over.join(
+                existing, [*keys, "__seq"], "left_anti"
+            )
+        if over.isEmpty():
+            return
+        over.write.mode("append").parquet(_side_anchor_path(target))
+    except Exception:
+        pass  # degrades those gaps to subsampled anchors, never
+        # fails the already-committed apply
 
 
 def _apply_scd2(
@@ -483,8 +570,15 @@ def _apply_scd2(
     if target.current_version() < 0:
         fresh = _rebuild_history(
             dedupe(batch_ev), keys, seq, tracked, out_cols,
-            max_events=max_events,
+            max_events=max_events, with_overflow=tracked is not None,
         )
+        if tracked is not None and OVERFLOW_COL in fresh.columns:
+            fresh = fresh.localCheckpoint()
+            v = target.overwrite(
+                fresh.select(*out_cols), op="APPLY CHANGES (SCD2)"
+            )
+            _persist_overflow_anchors(target, fresh, keys, seq)
+            return v
         return target.overwrite(fresh, op="APPLY CHANGES (SCD2)")
     if target.schema is None:
         target.schema = target._load_schema()
@@ -560,6 +654,37 @@ def _apply_scd2(
                 F.lit(True).alias("__ph"),
             )
             row_ev = row_ev.unionByName(ph_ev)
+            # side-store anchors (round 15): the FULL dropped-seq sets
+            # of rows whose per-row cap subsampled, scoped to the
+            # batch's keys and valued by their covering history row —
+            # an in-gap splice now closes at the TRUE next boundary
+            # however far beyond the cap the gap grew
+            side = _load_side_anchors(target, keys)
+            if side is not None:
+                side_ev = (
+                    side.join(F.broadcast(batch_keys), keys, "left_semi")
+                    .join(
+                        hist.select(
+                            *keys, *value_cols, START_COL, END_COL
+                        ),
+                        keys,
+                    )
+                    .where(
+                        (F.col("__seq") >= F.col(START_COL))
+                        & (
+                            F.col(END_COL).isNull()
+                            | (F.col("__seq") < F.col(END_COL))
+                        )
+                    )
+                    .select(
+                        *keys, *value_cols,
+                        F.col("__seq").alias(seq),
+                        F.lit(False).alias("__del"),
+                        F.lit(0).alias("__src"),
+                        F.lit(True).alias("__ph"),
+                    )
+                )
+                row_ev = row_ev.unionByName(side_ev)
     else:
         row_ev = hist.select(
             *keys, *value_cols,
@@ -604,17 +729,27 @@ def _apply_scd2(
         return target.current_version()  # full replay: zero commits
     events = events.join(F.broadcast(fresh_keys), keys, "left_semi")
     affected = affected.join(F.broadcast(fresh_keys), keys, "left_semi")
-    replacement = _rebuild_history(
-        events, keys, seq, tracked, out_cols, max_events=max_events
-    ).select(*tcols)
+    rebuilt = _rebuild_history(
+        events, keys, seq, tracked, out_cols, max_events=max_events,
+        with_overflow=tracked is not None,
+    )
+    if tracked is not None and OVERFLOW_COL in rebuilt.columns:
+        rebuilt = rebuilt.localCheckpoint()
+    replacement = rebuilt.select(*tcols)
     # one atomic commit: DV-delete the affected slice, append its
     # rebuilt history — cold keys' files untouched (merge-on-read)
-    return target._delete_rows_dv(
+    v = target._delete_rows_dv(
         affected.select("__mt_key", "__mt_pos"),
         op="APPLY CHANGES (SCD2)",
         append_df=replacement,
         read_version=v_read,
     )
+    if tracked is not None and OVERFLOW_COL in rebuilt.columns:
+        # AFTER the commit (see OVERFLOW_COL note): persist the
+        # beyond-cap anchor seqs so the next splice into these gaps
+        # stays boundary-exact
+        _persist_overflow_anchors(target, rebuilt, keys, seq)
+    return v
 
 
 # ------------------------------------------------- oracle entries

@@ -798,19 +798,26 @@ def test_capped_gap_splice_exact_within_anchor_cap(spark, tmp_path):
     assert got == want == [("S0", 1, 3), ("S1", 3, 4), ("S0", 4, None)]
 
 
-def test_capped_gap_splice_subsampled_beyond_cap(spark, tmp_path):
-    """CONTRACT BOUNDARY: when the aged-out span exceeds the anchor
-    cap, anchors subsample evenly — a splice into the gap closes at
-    the nearest KEPT anchor (tighter than the pre-anchor rule of
-    "oldest retained trailing event", still approximate). Pins (a) the
-    subsampled anchoring rule and (b) idempotence."""
+def test_capped_gap_splice_exact_beyond_cap(spark, tmp_path):
+    """Round 15 (VERDICT r14 item 4): when the aged-out span exceeds
+    the per-row anchor cap, the FULL dropped-seq set persists in the
+    _gap_anchors side store — a splice into the gap closes at the
+    TRUE next event boundary, EQUAL to the uncapped history. Pins
+    (a) beyond-cap exactness and (b) idempotence."""
+    import os as _os
+
+    from databricks_data_warehouse_spark.pipelines.cdc import (
+        _SIDE_ANCHOR_DIR,
+    )
+
     t = ManagedTable(spark, "gap", str(tmp_path / "gap"))
     rows = [(1, "S0", float(s), s, "upsert") for s in (1, 2, *range(4, 41))]
     _apply_tracked(
         t, _tracked_changes(spark, rows), track_history_max_events=8
     )
     # events kept: [1] + [34..40]; dropped seqs 2,4..33 (32 anchors >
-    # cap 8) subsample at step 4 → kept anchors 2,7,11,15,19,23,27,31
+    # cap 8): the per-row array subsamples, the side store keeps all
+    assert _os.path.isdir(_os.path.join(t.location, _SIDE_ANCHOR_DIR))
     _apply_tracked(
         t,
         _tracked_changes(spark, [(1, "S1", 3.0, 3, "upsert")]),
@@ -821,9 +828,9 @@ def test_capped_gap_splice_subsampled_beyond_cap(spark, tmp_path):
         tuple(r[c] for c in keep)
         for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
     ]
-    # anchoring rule: S1 closes at the nearest KEPT anchor (7) — the
-    # true boundary 4 was subsampled away
-    assert hist == [("S0", 1, 3), ("S1", 3, 7), ("S0", 7, None)]
+    # S1 closes at the TRUE next event (4), exactly as the uncapped
+    # reference would — the pre-r15 subsampled rule closed at 7
+    assert hist == [("S0", 1, 3), ("S1", 3, 4), ("S0", 4, None)]
     # idempotence: the same splice again is a no-op on the history
     _apply_tracked(
         t,
@@ -835,6 +842,16 @@ def test_capped_gap_splice_subsampled_beyond_cap(spark, tmp_path):
         for r in sorted(scd2_history(t).collect(), key=lambda r: r[START_COL])
     ]
     assert hist2 == hist
+    # replay of an aged-out event beyond the cap is commit-free: its
+    # seq is in the side store even though the per-row anchors
+    # subsampled it away
+    v = t.current_version()
+    _apply_tracked(
+        t,
+        _tracked_changes(spark, [(1, "S0", 9.0, 9, "upsert")]),
+        track_history_max_events=8,
+    )
+    assert t.current_version() == v
 
 
 def test_capped_replay_of_aged_event_is_commit_free(spark, tmp_path):

@@ -142,6 +142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of the SAME entry of an UNPARTITIONED table land in parallel
         # (REAL interposed collision, builder-asserted carry + rebase)
         "table_file_cow_race": managed_scan.table_file_cow_race,
+        # NEW round 15: above-cap key-set race — a MERGE on >1024
+        # scattered keys declares BETWEEN + a bloom sketch of the
+        # exact key set; the loser probes the racer's added file's
+        # actual values and rebases over a mid-span add that BETWEEN
+        # would serialize against (REAL interposed collision,
+        # builder-asserted above-cap DNF + rebase)
+        "table_sparse_bloom_race": managed_scan.table_sparse_bloom_race,
         # NEW round 14: identity columns under merge-on-read MERGE —
         # matched rewrites keep ids, inserts mint against the high
         # watermark atomically with the DV commit; base pairing and
@@ -1071,6 +1078,8 @@ def oracle_sql() -> dict[str, str]:
         "table_merge_on_read": managed_scan.table_merge_on_read_oracle(),
         "table_cow_race": managed_scan.table_cow_race_oracle(),
         "table_file_cow_race": managed_scan.table_file_cow_race_oracle(),
+        "table_sparse_bloom_race":
+            managed_scan.table_sparse_bloom_race_oracle(),
         "table_identity_merge_dv":
             managed_scan.table_identity_merge_dv_oracle(),
         "table_row_tracking_scan":

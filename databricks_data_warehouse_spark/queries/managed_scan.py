@@ -1356,10 +1356,32 @@ def _file_cow_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     ).collect()[0]
     mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
     q = mid // 4
-    # ONE commit, ONE entry, TWO files (range split near the median —
-    # the deleted slice k <= q and the repriced slice k > mid provably
-    # fall in different files)
-    t.overwrite(base.repartitionByRange(2, "k"))                   # v0
+    # ONE commit, ONE entry, MULTIPLE files with a DETERMINISTIC
+    # boundary at mid (a sampled repartitionByRange boundary can
+    # drift across scale factors and put both DML slices in one
+    # file): a k-sorted single partition with maxRecordsPerFile =
+    # |low half| rolls to a new file exactly at the boundary
+    n_low = base.where(F.col("k") <= mid).count()
+    prev_mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(n_low))
+    try:
+        t.overwrite(base.coalesce(1).sortWithinPartitions("k"))   # v0
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev_mrpf)
+    stats0 = t._read_stats(0)
+    file_bounds = [
+        (s["cols"]["k"][0], s["cols"]["k"][1]) for s in stats0.values()
+    ]
+    low_files = [b for b in file_bounds if b[1] <= mid]
+    high_files = [b for b in file_bounds if b[0] > mid]
+    if (
+        len(stats0) < 2
+        or len(low_files) != 1
+        or len(low_files) + len(high_files) != len(file_bounds)
+    ):
+        raise AssertionError(
+            f"fixture wants a clean file split at {mid}: {file_bounds}"
+        )
     t1 = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
     t2 = ManagedTable(spark, f"orders_fcowrace_{h}", loc)
     orig = t1._write_manifest
@@ -1432,6 +1454,153 @@ def table_file_cow_race_oracle() -> str:
             FROM orders
             WHERE NOT (o_orderkey <= (SELECT mid FROM bounds) // 4
                        AND o_orderkey % 10 = 7)
+        )
+        SELECT k % 7 AS grp,
+               COUNT(*) AS n_rows,
+               CAST(SUM({cents_sql('price')}) AS BIGINT) AS total_cents
+        FROM adj GROUP BY grp ORDER BY grp
+    """
+
+
+def _sparse_bloom_race_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Cached table built by a REAL above-cap key-set race (round 15,
+    VERDICT r14 item 3): v0 lands orders with k <= mid, v1 appends
+    k > mid. The loser then runs a merge-on-read MERGE whose source
+    has WELL OVER ``_KEY_SET_CAP`` distinct keys (every low-half
+    k%10==7 order repriced +1, plus 1300 synthetic inserts beyond the
+    table's max key) — a key set too large for the exact ``in``
+    predicate, whose [min, max] span covers the whole table. The
+    interposed winner DV-updates ONE high-half key (+2) mid-flight;
+    its rewrite ADDS a file inside the loser's span, which the old
+    BETWEEN fallback declared read (serialize). The round-15
+    ``in_bloom`` sketch probes the added file's actual key value
+    against the loser's exact key set, proves it is not one of the
+    keys, and the loser REBASES. Builder-asserted: the declared DNF
+    really is BETWEEN+in_bloom (above-cap), the race fired, the loser
+    landed at v3. At 100 TB this is a bulk keyed MERGE landing in
+    parallel with an unrelated racing rewrite inside its key span."""
+    from ..streaming.windows import _scratch_root
+
+    h = _corpus_fingerprint(sf_dir)
+    loc = os.path.join(_scratch_root(), f"kbloomrace_tbl_{h}")
+    t = ManagedTable(spark, f"orders_kbloomrace_{h}", loc)
+    if t.current_version() == 3:
+        return t
+    if t.current_version() >= 0:  # partial build: restart
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        t = ManagedTable(spark, f"orders_kbloomrace_{h}", loc)
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+    )
+    bounds = base.agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    mid = (lo + hi) // 2
+    chosen = (
+        base.where((F.col("k") > mid) & (F.col("k") % 10 == 3))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    t.overwrite(base.where(F.col("k") <= mid))                     # v0
+    t.append(base.where(F.col("k") > mid))                         # v1
+    src = (
+        base.where((F.col("k") <= mid) & (F.col("k") % 10 == 7))
+        .select("k", (F.col("price") + 1).alias("price"))
+        .unionByName(
+            spark.range(0, 1300).select(
+                (F.lit(hi) * 2 + F.col("id") * 10 + 7).alias("k"),
+                F.lit(11.0).alias("price"),
+            )
+        )
+    )
+    [trips] = t._source_key_dnf(src, ["k"])
+    ops = [tr[1] for tr in trips]
+    if "in_bloom" not in ops or "between" not in ops:
+        raise AssertionError(
+            f"above-cap key set did not declare BETWEEN+in_bloom: {ops}"
+        )
+    t1 = ManagedTable(spark, f"orders_kbloomrace_{h}", loc)
+    t2 = ManagedTable(spark, f"orders_kbloomrace_{h}", loc)
+    orig = t1._write_manifest
+    state = {"raced": False}
+
+    def interposed(*a, **k):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.update_where(                                # v2 wins
+                {"price": "price + 2"},
+                F.col("k") == int(chosen),
+                deletion_vectors=True,
+            )
+        return orig(*a, **k)
+
+    t1._write_manifest = interposed
+    v = t1.merge_clauses(                              # rebases to v3
+        src,
+        ["k"],
+        matched=[(None, {"price": "src.price"})],
+        not_matched=[(None, "insert_all")],
+        deletion_vectors=True,
+    )
+    if not state["raced"] or v != 3 or t.current_version() != 3:
+        raise AssertionError(
+            f"above-cap bloom rebase did not engage: "
+            f"raced={state['raced']} v={v} current={t.current_version()}"
+        )
+    return t
+
+
+def table_sparse_bloom_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-cap key-set MERGE racing a mid-span rewrite,
+    driver-checked (see ``_sparse_bloom_race_table``): the table must
+    hold BOTH writers' changes — every low-half k%10==7 order repriced
+    +1, the 1300 synthetic keys inserted, and the winner's chosen
+    high-half key repriced +2 — with no row lost, doubled, or stale.
+    The oracle applies both writers in plain SQL."""
+    from ._util import cents
+
+    t = _sparse_bloom_race_table(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy((F.col("k") % 7).alias("grp"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents(F.col("price"))).alias("total_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+def table_sparse_bloom_race_oracle() -> str:
+    from ._util import cents_sql
+
+    return f"""
+        WITH bounds AS (
+            SELECT (MIN(o_orderkey) + MAX(o_orderkey)) // 2 AS mid,
+                   MAX(o_orderkey) AS hi
+            FROM orders
+        ),
+        chosen AS (
+            SELECT MAX(o_orderkey) AS ck FROM orders
+            WHERE o_orderkey > (SELECT mid FROM bounds)
+              AND o_orderkey % 10 = 3
+        ),
+        adj AS (
+            SELECT o_orderkey AS k,
+                   o_totalprice
+                       + CASE WHEN o_orderkey = (SELECT ck FROM chosen)
+                              THEN 2 ELSE 0 END
+                       + CASE WHEN o_orderkey <= (SELECT mid FROM bounds)
+                                   AND o_orderkey % 10 = 7
+                              THEN 1 ELSE 0 END AS price
+            FROM orders
+            UNION ALL
+            SELECT (SELECT hi FROM bounds) * 2 + 10 * i + 7, 11.0
+            FROM range(1300) t(i)
         )
         SELECT k % 7 AS grp,
                COUNT(*) AS n_rows,

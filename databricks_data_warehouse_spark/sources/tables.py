@@ -2378,12 +2378,12 @@ class ManagedTable:
     # persisted — so the caps bound driver memory and the per-file
     # check cost, not any on-disk structure.
     _KEY_SET_CAP = 1024
-    # bloom sketch sizing: ~10 bits/key (fpr ≈ 1% at 6 hashes), capped
-    # at 8M bits = 128k driver-held longs (~1 MB); beyond ~800k keys
-    # the fpr degrades gracefully toward BETWEEN behavior, never
-    # unsoundly
+    # bloom sketch sizing: ~16 bits/key (fpr ≈ 0.05% at 8 hashes),
+    # capped at 8M bits = 128k driver-held longs (~1 MB); beyond
+    # ~500k keys the fpr degrades gracefully toward BETWEEN behavior,
+    # never unsoundly
     _KEY_BLOOM_MAX_BITS = 1 << 23
-    _KEY_BLOOM_HASHES = 6
+    _KEY_BLOOM_HASHES = 8
     # max distinct values read from a racing ADDED file during a probe
     # (the probe is exceptional-path: it runs only on an actual claim
     # collision, and its I/O is O(racer's added files), never O(table))
@@ -2472,7 +2472,7 @@ class ManagedTable:
         fields = {f.name: f for f in (self.schema.fields if self.schema else [])}
         if col not in fields:
             return None
-        m = int(max(1024, min(nd * 10, self._KEY_BLOOM_MAX_BITS)))
+        m = int(max(1024, min(nd * 16, self._KEY_BLOOM_MAX_BITS)))
         kh = self._KEY_BLOOM_HASHES
         try:
             cv = F.col(col).cast(fields[col].dataType)

@@ -23,11 +23,8 @@ from databricks_data_warehouse_spark.sources.tables import (
 )
 
 
-def _mk_one_entry(spark, tmp_path, name):
-    """UNPARTITIONED table with ONE manifest entry holding TWO files:
-    low half ids 0-9, high half ids 100-109 (range-split)."""
-    t = ManagedTable(spark, name, str(tmp_path / name))
-    df = (
+def _two_halves(spark):
+    return (
         spark.range(0, 10)
         .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
         .unionAll(
@@ -36,7 +33,22 @@ def _mk_one_entry(spark, tmp_path, name):
             )
         )
     )
-    t.overwrite(df.repartitionByRange(2, "k"))
+
+
+def _mk_one_entry(spark, tmp_path, name):
+    """UNPARTITIONED table with ONE manifest entry holding TWO files:
+    low half ids 0-9, high half ids 100-109 (deterministic split)."""
+    t = ManagedTable(spark, name, str(tmp_path / name))
+    df = _two_halves(spark)
+    # deterministic two-file split (a sampled repartitionByRange
+    # boundary could drift): a k-sorted single partition rolled to a
+    # new file after the low half via maxRecordsPerFile
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+    try:
+        t.overwrite(df.coalesce(1).sortWithinPartitions("k"))
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
     man = t._read_manifest(t.current_version())
     assert len(man) == 1, "fixture wants a single entry"
     assert len(t._read_stats(t.current_version())) == 2, (
@@ -250,16 +262,14 @@ def test_row_ids_preserved_through_per_file_cow(spark, tmp_path):
     restage."""
     t = ManagedTable(spark, "pf11", str(tmp_path / "pf11"))
     t.set_properties({"delta.enableRowTracking": "true"})
-    df = (
-        spark.range(0, 10)
-        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
-        .unionAll(
-            spark.range(100, 110).select(
-                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
-            )
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "10")
+    try:
+        t.overwrite(
+            _two_halves(spark).coalesce(1).sortWithinPartitions("k")
         )
-    )
-    t.overwrite(df.repartitionByRange(2, "k"))
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
     before = {
         r["k"]: r["_row_id"] for r in t.read_with_row_ids().collect()
     }

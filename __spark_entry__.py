@@ -466,7 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_delay_percentiles_approx": aggregates.agg_delay_percentiles_approx,
         "agg_distinct_counts_approx": aggregates.agg_distinct_counts_approx,
     }
-    ordered = {k: cat[k] for k in _R15_WINDOW if k in cat}
+    # strict indexing: a typo'd / renamed window name must fail fast
+    # at registry build, not silently forfeit its driver slot
+    ordered = {k: cat[k] for k in _R15_WINDOW}
     ordered.update({k: v for k, v in cat.items() if k not in ordered})
     return ordered
 

@@ -444,9 +444,7 @@ def _side_anchor_path(target: ManagedTable) -> str:
     return os.path.join(target.location, _SIDE_ANCHOR_DIR)
 
 
-def _load_side_anchors(
-    target: ManagedTable, keys: list[str]
-) -> DataFrame | None:
+def _load_side_anchors(target: ManagedTable) -> DataFrame | None:
     """The side store's (keys…, __seq) rows, or None when absent.
     Read only during affected-key reconstruction — the caller
     semi-joins it down to the batch's keys immediately."""
@@ -464,26 +462,35 @@ def _load_side_anchors(
         return None
 
 
-def _persist_overflow_anchors(
-    target: ManagedTable, rebuilt: DataFrame, keys: list[str], seq: str
-) -> None:
-    """Append the rebuilt rows' beyond-cap anchor seqs to the side
-    store, deduped against what it already holds. Runs AFTER the main
-    commit (see OVERFLOW_COL note); best-effort — a failure degrades
-    the affected gaps to the subsampled per-row anchors, never
-    corrupts history."""
-    try:
-        over = (
-            rebuilt.where(
-                F.col(OVERFLOW_COL).isNotNull()
-                & (F.size(OVERFLOW_COL) > 0)
-            )
-            .select(*keys, F.explode(OVERFLOW_COL).alias("__seq"))
-            .distinct()
+def _overflow_rows(
+    rebuilt: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The (keys…, __seq) projection of a rebuilt slice's beyond-cap
+    anchor sets — column-pruned, usually ZERO rows, checkpointed by
+    the caller BEFORE the commit so the persisted seqs are exactly the
+    committed plan's (the full rebuilt slice is materialized only
+    once, by the commit itself)."""
+    return (
+        rebuilt.where(
+            F.col(OVERFLOW_COL).isNotNull()
+            & (F.size(OVERFLOW_COL) > 0)
         )
+        .select(*keys, F.explode(OVERFLOW_COL).alias("__seq"))
+        .distinct()
+    )
+
+
+def _persist_overflow_anchors(
+    target: ManagedTable, over: DataFrame, keys: list[str]
+) -> None:
+    """Append the beyond-cap anchor seqs to the side store, deduped
+    against what it already holds. Runs AFTER the main commit (see
+    OVERFLOW_COL note); best-effort — a failure degrades the affected
+    gaps to the subsampled per-row anchors, never corrupts history."""
+    try:
         if over.isEmpty():
             return
-        existing = _load_side_anchors(target, keys)
+        existing = _load_side_anchors(target)
         if existing is not None:
             over = over.join(
                 existing, [*keys, "__seq"], "left_anti"
@@ -552,6 +559,12 @@ def _apply_scd2(
         .withColumn("__ph", F.lit(False))
         .select(*ev_cols)
     )
+    if tracked is not None:
+        # pin the batch: the overflow-anchor projection re-evaluates
+        # the rebuild plan, and the persisted seqs must be exactly the
+        # committed plan's even if the caller's changes DF is
+        # nondeterministic
+        batch_ev = batch_ev.localCheckpoint()
 
     def dedupe(events: DataFrame) -> DataFrame:
         # one (key, seq) survivor; already-applied events (src 0) win
@@ -573,11 +586,11 @@ def _apply_scd2(
             max_events=max_events, with_overflow=tracked is not None,
         )
         if tracked is not None and OVERFLOW_COL in fresh.columns:
-            fresh = fresh.localCheckpoint()
+            over = _overflow_rows(fresh, keys).localCheckpoint()
             v = target.overwrite(
                 fresh.select(*out_cols), op="APPLY CHANGES (SCD2)"
             )
-            _persist_overflow_anchors(target, fresh, keys, seq)
+            _persist_overflow_anchors(target, over, keys)
             return v
         return target.overwrite(fresh, op="APPLY CHANGES (SCD2)")
     if target.schema is None:
@@ -659,7 +672,7 @@ def _apply_scd2(
             # batch's keys and valued by their covering history row —
             # an in-gap splice now closes at the TRUE next boundary
             # however far beyond the cap the gap grew
-            side = _load_side_anchors(target, keys)
+            side = _load_side_anchors(target)
             if side is not None:
                 side_ev = (
                     side.join(F.broadcast(batch_keys), keys, "left_semi")
@@ -733,8 +746,13 @@ def _apply_scd2(
         events, keys, seq, tracked, out_cols, max_events=max_events,
         with_overflow=tracked is not None,
     )
+    over = None
     if tracked is not None and OVERFLOW_COL in rebuilt.columns:
-        rebuilt = rebuilt.localCheckpoint()
+        # evaluate the pruned overflow projection (usually zero rows)
+        # BEFORE the commit — deterministic: every input (affected,
+        # batch_ev) is checkpointed, so this evaluation and the
+        # commit's see the same events
+        over = _overflow_rows(rebuilt, keys).localCheckpoint()
     replacement = rebuilt.select(*tcols)
     # one atomic commit: DV-delete the affected slice, append its
     # rebuilt history — cold keys' files untouched (merge-on-read)
@@ -744,11 +762,11 @@ def _apply_scd2(
         append_df=replacement,
         read_version=v_read,
     )
-    if tracked is not None and OVERFLOW_COL in rebuilt.columns:
+    if over is not None:
         # AFTER the commit (see OVERFLOW_COL note): persist the
         # beyond-cap anchor seqs so the next splice into these gaps
         # stays boundary-exact
-        _persist_overflow_anchors(target, rebuilt, keys, seq)
+        _persist_overflow_anchors(target, over, keys)
     return v
 
 

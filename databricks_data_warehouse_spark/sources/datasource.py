@@ -66,6 +66,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from .tables import _rel_is_file
+
 FORMAT_NAME = "managed_table"
 REPORT_FILE = "_LAST_PUSHDOWN.json"
 
@@ -337,7 +339,7 @@ class ManagedTableReader(DataSourceReader):
         for rel_dir in sorted(set(entries.values())):
             # a per-file carry entry references one data file; its
             # partition values come from the file's dir path
-            is_file_rel = rel_dir.endswith(".parquet")
+            is_file_rel = _rel_is_file(rel_dir)
             pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
             pvals = {
                 k: val
@@ -582,7 +584,7 @@ def _dir_files(location: str, rel_dirs, part_cols, dv: dict) -> list:
     files = []
     for rel_dir in rel_dirs:
         abs_dir = os.path.join(location, rel_dir)
-        is_file_rel = rel_dir.endswith(".parquet")
+        is_file_rel = _rel_is_file(rel_dir)
         pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
         pvals = {
             k: val
@@ -998,14 +1000,14 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             # covered (through its then-live dir) is unchanged data, not
             # an add — never re-deliver it
             if not (
-                r.endswith(".parquet") and os.path.dirname(r) in old_dirs
+                _rel_is_file(r) and os.path.dirname(r) in old_dirs
             )
         )
         renames = tbl._read_renames(v_to)  # mapping at the window's end
         part_cols = {f.name for f in self.spark_schema.fields}
         out: list[_FilePartition] = []
         for rel_dir in added_rels:
-            is_file_rel = rel_dir.endswith(".parquet")
+            is_file_rel = _rel_is_file(rel_dir)
             pdir = os.path.dirname(rel_dir) if is_file_rel else rel_dir
             pvals = {
                 k: val

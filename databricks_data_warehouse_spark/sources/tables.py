@@ -420,8 +420,15 @@ def _rel_is_file(rel: str) -> bool:
     """True when a manifest rel references a single data FILE (a
     file-granular carry entry left behind by a per-file copy-on-write
     rewrite) rather than a leaf directory. Data files are always
-    ``*.parquet``; entry dirs never are."""
-    return rel.endswith(".parquet")
+    ``*.parquet`` and Spark part-file basenames never contain ``=`` —
+    while a hive partition dir for a string VALUE ending ``.parquet``
+    (``src=export.parquet``) always does, so the ``=`` check keeps
+    such dirs classified as dirs (a misclassification here would make
+    repair() drop the live entry and under-declare CoW write sets).
+    The carry writer refuses to create entries for the rare foreign
+    file whose basename carries ``=`` (see ``_assemble``)."""
+    bn = os.path.basename(rel)
+    return bn.endswith(".parquet") and "=" not in bn
 
 
 def _rel_covers(rel_set, f: str) -> bool:
@@ -2608,21 +2615,49 @@ class ManagedTable:
             }
         )
 
+    def _cow_widen_ambiguous(
+        self, matched_files: Collection[str], version: int
+    ) -> list[str]:
+        """Expand a per-file CoW write set to WHOLE entries wherever a
+        matched file's dir holds a neighbor that cannot become a carry
+        entry (a foreign file whose basename contains ``=`` would be
+        indistinguishable from a hive partition dir — see
+        ``_rel_is_file``): those entries restage in full, the round-14
+        entry-scoped behavior. Spark-written part files never trip
+        this; only CONVERT/clone-adopted foreign layouts can."""
+        man_rels = set(self._read_manifest(version).values())
+        stats = self._read_stats(version)
+        out = set(matched_files)
+        for f in list(matched_files):
+            rel = f if f in man_rels else os.path.dirname(f)
+            if rel in man_rels and not _rel_is_file(rel):
+                under = self._files_under([rel], version, stats=stats)
+                if any("=" in os.path.basename(x) for x in under):
+                    out |= set(under)
+        return sorted(out)
+
     def _files_under(
-        self, rels: Collection[str], version: int
+        self,
+        rels: Collection[str],
+        version: int,
+        stats: Mapping[str, dict] | None = None,
     ) -> list[str]:
         """Every data file the given manifest rels cover, in the
         DV/stats key space — the full file set of a group of entries.
         A file-granular rel covers itself; a dir rel covers its stats
         keys plus a listdir (belt and braces: a file missing from
         stats — a legacy dir — would under-declare the region and let
-        a racer wrongly rebase over it). No data I/O."""
+        a racer wrongly rebase over it). No data I/O. Callers looping
+        over many rels pass the prefetched ``stats`` map once instead
+        of paying a full-stats dict copy per rel."""
         rel_set = set(rels)
         files = {f for f in rel_set if _rel_is_file(f)}
         dir_set = rel_set - files
+        if stats is None:
+            stats = self._read_stats(version)
         files |= {
             f
-            for f in self._read_stats(version)
+            for f in stats
             if os.path.dirname(f) in dir_set
         }
         for rel in dir_set:
@@ -3359,13 +3394,27 @@ class ManagedTable:
                         for f in rewritten
                     }
                     rel_key = {rel: k for k, rel in prev_entries.items()}
+                    base_stats = self._read_stats(base)
                     for rel in sorted(cow_drop):
                         if _rel_is_file(rel) or rel not in rel_key:
                             continue
                         bk = _base_key(rel_key[rel])
-                        for f in self._files_under([rel], base):
-                            if f not in rewritten:
-                                carry[f"{bk}@carry:{f}"] = f
+                        for f in self._files_under(
+                            [rel], base, stats=base_stats
+                        ):
+                            if f in rewritten:
+                                continue
+                            if "=" in os.path.basename(f):
+                                # unreachable when the caller widened
+                                # via _cow_widen_ambiguous; losing the
+                                # file silently would drop its rows
+                                raise RuntimeError(
+                                    f"table {self.name}: cannot carry "
+                                    f"{f!r} as a file entry (ambiguous "
+                                    "basename) — CoW scope must cover "
+                                    "its whole entry"
+                                )
+                            carry[f"{bk}@carry:{f}"] = f
                     dropped |= cow_drop
                 entries = {
                     k: rel
@@ -3438,6 +3487,7 @@ class ManagedTable:
         ):
             new_vals = set(entries.values())
             removed_rels: list[str] = []
+            cdf_prev_stats = self._read_stats(v_new - 1)
             for rel in sorted(
                 set(self._read_manifest(v_new - 1).values()) - new_vals
             ):
@@ -3448,7 +3498,9 @@ class ManagedTable:
                 # files as carry entries — only the non-carried files
                 # were actually removed, so the staged diff must not
                 # scan the carried ones as deletes
-                under = self._files_under([rel], v_new - 1)
+                under = self._files_under(
+                    [rel], v_new - 1, stats=cdf_prev_stats
+                )
                 if any(f in new_vals for f in under):
                     removed_rels.extend(
                         f for f in under if f not in new_vals
@@ -7162,6 +7214,7 @@ class ManagedTable:
         matched_files = self._cow_matched_files(base_df, cond_t)
         if not matched_files:
             return v_read  # nothing matched
+        matched_files = self._cow_widen_ambiguous(matched_files, v_read)
         survivors = (
             base_df.filter(F.col("__mt_key").isin(matched_files))
             .filter(~cond_t)
@@ -7285,6 +7338,7 @@ class ManagedTable:
         matched_files = self._cow_matched_files(base_df, cond)
         if not matched_files:
             return v_read  # nothing matched
+        matched_files = self._cow_widen_ambiguous(matched_files, v_read)
         scoped_df = base_df.filter(F.col("__mt_key").isin(matched_files))
         updated = scoped_df.select(
             *[
@@ -7760,6 +7814,10 @@ class ManagedTable:
                     .collect()
                 }
             )
+            if fired_files:
+                fired_files = self._cow_widen_ambiguous(
+                    fired_files, v_read
+                )
             kept = joined.filter(
                 (
                     F.col("__tgt_m").isNull()

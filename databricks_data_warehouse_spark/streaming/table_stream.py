@@ -62,7 +62,21 @@ def _source_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
     return table
 
 
+# one memoized drain result per (kind, table location): keyed by the
+# version it was drained at, replaced when the table advances — stale
+# versions never accumulate
 _DRAIN_CACHE: dict = {}
+
+
+def _drain_cached(kind: str, location: str, version: int):
+    hit = _DRAIN_CACHE.get((kind, location))
+    if hit is not None and hit[0] == version:
+        return hit[1], hit[2]
+    return None
+
+
+def _drain_store(kind, location, version, rows, schema) -> None:
+    _DRAIN_CACHE[(kind, location)] = (version, rows, schema)
 
 
 def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,10 +94,10 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import _scratch_root
 
     table = _source_table(spark, sf_dir)
-    ck = ("src", table.location, table.current_version())
-    if ck in _DRAIN_CACHE:
-        rows, schema = _DRAIN_CACHE[ck]
-        return spark.createDataFrame(rows, schema)
+    v_now = table.current_version()
+    hit = _drain_cached("src", table.location, v_now)
+    if hit is not None:
+        return spark.createDataFrame(hit[0], hit[1])
     run = uuid.uuid4().hex[:8]
     out = os.path.join(_scratch_root(), "stream_src_out", run)
     ckpt = os.path.join(_scratch_root(), "stream_src_ckpt", run)
@@ -113,7 +127,7 @@ def stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    _DRAIN_CACHE[ck] = (rows, agg.schema)
+    _drain_store("src", table.location, v_now, rows, agg.schema)
     return spark.createDataFrame(rows, agg.schema)
 
 
@@ -135,10 +149,10 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _dml_table(spark, sf_dir)
     # memoized per (location, version) like stream_table_source: the
     # first call pays the real change-stream drain, reps read
-    ck2 = ("cdf", table.location, table.current_version())
-    if ck2 in _DRAIN_CACHE:
-        rows, schema = _DRAIN_CACHE[ck2]
-        return spark.createDataFrame(rows, schema)
+    v_now = table.current_version()
+    hit = _drain_cached("cdf", table.location, v_now)
+    if hit is not None:
+        return spark.createDataFrame(hit[0], hit[1])
     run = uuid.uuid4().hex[:8]
     out = os.path.join(_scratch_dir(), "stream_cdf_out", run)
     ckpt = os.path.join(_scratch_dir(), "stream_cdf_ckpt", run)
@@ -175,7 +189,7 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
-    _DRAIN_CACHE[ck2] = (rows, agg.schema)
+    _drain_store("cdf", table.location, v_now, rows, agg.schema)
     return spark.createDataFrame(rows, agg.schema)
 
 

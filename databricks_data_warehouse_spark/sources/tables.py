@@ -77,6 +77,31 @@ _STATS_MAX_COLS = 32
 _FILTER_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "between",
                "is_null", "is_not_null")
 
+
+def _relax_nullability(dt):
+    """The same type with every nested containsNull/valueContainsNull/
+    field nullability forced true — the value-compatible equivalence
+    class for write-side coercion (Spark refuses casts TO non-null
+    inner fields, and parquet bytes are identical either way)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _relax_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_relax_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _relax_nullability(dt.keyType),
+            _relax_nullability(dt.valueType),
+            True,
+        )
+    return dt
+
 # Delta writes a parquet checkpoint of its log every 10 commits
 # (delta.checkpointInterval); same default here.
 _CHECKPOINT_INTERVAL = 10
@@ -1534,9 +1559,19 @@ class ManagedTable:
         13 review: the merge-on-read path skipped it)."""
         if self.schema is None:
             return df
-        want = {f.name: f.dataType for f in self.schema.fields}
+        # nullability of nested fields is not type drift: a frame whose
+        # array<struct> elements are nullable where the declared schema
+        # says NOT NULL carries the same bytes, and Spark refuses a
+        # cast TO a non-null inner field — compare and cast modulo
+        # nullability (round 15: the SCD2 phantom-replay union made
+        # __EVENTS inner fields nullable and the strict compare sent
+        # it into an impossible try_cast)
+        want = {
+            f.name: _relax_nullability(f.dataType)
+            for f in self.schema.fields
+        }
         if not any(
-            c in want and df.schema[c].dataType != want[c]
+            c in want and _relax_nullability(df.schema[c].dataType) != want[c]
             for c in df.columns
         ):
             return df
@@ -1562,7 +1597,8 @@ class ManagedTable:
         return df.select(
             *[
                 _ansi_cast(c)
-                if c in want and df.schema[c].dataType != want[c]
+                if c in want
+                and _relax_nullability(df.schema[c].dataType) != want[c]
                 else F.col(c)
                 for c in df.columns
             ]
@@ -6789,7 +6825,15 @@ class ManagedTable:
         key_dnf = self._source_key_dnf(source, keys)
         if key_dnf == []:
             return self._assign_identity(source)
-        tgt_rows = self.scan(key_dnf[0]) if key_dnf else self.read()
+        # in_bloom triples are conflict-declaration sketches, not scan
+        # predicates: the BETWEEN they accompany already bounds the
+        # read, so drop them here (scan() evaluates exact triples only)
+        scan_trips = (
+            [t for t in key_dnf[0] if t[1] != "in_bloom"]
+            if key_dnf
+            else None
+        )
+        tgt_rows = self.scan(scan_trips) if scan_trips else self.read()
         tgt_ids = (
             tgt_rows
             .select(

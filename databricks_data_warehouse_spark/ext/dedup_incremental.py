@@ -40,7 +40,8 @@ from .dedup import (
     _MAX_BAND_BUCKET,
     _band_keys,
     _minhash_signatures_df,
-    _shingles,
+    _shingles_of_tokens,
+    _with_tokens,
 )
 
 
@@ -99,16 +100,20 @@ def incremental_dedup_batch(
         .select("new_doc", "old_doc")
         .distinct()
     )
-    new_sh = batch_docs.select(
-        F.col("doc_id").alias("new_doc"), _shingles(F.col("text")).alias("sh_n")
+    new_sh = _with_tokens(batch_docs, "doc_id").select(
+        F.col("doc_id").alias("new_doc"),
+        _shingles_of_tokens(F.col("__toks")).alias("sh_n"),
     )
     # shingle ONLY the candidate old documents: the semi-join cuts the
     # corpus to O(candidate olds) BEFORE the tokenize/array build —
     # re-shingling the whole corpus per batch was the other O(corpus)
     # term (VERDICT r07 "What's wrong" 2a)
     old_needed = candidates.select(F.col("old_doc").alias("doc_id")).distinct()
-    old_sh = corpus_docs.join(old_needed, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("old_doc"), _shingles(F.col("text")).alias("sh_o")
+    old_sh = _with_tokens(
+        corpus_docs.join(old_needed, "doc_id", "left_semi"), "doc_id"
+    ).select(
+        F.col("doc_id").alias("old_doc"),
+        _shingles_of_tokens(F.col("__toks")).alias("sh_o"),
     )
     verified = (
         candidates.join(new_sh, "new_doc")

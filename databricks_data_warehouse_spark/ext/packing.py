@@ -227,8 +227,15 @@ def text_bm25(
     per-term df comes from the already-built inverted index instead of
     a rescan; the scoring pass itself is embarrassingly parallel.
     """
+    # the token array is referenced by four filter/size expressions
+    # below; materialize it through a single-element explode so the
+    # split+regexp chain runs once per row (CollapseProject would
+    # otherwise inline it per reference — see dedup._with_tokens)
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("toks")
+        "doc_id",
+        F.explode(
+            F.array(F.split(normalized_text(F.col("text")), " "))
+        ).alias("toks"),
     )
     def _count_eq(term: str) -> Column:
         # factory (not a default-arg lambda): F.filter dispatches on

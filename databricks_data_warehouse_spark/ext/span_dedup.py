@@ -46,8 +46,13 @@ K = 8  # minimum duplicated-span length (tokens)
 def _dup_occurrences(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, p, e): start/end token positions (0-based, inclusive)
     of every k-gram occurrence whose gram repeats corpus-wide."""
+    # materialize the token array through a single-element explode: a
+    # plain Project would be collapsed and the n >= k filter pushed
+    # below it re-evaluates the trim+split chain (tokenize ran twice
+    # per row); a Generate output is a real attribute (see
+    # dedup._with_tokens)
     toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("toks")
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("toks")
     ).withColumn("n", F.size("toks"))
     grams = (
         toks.where(F.col("n") >= k)

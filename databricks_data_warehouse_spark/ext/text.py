@@ -57,13 +57,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality metrics per document: token count, average token length,
     type-token (distinct/total) ratio, alpha-character ratio."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
+    # materialize the token array (single-element explode → real
+    # attribute): it is referenced four times below and CollapseProject
+    # would re-inline the trim+split chain per reference
+    with_toks = docs.select(
+        "doc_id", "text", F.explode(F.array(tokens(F.col("text")))).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     total_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
     )
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    return docs.select(
+    return with_toks.select(
         "doc_id",
         n_tok.cast("long").alias("token_count"),
         rnd(total_len / n_tok, 2).alias("avg_token_len"),
@@ -95,8 +101,18 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits). Ties break by language code order (en < es < fr < de listed
     explicitly as a deterministic priority)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    toks = F.array_distinct(tokens(F.lower(F.col("text"))))
-    scored = docs.select(
+    # materialize the distinct-token array once — it feeds one
+    # array_intersect per language and would otherwise be re-evaluated
+    # per marker set
+    with_toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(F.array_distinct(tokens(F.lower(F.col("text")))))
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    scored = with_toks.select(
         "doc_id",
         "lang",
         *[
@@ -241,7 +257,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> 
     MD5 (not xxhash) so the DuckDB oracle computes bit-identical values.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens(F.col("text"))
+    # materialize the token array first (single-element explode): the
+    # shingle expression references it ~7 times per row (size, short-doc
+    # fallback, the k+1 word_ngrams slices)
+    with_toks = docs.select(
+        "doc_id", "text", F.explode(F.array(tokens(F.col("text")))).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     shingles = F.when(
         n < shingle_size, F.array(F.concat_ws(" ", toks))
@@ -250,7 +272,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str, shingle_size: int = 5) -> 
     # per-column form re-evaluates it per output column) and the shuffle
     # carries one row per doc after map-side partial aggregation.
     return (
-        docs.select(
+        with_toks.select(
             "doc_id",
             F.md5(F.col("text")).alias("exact_md5"),
             F.explode(shingles).alias("s"),
@@ -283,16 +305,19 @@ def decontaminate_splits(
     production run would additionally drop grams above a doc-frequency
     cap before the join (same plan, one extra groupBy).
     """
-    from .dedup import normalized_text
+    from .dedup import _with_tokens
     from .sampling import hash_bucket
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     key = F.concat(F.lit("doc|"), F.col("doc_id").cast("string"))
-    toks = tokens(normalized_text(F.col("text")))
-    grams = docs.select(
+    # token array materialized first — word_ngrams references it k+1
+    # times per row (see dedup._with_tokens)
+    grams = _with_tokens(docs, "doc_id").select(
         "doc_id",
         hash_bucket(key, salt="split").alias("bucket"),
-        F.explode(F.array_distinct(word_ngrams(toks, k))).alias("gram"),
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), k))).alias(
+            "gram"
+        ),
     )
     train = grams.where(F.col("bucket") < 8000).select(
         F.col("doc_id").alias("train_doc_id"), "gram"
@@ -369,7 +394,7 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collection. Ratios are exact-integer divisions floor-rounded
     to 4 dp (cross-engine deterministic).
     """
-    from .dedup import normalized_text
+    from .dedup import _with_tokens, normalized_text
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens(normalized_text(F.col("text")))
@@ -384,8 +409,12 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_toks"),
         )
     )
+    # trigram side: materialize the token array first — word_ngrams
+    # references it k+1 times per row (see dedup._with_tokens); the
+    # token side above evaluates it once already (plain explode)
     tri_stats = (
-        docs.select("doc_id", F.explode(word_ngrams(toks, 3)).alias("g"))
+        _with_tokens(docs, "doc_id")
+        .select("doc_id", F.explode(word_ngrams(F.col("__toks"), 3)).alias("g"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tri"),

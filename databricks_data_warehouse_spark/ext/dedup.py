@@ -694,13 +694,17 @@ def dedup_cap_report(
             F.sum(F.when(F.col("kn") > threshold, F.col("kn")).otherwise(0))
             .alias("postings_dropped"),
         )
-        docs = (
-            postings.withColumn(
-                "kn", F.count("*").over(Window.partitionBy(*key_cols))
-            )
-            .where(F.col("kn") > threshold)
-            .agg(F.countDistinct("doc_id").alias("docs_affected"))
-        )
+        # docs_affected via a semi-join against the over-cap KEY SET
+        # instead of a key-partitioned count window over the postings:
+        # the window re-shuffled AND sorted the whole index; the dropped
+        # keys are by construction few (each carries > threshold
+        # postings, so #keys ≤ postings/threshold) — broadcast them.
+        # Local A/B at sf0.1: neutral (min 2.91 vs 2.92 s interleaved);
+        # at scale it removes the index-sized sort outright.
+        dropped = sizes.where(F.col("kn") > threshold).select(*key_cols)
+        docs = postings.join(
+            F.broadcast(dropped), key_cols, "left_semi"
+        ).agg(F.countDistinct("doc_id").alias("docs_affected"))
         return keys.crossJoin(docs).select(
             F.lit(cap_name).alias("cap"),
             F.lit(threshold).cast("long").alias("threshold"),

@@ -445,16 +445,58 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. ``repetitive_trigram`` — >10% duplicate trigrams;
     5. ``unknown_lang``     — the language-ID heuristic found no marker.
 
-    Composes the already-oracle-checked operators (text_quality,
-    repetition_scores, lang_id) via doc_id equi-joins — three narrow
-    aggregations over the same scan, one join stage; no new text math
-    is introduced, so the filter's correctness reduces to its parts'.
+    Rule values are computed exactly as the already-oracle-checked
+    operators compute them (text_quality's token_count/alpha_ratio,
+    lang_id's predicted_lang, repetition_scores verbatim) — but the two
+    PER-ROW sides (quality, lang) are evaluated in ONE projection over
+    one scan instead of two scans joined back on doc_id: only the
+    repetition signals need aggregation, so the filter is one scan +
+    repetition's aggs + a single doc_id join (was 4 scans / 3 joins).
     """
-    quality = text_quality(spark, sf_dir).select(
-        "doc_id", "token_count", "alpha_ratio"
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # both token arrays materialized once through a single-element
+    # explode (see dedup._with_tokens): the whitespace tokens feed
+    # token_count, the lowercased distinct tokens feed the marker
+    # intersections
+    with_toks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.array(
+                F.struct(
+                    tokens(F.col("text")).alias("t"),
+                    F.array_distinct(tokens(F.lower(F.col("text")))).alias(
+                        "lt"
+                    ),
+                )
+            )
+        ).alias("__tk"),
+    )
+    token_count = F.size(F.col("__tk.t")).cast("long")
+    alpha_ratio = rnd(
+        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+        / F.length("text"),
+        4,
+    )
+    scores = {
+        code: F.size(
+            F.array_intersect(
+                F.col("__tk.lt"), F.array(*[F.lit(w) for w in words])
+            )
+        )
+        for code, words in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for code in _LANG_MARKERS:  # first language reaching the max wins
+        pred = pred.when(scores[code] == best, F.lit(code))
+    base = with_toks.select(
+        "doc_id",
+        token_count.alias("token_count"),
+        alpha_ratio.alias("alpha_ratio"),
+        pred.alias("predicted_lang"),
     )
     repetition = repetition_scores(spark, sf_dir)
-    lang = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
     reason = (
         F.when(F.col("token_count") < 20, F.lit("too_short"))
         .when(F.col("alpha_ratio") < 0.6, F.lit("low_alpha"))
@@ -462,14 +504,10 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("dup_trigram_frac") > 0.1, F.lit("repetitive_trigram"))
         .when(F.col("predicted_lang") == "und", F.lit("unknown_lang"))
     )
-    return (
-        quality.join(repetition, "doc_id")
-        .join(lang, "doc_id")
-        .select(
-            "doc_id",
-            reason.isNull().alias("keep"),
-            F.coalesce(reason, F.lit("ok")).alias("reject_reason"),
-        )
+    return base.join(repetition, "doc_id").select(
+        "doc_id",
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("ok")).alias("reject_reason"),
     )
 
 

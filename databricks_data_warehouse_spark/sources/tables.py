@@ -6021,18 +6021,28 @@ class ManagedTable:
                 ).select(*cols)
             parts.append(added.withColumn("_change_type", F.lit("insert")))
         # fetch row content for DV-delta positions: scan only the
-        # touched files' dirs, semi-join on (file, pos)
-        for pos_df, tag in ((newly_dead, "delete"), (resurrected, "insert")):
+        # touched files' dirs, semi-join on (file, pos). The touched
+        # dir set comes from the DV MAPPINGS on the driver — a file's
+        # position set can only change when its dv dir reference
+        # changes (dv dirs are immutable once written) — so no Spark
+        # job is needed to discover it; a possibly-wider dir (same
+        # positions rewritten into a new dir) only widens the scan the
+        # semi-join filters, never the result. Restricted to
+        # carried-over dirs exactly as on_old restricts the positions.
+        old_dir_set = set(old_entries.values())
+
+        def _touched_dirs(changed_keys) -> list[str]:
+            dirs = {k.rsplit("/", 1)[0] for k in changed_keys if "/" in k}
+            return sorted(d for d in dirs if d in old_dir_set)
+
+        changed_new = [f for f, d in dv_new.items() if dv_old.get(f) != d]
+        changed_old = [f for f, d in dv_old.items() if dv_new.get(f) != d]
+        for pos_df, tag, touched in (
+            (newly_dead, "delete", _touched_dirs(changed_new)),
+            (resurrected, "insert", _touched_dirs(changed_old)),
+        ):
             if pos_df is None:
                 continue
-            touched = [
-                r["dir"]
-                for r in pos_df.select(
-                    F.regexp_replace(F.col("file"), "/[^/]*$", "").alias("dir")
-                )
-                .distinct()
-                .collect()
-            ]
             if not touched:
                 continue
             content = self._scan_rels(touched, need_meta=True)

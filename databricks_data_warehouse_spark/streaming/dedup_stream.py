@@ -173,7 +173,9 @@ def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(target, dst)
         except OSError:
             shutil.copy2(target, dst)
-    schema = spark.read.parquet(src).schema
+    from .windows import _parquet_schema
+
+    schema = _parquet_schema(spark, src)
     return spark.readStream.schema(schema).parquet(d)
 
 

@@ -133,13 +133,47 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
+# (application id, path, mtime, size) → parquet schema. Every stream
+# entry re-derived the source schema with a full batch-read (file
+# listing + footer parse, ~0.15 s); the schema is FILE METADATA —
+# invalidated by any rewrite via the stat key — not a query result, so
+# caching it is the same class as the partition-tuple listings in
+# sources/tables.py.
+_schema_cache: dict = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    """Cached-by-stat parquet schema of ``path`` (see _schema_cache)."""
+    try:
+        if os.path.isdir(path):
+            ident = tuple(
+                sorted(
+                    (n, os.stat(os.path.join(path, n)).st_mtime_ns)
+                    for n in os.listdir(path)
+                    if not n.startswith((".", "_"))
+                )
+            )
+        else:
+            st = os.stat(path)
+            ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = ()
+    key = (spark.sparkContext.applicationId, path, ident)
+    schema = _schema_cache.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _schema_cache.clear()  # stale idents never accumulate
+        _schema_cache[key] = schema
+    return schema
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream; nanos-long ts converted exactly as the
     batch loader does (queries/_util.load)."""
     source_dir = _stream_source_dir(sf_dir)
     # runtime-set for bare (driver-built) sessions — see queries/_util.load
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    schema = _parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
     stream = spark.readStream.schema(schema).parquet(source_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":

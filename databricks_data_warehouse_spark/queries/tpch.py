@@ -696,9 +696,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 nation.n_regionkey == region.r_regionkey)),
         supplier.s_nationkey == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    # europe_sup is a region-filtered DIMENSION (supplier is 1/10,000 of
+    # lineitem in TPC-H scaling) but the planner's post-join size
+    # estimate blows past the auto-broadcast threshold and it fell to a
+    # sort-merge join — two exchanges + sorts of the quote set for a
+    # ~200-row build side (guide §3.1: estimates are often wrong after
+    # joins; hint when you know the side is small). Revisit the hint
+    # only if supplier ever outgrows the 8 GB broadcast cap.
     quotes = (
         ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
-        .join(europe_sup, ps.ps_suppkey == europe_sup.s_suppkey)
+        .join(F.broadcast(europe_sup), ps.ps_suppkey == europe_sup.s_suppkey)
         .withColumn("cost_c", cents(F.col("ps_supplycost")))
     )
     w = Window.partitionBy("ps_partkey")

@@ -39,6 +39,37 @@ from pyspark.sql import functions as F
 from ..queries._util import load
 from .dedup import ngram_jaccard_pairs_cached
 
+# (application, path, file stat) → documents row count: the node count
+# feeds teleport/dangling scalars and was a separate count() job per
+# call; stat-keyed like queries.tpch._supplier_count, so a regenerated
+# corpus invalidates it
+_doc_count_cache: dict = {}
+
+
+def _documents_count(spark: SparkSession, sf_dir: str) -> int:
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            ident = tuple(
+                sorted(
+                    (n, os.stat(os.path.join(path, n)).st_mtime_ns)
+                    for n in os.listdir(path)
+                )
+            )
+        else:
+            st = os.stat(path)
+            ident = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        ident = ()
+    key = (spark.sparkContext.applicationId, path, ident)
+    if key not in _doc_count_cache:
+        n = load(spark, sf_dir, "documents").count()
+        _doc_count_cache.clear()  # stale generations never accumulate
+        _doc_count_cache[key] = n
+    return _doc_count_cache[key]
+
 # 1.0 of rank mass in integer units. 1e12 keeps per-node ranks ≥ 1e6
 # units for corpora up to ~1e6 docs (quantization loss stays ≤ 1e-6
 # relative) while 85 × any partial sum stays far inside int64
@@ -80,11 +111,13 @@ def pagerank_near_dup(
         spark, sf_dir, threshold=threshold
     ).select("doc_a", "doc_b")
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    return pagerank_from_pairs(docs, pairs, iterations=iterations)
+    return pagerank_from_pairs(
+        docs, pairs, iterations=iterations, n=_documents_count(spark, sf_dir)
+    )
 
 
 def pagerank_from_pairs(
-    docs: DataFrame, pairs: DataFrame, iterations: int = 3
+    docs: DataFrame, pairs: DataFrame, iterations: int = 3, n: int | None = None
 ) -> DataFrame:
     """The integer power iteration itself, over any (doc_id) node frame
     and (doc_a, doc_b) undirected-pair frame — factored out so the
@@ -109,7 +142,8 @@ def pagerank_from_pairs(
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n = docs.count()
+    if n is None:
+        n = docs.count()
     if n == 0:
         # empty node frame: return the empty result rather than a
         # ZeroDivisionError (ADVICE r12)

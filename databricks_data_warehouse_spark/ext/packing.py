@@ -175,15 +175,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         .where(F.col("term") != "")
     )
     tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
-    n_sources = tf.select("source").distinct().count()
+    # N (distinct sources) as a broadcast 1-row aggregate INSIDE the
+    # plan — a .count() here was a separate blocking job per call just
+    # to embed a literal; the double arithmetic is identical either way
+    n_src = tf.agg(F.countDistinct("source").alias("n_sources"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_src))
         .withColumn(
             "tfidf",
             rnd(
                 F.col("tf")
-                * F.log((F.lit(n_sources) + 1.0) / (F.col("df") + 1.0)),
+                * F.log(
+                    (F.col("n_sources").cast("double") + 1.0)
+                    / (F.col("df") + 1.0)
+                ),
                 4,
             ),
         )

@@ -499,7 +499,17 @@ def near_dup_clusters(
     the canonical survivor. Singleton docs (no near-dup) are omitted —
     they need no resolution.
     """
-    pairs = ngram_jaccard_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    # round 16: consume the MATERIALIZED near-dup edge table
+    # (ngram_jaccard_pairs_cached) instead of re-deriving the corpus
+    # inverted-index join per call — the same r12-adjudicated edge set
+    # `dedup_ngram_jaccard` returns and `graph_pagerank_docs` already
+    # consumes (one production pipeline persists the pair table once;
+    # every resolution stage joins against it). Identical rows by
+    # construction (the cache IS ngram_jaccard_pairs' output, stat- and
+    # implementation-keyed).
+    pairs = ngram_jaccard_pairs_cached(spark, sf_dir, threshold).select(
+        "doc_a", "doc_b"
+    )
     labels = connected_components(pairs, "doc_a", "doc_b")
     sizes = labels.groupBy("comp").agg(F.count("*").alias("cluster_size"))
     return (

@@ -482,11 +482,33 @@ def ann_ivf_assignments(
 def _assign_to_centroids(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Broadcast argmax of ``vecs`` (vec_id, embedding) over ``cents``
     (centroid_id, centroid): each vector to its max-cosine centroid,
-    ties to the smallest centroid id."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
+    ties to the smallest centroid id.
+
+    Per-pair work is ONE fold, not three (round 16, guide §1.2):
+    ``cosine(a, b)`` inlines dot(a,b), norm(a) and norm(b) — so the
+    crossJoin evaluated two extra interpreted zip_with+fold chains (and
+    the _as_double transform ~5×) per (vector, centroid) PAIR, though
+    norm(a) is constant per vector and norm(b) per centroid. Both norms
+    are materialized once per side before the join — the vector side
+    through the explode(array(…)) attribute trick (CollapseProject
+    would otherwise re-inline the cast array into every reference), the
+    centroid side inside the broadcast-built relation. sim =
+    dot/(norm_a*norm_b) over the SAME doubles in the SAME order —
+    bit-identical values (row-diffed + oracle-checked)."""
+    v = vecs.select(
+        "vec_id",
+        F.explode(F.array(_as_double(F.col("embedding")))).alias("__e"),
+    ).select("vec_id", "__e", norm(F.col("__e")).alias("__ne"))
+    c = cents.select(
+        "centroid_id", "centroid", norm(F.col("centroid")).alias("__nc")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "centroid_id",
-        cosine(_as_double(F.col("embedding")), F.col("centroid")).alias("sim"),
+        (
+            dot(F.col("__e"), F.col("centroid"))
+            / (F.col("__ne") * F.col("__nc"))
+        ).alias("sim"),
     )
     # deterministic argmax: max over (sim, -centroid_id) structs
     return (
@@ -966,12 +988,15 @@ def semantic_dedup_df(
         reps.select("vec_id", "embedding"),
         _ivf_centroids(emb.select("vec_id", "embedding"), n_centroids),
     ).select("vec_id", "centroid_id")
+    # explode(array(…)) materializes the cast array as a real attribute
+    # so norm(e) doesn't re-inline the transform chain (round 16; same
+    # trick as _assign_to_centroids / dedup._with_tokens)
     vecs, vecs_ids = _ckpt.local_checkpoint(
         reps.join(assign, "vec_id")
         .select(
             "centroid_id",
             "vec_id",
-            _as_double(F.col("embedding")).alias("e"),
+            F.explode(F.array(_as_double(F.col("embedding")))).alias("e"),
         )
         .withColumn("n", norm(F.col("e")))
     )

@@ -66,7 +66,10 @@ def _documents_count(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, path, ident)
     if key not in _doc_count_cache:
         n = load(spark, sf_dir, "documents").count()
-        _doc_count_cache.clear()  # stale generations never accumulate
+        # evict only stale generations of the SAME (app, path) — a
+        # whole-dict clear() thrashed across sf_dirs (ADVICE r15)
+        for k in [k for k in _doc_count_cache if k[:2] == key[:2]]:
+            del _doc_count_cache[k]
         _doc_count_cache[key] = n
     return _doc_count_cache[key]
 

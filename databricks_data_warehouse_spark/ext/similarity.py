@@ -332,7 +332,12 @@ def _corpus_dim(spark: SparkSession, sf_dir: str) -> int | None:
             and row["lo"] == row["hi"]
             else None
         )
-        _corpus_dim_cache.clear()  # stale generations never accumulate
+        # evict only stale generations of the SAME (app, corpus) — a
+        # whole-dict clear() thrashed across sf_dirs (ADVICE r15)
+        for k in [
+            k for k in _corpus_dim_cache if k[:2] == key[:2] and k != key
+        ]:
+            del _corpus_dim_cache[k]
         _corpus_dim_cache[key] = dim
     return _corpus_dim_cache[key]
 

@@ -2409,7 +2409,19 @@ class ManagedTable:
             return self.spark.createDataFrame([], StructType(fields))
         df = reduce(DataFrame.unionByName, scans)
         if need_meta:
-            df = df.withColumn("__mt_key", self._file_key()).drop("__mt_path")
+            # materialize the file key through a single-element explode
+            # (a Generate output is a real attribute — round 16): the
+            # url-decode + regexp chain in _file_key is referenced ~3×
+            # inside its own CASE and again by every join's inferred
+            # isnotnull filter on the key; as a plain withColumn,
+            # CollapseProject re-inlines the chain per reference (~6
+            # evaluations per row on the CDF content-fetch path). Same
+            # trick as dedup._with_tokens; A/B on table_cdf at sf0.1:
+            # 2.07 → 1.58 s min, rows identical.
+            df = df.select(
+                *[c for c in df.columns if c != "__mt_path"],
+                F.explode(F.array(self._file_key())).alias("__mt_key"),
+            )
         return df
 
     # keys-per-column cap for the exact IN-set read predicate: beyond
@@ -4842,8 +4854,13 @@ class ManagedTable:
         df = reduce(DataFrame.unionByName, scans)
         if dv:
             # DV rows are invisible to scan too (merge-on-read read side)
+            # __mt_key materialized once via the Generate trick — see
+            # _scan_rels (round 16)
             df = (
-                df.withColumn("__mt_key", self._file_key())
+                df.select(
+                    *[c for c in df.columns if c != "__mt_path"],
+                    F.explode(F.array(self._file_key())).alias("__mt_key"),
+                )
                 .join(
                     self._dv_rows(dv).select(
                         F.col("file").alias("__mt_key"),

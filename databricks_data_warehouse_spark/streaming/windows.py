@@ -162,7 +162,12 @@ def _parquet_schema(spark: SparkSession, path: str):
     schema = _schema_cache.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
-        _schema_cache.clear()  # stale idents never accumulate
+        # evict only stale idents of the SAME (app, path): a whole-dict
+        # clear() made the cache single-entry — alternating lookups of
+        # events.parquet and documents.parquet evicted each other and
+        # re-paid the schema read every call (ADVICE r15)
+        for k in [k for k in _schema_cache if k[:2] == key[:2] and k != key]:
+            del _schema_cache[k]
         _schema_cache[key] = schema
     return schema
 
@@ -448,7 +453,14 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_ts",
         "purchase_value",
     )
-    return _run_to_memory(joined, "append", state_partitions=8)
+    # a stream-stream join allocates FOUR state-store instances per
+    # shuffle partition (left/right × keyToNumValues/keyWithIndexToValue),
+    # so its per-store setup cost is 4× the aggregation entries'; at this
+    # keyspace (~150 user keys) 4 partitions = 16 stores already
+    # dominates setup (A/B at sf0.1: 2.63 → 1.94 s min, same 371 rows).
+    # The knob is per-operator and keyspace-derived — a real deployment
+    # raises it with key cardinality exactly like the 8s above.
+    return _run_to_memory(joined, "append", state_partitions=4)
 
 
 def stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,9 @@ from databricks_data_warehouse_spark.session import get_spark
 
 
 def main() -> int:
+    if len(sys.argv) < 3:  # ADVICE r15: usage, not IndexError
+        print(__doc__.strip(), file=sys.stderr)
+        return 2
     out_dir = sys.argv[1]
     suffix = sys.argv[2]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"

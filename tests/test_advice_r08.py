@@ -17,6 +17,7 @@
 """
 
 from __future__ import annotations
+import pytest
 
 import datetime
 
@@ -33,6 +34,7 @@ def _tbl(spark, tmp_path, name, **kw):
 
 
 # ----------------------------------------------------- 1: date partitions
+@pytest.mark.slow
 def test_pushdown_date_partition_filter(spark, tmp_path):
     t = _tbl(spark, tmp_path, "dpart", partition_columns=["d"])
     df = spark.range(0, 300).select(

@@ -153,6 +153,7 @@ def _semantic_reference(emb, threshold, k):
     return emb.select("vec_id", "label").join(losers, "vec_id", "left_anti")
 
 
+@pytest.mark.slow
 def test_semantic_dedup_collapse_equivalence(spark):
     """The exact-duplicate collapse is result-identical to the
     collapse-free reference on randomized corpora WITH planted exact

@@ -2,6 +2,7 @@
 history semantics, batch-internal multi-versions, deletes, and the
 cross-batch late-event ignore rule."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from databricks_data_warehouse_spark.pipelines.cdc import (
@@ -639,6 +640,7 @@ def _race_apply(spark, tmp_path, name, batch1_rows, batch2_rows):
     assert key(t3) == key(ref)
 
 
+@pytest.mark.slow
 def test_apply_changes_concurrent_disjoint_keys_converges(spark, tmp_path):
     """VERDICT r10 item 8: two racing applies on DISJOINT keys — the
     loser hits a real ConcurrentWriteError and its retry converges to
@@ -650,6 +652,7 @@ def test_apply_changes_concurrent_disjoint_keys_converges(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_apply_changes_concurrent_overlapping_keys_converges(
     spark, tmp_path
 ):

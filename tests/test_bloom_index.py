@@ -377,6 +377,7 @@ def test_corrupt_or_partial_sidecar_never_wrongly_prunes(spark, table):
         )
 
 
+@pytest.mark.slow
 def test_random_geometry_soundness_sweep(spark, tmp_path):
     """Randomized (seeded) sweep: several (fpp, ndv) geometries, int
     and string columns, probes both present and absent — scan must

@@ -4,6 +4,8 @@ hand-computed merges on a known corpus, driver ≡ distributed training,
 determinism, monotonicity in num_merges, and whitespace upper bounds —
 plus the budgeting/packing integration the counts exist for."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -61,6 +63,7 @@ def test_driver_and_distributed_trainers_identical(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_determinism_and_monotonicity(spark):
     docs = _docs(
         spark,

@@ -11,6 +11,8 @@ is IDENTICAL to the driver loop for every filter shape — same kept
 files, same totals — so moving the evaluation can never change results.
 """
 
+import pytest
+
 import datetime
 import json
 import os
@@ -81,6 +83,7 @@ FILTER_CASES = [
 ]
 
 
+@pytest.mark.slow
 def test_distributed_prune_matches_driver_loop(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.overwrite(_base_df(spark).repartitionByRange(8, "id"))
@@ -136,6 +139,7 @@ def test_distributed_scan_rows_exact(spark, tmp_path):
         max_size=3,
     )
 )
+@pytest.mark.slow
 def test_prune_mode_parity_property(spark, tmp_path_factory, filters):
     global _PROP_TABLES
     try:

@@ -542,6 +542,7 @@ from hypothesis import strategies as st
     w2p=st.integers(0, 2),
     loser_deletes=st.booleans(),
 )
+@pytest.mark.slow
 def test_disjoint_rebase_converges_to_serial(
     spark, tmp_path_factory, lp, w1p, w2p, loser_deletes
 ):

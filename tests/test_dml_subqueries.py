@@ -44,6 +44,7 @@ def test_delete_correlated_exists(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [2, 4]
 
 
+@pytest.mark.slow
 def test_delete_scalar_subquery(spark, tmp_path):
     t, sess = _mk(spark, tmp_path)
     sess.sql("DELETE FROM tq WHERE v > (SELECT AVG(v) FROM tq)")

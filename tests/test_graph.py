@@ -12,6 +12,7 @@ PageRank and the arithmetic scale-safe):
 """
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -120,6 +121,7 @@ def _graph_case(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(_graph_case())
+@pytest.mark.slow
 def test_pagerank_matches_integer_reference_model(spark, case):
     nodes, pairs = case
     docs = spark.createDataFrame([(v,) for v in nodes], "doc_id long")

@@ -8,10 +8,16 @@ handling, carry-over, insert NULL-fill, by-source scoping — shows up
 as a state mismatch with a shrunken counterexample.
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from databricks_data_warehouse_spark.sources.tables import ManagedTable
+
+# slow tier: every clause class here is covered deterministically by
+# test_merge_clauses.py / test_apply_changes.py / test_sql_dml.py —
+# these are the randomized convergence sweeps (round 16 tiering)
+pytestmark = pytest.mark.slow
 
 # value domain is small so keys collide between target and source
 _KEYS = st.integers(min_value=0, max_value=5)

@@ -5,6 +5,7 @@ appends; replays are txn-watermark no-ops.
 """
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -35,6 +36,7 @@ def _state(mv):
     }
 
 
+@pytest.mark.slow
 def test_mv_tracks_every_mutation_kind(spark, tmp_path):
     src = ManagedTable(spark, "mvsrc", str(tmp_path / "mvsrc"))
     mv = ManagedTable(spark, "mvagg", str(tmp_path / "mvagg"))

@@ -273,6 +273,7 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_full_medallion_flow_on_real_orders(spark, tmp_path):
     """The reference's complete flow over the real testdata orders table:
     bronze ingest -> silver validation with domain + FK rules -> DLQ,

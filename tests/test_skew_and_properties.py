@@ -2,6 +2,7 @@
 merge helpers and the cleansing chain's fixed-point behavior."""
 
 from __future__ import annotations
+import pytest
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -99,6 +100,7 @@ def test_salted_join_equals_plain_join(spark):
     ),
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_merge_insert_only_is_idempotent_union(spark, tmp_path_factory, batch1, batch2):
     """Property (random batches): merge_insert_only twice == once, and
     the table contents equal the DISTINCT union of all merged batches

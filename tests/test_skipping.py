@@ -292,6 +292,7 @@ def prop_table(spark, tmp_path_factory):
     n_filters=st.integers(min_value=1, max_value=3),
 )
 @settings(max_examples=30, deadline=None)
+@pytest.mark.slow
 def test_scan_equals_filter_for_any_conjunction(prop_table, data, n_filters):
     t, df = prop_table
     filters = []

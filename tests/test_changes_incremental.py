@@ -134,3 +134,54 @@ def test_changes_by_version_attribution(spark, tmp_path):
 def test_changes_by_version_empty_window(spark, tmp_path):
     t = _mk(spark, tmp_path, "attr0", rows=3)
     assert t.changes_by_version(0, 0).count() == 0
+
+
+def test_touched_dirs_cover_every_dv_delta_dir(spark, tmp_path):
+    """ADVICE r15: _changes_incremental derives the content-fetch dir
+    set ON THE DRIVER from the DV mappings, relying on the invariant
+    that a file's position set can only change when its dv-dir
+    reference changes (dv dirs are immutable once written). If a
+    writer ever rewrote a dv dir in place, deletes/restores would be
+    silently DROPPED from the feed. Pin the invariant: across a
+    DV-evolving history, every (file, pos) delta's carried-over dir
+    must be a member of the driver-computed touched set."""
+    t = _mk(spark, tmp_path, "inv")
+    t.delete_where(F.expr("k < 7"))                       # v1: DV delete
+    t.update_where({"v": "v + 0.5"}, F.expr("k IN (8, 9)"))  # v2: DV update
+    t.delete_where(F.expr("k = 50"))                      # v3: second delete
+    for v_from in range(0, 3):
+        v_to = v_from + 1
+        old_e = t._read_manifest(v_from)
+        dv_old, _ = t._read_dv(v_from)
+        dv_new, _ = t._read_dv(v_to)
+        old_dir_set = set(old_e.values())
+
+        def touched(changed_keys):
+            dirs = {k.rsplit("/", 1)[0] for k in changed_keys if "/" in k}
+            return {d for d in dirs if d in old_dir_set}
+
+        changed_new = [f for f, d in dv_new.items() if dv_old.get(f) != d]
+        changed_old = [f for f, d in dv_old.items() if dv_new.get(f) != d]
+        # the actual position-set delta, computed exhaustively from the
+        # DV parquet (what the semi-join fetches content for)
+        import pyarrow.parquet as pq
+        import os
+
+        def positions(dv):
+            out = {}
+            for f, d in dv.items():
+                p = d if os.path.isabs(d) else os.path.join(t.location, d)
+                tb = pq.read_table(p, filters=[("file", "==", f)])
+                out[f] = set(tb.column("pos").to_pylist())
+            return out
+
+        po, pn = positions(dv_old), positions(dv_new)
+        delta_files = {
+            f
+            for f in set(po) | set(pn)
+            if po.get(f, set()) != pn.get(f, set())
+            and f.rsplit("/", 1)[0] in old_dir_set
+        }
+        got = touched(changed_new) | touched(changed_old)
+        need = {f.rsplit("/", 1)[0] for f in delta_files}
+        assert need <= got, (v_from, need - got)

@@ -364,11 +364,13 @@ def ngram_jaccard_pairs_cached(
 _CC_DRIVER_MAX_EDGES = 200_000
 
 
-def _cc_driver(spark, sym: DataFrame, node_type) -> DataFrame:
+def _cc_driver(spark, rows, node_type) -> DataFrame:
     """Union-find (union-by-min-root + path halving) over the collected
-    edge list. Roots always keep the smaller id, so every node's final
+    edge list (``rows`` — already collected by the caller's size
+    guard). Roots always keep the smaller id, so every node's final
     root IS the minimum id reachable from it — the same labels the
-    pointer-jumping rounds converge to."""
+    pointer-jumping rounds converge to (edge ORDER is immaterial: the
+    final label is the min reachable id whatever the union order)."""
     parent: dict = {}
 
     def find(x):
@@ -377,7 +379,7 @@ def _cc_driver(spark, sym: DataFrame, node_type) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in sym.collect():
+    for row in rows:
         a, b = row["a"], row["b"]
         if a not in parent:
             parent[a] = a
@@ -430,13 +432,17 @@ def connected_components(
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym, sym_ids = _ckpt.local_checkpoint(sym)
     # sparse graphs (the near-dup norm) short-circuit to a driver
-    # union-find: one count on the checkpointed edges, one collect —
-    # vs ~(2 jobs × rounds) of scheduling overhead for the iterative
-    # path. The count is cheap (blocks are already materialized).
-    if sym.count() <= _CC_DRIVER_MAX_EDGES:
+    # union-find. The size guard and the edge fetch are ONE job
+    # (round 16): limit(MAX+1).collect() returns every edge when the
+    # graph is under the cap (and the collected prefix is simply
+    # discarded when it isn't) — previously a count job THEN a collect
+    # job over the same checkpointed blocks. A few MB at the cap,
+    # far under any driver limit.
+    guard = sym.limit(_CC_DRIVER_MAX_EDGES + 1).collect()
+    if len(guard) <= _CC_DRIVER_MAX_EDGES:
         node_type = sym.schema["a"].dataType
         try:
-            return _cc_driver(spark, sym, node_type)
+            return _cc_driver(spark, guard, node_type)
         finally:
             _ckpt.release(spark, sym_ids)
     labels, prev_ids = _ckpt.local_checkpoint(
